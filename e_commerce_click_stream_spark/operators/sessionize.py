@@ -1,0 +1,71 @@
+"""Gap-based sessionization.
+
+The reference's sessions are producer-assigned UUIDs (session_id minted in
+/root/reference/producer/models.py:85-94 and ended probabilistically in
+/root/reference/producer/producer.py:66-78); its Spark job only groups by
+that given key (/root/reference/processor/streaming_processor.py:174).
+The driver fixtures carry no session_id, so the engine synthesizes one with
+the standard gap rule: a new session starts when a user's inter-event gap
+exceeds ``gap_seconds``.
+
+Scale note: the lag/cumsum window partitions by ``user_id`` — at 100 TB this
+is a single hash shuffle on a high-cardinality key (hundreds of millions of
+users), which distributes evenly; per-user event counts are small so no
+single partition's window state is hot. The subsequent session aggregation
+groups by (session_id, user_id) whose hash distribution is inherited from
+the same key, so AQE can often avoid a second full shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SECONDS = 1800  # 30 min, the classic analytics default
+
+
+def with_session_id(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Add a deterministic ``session_id`` column (``"<user>-<n>"``).
+
+    Integer microsecond arithmetic end-to-end so the DuckDB oracle can
+    reproduce the assignment bit-for-bit.
+    """
+    order = [F.col(ts_col).asc(), F.col(order_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    is_new = (prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000)).cast("int")
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return events.withColumn(
+        "session_id", F.concat_ws("-", F.col(user_col).cast("string"), seq.cast("string"))
+    )
+
+
+def sessionize_sql(gap_seconds: int = SESSION_GAP_SECONDS, source: str = "events") -> str:
+    """DuckDB CTE body computing the identical session assignment."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+        SELECT * EXCLUDE (prev_us, is_new, seq),
+               user_id::VARCHAR || '-' || seq::VARCHAR AS session_id
+        FROM (
+            SELECT *, sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS seq
+            FROM (
+                SELECT *, CASE WHEN prev_us IS NULL
+                                 OR epoch_us(ts) - prev_us > {gap_us}
+                               THEN 1 ELSE 0 END AS is_new
+                FROM (
+                    SELECT *, lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                    FROM {source}
+                )
+            )
+        )
+    """

@@ -1,0 +1,488 @@
+"""Clickstream parity queries (SURVEY.md §2 A/P/W/O series).
+
+The reference computes session metrics, hourly tumbling-window metrics and
+dashboard KPIs over a clickstream (its event types: page_view / add_to_cart /
+purchase — /root/reference/producer/models.py:16). The driver fixture
+``events`` uses types view / click / purchase / signup / error; the mapping
+is view→page_view, click→add_to_cart, purchase→purchase.
+
+Every builder is a pure DataFrame function; oracles are DuckDB SQL over the
+same fixtures. Float aggregates are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.operators.sessionize import (
+    sessionize_sql,
+    with_session_id,
+)
+from e_commerce_click_stream_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# shared pieces
+
+_SESS_CTE = f"WITH sessionized AS ({sessionize_sql()})"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+def _is(event_type: str):
+    return F.col("event_type") == event_type
+
+
+def _cond_count(event_type: str):
+    """Reference A2 idiom: sum(when(type==x,1).otherwise(0))
+    (/root/reference/processor/streaming_processor.py:179-181)."""
+    return F.sum(F.when(_is(event_type), 1).otherwise(0))
+
+
+def _session_agg(ev: DataFrame) -> DataFrame:
+    """Reference A1 keyed session aggregate
+    (/root/reference/processor/streaming_processor.py:172-195)."""
+    dur_us = F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start"))
+    return (
+        ev.groupBy("session_id", "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("total_events"),
+            _cond_count("view").alias("page_views"),
+            _cond_count("click").alias("cart_additions"),
+            _cond_count("purchase").alias("purchases"),
+            F.round(
+                F.sum(F.when(_is("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
+            ).alias("purchase_amount"),
+        )
+        .withColumn("session_duration_minutes", F.round(dur_us / 60_000_000.0, 4))
+        .withColumn("converted", F.col("purchases") > 0)
+    )
+
+
+_SESSION_METRICS_SQL = f"""
+{_SESS_CTE}
+SELECT session_id,
+       user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS total_events,
+       count(*) FILTER (WHERE event_type = 'view') AS page_views,
+       count(*) FILTER (WHERE event_type = 'click') AS cart_additions,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS purchase_amount,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 4)
+           AS session_duration_minutes,
+       count(*) FILTER (WHERE event_type = 'purchase') > 0 AS converted
+FROM sessionized
+GROUP BY session_id, user_id
+"""
+
+
+@register("session_metrics", oracle=_SESSION_METRICS_SQL, headline=True,
+          tags=("A1", "A2", "A3", "A10", "sessionize"))
+def session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregate: event counts by type, revenue, duration,
+    converted flag — reference calculate_session_metrics
+    (/root/reference/processor/streaming_processor.py:172-195) over
+    gap-sessionized events."""
+    return _session_agg(with_session_id(_events(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# hourly tumbling-window metrics (A4 batch equivalent, A2/A3/P6/P7)
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_timestamp,
+       count(*) AS total_events,
+       count(DISTINCT user_id) AS unique_users,
+       count(*) FILTER (WHERE event_type = 'view') AS page_views,
+       count(*) FILTER (WHERE event_type = 'click') AS cart_additions,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       round(CASE WHEN count(*) FILTER (WHERE event_type = 'view') > 0
+                  THEN count(*) FILTER (WHERE event_type = 'purchase') * 100.0
+                       / count(*) FILTER (WHERE event_type = 'view')
+                  ELSE 0.0 END, 2) AS conversion_rate,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS revenue
+FROM events
+GROUP BY 1
+"""
+
+
+def _hourly(ev: DataFrame) -> DataFrame:
+    out = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_timestamp")).agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        _cond_count("view").alias("page_views"),
+        _cond_count("click").alias("cart_additions"),
+        _cond_count("purchase").alias("purchases"),
+        F.round(
+            F.sum(F.when(_is("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
+        ).alias("revenue"),
+    )
+    # P7 safe-division conversion metric
+    # (/root/reference/processor/streaming_processor.py:298-303)
+    conv = F.when(
+        F.col("page_views") > 0, F.col("purchases") * 100.0 / F.col("page_views")
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("conversion_rate", F.round(conv, 2)).select(
+        "hour_timestamp",
+        "total_events",
+        "unique_users",
+        "page_views",
+        "cart_additions",
+        "purchases",
+        "conversion_rate",
+        "revenue",
+    )
+
+
+@register("hourly_metrics", oracle=_HOURLY_SQL, headline=True,
+          tags=("A4", "A2", "A3", "P6", "P7"))
+def hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window metrics — batch equivalent of reference
+    calculate_hourly_metrics (/root/reference/processor/streaming_processor.py:276-307)
+    with exact distinct users (the approx variant is
+    ``hourly_metrics_approx``)."""
+    return _hourly(_events(spark, sf_dir))
+
+
+@register("hourly_metrics_approx", oracle=None, tags=("A5", "hll"))
+def hourly_metrics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: approx_count_distinct (HLL) per hour, as the reference uses at
+    /root/reference/processor/streaming_processor.py:285. Sketches aren't
+    hash-stable across engines → rows-only check."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_timestamp")).agg(
+        F.approx_count_distinct("user_id").alias("approx_unique_users"),
+        F.count("*").alias("total_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dashboard KPIs (A6/A7/A8/A14/S7)
+
+_DASHBOARD_SQL = f"""
+{_SESS_CTE},
+ev AS (
+    SELECT count(*)::BIGINT AS total_events,
+           count(DISTINCT user_id)::BIGINT AS unique_users,
+           round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) * 100.0, 4)
+               AS conversion_rate,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+               AS total_revenue
+    FROM events
+),
+sess AS (
+    SELECT count(DISTINCT session_id)::BIGINT AS unique_sessions,
+           round(avg(dur_min), 4) AS avg_session_duration_minutes
+    FROM (
+        SELECT session_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS dur_min
+        FROM sessionized GROUP BY session_id
+    )
+)
+SELECT 'total_events' AS metric_name, total_events::DOUBLE AS metric_value FROM ev
+UNION ALL SELECT 'unique_users', unique_users::DOUBLE FROM ev
+UNION ALL SELECT 'conversion_rate', conversion_rate FROM ev
+UNION ALL SELECT 'total_revenue', total_revenue FROM ev
+UNION ALL SELECT 'unique_sessions', unique_sessions::DOUBLE FROM sess
+UNION ALL SELECT 'avg_session_duration_minutes', avg_session_duration_minutes FROM sess
+"""
+
+
+@register("dashboard_metrics", oracle=_DASHBOARD_SQL,
+          tags=("A6", "A7", "A8", "A14", "S7"))
+def dashboard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global KPI snapshot as (metric_name, metric_value) rows — reference
+    update_dashboard_metrics (/root/reference/processor/streaming_processor.py:337-394),
+    expressed as one distributed agg + unpivot instead of the reference's
+    collect()-and-recreate round-trip (A14): no data leaves the plan."""
+    ev = _events(spark, sf_dir)
+    sess = (
+        with_session_id(ev)
+        .groupBy("session_id")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 60_000_000.0
+            ).alias("dur_min")
+        )
+        .agg(
+            F.countDistinct("session_id").alias("unique_sessions"),
+            F.round(F.avg("dur_min"), 4).alias("avg_session_duration_minutes"),
+        )
+    )
+    glob = ev.agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.round(
+            F.avg(F.when(_is("purchase"), F.lit(1.0)).otherwise(F.lit(0.0))) * 100.0, 4
+        ).alias("conversion_rate"),
+        F.round(
+            F.sum(F.when(_is("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
+        ).alias("total_revenue"),
+    )
+    wide = glob.crossJoin(sess)  # two single-row aggregates
+    return wide.selectExpr(
+        """stack(6,
+            'total_events', cast(total_events as double),
+            'unique_users', cast(unique_users as double),
+            'conversion_rate', conversion_rate,
+            'total_revenue', total_revenue,
+            'unique_sessions', cast(unique_sessions as double),
+            'avg_session_duration_minutes', avg_session_duration_minutes
+        ) as (metric_name, metric_value)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution with grand-total window (A12/W1/F11)
+
+_DISTRIBUTION_SQL = """
+SELECT event_type,
+       count(*) AS cnt,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("event_type_distribution", oracle=_DISTRIBUTION_SQL,
+          tags=("A12", "W1", "F11"))
+def event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type distribution with percent-of-grand-total via an empty
+    window partition (reference notebook cell-3, data_analysis.ipynb)."""
+    counts = _events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.withColumn("pct", F.round(F.col("cnt") * 100.0 / total, 2))
+
+
+# ---------------------------------------------------------------------------
+# conversion by session-duration bucket (A13)
+
+_BUCKET_CASE_SQL = """CASE WHEN dur_min < 1 THEN '0-1min'
+            WHEN dur_min < 5 THEN '1-5min'
+            WHEN dur_min < 15 THEN '5-15min'
+            WHEN dur_min < 30 THEN '15-30min'
+            ELSE '30min+' END"""
+
+_CONVERSION_BUCKET_SQL = f"""
+{_SESS_CTE},
+sess AS (
+    SELECT session_id,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS dur_min,
+           (count(*) FILTER (WHERE event_type = 'purchase') > 0) AS converted
+    FROM sessionized GROUP BY session_id
+)
+SELECT {_BUCKET_CASE_SQL} AS duration_bucket,
+       count(*) AS sessions,
+       round(avg(CASE WHEN converted THEN 1.0 ELSE 0.0 END), 4) AS conversion_rate
+FROM sess
+GROUP BY 1
+"""
+
+
+@register("conversion_by_duration_bucket", oracle=_CONVERSION_BUCKET_SQL,
+          tags=("A13",))
+def conversion_by_duration_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean conversion by session-duration bucket (reference notebook cell-4
+    pandas.cut → groupby().mean(), data_analysis.ipynb) as a when-ladder."""
+    sess = (
+        with_session_id(_events(spark, sf_dir))
+        .groupBy("session_id")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 60_000_000.0
+            ).alias("dur_min"),
+            (_cond_count("purchase") > 0).alias("converted"),
+        )
+    )
+    d = F.col("dur_min")
+    bucket = (
+        F.when(d < 1, "0-1min")
+        .when(d < 5, "1-5min")
+        .when(d < 15, "5-15min")
+        .when(d < 30, "15-30min")
+        .otherwise("30min+")
+    )
+    return sess.groupBy(bucket.alias("duration_bucket")).agg(
+        F.count("*").alias("sessions"),
+        F.round(
+            F.avg(F.when(F.col("converted"), F.lit(1.0)).otherwise(F.lit(0.0))), 4
+        ).alias("conversion_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-1 latest hour (O1) and ordered series (O2)
+
+_LATEST_HOUR_SQL = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT hour_timestamp, conversion_rate, revenue
+FROM hourly ORDER BY hour_timestamp DESC LIMIT 1
+"""
+
+
+@register("latest_hour_conversion", oracle=_LATEST_HOUR_SQL, tags=("O1",))
+def latest_hour_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest hourly conversion-rate row — the Grafana 'ORDER BY … DESC
+    LIMIT 1' idiom (ecommerce-dashboard.json:48)."""
+    return (
+        _hourly(_events(spark, sf_dir))
+        .select("hour_timestamp", "conversion_rate", "revenue")
+        .orderBy(F.desc("hour_timestamp"))
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-way UNION ALL status counts (O3/F12)
+
+_STATUS_SQL = f"""
+{_SESS_CTE}
+SELECT 'raw_events' AS source, count(*) AS cnt FROM events
+UNION ALL
+SELECT 'user_sessions' AS source, count(DISTINCT session_id) AS cnt FROM sessionized
+UNION ALL
+SELECT 'purchases' AS source, count(*) AS cnt FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("pipeline_status_union", oracle=_STATUS_SQL, tags=("O3", "F12"))
+def pipeline_status_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way UNION ALL of labeled counts — the monitor_pipeline.sh psql
+    stats query."""
+    ev = _events(spark, sf_dir)
+    a = ev.agg(F.count("*").alias("cnt")).select(
+        F.lit("raw_events").alias("source"), "cnt"
+    )
+    b = (
+        with_session_id(ev)
+        .agg(F.countDistinct("session_id").alias("cnt"))
+        .select(F.lit("user_sessions").alias("source"), "cnt")
+    )
+    c = (
+        ev.filter(_is("purchase"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("purchases").alias("source"), "cnt")
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+# ---------------------------------------------------------------------------
+# global activity profile (A11)
+
+_PROFILE_SQL = f"""
+{_SESS_CTE}
+SELECT count(*) AS total_events,
+       count(DISTINCT user_id) AS unique_users,
+       count(DISTINCT session_id) AS unique_sessions,
+       count(*) FILTER (WHERE event_type = 'view') AS page_views,
+       count(*) FILTER (WHERE event_type = 'click') AS cart_additions,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+FROM sessionized
+"""
+
+
+@register("user_activity_profile", oracle=_PROFILE_SQL, tags=("A11",))
+def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-metric profile: COUNT(*), two COUNT(DISTINCT),
+    three FILTER counts (reference notebook cell-2)."""
+    return with_session_id(_events(spark, sf_dir)).agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.countDistinct("session_id").alias("unique_sessions"),
+        _cond_count("view").alias("page_views"),
+        _cond_count("click").alias("cart_additions"),
+        _cond_count("purchase").alias("purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# enrichment projection: from_json, casts, timestamp round-trip, repair,
+# regexp_replace, coalesce (P1-P4, F1-F3, F6, F13, T10)
+
+_ENRICHED_SQL = """
+SELECT event_id,
+       ts,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso,
+       CASE WHEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') IS NOT NULL
+                 AND strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') != ''
+            THEN strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f')
+            ELSE TIMESTAMP '2024-01-01 00:00:00' END AS repaired_ts,
+       user_id,
+       regexp_replace(event_type, '^view$', 'page_view') AS event_type,
+       json_extract_string(props, '$.k')::INTEGER AS prop_k,
+       round(coalesce(value, 0.0), 2) AS value_filled,
+       (event_type = 'purchase') AS is_purchase,
+       date_trunc('hour', ts) AS hour_timestamp
+FROM events
+"""
+
+
+@register("events_enriched", oracle=_ENRICHED_SQL,
+          tags=("P1", "P2", "P3", "P4", "F1", "F2", "F3", "F6", "F13", "T10"))
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed enrichment projection: ISO-8601 round-trip with when/otherwise
+    dirty-timestamp repair (reference parse_events,
+    /root/reference/processor/streaming_processor.py:109-129), JSON prop
+    extraction (F1), regexp_replace + coalesce (the reference's imported-but-
+    unused F13 surface, /root/reference/processor/streaming_processor.py:12-13)."""
+    ev = _events(spark, sf_dir)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ts_iso = F.date_format("ts", fmt)
+    parsed = F.to_timestamp(ts_iso, fmt)
+    repaired = F.when(ts_iso.isNotNull() & (ts_iso != ""), parsed).otherwise(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    return ev.select(
+        "event_id",
+        "ts",
+        ts_iso.alias("ts_iso"),
+        repaired.alias("repaired_ts"),
+        "user_id",
+        F.regexp_replace("event_type", "^view$", "page_view").alias("event_type"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value_filled"),
+        _is("purchase").alias("is_purchase"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_timestamp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-session cart contents: collect_list + size (F13)
+
+_CART_SQL = f"""
+{_SESS_CTE}
+SELECT session_id,
+       string_agg(json_extract_string(props, '$.k'), ','
+                  ORDER BY json_extract_string(props, '$.k')) AS cart_items,
+       count(*)::BIGINT AS cart_size
+FROM sessionized
+WHERE event_type = 'click'
+GROUP BY session_id
+"""
+
+
+@register("session_cart_contents", oracle=_CART_SQL, tags=("F13",))
+def session_cart_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session cart item list via collect_list + size — the surface the
+    reference imported but never used
+    (/root/reference/processor/streaming_processor.py:12-13). The list is
+    sorted and joined to a string so the comparison is order-insensitive."""
+    ev = with_session_id(_events(spark, sf_dir))
+    item = F.get_json_object("props", "$.k")
+    return (
+        ev.filter(_is("click"))
+        .groupBy("session_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(item)), ",").alias("cart_items"),
+            F.size(F.collect_list(item)).cast("long").alias("cart_size"),
+        )
+    )
