@@ -1,0 +1,584 @@
+"""Relational capability set over the TPC-H-ish star schema.
+
+The reference implements zero joins in its Spark job (SURVEY.md §2.3) but its
+schema and SQL-consumer layer imply a standard relational surface; this
+module provides it as named queries: multi-way equi joins (broadcast for
+dims), semi/anti joins, analytic windows (ranking, lag, running frames),
+rollup, pivot, set ops, and scalar string/date/math function coverage.
+
+Scale notes baked into each builder:
+- dimension sides (region/nation/supplier/part/customer) get an explicit
+  ``F.broadcast`` hint — at 100 TB the fact table (lineitem) never shuffles
+  for these joins;
+- aggregations go through groupBy (partial+final hash agg via Catalyst);
+- every LIMIT query sorts with a total-order tiebreak so results are
+  deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: the canonical partial+final hash aggregate
+
+_Q1_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_SQL, headline=True, tags=("agg", "scan"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg: the filter pushes to the parquet scan and
+    the aggregate runs partial+final with whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style 3-way join with top-k
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_SQL, headline=True, tags=("join", "topk"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (broadcast customer dim) + agg + deterministic top-10.
+    The capability the reference's star schema implies but never implements
+    (SURVEY.md §2.3)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner"
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style 6-way join through the full dimension chain
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_SQL, headline=True, tags=("join",))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join: fact lineitem joins broadcast dims; only orders (the
+    second-largest table) flows through a shuffle join on o_orderkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast dim join + per-brand rollup of the fact table
+
+_BRAND_SQL = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 2) AS total_qty,
+       count(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@register("brand_revenue", oracle=_BRAND_SQL, headline=True, tags=("join", "agg"))
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast join + keyed agg; lineitem never shuffles for
+    the join (only for the final small groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer order stats: shuffle join + agg with left join null handling
+
+_CUST_STATS_SQL = """
+SELECT c_custkey,
+       c_name,
+       c_mktsegment,
+       count(o_orderkey) AS order_count,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent,
+       round(coalesce(max(o_totalprice), 0.0), 2) AS max_order
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+"""
+
+
+@register("customer_order_stats", oracle=_CUST_STATS_SQL, tags=("join", "agg"))
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join preserving order-less customers, count(col) null semantics,
+    coalesce'd aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+            F.round(F.coalesce(F.max("o_totalprice"), F.lit(0.0)), 2).alias(
+                "max_order"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins
+
+_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("customers_without_orders", oracle=_NO_ORDERS_SQL, tags=("anti-join",))
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left_anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_WITH_RETURNS_SQL = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+"""
+
+
+@register("orders_with_returns", oracle=_WITH_RETURNS_SQL, tags=("semi-join",))
+def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left_semi join against a pushed-down filter."""
+    orders = _t(spark, sf_dir, "orders")
+    returns = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        returns, orders.o_orderkey == returns.l_orderkey, "left_semi"
+    ).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic windows: ranking / lag / running frames
+
+_TOP_ORDERS_SQL = """
+SELECT * FROM (
+    SELECT o_custkey,
+           o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE rn <= 3
+"""
+
+
+@register("top_orders_per_customer", oracle=_TOP_ORDERS_SQL, tags=("window", "rank"))
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-3 via row_number/rank/dense_rank over a deterministic
+    total order."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_ORDER_GAPS_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       o_orderdate,
+       round((epoch_us(o_orderdate)
+              - epoch_us(lag(o_orderdate) OVER w)) / 3600000000.0, 4) AS hours_since_prev,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       first_value(o_orderkey) OVER w AS first_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("customer_order_gaps", oracle=_ORDER_GAPS_SQL, tags=("window", "lag"))
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value over event-time per customer — integer-µs math
+    so both engines agree exactly."""
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    # o_orderdate surfaces as TIMESTAMP_NTZ from parquet; cast to session-tz
+    # (UTC) timestamp for epoch math
+    ts = F.col("o_orderdate").cast("timestamp")
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(gap_us / 3_600_000_000.0, 4).alias("hours_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_orderkey"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       o_orderdate,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+FROM orders
+"""
+
+
+@register("running_customer_revenue", oracle=_RUNNING_SQL, tags=("window", "frame"))
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 3-row moving average with explicit row frames."""
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spent"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 4
+        ).alias("moving_avg_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / pivot / set ops
+
+_ROLLUP_SQL = """
+SELECT p_type,
+       p_brand,
+       count(*) AS part_count,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part
+GROUP BY ROLLUP (p_type, p_brand)
+"""
+
+
+@register("part_type_rollup", oracle=_ROLLUP_SQL, tags=("rollup",))
+def part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotal + grand-total rows)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.count("*").alias("part_count"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_partial
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("orders_status_pivot", oracle=_PIVOT_SQL, tags=("pivot",))
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on order status (expressed as conditional counts in the oracle
+    — same plan shape Catalyst produces for pivot)."""
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_partial"),
+    )
+
+
+_SETOPS_SQL = """
+SELECT 'both' AS bucket, n_nationkey FROM (
+    SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only', n_nationkey FROM (
+    SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey FROM supplier
+)
+"""
+
+
+@register("nation_set_ops", oracle=_SETOPS_SQL, tags=("setop",))
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation keys."""
+    cust_nations = (
+        _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    )
+    supp_nations = (
+        _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    )
+    both = cust_nations.intersect(supp_nations).select(
+        F.lit("both").alias("bucket"), "n_nationkey"
+    )
+    only = cust_nations.exceptAll(supp_nations).select(
+        F.lit("customer_only").alias("bucket"), "n_nationkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# scalar function coverage: strings / dates / math
+
+_STRINGS_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_slug,
+       lpad(p_size::VARCHAR, 4, '0') AS size_pad,
+       trim(concat(' ', p_brand, ' ')) AS brand_trim,
+       split_part(p_type, ' ', 1) AS type_head,
+       reverse(p_brand) AS brand_rev,
+       contains(p_type, 'BRUSHED') AS is_brushed,
+       starts_with(p_name, 'a') AS starts_a
+FROM part
+"""
+
+
+@register("part_string_functions", oracle=_STRINGS_SQL, tags=("scalar", "string"))
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: case, length, substr, concat_ws, replace,
+    pad, trim, split, reverse, contains, prefix tests."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.contains(F.col("p_type"), F.lit("BRUSHED")).alias("is_brushed"),
+        F.startswith(F.col("p_name"), F.lit("a")).alias("starts_a"),
+    )
+
+
+_DATES_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       quarter(o_orderdate) AS q,
+       date_trunc('month', o_orderdate)::DATE AS month_start,
+       last_day(o_orderdate::DATE) AS month_end,
+       o_orderdate + INTERVAL 3 DAY AS plus_3d,
+       o_orderdate::DATE AS order_date
+FROM orders
+"""
+
+
+@register("order_date_functions", oracle=_DATES_SQL, tags=("scalar", "date"))
+def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: parts extraction, truncation, month end,
+    interval arithmetic, date cast."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).alias("plus_3d"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+_MATH_SQL = """
+SELECT l_orderkey,
+       l_linenumber,
+       round(abs(l_discount - 0.05), 6) AS disc_dev,
+       ceil(l_quantity)::DOUBLE AS qty_ceil,
+       floor(l_quantity)::DOUBLE AS qty_floor,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice + 1), 6) AS price_ln,
+       round(exp(l_discount), 6) AS disc_exp,
+       round(pow(1 + l_tax, 2), 6) AS tax_sq,
+       greatest(l_tax, l_discount) AS rate_max,
+       least(l_tax, l_discount) AS rate_min,
+       l_quantity::BIGINT % 7 AS qty_mod7,
+       sign(l_discount - 0.05) AS disc_sign
+FROM lineitem
+"""
+
+
+@register("lineitem_math_functions", oracle=_MATH_SQL, tags=("scalar", "math"))
+def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/ceil/floor/sqrt/ln/exp/pow/greatest/least/
+    mod/sign, rounded where libm implementations could differ in the last
+    ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil("l_quantity").cast("double").alias("qty_ceil"),
+        F.floor("l_quantity").cast("double").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.greatest("l_tax", "l_discount").alias("rate_max"),
+        F.least("l_tax", "l_discount").alias("rate_min"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )

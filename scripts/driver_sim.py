@@ -74,13 +74,22 @@ def main() -> int:
         if name not in oracles:
             print(f"[rows-only] {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
             continue
-        rel = con.sql(oracles[name])
-        d_cols = sorted(rel.columns)
-        d_rows = [tuple(r) for r in rel.fetchall()]
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = sorted(rel.columns)
+            d_rows = [tuple(r) for r in rel.fetchall()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL] {name}: oracle raised {type(exc).__name__}: {exc}")
+            continue
         idx_s = [list(sdf.columns).index(c) for c in s_cols]
         idx_d = [list(rel.columns).index(c) for c in d_cols]
-        s_norm = sorted(tuple(norm(r[i]) for i in idx_s) for r in s_rows)
-        d_norm = sorted(tuple(norm(r[i]) for i in idx_d) for r in d_rows)
+        s_norm = sorted(
+            (tuple(norm(r[i]) for i in idx_s) for r in s_rows), key=repr
+        )
+        d_norm = sorted(
+            (tuple(norm(r[i]) for i in idx_d) for r in d_rows), key=repr
+        )
         if s_cols != d_cols:
             failures.append(name)
             print(f"[FAIL] {name}: cols spark={s_cols} duck={d_cols}")

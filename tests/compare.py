@@ -40,8 +40,9 @@ def _norm_cell(v):
 def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
+    # key=repr gives a total order even with None/mixed cells
     out = sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
     )
     return sorted_cols, out
 
