@@ -1,0 +1,360 @@
+"""Document deduplication operators over the ``documents`` table.
+
+The reference has no dedup capability; these are the north-star
+training-data-pipeline operators (BASELINE.json) built Spark-first:
+
+- exact dedup: hash-groupBy on content fingerprint;
+- MinHash + LSH near-dup: shingle → 16 md5-minhashes → 4 bands × 4 rows →
+  bucket self-join for candidates → exact jaccard verify. At 100 TB the
+  band-bucket join is the scale path: candidates ≪ all-pairs, the bucket
+  key is high-cardinality (md5) so the shuffle distributes evenly, and the
+  verify join touches only candidate pairs;
+- exact n-gram jaccard: candidate generation by shared shingle (inverted
+  index join), the brute-force baseline the LSH path approximates;
+- SimHash: 32-bit parity fingerprint; identical fingerprints = near-dups.
+
+All hashing is md5-hex-string based so every step is reproducible in the
+DuckDB oracles (see plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.operators.textops import (
+    fingerprint,
+    minhash,
+    shingles,
+    tokens,
+)
+from e_commerce_click_stream_spark.plans.registry import register
+
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+JACCARD_THRESHOLD = 0.8
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB). [t[i] ... for i in range(...)] is DuckDB's
+# list comprehension; i is 1-based.
+
+_SHINGLED_CTE = """
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+shingled AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)])
+                ELSE [] END AS s
+    FROM toks
+)
+"""
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens().alias("toks"))
+        .select("doc_id", shingles("toks", 3).alias("s"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+_EXACT_SQL = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_SQL, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint: one
+    hash-shuffle on the md5 key (uniformly distributed — no skew at any
+    scale), min(doc_id) as the kept canonical row."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(fingerprint().alias("fp"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+_EXACT_STATS_SQL = """
+SELECT count(*) AS total_docs,
+       count(DISTINCT text) AS distinct_texts,
+       count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+           AS distinct_fingerprints,
+       count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+           AS removable_docs
+FROM documents
+"""
+
+
+@register("dedup_exact_stats", oracle=_EXACT_STATS_SQL, tags=("dedup",))
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup summary: total vs distinct (raw and normalized)."""
+    docs = table(spark, sf_dir, "documents")
+    fp = fingerprint()
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.countDistinct(fp).alias("distinct_fingerprints"),
+        (F.count("*") - F.countDistinct(fp)).alias("removable_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n           ".join(
+        f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(NUM_BANDS):
+        cols = " || '|' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh")
+    bands = "\n    UNION ALL\n    ".join(band_rows)
+    return f"""
+WITH {_SHINGLED_CTE},
+exploded AS (
+    SELECT doc_id, unnest(s) AS sh FROM shingled WHERE len(s) > 0
+),
+mh AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM exploded GROUP BY doc_id
+),
+buckets AS (
+    {bands}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+               AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql(), headline=True,
+          tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-duplicate pairs with exact
+    jaccard verification of candidates. Spark plan: tokenize/shingle
+    (codegen, no shuffle) → per-doc signature via array_min (no explode,
+    no shuffle) → explode 4 band buckets → self-join on (band, bucket) →
+    verify join on the two shingle sets."""
+    sh = _docs_shingled(spark, sf_dir).filter(F.size("s") > 0)
+    sig = sh.select(
+        "doc_id",
+        "s",
+        *[minhash(F.col("s"), s).alias(f"mh{s}") for s in range(NUM_HASHES)],
+    )
+    band_structs = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        sep = F.lit("|")
+        concat_cols: list = []
+        for i, c in enumerate(cols):
+            if i:
+                concat_cols.append(sep)
+            concat_cols.append(c)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*concat_cols)).alias("bucket"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union_sz = F.size("sa") + F.size("sb") - common
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard via inverted-index candidate join
+
+_NGRAM_SQL = f"""
+WITH {_SHINGLED_CTE},
+exploded AS (
+    SELECT doc_id, unnest(s) AS sh FROM shingled WHERE len(s) > 0
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exploded a JOIN exploded b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+               AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_SQL, tags=("dedup", "jaccard"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-jaccard near-dup pairs; candidates from an inverted-
+    index self-join on shingle (any shared shingle → candidate). This is the
+    exact baseline dedup_minhash_lsh approximates — at 100 TB prefer the LSH
+    path: this one's candidate set grows with shingle collision frequency."""
+    sh = _docs_shingled(spark, sf_dir).filter(F.size("s") > 0)
+    ex = sh.select("doc_id", F.explode("s").alias("sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union_sz = F.size("sa") + F.size("sb") - common
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+_SIMHASH_BITS = 32
+
+_SIMHASH_CTE = f"""
+toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+bitvals AS (
+    SELECT doc_id, b.range AS bit,
+           CASE WHEN ascii(substr(md5(tok || ':' || b.range), 1, 1)) % 2 = 1
+                THEN 1 ELSE -1 END AS v
+    FROM toks, range({_SIMHASH_BITS}) b
+),
+sums AS (
+    SELECT doc_id, bit, sum(v) AS s FROM bitvals GROUP BY doc_id, bit
+),
+sigs AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+               AS simhash
+    FROM sums GROUP BY doc_id
+)
+"""
+
+_SIMHASH_SQL = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sigs"
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
+    ex = docs.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit")
+    )
+    parity = (
+        F.ascii(F.substring(F.md5(F.concat(F.col("tok"), F.lit(":"), F.col("bit").cast("string"))), 1, 1))
+        % 2
+    )
+    vals = ex.select(
+        "doc_id", "bit", F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v")
+    )
+    sums = vals.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    bitchar = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        sums.select("doc_id", F.struct(F.col("bit"), bitchar.alias("c")).alias("bc"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("bc")), lambda x: x["c"]), ""
+            ).alias("simhash")
+        )
+    )
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (token-frequency weighted,
+    md5-parity bit hashes). Identical fingerprints flag near-duplicate token
+    multisets; at scale, group by simhash (or by band substrings for
+    hamming<=k) instead of pairwise compare."""
+    return _simhash_sigs(spark, sf_dir)
+
+
+_SIMHASH_DUPES_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+@register("dedup_simhash_groups", oracle=_SIMHASH_DUPES_SQL, tags=("dedup", "simhash"))
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash collision groups — the grouped (not pairwise) dedup output."""
+    return (
+        _simhash_sigs(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )

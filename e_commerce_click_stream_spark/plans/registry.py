@@ -29,6 +29,7 @@ _PLAN_MODULES = (
     "e_commerce_click_stream_spark.plans.dedup",
     "e_commerce_click_stream_spark.plans.similarity",
     "e_commerce_click_stream_spark.plans.text",
+    "e_commerce_click_stream_spark.plans.multimodal",
     "e_commerce_click_stream_spark.plans.streaming_parity",
 )
 

@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+North-star operators (BASELINE.json): brute-force cosine top-k as the
+correctness baseline, plus the scale paths — sign-LSH bucketing and a
+banded near-dup pair scan. All vector math is built-in array expressions
+(zip_with / aggregate folds) in doubles — JVM-side, codegen'd, no Python.
+
+Scale notes: brute-force top-k against Q query vectors broadcasts the
+queries (Q ≪ corpus) so the corpus never shuffles; the LSH-signature path
+reduces candidate generation to an equi-join on bucket signature, the same
+pattern dedup_minhash_lsh uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.plans.registry import register
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_PLANES = 8  # vec_id < 8 double as LSH hyperplanes
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — same accumulation order in any
+    engine."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+_NORMS_SQL = """
+SELECT vec_id,
+       label,
+       len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+           AS l2_norm
+FROM embeddings
+"""
+
+
+@register("embedding_norms", oracle=_NORMS_SQL, tags=("similarity",))
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector dimension + L2 norm — the cheap full-scan vector op."""
+    v = _vecs(spark, sf_dir)
+    return v.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("dim"),
+        F.round(_norm(F.col("v")), 6).alias("l2_norm"),
+    )
+
+
+_TOPK_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+    FROM n q JOIN n c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_cosine_topk", oracle=_TOPK_SQL, headline=True, tags=("similarity", "topk"))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the query vectors (vec_id < 10):
+    broadcast the queries against the corpus, rank by rounded cosine with a
+    deterministic id tiebreak. The exact baseline the LSH path approximates."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_LSH_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planes AS (
+    SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
+),
+bits AS (
+    SELECT e.vec_id, p.plane_id,
+           CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN '1' ELSE '0' END AS bit
+    FROM e, planes p
+)
+SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket_signature
+FROM bits GROUP BY vec_id
+"""
+
+
+@register("ann_lsh_buckets", oracle=_LSH_SQL, tags=("similarity", "lsh"))
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket signature per vector (hyperplanes = the first 8
+    corpus vectors, so the projection set is deterministic and
+    oracle-reproducible). At scale: equi-join vectors on bucket_signature
+    to generate ANN candidates instead of scanning the corpus per query."""
+    e = _vecs(spark, sf_dir)
+    planes = e.filter(F.col("vec_id") < N_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")
+    )
+    bits = e.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "plane_id",
+        F.when(_dot(F.col("v"), F.col("pv")) > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+    )
+    return (
+        bits.select("vec_id", F.struct("plane_id", "bit").alias("pb"))
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pb")), lambda x: x["bit"]), ""
+            ).alias("bucket_signature")
+        )
+    )
+
+
+_PAIRS_SQL = """
+WITH n AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+    WHERE vec_id % 20 = 0
+),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label_a, label_b, cosine
+FROM scored WHERE cosine >= 0.3
+"""
+
+
+@register("embedding_cosine_pairs", oracle=_PAIRS_SQL, tags=("similarity", "near-dup"))
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a deterministic sample
+    (vec_id % 20 == 0). The all-pairs form is the correctness baseline; the
+    scale path buckets by ann_lsh_buckets signature first."""
+    n = (
+        _vecs(spark, sf_dir)
+        .filter(F.col("vec_id") % 20 == 0)
+        .select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label_a",
+            "label_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

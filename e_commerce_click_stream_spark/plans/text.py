@@ -1,0 +1,217 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star training-data-pipeline text ops (BASELINE.json): quality
+scoring, token counting (whitespace + BPE-ish regex), n-gram language-ID
+heuristic, and content fingerprinting. All built-in string/array
+expressions — no UDFs, fully codegen'd, trivially parallel at 100 TB (pure
+map, no shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.operators.textops import (
+    STOPWORDS_EN,
+    fingerprint,
+    tokens,
+)
+from e_commerce_click_stream_spark.plans.registry import register
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+_SW_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+_QUALITY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, n_chars, text,
+           string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+)
+SELECT doc_id,
+       lang,
+       length(text) AS text_len,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_unique_tokens,
+       round(len(list_distinct(t))::DOUBLE / len(t), 6) AS unique_ratio,
+       round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 4)
+           AS avg_token_len,
+       len(list_filter(t, x -> list_contains([{_SW_SQL}], x))) AS stopword_hits,
+       round(len(list_filter(t, x -> list_contains([{_SW_SQL}], x)))::DOUBLE
+             / len(t), 6) AS stopword_ratio,
+       (len(t) >= 5 AND len(list_distinct(t))::DOUBLE / len(t) > 0.3)
+           AS passes_quality
+FROM toks
+"""
+
+
+@register("doc_quality_scores", oracle=_QUALITY_SQL, headline=True, tags=("text", "quality"))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, uniqueness ratio, mean
+    token length, English stopword ratio, and a boolean quality gate —
+    the heuristics a pretraining filter applies before dedup."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tokens().alias("t")
+    )
+    n = F.size("t")
+    uniq = F.size(F.array_distinct(F.col("t")))
+    tok_chars = F.aggregate(
+        F.expr("transform(t, x -> length(x))"), F.lit(0), lambda acc, x: acc + x
+    )
+    sw_hits = F.expr(f"size(filter(t, x -> array_contains(array({_SW_SPARK}), x)))")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("text_len"),
+        n.alias("n_tokens"),
+        uniq.alias("n_unique_tokens"),
+        F.round(uniq.cast("double") / n, 6).alias("unique_ratio"),
+        F.round(tok_chars.cast("double") / n, 4).alias("avg_token_len"),
+        sw_hits.alias("stopword_hits"),
+        F.round(sw_hits.cast("double") / n, 6).alias("stopword_ratio"),
+        ((n >= 5) & (uniq.cast("double") / n > 0.3)).alias("passes_quality"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS bpe_ish_tokens,
+       cast(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4_estimate
+FROM documents
+"""
+
+
+@register("doc_token_counts", oracle=_TOKEN_COUNT_SQL, tags=("text", "tokens"))
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex pieces
+    (word chunks + isolated punctuation), and the chars/4 estimate."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("chars_div4_estimate"),
+    )
+
+
+# language-ID heuristic: stopword hit counts per language, argmax with a
+# deterministic tie order (en > de > fr > es > unknown)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "que"),
+}
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(t, x -> list_contains([{words}], x)))"
+
+
+_LANG_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, lang,
+           {_hits_sql("en")} AS en_hits,
+           {_hits_sql("de")} AS de_hits,
+           {_hits_sql("fr")} AS fr_hits,
+           {_hits_sql("es")} AS es_hits
+    FROM toks
+)
+SELECT doc_id, lang AS lang_actual, en_hits, de_hits, fr_hits, es_hits,
+       CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+            WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+            WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+            WHEN fr_hits >= es_hits THEN 'fr'
+            ELSE 'es' END AS lang_guess
+FROM hits
+"""
+
+
+@register("doc_language_id", oracle=_LANG_SQL, tags=("text", "langid"))
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with deterministic argmax tie
+    order, reported against the dataset's lang column."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+    )
+    hit_cols = {}
+    for lang, words in _LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        hit_cols[lang] = F.expr(f"size(filter(t, x -> array_contains(array({arr}), x)))")
+    hits = docs.select(
+        "doc_id",
+        "lang_actual",
+        hit_cols["en"].alias("en_hits"),
+        hit_cols["de"].alias("de_hits"),
+        hit_cols["fr"].alias("fr_hits"),
+        hit_cols["es"].alias("es_hits"),
+    )
+    guess = (
+        F.when(F.greatest("en_hits", "de_hits", "fr_hits", "es_hits") == 0, "unknown")
+        .when(F.col("en_hits") >= F.greatest("de_hits", "fr_hits", "es_hits"), "en")
+        .when(F.col("de_hits") >= F.greatest("fr_hits", "es_hits"), "de")
+        .when(F.col("fr_hits") >= F.col("es_hits"), "fr")
+        .otherwise("es")
+    )
+    return hits.withColumn("lang_guess", guess)
+
+
+_FP_SQL = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_fp,
+       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 8)
+           AS fp_prefix,
+       source
+FROM documents
+"""
+
+
+@register("doc_fingerprints", oracle=_FP_SQL, tags=("text", "fingerprint"))
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint + bucket prefix — the join key
+    for cross-corpus exact dedup and provenance tracking."""
+    docs = table(spark, sf_dir, "documents")
+    fp = fingerprint()
+    return docs.select(
+        "doc_id",
+        fp.alias("content_fp"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+        "source",
+    )
+
+
+_SOURCE_STATS_SQL = """
+SELECT source,
+       lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register("corpus_source_stats", oracle=_SOURCE_STATS_SQL, tags=("text", "profile"))
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile grouped by (source, lang) — the mix report a data
+    pipeline emits before/after filtering."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens())), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
