@@ -1,0 +1,67 @@
+"""Benchmark harness: times the headline queries end-to-end.
+
+Runs every ``headline=True`` QuerySpec at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total seconds), "unit", "queries" (per-query
+seconds), "sf"}.
+
+Execution is forced with the noop sink so timings cover the full physical
+plan (scan → shuffle → agg) without driver-side collection overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from e_commerce_click_stream_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    specs = {n: s for n, s in all_specs().items() if s.headline}
+
+    # warm the JVM + parquet footer caches outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.perf_counter()
+        _execute(specs[name].builder(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,11 +56,23 @@ shingled AS (
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    """Tokenize + shingle every document, materialized once.
+
+    The LSH pipeline references this relation from several join branches
+    (signatures, candidate pairs, both sides of the verify join); without
+    materialization Catalyst re-derives the whole shingle+md5 pipeline in
+    each branch — including inside scan-level DataFilters — which turned a
+    ~10 s query into ~300 s at sf0.1. ``localCheckpoint`` cuts the lineage
+    so the expensive expression tree runs exactly once. At cluster scale
+    the equivalent is persisting the shingled corpus to storage (it is
+    re-read by every dedup round anyway)."""
+    sh = (
         table(spark, sf_dir, "documents")
         .select("doc_id", tokens().alias("toks"))
         .select("doc_id", shingles("toks", 3).alias("s"))
+        .filter(F.size("s") > 0)
     )
+    return sh.localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +181,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codegen, no shuffle) → per-doc signature via array_min (no explode,
     no shuffle) → explode 4 band buckets → self-join on (band, bucket) →
     verify join on the two shingle sets."""
-    sh = _docs_shingled(spark, sf_dir).filter(F.size("s") > 0)
+    sh = _docs_shingled(spark, sf_dir)
     sig = sh.select(
         "doc_id",
         "s",
@@ -253,26 +265,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index self-join on shingle (any shared shingle → candidate). This is the
     exact baseline dedup_minhash_lsh approximates — at 100 TB prefer the LSH
     path: this one's candidate set grows with shingle collision frequency."""
-    sh = _docs_shingled(spark, sf_dir).filter(F.size("s") > 0)
+    sh = _docs_shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("s").alias("sh"))
     a = ex.alias("a")
     b = ex.alias("b")
-    cand = (
+    # one row per shared shingle → the pair count IS the intersection size
+    common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union_sz = F.size("sa") + F.size("sb") - common
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("common")
+    # no broadcast hint: per-doc sizes grow with the corpus; AQE picks
+    # broadcast automatically while the side fits
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+            F.round(F.col("common").cast("double") / union_sz, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

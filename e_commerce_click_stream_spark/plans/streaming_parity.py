@@ -1,0 +1,115 @@
+"""Streaming-parity queries: real Structured Streaming executions whose
+final state must equal the batch oracle.
+
+Each builder replays the events fixture through the file source with
+Trigger.AvailableNow and returns the finished memory-sink table, so the
+driver's DuckDB comparison checks actual streaming semantics (watermark,
+window assignment, output mode), not a batch re-implementation.
+
+``streaming_session_windows`` uses ``session_window`` + watermark — the
+bounded-state alternative to the reference's unbounded keyed session agg
+(T3). In append mode, sessions still open within the final watermark would
+never emit; complete mode isn't supported for session windows, so the
+oracle restricts itself to sessions that CLOSE before the final watermark:
+``session_end + gap <= max(ts) - delay``. The pytest suite asserts the
+emitted set matches exactly that predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from e_commerce_click_stream_spark.operators.sessionize import sessionize_sql
+from e_commerce_click_stream_spark.plans.registry import register
+from e_commerce_click_stream_spark.streaming.jobs import (
+    dashboard_metrics_stream,
+    hourly_metrics_stream,
+    read_events_stream,
+    run_to_completion,
+    session_window_metrics_stream,
+)
+
+
+# exact distinct isn't available on streams (the sketch column is dropped
+# for the oracle compare; pytest checks it separately)
+_STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_timestamp,
+       count(*) AS total_events,
+       count(*) FILTER (WHERE event_type = 'view') AS page_views,
+       count(*) FILTER (WHERE event_type = 'click') AS cart_additions,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       round(CASE WHEN count(*) FILTER (WHERE event_type = 'view') > 0
+                  THEN count(*) FILTER (WHERE event_type = 'purchase') * 100.0
+                       / count(*) FILTER (WHERE event_type = 'view')
+                  ELSE 0.0 END, 2) AS conversion_rate,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS revenue
+FROM events
+GROUP BY 1
+"""
+
+
+@register("streaming_hourly_metrics", oracle=_STREAM_HOURLY_SQL, tags=("T1", "T2", "T4", "T5", "streaming"))
+def streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window hourly metrics executed as a real
+    streaming query (complete mode → all windows at end of replay equal the
+    batch result)."""
+    out = run_to_completion(
+        hourly_metrics_stream(read_events_stream(spark, sf_dir)), "complete"
+    )
+    return out.drop("approx_unique_users")
+
+
+_STREAM_DASHBOARD_SQL = """
+SELECT count(*) AS total_events,
+       round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) * 100.0, 4)
+           AS conversion_rate,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS total_revenue
+FROM events
+"""
+
+
+@register("streaming_dashboard_metrics", oracle=_STREAM_DASHBOARD_SQL, tags=("A6", "A7", "T4", "streaming"))
+def streaming_dashboard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global KPI aggregate as a complete-mode streaming query."""
+    return run_to_completion(
+        dashboard_metrics_stream(read_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+# Sessions that close (end + 30 min gap) before the final watermark
+# (max ts - 10 min delay) — exactly the set append mode emits.
+_STREAM_SESSIONS_SQL = f"""
+WITH sessionized AS ({sessionize_sql()}),
+sess AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS total_events,
+           count(*) FILTER (WHERE event_type = 'view') AS page_views,
+           count(*) FILTER (WHERE event_type = 'click') AS cart_additions,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+               AS purchase_amount,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 4)
+               AS session_duration_minutes,
+           count(*) FILTER (WHERE event_type = 'purchase') > 0 AS converted
+    FROM sessionized
+    GROUP BY session_id, user_id
+)
+SELECT * FROM sess
+WHERE epoch_us(session_end) + 1800000000
+      <= (SELECT max(epoch_us(ts)) FROM events) - 600000000
+"""
+
+
+@register("streaming_session_windows", oracle=_STREAM_SESSIONS_SQL, tags=("T3", "session_window", "streaming"))
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session aggregation via ``session_window`` + watermark in
+    append mode — the bounded-state T3. Emits exactly the sessions closed
+    by the final watermark; the oracle applies the same closure predicate
+    to the batch sessionization."""
+    return run_to_completion(
+        session_window_metrics_stream(read_events_stream(spark, sf_dir)), "append"
+    )

@@ -53,6 +53,7 @@ def get_spark(
         # -- local-mode ergonomics -------------------------------------------
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # At 100 TB the scan parallelism is governed by this: 128 MB splits.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )

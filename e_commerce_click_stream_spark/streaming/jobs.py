@@ -1,0 +1,191 @@
+"""Structured Streaming jobs — the streaming re-expression of the reference
+pipeline (SURVEY.md §2.8 T-series).
+
+The reference runs four concurrent streaming queries off one parsed Kafka
+stream (/root/reference/processor/streaming_processor.py:396-430). Here the
+same metric builders run over any streaming DataFrame; for tests and the
+driver gate we replay the parquet fixtures through the file source with
+``Trigger.AvailableNow`` so a finite replay yields a deterministic result
+comparable to the batch oracle.
+
+Kafka parity: ``read_kafka_stream`` builds the reader with the reference's
+exact options (subscribe / startingOffsets=latest / failOnDataLoss=false,
+streaming_processor.py:90-107). The connector JAR isn't in this container,
+so it's constructed lazily and surfaces a clear error if the package is
+missing — the file-source path covers all semantics tests.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+
+_counter = itertools.count()
+
+WATERMARK_DELAY = "10 minutes"  # T1 (streaming_processor.py:279)
+HOURLY_WINDOW = "1 hour"  # T2 (streaming_processor.py:281)
+SESSION_GAP = "30 minutes"  # idiomatic T3 alternative (session_window)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events fixture (finite replay).
+
+    Uses the batch schema (incl. the nanos→µs timestamp normalization) so
+    streaming and batch operate on identical typed input. The file source
+    requires a directory, so the fixture file is staged (symlinked) into a
+    temp dir — read-only on the fixture itself.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    staged = os.path.join(stage_dir, "events.parquet")
+    try:
+        os.symlink(src, staged)
+    except OSError:  # pragma: no cover - fs without symlinks
+        import shutil
+
+        shutil.copyfile(src, staged)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "clickstream.raw",
+) -> DataFrame:
+    """Kafka source with the reference's options
+    (/root/reference/processor/streaming_processor.py:90-107). Requires the
+    spark-sql-kafka package on the classpath."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def hourly_metrics_stream(events: DataFrame) -> DataFrame:
+    """T1+T2: watermarked tumbling-window hourly metrics
+    (streaming_processor.py:276-307), exact distinct users."""
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    cond = lambda t: F.sum(F.when(is_(t), 1).otherwise(0))  # noqa: E731
+    agg = (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", HOURLY_WINDOW).alias("hour_window"))
+        .agg(
+            F.count("*").alias("total_events"),
+            # exact distinct is unsupported on streams; the reference uses
+            # the HLL sketch here too (A5, streaming_processor.py:285)
+            F.approx_count_distinct("user_id").alias("approx_unique_users"),
+            cond("view").alias("page_views"),
+            cond("click").alias("cart_additions"),
+            cond("purchase").alias("purchases"),
+            F.round(
+                F.sum(F.when(is_("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
+            ).alias("revenue"),
+        )
+    )
+    conv = F.when(
+        F.col("page_views") > 0, F.col("purchases") * 100.0 / F.col("page_views")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("hour_window.start").alias("hour_timestamp"),  # P6 struct access
+        "total_events",
+        "approx_unique_users",
+        "page_views",
+        "cart_additions",
+        "purchases",
+        F.round(conv, 2).alias("conversion_rate"),
+        "revenue",
+    )
+
+
+def session_window_metrics_stream(events: DataFrame) -> DataFrame:
+    """Idiomatic T3: gap-based session windows with bounded state
+    (``session_window`` + watermark) instead of the reference's
+    unbounded-state keyed agg (streaming_processor.py:172-195, no
+    watermark). Same 30-minute gap rule as operators/sessionize.py, so the
+    finalized result equals the batch gap-sessionization aggregate."""
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    cond = lambda t: F.sum(F.when(is_(t), 1).otherwise(0))  # noqa: E731
+    agg = (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("total_events"),
+            cond("view").alias("page_views"),
+            cond("click").alias("cart_additions"),
+            cond("purchase").alias("purchases"),
+            F.round(
+                F.sum(F.when(is_("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
+            ).alias("purchase_amount"),
+        )
+    )
+    dur_us = F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start"))
+    return agg.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "total_events",
+        "page_views",
+        "cart_additions",
+        "purchases",
+        "purchase_amount",
+        F.round(dur_us / 60_000_000.0, 4).alias("session_duration_minutes"),
+        (F.col("purchases") > 0).alias("converted"),
+    )
+
+
+def dashboard_metrics_stream(events: DataFrame) -> DataFrame:
+    """Global KPI aggregate (A6/A7) as a streaming complete-mode query."""
+    is_purchase = F.col("event_type") == "purchase"
+    return events.agg(
+        F.count("*").alias("total_events"),
+        F.round(
+            F.avg(F.when(is_purchase, F.lit(1.0)).otherwise(F.lit(0.0))) * 100.0, 4
+        ).alias("conversion_rate"),
+        F.round(F.sum(F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0))), 2).alias(
+            "total_revenue"
+        ),
+    )
+
+
+def run_to_completion(
+    result: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a (finite) streaming DataFrame with Trigger.AvailableNow into
+    a memory sink and return the final result table (T4/T5/T6: output mode,
+    trigger, checkpoint)."""
+    spark = result.sparkSession
+    name = f"stream_result_{os.getpid()}_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_s)
+    finally:
+        if query.isActive:  # pragma: no cover - watchdog path
+            query.stop()
+    return spark.table(name)
