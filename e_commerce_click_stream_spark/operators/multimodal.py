@@ -107,8 +107,10 @@ def frame_sample(docs_with_payload: DataFrame, every_n_bytes: int = 64) -> DataF
     frame, chunk offsets carried alongside). Pure built-in expressions."""
     n = F.octet_length(F.col("payload"))
     offsets = F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
-    return (
-        docs_with_payload.select(
-            "doc_id", F.posexplode(offsets).alias("frame_idx", "offset")
-        )
+    return docs_with_payload.select(
+        "doc_id", F.posexplode(offsets).alias("frame_idx", "offset")
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("offset").cast("long").alias("offset"),
     )

@@ -405,6 +405,37 @@ def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# first/last per group (A9) — deterministic stand-in for the reference's
+# non-deterministic first() (SURVEY.md §7 risk 4)
+
+_FIRST_EVENT_SQL = f"""
+{_SESS_CTE}
+SELECT session_id,
+       arg_min(event_type, event_id) AS first_event_type,
+       arg_min(user_id, event_id) AS first_user_id,
+       arg_max(event_type, event_id) AS last_event_type,
+       min(event_id) AS first_event_id
+FROM sessionized
+GROUP BY session_id
+"""
+
+
+@register("session_first_event", oracle=_FIRST_EVENT_SQL, tags=("A9",))
+def session_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per session. The reference uses first() per session
+    (/root/reference/processor/streaming_processor.py:382-383), which is
+    non-deterministic; min_by/max_by over the unique event_id gives the
+    same capability with stable results."""
+    ev = with_session_id(_events(spark, sf_dir))
+    return ev.groupBy("session_id").agg(
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.min_by("user_id", "event_id").alias("first_user_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # enrichment projection: from_json, casts, timestamp round-trip, repair,
 # regexp_replace, coalesce (P1-P4, F1-F3, F6, F13, T10)
 

@@ -305,9 +305,9 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -498,7 +498,7 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.lower("p_brand").alias("brand_lower"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
@@ -532,10 +532,10 @@ def order_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        F.quarter("o_orderdate").alias("q"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
         F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 DAY")).alias("plus_3d"),

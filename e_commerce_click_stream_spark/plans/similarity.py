@@ -57,7 +57,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "vec_id",
         "label",
-        F.size("v").alias("dim"),
+        F.size("v").cast("long").alias("dim"),
         F.round(_norm(F.col("v")), 6).alias("l2_norm"),
     )
 
@@ -107,7 +107,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 

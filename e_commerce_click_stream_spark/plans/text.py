@@ -62,12 +62,12 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.length("text").alias("text_len"),
-        n.alias("n_tokens"),
-        uniq.alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+        n.cast("long").alias("n_tokens"),
+        uniq.cast("long").alias("n_unique_tokens"),
         F.round(uniq.cast("double") / n, 6).alias("unique_ratio"),
         F.round(tok_chars.cast("double") / n, 4).alias("avg_token_len"),
-        sw_hits.alias("stopword_hits"),
+        sw_hits.cast("long").alias("stopword_hits"),
         F.round(sw_hits.cast("double") / n, 6).alias("stopword_ratio"),
         ((n >= 5) & (uniq.cast("double") / n > 0.3)).alias("passes_quality"),
     )
@@ -89,8 +89,8 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(tokens()).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"), F.lit(0))).alias(
+        F.size(tokens()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"), F.lit(0))).cast("long").alias(
             "bpe_ish_tokens"
         ),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("chars_div4_estimate"),
@@ -151,10 +151,10 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = docs.select(
         "doc_id",
         "lang_actual",
-        hit_cols["en"].alias("en_hits"),
-        hit_cols["de"].alias("de_hits"),
-        hit_cols["fr"].alias("fr_hits"),
-        hit_cols["es"].alias("es_hits"),
+        hit_cols["en"].cast("long").alias("en_hits"),
+        hit_cols["de"].cast("long").alias("de_hits"),
+        hit_cols["fr"].cast("long").alias("fr_hits"),
+        hit_cols["es"].cast("long").alias("es_hits"),
     )
     guess = (
         F.when(F.greatest("en_hits", "de_hits", "fr_hits", "es_hits") == 0, "unknown")

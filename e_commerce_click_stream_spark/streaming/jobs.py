@@ -17,6 +17,7 @@ missing — the file-source path covers all semantics tests.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import os
 import tempfile
@@ -43,14 +44,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
-    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    # deterministic staging dir: checkpoints bind to the source path, so
+    # re-running against the same checkpoint must see the same directory
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(stage_dir, exist_ok=True)
     staged = os.path.join(stage_dir, "events.parquet")
-    try:
-        os.symlink(src, staged)
-    except OSError:  # pragma: no cover - fs without symlinks
-        import shutil
+    if not os.path.exists(staged):
+        try:
+            os.symlink(src, staged)
+        except OSError:  # pragma: no cover - fs without symlinks
+            import shutil
 
-        shutil.copyfile(src, staged)
+            shutil.copyfile(src, staged)
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     if dict(stream.dtypes)["ts"] == "bigint":
@@ -73,6 +79,35 @@ def read_kafka_stream(
         .option("startingOffsets", "latest")
         .option("failOnDataLoss", "false")
         .load()
+    )
+
+
+def to_kafka_payload(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """S8: shape a DataFrame for the Kafka sink — key = partition key
+    (user_id, matching producer/producer.py:171-175), value = the JSON
+    event envelope (producer/models.py:55-65)."""
+    value_cols = [c for c in events.columns if c != key_col]
+    return events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(F.col(key_col), *value_cols)).alias("value"),
+    )
+
+
+def write_kafka_stream(
+    payload: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "clickstream.raw",
+    checkpoint: str | None = None,
+):
+    """Kafka producer sink with the reference's delivery options
+    (acks=all, producer/producer.py:48-64). Requires the Kafka connector
+    JAR; build-only here."""
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("kafka.acks", "all")
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="kafka_ckpt_"))
     )
 
 

@@ -1,0 +1,97 @@
+"""Streaming semantics tests: checkpoint recovery (T6), replay-equals-batch,
+Kafka payload shaping (S8), trigger/output-mode surface (T4/T5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.streaming.jobs import (
+    read_events_stream,
+    to_kafka_payload,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """T6: re-running an availableNow query against the same checkpoint
+    reprocesses nothing — the sink stays exactly once for already-seen
+    files."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            read_events_stream(spark, SF_SMOKE)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(out).count()
+    run()  # same checkpoint, no new files → no new rows
+    assert spark.read.parquet(out).count() == first
+    assert first == 1000  # sf0.001 events
+
+
+def test_stream_replay_equals_batch(spark):
+    """The file-source replay delivers exactly the batch table."""
+    from e_commerce_click_stream_spark.io import table
+    from e_commerce_click_stream_spark.streaming.jobs import run_to_completion
+
+    streamed = run_to_completion(
+        read_events_stream(spark, SF_SMOKE).groupBy("event_type").count(), "complete"
+    )
+    batch = table(spark, SF_SMOKE, "events").groupBy("event_type").count()
+    assert {tuple(r) for r in streamed.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_kafka_payload_shape(spark):
+    """S8: key/value columns, with the value a JSON envelope that round-trips
+    through from_json (S2)."""
+    from e_commerce_click_stream_spark.io import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    payload = to_kafka_payload(ev, key_col="user_id")
+    assert payload.columns == ["key", "value"]
+    parsed = payload.select(
+        F.from_json(
+            "value",
+            "user_id long, event_id long, ts timestamp, event_type string, value double, props string",
+        ).alias("e")
+    ).select("e.*")
+    n = ev.count()
+    assert parsed.filter(F.col("event_id").isNotNull()).count() == n
+    back = {(r.event_id, r.event_type) for r in parsed.collect()}
+    orig = {(r.event_id, r.event_type) for r in ev.collect()}
+    assert back == orig
+
+
+def test_tables_ddl_and_seed(spark, tmp_path):
+    """S9 DDL mirror + S7 seed + product_metrics population (the table the
+    reference declares but never writes)."""
+    from e_commerce_click_stream_spark.io import table
+    from e_commerce_click_stream_spark.tables import (
+        create_analytics_schema,
+        product_metrics_from_events,
+        seed_dashboard_metrics,
+    )
+
+    db = "analytics_test"
+    create_analytics_schema(spark, db=db, location=str(tmp_path / "wh"))
+    try:
+        seed_dashboard_metrics(spark, db=db)
+        seeded = spark.table(f"{db}.dashboard_metrics")
+        assert seeded.count() == 5
+        assert {r.metric_name for r in seeded.collect()} >= {"total_events", "conversion_rate"}
+
+        pm = product_metrics_from_events(table(spark, SF_SMOKE, "events"))
+        pm.write.insertInto(f"{db}.product_metrics")
+        got = spark.table(f"{db}.product_metrics")
+        assert got.count() > 0
+        assert got.filter("page_views > 0 AND conversion_rate > 0").count() >= 0
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
