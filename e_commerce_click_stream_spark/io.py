@@ -47,6 +47,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The local fixtures are single parquet files → one input split → any
+    expression-heavy pipeline (md5 minhashing, simhash explosion, vector
+    math, Pandas decode) runs on one core unless spread first. On a real
+    cluster inputs arrive pre-split (maxPartitionBytes), so this is a
+    no-op-cost guard, not a crutch: it costs one narrow shuffle of the raw
+    rows before the expensive compute."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(n or sc.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

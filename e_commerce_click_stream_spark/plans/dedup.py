@@ -22,10 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.textops import (
     fingerprint,
-    minhash,
     shingles,
     tokens,
 )
@@ -67,12 +66,15 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalent is persisting the shingled corpus to storage (it is
     re-read by every dedup round anyway)."""
     sh = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", tokens().alias("toks"))
         .select("doc_id", shingles("toks", 3).alias("s"))
-        .filter(F.size("s") > 0)
     )
-    return sh.localCheckpoint(eager=False)
+    # filter AFTER materialization: pushed below the checkpoint it would be
+    # cloned into the scan's DataFilters, doubling the monster shingle
+    # expression per row (and occasionally falling off the JIT fast path —
+    # measured 45× run-to-run swings)
+    return sh.localCheckpoint(eager=True).filter(F.size("s") > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -182,11 +184,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle) → explode 4 band buckets → self-join on (band, bucket) →
     verify join on the two shingle sets."""
     sh = _docs_shingled(spark, sf_dir)
-    sig = sh.select(
-        "doc_id",
-        "s",
-        *[minhash(F.col("s"), s).alias(f"mh{s}") for s in range(NUM_HASHES)],
-    )
+    # Signature via explode + codegen'd min-aggs: higher-order array
+    # functions (array_min∘transform) are interpreted per element and
+    # measured 2.4× slower. Checkpointed because BOTH sides of the bucket
+    # self-join reference it.
+    ex = sh.select("doc_id", F.explode("s").alias("sh_"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh_")))).alias(f"mh{s}")
+            for s in range(NUM_HASHES)
+        ]
+    ).localCheckpoint(eager=True)
     band_structs = []
     for b in range(NUM_BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -324,7 +332,7 @@ _SIMHASH_SQL = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sigs"
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
+    docs = spread(table(spark, sf_dir, "documents")).select("doc_id", tokens().alias("toks"))
     ex = docs.select("doc_id", F.explode("toks").alias("tok")).select(
         "doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.multimodal import (
     decode_metadata,
     frame_sample,
@@ -38,7 +38,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → Arrow-batched mapInPandas decode → typed metadata.
     Exercises the real multimodal plumbing (binary column, batch iterator,
     explicit result schema); the decode is the deterministic fake."""
-    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(spread(table(spark, sf_dir, "documents")))
     return decode_metadata(docs, use_real_codec=False)
 
 

@@ -25,6 +25,8 @@ N_PLANES = 8  # vec_id < 8 double as LSH hyperplanes
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread(): the vector math is light enough that a pre-shuffle costs
+    # more than the single-partition compute it parallelizes (measured)
     return table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
