@@ -582,3 +582,79 @@ def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
     )
+
+
+# ---------------------------------------------------------------------------
+# percentiles / dispersion / cube
+
+_PCTL_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_value_percentiles", oracle=_PCTL_SQL, tags=("agg", "percentile"))
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per priority class (median/p90/p99).
+    At 100 TB switch to approx_percentile — the exact form needs a per-group
+    sort; both are one expression apart."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+_DISPERSION_SQL = """
+SELECT o_orderstatus,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(stddev_samp(o_totalprice), 4) AS sd_price,
+       round(var_samp(o_totalprice), 2) AS var_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("order_price_dispersion", oracle=_DISPERSION_SQL, tags=("agg", "stats"))
+def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion statistics per status: avg/stddev/variance/min/max."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_cube", oracle=_CUBE_SQL, tags=("cube",))
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus) — all four
+    grouping combinations in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -113,3 +113,46 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         session_window_metrics_stream(read_events_stream(spark, sf_dir)), "append"
     )
+
+
+# Sessions the custom stateful operator closes = every session that is
+# FOLLOWED by a later session of the same user (the user's last session
+# stays open in state forever, like the reference's unbounded T3 agg).
+_STATEFUL_SESSIONS_SQL = f"""
+WITH sessionized AS ({sessionize_sql()}),
+sess AS (
+    SELECT session_id,
+           user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS total_events,
+           count(*) FILTER (WHERE event_type = 'view') AS page_views,
+           count(*) FILTER (WHERE event_type = 'click') AS cart_additions,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+               AS purchase_amount,
+           count(*) FILTER (WHERE event_type = 'purchase') > 0 AS converted
+    FROM sessionized
+    GROUP BY session_id, user_id
+)
+SELECT user_id, session_start, session_end, total_events, page_views,
+       cart_additions, purchases, purchase_amount, converted
+FROM sess s
+WHERE EXISTS (SELECT 1 FROM sess s2
+              WHERE s2.user_id = s.user_id
+                AND s2.session_start > s.session_end)
+"""
+
+
+@register("streaming_stateful_sessions", oracle=_STATEFUL_SESSIONS_SQL,
+          tags=("T3", "applyInPandasWithState", "streaming"))
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state machine via ``applyInPandasWithState`` — the
+    faithful unbounded-state T3 (streaming/stateful.py): a session emits
+    only when a later event of the same user closes it; each user's final
+    session stays in state, exactly like the reference's watermarkless agg."""
+    from e_commerce_click_stream_spark.streaming.stateful import stateful_sessionize
+
+    return run_to_completion(
+        stateful_sessionize(read_events_stream(spark, sf_dir)), "append"
+    )
