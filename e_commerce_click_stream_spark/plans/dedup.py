@@ -311,11 +311,14 @@ toks AS (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
     FROM documents
 ),
+hashed AS (
+    SELECT doc_id, md5(tok) AS h FROM toks
+),
 bitvals AS (
     SELECT doc_id, b.range AS bit,
-           CASE WHEN ascii(substr(md5(tok || ':' || b.range), 1, 1)) % 2 = 1
+           CASE WHEN ascii(substr(h, b.range::INT + 1, 1)) % 2 = 1
                 THEN 1 ELSE -1 END AS v
-    FROM toks, range({_SIMHASH_BITS}) b
+    FROM hashed, range({_SIMHASH_BITS}) b
 ),
 sums AS (
     SELECT doc_id, bit, sum(v) AS s FROM bitvals GROUP BY doc_id, bit
@@ -332,28 +335,27 @@ _SIMHASH_SQL = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sigs"
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One md5 per token; the d-th bit is the parity of the d-th hex char.
+    # All 32 bit-sums are conditional aggregates in ONE groupBy — no
+    # per-bit row explosion (32× shuffle volume, measured 6-130 s flaky
+    # under disk contention) and no collect_list reassembly.
     docs = spread(table(spark, sf_dir, "documents")).select("doc_id", tokens().alias("toks"))
-    ex = docs.select("doc_id", F.explode("toks").alias("tok")).select(
-        "doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit")
+    hashed = docs.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
     )
-    parity = (
-        F.ascii(F.substring(F.md5(F.concat(F.col("tok"), F.lit(":"), F.col("bit").cast("string"))), 1, 1))
-        % 2
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN ascii(substr(h, {d + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"b{d}")
+            for d in range(_SIMHASH_BITS)
+        ]
     )
-    vals = ex.select(
-        "doc_id", "bit", F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v")
-    )
-    sums = vals.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
-    bitchar = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
-    return (
-        sums.select("doc_id", F.struct(F.col("bit"), bitchar.alias("c")).alias("bc"))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("bc")), lambda x: x["c"]), ""
-            ).alias("simhash")
-        )
-    )
+    bitchars = [
+        F.when(F.col(f"b{d}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in range(_SIMHASH_BITS)
+    ]
+    return sums.select("doc_id", F.concat(*bitchars).alias("simhash"))
 
 
 @register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup", "simhash"))

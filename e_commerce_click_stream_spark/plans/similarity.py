@@ -205,3 +205,70 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization: the third ANN scale path
+
+N_CENTROIDS = 8  # vec_id < 8 double as the coarse codebook
+
+_IVF_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+    SELECT n.vec_id,
+           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                              - c.cent_id * 1e-12) AS cell
+    FROM n, cent c
+    GROUP BY n.vec_id
+)
+SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM assign GROUP BY cell
+"""
+
+
+@register("ann_ivf_cells", oracle=_IVF_SQL, tags=("similarity", "ivf"))
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (codebook = the first 8 corpus vectors, deterministic) and report cell
+    occupancy. At scale the ANN search probes only the query's nearest
+    cells instead of the corpus — the classic IVF-flat layout; cell
+    assignment is one broadcast join + argmax, partitionable by cell for
+    downstream probing. Ties on rounded similarity break toward the lower
+    centroid id in both engines."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
+    )
+    return assign.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+_SAMPLE_SQL = """
+SELECT vec_id, label
+FROM embeddings
+WHERE ascii(substr(md5(vec_id::VARCHAR), 1, 1)) % 10 < 2
+"""
+
+
+@register("deterministic_sample", oracle=_SAMPLE_SQL, tags=("sampling",))
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based Bernoulli sampling (~20%): reproducible across engines,
+    runs, and partitionings — unlike rand()-based TABLESAMPLE. The pattern
+    a 100 TB pipeline uses for holdout splits and data audits."""
+    e = table(spark, sf_dir, "embeddings")
+    keep = F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) % 10 < 2
+    return e.filter(keep).select("vec_id", "label")
