@@ -517,3 +517,32 @@ def session_cart_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_list(item)).cast("long").alias("cart_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-range + null-filter predicates (P9/P10)
+
+_RECENT_SQL = """
+SELECT event_id, user_id, event_type, ts, round(value, 2) AS value
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+  AND value IS NOT NULL
+"""
+
+
+@register("recent_events_window", oracle=_RECENT_SQL, tags=("P9", "P10"))
+def recent_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time-range predicate — the Grafana 'NOW() - INTERVAL' panel
+    idiom (ecommerce-dashboard.json:18) made deterministic by anchoring to
+    max(ts) instead of wall-clock now(), plus the notebook's IS NOT NULL
+    filter (P10). The range predicate prunes partitions when the table is
+    date-partitioned."""
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(F.max("ts").alias("mx")).select(
+        (F.col("mx") - F.expr("INTERVAL 24 HOUR")).alias("cutoff")
+    )
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter((F.col("ts") > F.col("cutoff")) & F.col("value").isNotNull())
+        .select("event_id", "user_id", "event_type", "ts", F.round("value", 2).alias("value"))
+    )
