@@ -19,7 +19,7 @@ DuckDB oracles (see plans/registry.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import spread, table

@@ -210,17 +210,25 @@ def run_to_completion(
     spark = result.sparkSession
     name = f"stream_result_{os.getpid()}_{next(_counter)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    query = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # stateful operators allocate one state store per shuffle partition; at
+    # the 200 default a small replay spends more time opening stores than
+    # aggregating — clamp for the run, restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        query.awaitTermination(timeout_s)
+        query = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination(timeout_s)
+        finally:
+            if query.isActive:  # pragma: no cover - watchdog path
+                query.stop()
     finally:
-        if query.isActive:  # pragma: no cover - watchdog path
-            query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
