@@ -215,3 +215,68 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+_ARRAY_FN_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       t[1] AS first_token,
+       t[len(t)] AS last_token,
+       array_to_string(t[1:3], ' ') AS head3,
+       list_sort(list_distinct(t))[1] AS min_token,
+       list_contains(t, 'spark') AS has_spark,
+       len(list_filter(t, x -> length(x) > 5)) AS long_tokens,
+       list_position(t, 'the') AS the_pos
+FROM toks
+"""
+
+
+@register("token_array_functions", oracle=_ARRAY_FN_SQL, tags=("array", "scalar"))
+def token_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over token arrays: indexing, slicing,
+    sort/distinct, membership, lambda filter, position (0 = absent,
+    matching DuckDB list_position's NULL→coalesce below)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("t"))
+    return docs.select(
+        "doc_id",
+        F.element_at("t", 1).alias("first_token"),
+        F.element_at("t", -1).alias("last_token"),
+        F.array_join(F.slice("t", 1, 3), " ").alias("head3"),
+        F.element_at(F.array_sort(F.array_distinct(F.col("t"))), 1).alias("min_token"),
+        F.array_contains("t", "spark").alias("has_spark"),
+        F.expr("size(filter(t, x -> length(x) > 5))").cast("long").alias("long_tokens"),
+        F.array_position("t", "the").cast("long").alias("the_pos"),
+    )
+
+
+_LEVENSHTEIN_SQL = """
+WITH sample AS (
+    SELECT doc_id, substr(lower(trim(text)), 1, 40) AS head
+    FROM documents WHERE doc_id % 10 = 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_distance
+FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+"""
+
+
+@register("dedup_levenshtein_sample", oracle=_LEVENSHTEIN_SQL, tags=("dedup", "editdist"))
+def dedup_levenshtein_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over bounded prefixes of a
+    deterministic sample — the O(n·m) fuzzy-match primitive; at scale it
+    runs only on candidate pairs from the LSH stages, never all-pairs."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("ha"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.levenshtein("ha", "hb").cast("long").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 20)
+    )
