@@ -272,3 +272,114 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     keep = F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) % 10 < 2
     return e.filter(keep).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end IVF-flat search: assign -> probe -> rank (completes the ANN
+# story: ann_cosine_topk is the exact baseline, ann_ivf_topk the scale path)
+
+N_PROBE = 3  # cells probed per query
+
+
+_IVF_TOPK_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+    SELECT n.vec_id, n.v, n.nrm,
+           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                              - c.cent_id * 1e-12) AS cell
+    FROM n, cent c
+    GROUP BY n.vec_id, n.v, n.nrm
+),
+probes AS (
+    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
+                        c.cent_id) AS probe_rank
+    FROM n q, cent c
+    WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id, a.v, a.nrm
+    FROM (SELECT query_id, cell FROM probes WHERE probe_rank <= {N_PROBE}) p
+    JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id != p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(list_dot_product(q.v, cand.v) / (q.nrm * cand.nrm), 6) AS cosine
+    FROM cand JOIN n q ON q.vec_id = cand.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_TOPK_SQL, tags=("similarity", "ivf", "topk"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-flat ANN search. Corpus vectors are assigned to their
+    nearest of 8 deterministic centroids (one broadcast join + argmax);
+    each query probes its 3 nearest cells and ranks cosine only within the
+    probed cells. At 100 TB the assignment is written partitioned-by-cell
+    so a probe is a partition-pruned scan of ~nprobe/ncells of the corpus,
+    and the per-query candidate set joins on cell (equi-join, no full
+    cross). Deterministic: rounded cosines, id tiebreaks everywhere."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "v", "nrm")
+        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
+    )
+
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
+    probes = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "cent_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias(
+                "psim"
+            ),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
+    )
+
+    scored = (
+        assign.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
