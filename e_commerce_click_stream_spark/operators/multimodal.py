@@ -114,3 +114,59 @@ def frame_sample(docs_with_payload: DataFrame, every_n_bytes: int = 64) -> DataF
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("offset").cast("long").alias("offset"),
     )
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning over decoded dimensions: clamp the longer side to
+    ``max_side`` preserving aspect ratio, never upscaling. All integer math
+    (multiply-then-integer-divide) so the plan is engine-exact; the actual
+    pixel resample belongs to the codec layer (stubbed, like the decode).
+    Pure built-in expressions — this is metadata math, no Python hop."""
+    longest = F.greatest("width", "height")
+    fit = longest <= F.lit(max_side)
+    target_w = F.when(fit, F.col("width")).otherwise(
+        (F.col("width") * max_side).cast("long") / longest
+    )
+    target_h = F.when(fit, F.col("height")).otherwise(
+        (F.col("height") * max_side).cast("long") / longest
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(target_w).cast("long").alias("target_width"),
+        F.floor(target_h).cast("long").alias("target_height"),
+        (~fit).alias("resized"),
+    )
+
+
+FEATURES_SCHEMA = "doc_id bigint, features array<double>"
+
+
+def feature_batches(n_features: int = 8):
+    """mapInPandas function: payload bytes in, fixed-length float feature
+    vector out. The embedding model is stubbed with md5-derived features
+    (ascii of hex chars / 255.0 — bit-exact reproducible in SQL); swap the
+    body for a real encoder on a cluster with the model libs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "features": [
+                        [ord(fp[i]) / 255.0 for i in range(n_features)] for fp in fps
+                    ],
+                }
+            )
+
+    return fn
+
+
+def extract_features(docs_with_payload: DataFrame, n_features: int = 8) -> DataFrame:
+    """Payload → fixed-length feature vector via Arrow-batched mapInPandas
+    (partition-local, executor-memory bounded by Arrow batch size)."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        feature_batches(n_features), schema=FEATURES_SCHEMA
+    )

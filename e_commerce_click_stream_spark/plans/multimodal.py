@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.multimodal import (
     decode_metadata,
+    extract_features,
     frame_sample,
+    resize_plan,
     with_binary_payload,
 )
 from e_commerce_click_stream_spark.plans.registry import register
@@ -56,3 +58,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the video frame-extraction row shape without a codec."""
     docs = with_binary_payload(table(spark, sf_dir, "documents"))
     return frame_sample(docs, every_n_bytes=64)
+
+
+_RESIZE_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 1024 + 16
+               AS width,
+           (ascii(substr(md5(text), 3, 1)) * 256 + ascii(substr(md5(text), 4, 1))) % 1024 + 16
+               AS height
+    FROM documents
+)
+SELECT doc_id, width, height,
+       CASE WHEN greatest(width, height) <= 256 THEN width
+            ELSE (width * 256) // greatest(width, height) END AS target_width,
+       CASE WHEN greatest(width, height) <= 256 THEN height
+            ELSE (height * 256) // greatest(width, height) END AS target_height,
+       greatest(width, height) > 256 AS resized
+FROM d
+"""
+
+
+@register("multimodal_resize_plan", oracle=_RESIZE_SQL, tags=("multimodal",))
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (longest side clamped to 256, never
+    upscaled) over the decoded dimensions — runs the full payload → decode
+    → metadata-math path; the pixel resample itself is the codec layer's
+    job and stays stubbed like the decode."""
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return resize_plan(decode_metadata(docs, use_real_codec=False), max_side=256)
+
+
+_FEATURES_SQL = """
+SELECT doc_id,
+       list_transform(range(8), i -> ascii(substr(md5(text), (i + 1)::INT, 1)) / 255.0)
+           AS features
+FROM documents
+"""
+
+
+@register("multimodal_feature_extract", oracle=_FEATURES_SQL, tags=("multimodal", "pandas-udf"))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → fixed-length float feature vector through the real
+    Arrow/mapInPandas plumbing (the encoder is the md5-derived stub). The
+    output column shape (array<double>) is exactly what the similarity
+    queries consume — payload in, ANN-ready vectors out."""
+    docs = with_binary_payload(spread(table(spark, sf_dir, "documents")))
+    return extract_features(docs, n_features=8)

@@ -10,7 +10,9 @@ from e_commerce_click_stream_spark.io import table
 from e_commerce_click_stream_spark.operators.multimodal import (
     _real_decode,
     decode_metadata,
+    extract_features,
     frame_sample,
+    resize_plan,
     with_binary_payload,
 )
 from tests.conftest import SF_SMOKE
@@ -45,3 +47,27 @@ def test_frame_sample_offsets(spark):
     frames = frame_sample(docs, every_n_bytes=64)
     first = frames.filter("doc_id = 0").orderBy("frame_idx").collect()
     assert [f.offset for f in first] == [i * 64 for i in range(len(first))]
+
+
+def test_resize_plan_never_upscales(spark):
+    docs = with_binary_payload(table(spark, SF_SMOKE, "documents"))
+    plan = resize_plan(decode_metadata(docs), max_side=256).collect()
+    for r in plan:
+        assert max(r.target_width, r.target_height) <= 256
+        if r.resized:
+            # aspect ratio preserved within integer-division truncation
+            assert r.target_width <= r.width and r.target_height <= r.height
+            assert max(r.target_width, r.target_height) == 256
+        else:
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+
+
+def test_feature_extract_shape(spark):
+    docs = with_binary_payload(table(spark, SF_SMOKE, "documents"))
+    feats = extract_features(docs, n_features=8)
+    assert isinstance(feats.schema["features"].dataType, T.ArrayType)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:5]:
+        assert len(r.features) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.features)
