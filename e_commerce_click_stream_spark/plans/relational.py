@@ -658,3 +658,101 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: an operator Spark has no primitive for, composed from union +
+# running last() — the scale-correct shape (one hash shuffle on the key,
+# no inequality-join candidate explosion)
+
+_ASOF_SQL = """
+WITH ranked AS (
+    SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       r.o_orderkey AS asof_orderkey,
+       round(r.o_totalprice, 2) AS asof_totalprice
+FROM events e
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+"""
+
+
+@register("events_asof_orders", oracle=_ASOF_SQL, tags=("join", "asof"))
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the customer's latest order at-or-before
+    the event time (ties on date break toward the higher orderkey; events
+    with no prior order keep NULLs — left semantics).
+
+    Spark lacks an as-of primitive, so this composes one: tag and union the
+    two relations, sort per user by (time, order-before-event), and carry
+    the last non-null order columns forward with a running ``last(...,
+    ignorenulls)`` window. That is ONE hash shuffle on the join key and
+    linear work per partition — the naive inequality join the oracle runs
+    is O(events × orders-per-user) candidates and unusable at 100 TB."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+    )
+    tagged = ev.withColumn("pri", F.lit(0)).unionByName(
+        orders.withColumn("pri", F.lit(1)), allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("pri").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_totalprice", F.last("o_totalprice_r", ignorenulls=True).over(w))
+        .filter(F.col("pri") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t_us").alias("ts_us"),
+            "asof_orderkey",
+            "asof_totalprice",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase aggregation: salting demo whose result is exactly the
+# plain GROUP BY (event_type has ~5 values over the whole corpus — the
+# textbook hot-key shape)
+
+_SALTED_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("skew_salted_event_counts", oracle=_SALTED_SQL, tags=("agg", "skew"))
+def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality hot key:
+    phase 1 aggregates on (event_type, salt=event_id % 32) so the shuffle
+    spreads each hot key over 32 reducers; phase 2 merges the 32 partials
+    per key. Result is bit-identical to the direct GROUP BY (the oracle) —
+    salting changes the distribution, never the answer. At 100 TB this is
+    the manual fallback where AQE skew handling doesn't reach (it splits
+    skewed JOIN partitions, not agg keys; map-side partial agg usually
+    absorbs low-cardinality skew, but not for high-cardinality compound
+    aggs like collect_list/distinct where salting stays necessary)."""
+    ev = _t(spark, sf_dir, "events").withColumn("salt", F.pmod(F.col("event_id"), F.lit(32)))
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("total_value")
+    )
