@@ -1,0 +1,143 @@
+"""Structural audit of physical plans — the scale gate.
+
+Correctness says the answer is right at sf0.01; this audit says the PLAN
+is the one that survives 100 TB: dimension joins broadcast (fact side
+never shuffles), filters reach the parquet scan, aggregates are
+partial+final pairs, top-k uses TakeOrderedAndProject / WindowGroupLimit
+instead of full sorts, and shuffle counts match the operator's minimum.
+
+Run: python scripts/plan_audit.py            # audits EXPECTATIONS below
+Each rule is (substring must appear | must not appear | max shuffle
+exchanges in the non-adaptive initial plan). Plans are compiled, never
+executed — the audit is seconds, not minutes.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# name -> dict(contains=[...], not_contains=[...], max_exchanges=N)
+# max_exchanges counts shuffle Exchange nodes only (BroadcastExchange is
+# the cheap path we WANT; it is excluded).
+EXPECTATIONS: dict[str, dict] = {
+    # two broadcast dim joins; the lineitem fact is never shuffled for a
+    # join — the only Exchange feeds the final agg; top-10 is
+    # TakeOrderedAndProject (heap per partition), never a global Sort
+    "q3_shipping_priority": {
+        "contains": ["BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters: [Is"],
+        "not_contains": ["SortMergeJoin", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # canonical partial+final hash agg: exactly one shuffle, predicate
+    # pushed to the scan, ReadSchema pruned to the 7 referenced columns
+    "q1_pricing_summary": {
+        "contains": ["HashAggregate", "PushedFilters: [Is"],
+        "not_contains": ["SortAggregate", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # 5-table star join: every dimension broadcasts
+    "q5_local_supplier_volume": {
+        "contains": ["BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 2,
+    },
+    # query vectors broadcast against the corpus (corpus never moves);
+    # per-query top-k via WindowGroupLimit (rank pushdown), one shuffle
+    # to co-locate each query's candidates
+    "ann_cosine_topk": {
+        "contains": ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # as-of join composition: union + ONE hash shuffle on the key, then
+    # linear window work — the whole point vs the O(n·m) inequality join
+    "events_asof_orders": {
+        "contains": ["Union", "Window"],
+        "not_contains": ["Join"],
+        "max_exchanges": 1,
+    },
+    # salted two-phase agg: exactly two shuffles by construction
+    # (event_type,salt) then (event_type)
+    "skew_salted_event_counts": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join"],
+        "max_exchanges": 2,
+    },
+    # keyed session agg: one shuffle, partial+final
+    "session_metrics": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["SortAggregate", "Join"],
+        "max_exchanges": 1,
+    },
+    # tumbling-window agg with EXACT count(distinct user_id): Catalyst's
+    # distinct expansion is two shuffles (hash on (window,user) to dedup,
+    # then on (window) to count) — that IS the minimal exact plan; the
+    # one-shuffle alternative is hourly_metrics_approx (HLL sketch)
+    "hourly_metrics": {
+        "contains": ["HashAggregate"],
+        "max_exchanges": 2,
+    },
+}
+
+_EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count_shuffles(plan: str) -> int:
+    tree = plan.split("\n\n")[0]
+    return len([ln for ln in tree.splitlines() if re.search(r"\bExchange\b", ln) and "BroadcastExchange" not in ln])
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    failures = []
+    for name, rules in sorted(EXPECTATIONS.items()):
+        plan = formatted_plan(qs[name](spark, SF_DIR))
+        tree = plan.split("\n\n")[0]
+        problems = []
+        for frag in rules.get("contains", ()):
+            if frag not in plan:
+                problems.append(f"missing {frag!r}")
+        for frag in rules.get("not_contains", ()):
+            if frag in tree:
+                problems.append(f"forbidden {frag!r} present")
+        n = count_shuffles(plan)
+        if "max_exchanges" in rules and n > rules["max_exchanges"]:
+            problems.append(f"{n} shuffle exchanges > max {rules['max_exchanges']}")
+        if problems:
+            failures.append(name)
+            print(f"[BAD]  {name}: {'; '.join(problems)}")
+            print(tree)
+        else:
+            print(f"[OK]   {name} ({n} shuffle{'s' if n != 1 else ''})")
+
+    print(f"\n{len(failures)} plan violations" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
