@@ -756,3 +756,80 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join: bounded time-window self-join via bucketing — the second
+# operator family Spark lacks a primitive for (after as-of above)
+
+_ATTRIB_SQL = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       count(e.event_id) AS preceding_events,
+       round(coalesce(sum(e.value), 0.0), 2) AS preceding_value
+FROM events p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 1 HOUR
+ AND e.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+_HOUR_US = 3_600 * 1_000_000
+
+
+@register("purchase_attribution_window", oracle=_ATTRIB_SQL, tags=("join", "range"))
+def purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, the same user's event count and value over
+    the preceding hour (attribution window).
+
+    Spark has no range-join primitive, so the naive form is an inequality
+    join (O(events²-per-user) candidates — the oracle runs it; fine for
+    DuckDB at sf0.01, fatal at 100 TB). The scale form here buckets both
+    sides by hour: a 1-hour window spans at most 2 hour-buckets, so each
+    purchase explodes into ≤2 (user, bucket) probe keys and the join is a
+    plain equi-join on (user_id, bucket) + an exact refinement predicate.
+    Shuffle keys are (user, hour) — high cardinality, skew-free — and
+    candidate volume is events-in-adjacent-buckets, not all-pairs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("t_us")
+    )
+    probes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("t_us").alias("p_t_us"),
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("t_us") - _HOUR_US) / _HOUR_US),
+                    F.floor((F.col("t_us") - 1) / _HOUR_US),
+                )
+            ).alias("p_bucket"),
+        )
+    )
+    cands = ev.select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("value").alias("e_value"),
+        F.col("t_us").alias("e_t_us"),
+        F.floor(F.col("t_us") / _HOUR_US).alias("bucket"),
+    )
+    joined = probes.join(
+        cands,
+        (F.col("p_user_id") == F.col("e_user_id"))
+        & (F.col("p_bucket") == F.col("bucket"))
+        & (F.col("e_t_us") >= F.col("p_t_us") - _HOUR_US)
+        & (F.col("e_t_us") < F.col("p_t_us")),
+        "left",
+    )
+    return joined.groupBy("p_event_id", "p_user_id", "p_t_us").agg(
+        F.count("e_event_id").alias("preceding_events"),
+        F.round(F.coalesce(F.sum("e_value"), F.lit(0.0)), 2).alias("preceding_value"),
+    ).select(
+        F.col("p_event_id").alias("event_id"),
+        F.col("p_user_id").alias("user_id"),
+        F.col("p_t_us").alias("ts_us"),
+        "preceding_events",
+        "preceding_value",
+    )

@@ -61,6 +61,13 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join"],
         "max_exchanges": 1,
     },
+    # bucketed range join MUST compile to an equi-join (hash-partitioned
+    # on (user,bucket)) — never a nested-loop over the inequality
+    "purchase_attribution_window": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "max_exchanges": 4,
+    },
     # salted two-phase agg: exactly two shuffles by construction
     # (event_type,salt) then (event_type)
     "skew_salted_event_counts": {
