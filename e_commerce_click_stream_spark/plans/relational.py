@@ -833,3 +833,184 @@ def purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "preceding_events",
         "preceding_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6-style forecast revenue: pure filter+agg — the pushdown showcase
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS qualifying_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_SQL, tags=("agg", "scan", "pushdown"))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue forecast: four conjunctive predicates that all
+    push to the parquet scan (PushedFilters carries range + between), then a
+    single global partial+final agg — zero shuffle beyond the final 1-row
+    exchange. At 100 TB with date-partitioned layout the shipdate range also
+    prunes partitions before any IO happens."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("qualifying_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style large-volume customers: HAVING on an aggregate, then join up
+
+_Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 180
+)
+SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+       round(o_totalprice, 2) AS total_price, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+@register("q18_large_volume_customers", oracle=_Q18_SQL, tags=("join", "having"))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: aggregate lineitem per order, keep orders whose
+    total quantity clears a threshold (HAVING), then join the surviving keys
+    up to orders and customer. The agg runs FIRST so the join input is the
+    filtered ~top-decile of orders, not raw lineitem — at 100 TB the
+    aggregate-then-join ordering is the difference between shuffling 100 TB
+    and shuffling the survivors. Customer is broadcast."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 180)
+        .select("l_orderkey", F.round(F.col("qty_raw"), 2).alias("total_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-style shipping priority mix: fact-fact equi-join + conditional counts
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS high_priority_lines,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+           AS low_priority_lines
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@register("q12_priority_shipping", oracle=_Q12_SQL, tags=("join", "agg"))
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: lineitem filtered by ship-year joins orders on the
+    order key (both sides shuffle on l_orderkey/o_orderkey — co-partitioned
+    fact-fact join; with bucketed storage on orderkey this becomes
+    shuffle-free), then conditional counts split lines by order priority."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority_lines"),
+            F.count(F.when(~high, 1)).alias("low_priority_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (distinct from rollup/cube: arbitrary set list)
+
+_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("lineitem_grouping_sets", oracle=_GSETS_SQL, tags=("grouping-sets",))
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — per-returnflag, per-linestatus, and grand
+    total in one pass (one Expand + one shuffle, not three scans)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: filter against a computed global aggregate
+
+_ABOVE_AVG_SQL = """
+SELECT p_brand,
+       count(*) AS premium_parts,
+       round(avg(p_retailprice), 4) AS avg_premium_price
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+GROUP BY p_brand
+"""
+
+
+@register("parts_above_avg_price", oracle=_ABOVE_AVG_SQL, tags=("subquery", "agg"))
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: parts priced above the global average. The
+    1-row average is broadcast-crossjoined (BroadcastNestedLoopJoin over a
+    single row — free), never collected to the driver, so the whole plan
+    stays distributed and re-optimizable by AQE."""
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("global_avg"))
+    return (
+        part.join(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("global_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("premium_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_premium_price"),
+        )
+    )
