@@ -81,6 +81,40 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["SortAggregate", "Join"],
         "max_exchanges": 1,
     },
+    # pure filter+agg: all four predicates reach the scan, one shuffle
+    # feeds the single-row final agg
+    "q6_forecast_revenue": {
+        "contains": ["HashAggregate", "PushedFilters: [Is"],
+        "not_contains": ["Join", "SortAggregate"],
+        "max_exchanges": 1,
+    },
+    # aggregate-then-join: the HAVING agg runs before any join; customer
+    # broadcasts; at sf0.01 the orders join also broadcasts (1 shuffle
+    # total) — allow SMJ's extra exchanges at larger SFs
+    "q18_large_volume_customers": {
+        "contains": ["HashAggregate", "BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 3,
+    },
+    # fact-fact equi-join + conditional counts; ship-year predicate pushed
+    "q12_priority_shipping": {
+        "contains": ["HashAggregate", "PushedFilters: [Is"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 3,
+    },
+    # GROUPING SETS = one Expand + one shuffle (never three scans)
+    "lineitem_grouping_sets": {
+        "contains": ["Expand", "HashAggregate"],
+        "not_contains": ["Union", "Join"],
+        "max_exchanges": 1,
+    },
+    # scalar subquery: 1-row avg broadcast-crossjoined (BNLJ over one row),
+    # never collected; two shuffles (global avg + per-brand agg)
+    "parts_above_avg_price": {
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
     # tumbling-window agg with EXACT count(distinct user_id): Catalyst's
     # distinct expansion is two shuffles (hash on (window,user) to dedup,
     # then on (window) to count) — that IS the minimal exact plan; the
