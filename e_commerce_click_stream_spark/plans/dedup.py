@@ -383,3 +383,61 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning: the composition a pretraining pipeline runs
+
+_CLEAN_PIPELINE_SQL = """
+WITH fp AS (
+    SELECT doc_id, source, lang,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+),
+canon AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+),
+clean AS (
+    SELECT * FROM canon
+    WHERE len(t) >= 5 AND len(list_distinct(t))::DOUBLE / len(t) > 0.3
+)
+SELECT source,
+       count(*) AS kept_docs,
+       cast(sum(len(t)) AS BIGINT) AS total_tokens,
+       round(avg(len(t)), 4) AS avg_tokens,
+       count(*) FILTER (WHERE lang = 'en') AS en_docs
+FROM clean
+GROUP BY source
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_CLEAN_PIPELINE_SQL, tags=("dedup", "pipeline", "text"))
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning in one plan: exact dedup (keep the
+    min-doc_id row per normalized fingerprint, via a window over the
+    uniformly-distributed md5 key — skew-free at any scale), then the
+    quality gate (>=5 tokens, >0.3 unique ratio), then per-source corpus
+    stats. Two shuffles total (fp window, source agg); every stage is
+    codegen'd column expressions, so at 100 TB this is scan-bound."""
+    from pyspark.sql import Window
+
+    from e_commerce_click_stream_spark.operators.textops import tokens
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", fingerprint().alias("fp"), tokens().alias("t")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canon = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    n = F.size("t")
+    uniq_ratio = F.size(F.array_distinct(F.col("t"))).cast("double") / n
+    clean = canon.filter((n >= 5) & (uniq_ratio > 0.3))
+    return clean.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum(F.size("t")).cast("long").alias("total_tokens"),
+        F.round(F.avg(F.size("t")), 4).alias("avg_tokens"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("en_docs"),
+    )
