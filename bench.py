@@ -43,10 +43,13 @@ def main() -> None:
     # warm the JVM + parquet footer caches outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # best-of-2: the host shows multi-second noise spikes on identical
-    # plans, so a single draw over-reports; min of two is the stable signal
+    # per-query untimed warmup + best-of-2: the first execution of a plan
+    # pays JIT/codegen/footer-cache costs that inflate even a best-of-2 by
+    # 2-3× on this host; one throwaway run, then min of two, is the
+    # steady-state signal
     timings: dict[str, float] = {}
     for name in sorted(specs):
+        _execute(specs[name].builder(spark, SF_DIR))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
