@@ -1014,3 +1014,45 @@ def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p_retailprice"), 4).alias("avg_premium_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: ntile / percent_rank / cume_dist
+
+_QUARTILES_SQL = """
+WITH rev AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_revenue
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT o_custkey,
+       total_revenue,
+       ntile(4) OVER w AS revenue_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM rev
+WINDOW w AS (ORDER BY total_revenue DESC, o_custkey)
+"""
+
+
+@register("customer_revenue_quartiles", oracle=_QUARTILES_SQL, tags=("window", "ntile"))
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) over
+    per-customer revenue, with a total order (revenue desc, custkey) so
+    every rank is deterministic. The unpartitioned window is a single-task
+    sort by construction — fine for a per-customer rollup (cardinality ~
+    customers, not events); at 100 TB partition the window by a coarse key
+    or use approx quantiles instead."""
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_revenue"))
+    )
+    w = Window.orderBy(F.desc("total_revenue"), F.asc("o_custkey"))
+    return rev.select(
+        "o_custkey",
+        "total_revenue",
+        F.ntile(4).over(w).cast("long").alias("revenue_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
