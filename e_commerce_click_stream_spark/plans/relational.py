@@ -1056,3 +1056,46 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series trend: the Grafana time-series panel (O2) as a real query
+
+_MONTHLY_SQL = """
+WITH m AS (
+    SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) * 100, 4) AS mom_revenue_pct
+FROM m
+"""
+
+
+@register("orders_monthly_trend", oracle=_MONTHLY_SQL, tags=("window", "timeseries"))
+def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order/revenue time series with month-over-month growth —
+    the continuous form of the reference's Grafana time-series panel
+    (SURVEY.md §2.6 O2). Truncate-then-agg collapses the data to one row
+    per month BEFORE the unpartitioned lag window, so the single-task
+    window sees ~tens of rows regardless of input scale."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_revenue_pct"),
+    )
