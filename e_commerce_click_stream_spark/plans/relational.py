@@ -556,7 +556,7 @@ SELECT l_orderkey,
        greatest(l_tax, l_discount) AS rate_max,
        least(l_tax, l_discount) AS rate_min,
        l_quantity::BIGINT % 7 AS qty_mod7,
-       sign(l_discount - 0.05) AS disc_sign
+       sign(l_discount - 0.05)::DOUBLE AS disc_sign
 FROM lineitem
 """
 

@@ -177,8 +177,9 @@ FROM scored WHERE cosine >= 0.3
 @register("embedding_cosine_pairs", oracle=_PAIRS_SQL, tags=("similarity", "near-dup"))
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a deterministic sample
-    (vec_id % 20 == 0). The all-pairs form is the correctness baseline; the
-    scale path buckets by ann_lsh_buckets signature first."""
+    (vec_id % 20 == 0). All-pairs is O(n²) — this is the sampled VERIFY
+    baseline only; embedding_neardup_lsh (bucketed equi-join, full corpus)
+    is the primary path at scale."""
     n = (
         _vecs(spark, sf_dir)
         .filter(F.col("vec_id") % 20 == 0)
@@ -204,6 +205,109 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cosine") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-dup pair scan: the PRIMARY embedding near-dup path.
+# Candidates come from an equi-join on the 8-bit sign-LSH signature (same
+# hyperplanes as ann_lsh_buckets), so the pair count is bounded by bucket
+# occupancy instead of O(n²); each candidate is then verified with the exact
+# cosine. This composes ann_lsh_buckets → bucket join → cosine verify, with
+# embedding_cosine_pairs as the sampled all-pairs verify baseline.
+
+NEARDUP_COSINE = 0.3
+
+_NEARDUP_LSH_SQL = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+planes AS (
+    SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
+),
+bits AS (
+    SELECT e.vec_id, p.plane_id,
+           CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN '1' ELSE '0' END AS bit
+    FROM e, planes p
+),
+sigs AS (
+    SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS sig
+    FROM bits GROUP BY vec_id
+),
+cand AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.vec_a, c.vec_b, ea.label AS label_a, eb.label AS label_b,
+           round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, label_a, label_b, cosine
+FROM scored WHERE cosine >= {NEARDUP_COSINE}
+"""
+
+
+@register("embedding_neardup_lsh", oracle=_NEARDUP_LSH_SQL, headline=True, tags=("similarity", "near-dup", "lsh"))
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus embedding near-dup pairs, LSH-bucketed: vectors sharing
+    the 8-bit sign-LSH signature become candidates (equi-join on signature —
+    high-cardinality key, even shuffle), then each candidate pair is
+    verified with the exact cosine. At 100 TB this is the near-dup path:
+    candidates ≈ sum of bucket-occupancy² ≪ n², the corpus shuffles once on
+    signature, and the verify join touches only candidates — identical in
+    shape to dedup_minhash_lsh for documents."""
+    e = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    planes = e.filter(F.col("vec_id") < N_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")
+    )
+    # signature per vector; v/nrm/label ride through the groupBy so the
+    # candidate join needs no extra corpus lookup
+    sig = (
+        e.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "nrm",
+            F.struct(
+                "plane_id",
+                F.when(_dot(F.col("v"), F.col("pv")) > 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                .alias("bit"),
+            ).alias("pb"),
+        )
+        .groupBy("vec_id", "label", "v", "nrm")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pb")), lambda x: x["bit"]), ""
+            ).alias("sig")
+        )
+    )
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"), F.col("sig").alias("sig_a"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"), F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label_a",
+            "label_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
 
 
@@ -326,7 +430,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-@register("ann_ivf_topk", oracle=_IVF_TOPK_SQL, tags=("similarity", "ivf", "topk"))
+@register("ann_ivf_topk", oracle=_IVF_TOPK_SQL, headline=True, tags=("similarity", "ivf", "topk"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF-flat ANN search. Corpus vectors are assigned to their
     nearest of 8 deterministic centroids (one broadcast join + argmax);

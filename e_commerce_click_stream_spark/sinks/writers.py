@@ -79,6 +79,56 @@ def foreach_batch_upsert(
     return fn
 
 
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    mode: str = "append",
+    driver: str = "org.postgresql.Driver",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+):
+    """Letter-of-parity JDBC sink: the reference lands every batch in
+    Postgres via ``df.write.format("jdbc")`` with exactly these options
+    (/root/reference/processor/streaming_processor.py:131-170). Returns the
+    configured DataFrameWriter; call ``.save()`` to execute (build-only in
+    this container — no JDBC driver jar or database is present, and the
+    parquet sinks above are the tested re-expression of S3–S6).
+
+    Scale knobs a 1000-executor cluster needs that the reference hardcodes:
+    ``batchsize`` (rows per INSERT round-trip) and ``numPartitions`` (cap on
+    concurrent connections — without it every task opens its own)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", driver)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if num_partitions is not None:
+        writer = writer.option("numPartitions", str(num_partitions))
+    return writer
+
+
+def foreach_batch_jdbc_append(
+    url: str, table: str, user: str, password: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch adapter matching the reference's raw-event/hourly JDBC
+    append sinks (streaming_processor.py:131-170, 296-322): skip empty
+    batches, append the rest."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        if not batch_df.isEmpty():
+            jdbc_writer(batch_df, url, table, user, password, mode="append").save()
+
+    return fn
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
     return os.path.isdir(path) and any(
         name.endswith(".parquet") or name == "_SUCCESS" for name in os.listdir(path)

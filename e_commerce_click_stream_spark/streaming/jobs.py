@@ -13,6 +13,15 @@ exact options (subscribe / startingOffsets=latest / failOnDataLoss=false,
 streaming_processor.py:90-107). The connector JAR isn't in this container,
 so it's constructed lazily and surfaces a clear error if the package is
 missing — the file-source path covers all semantics tests.
+
+Blocked-by-env note (verified 2026-08-13): fetching
+spark-sql-kafka-0-10_2.13 from Maven Central fails — the container has no
+network (DNS resolution error, curl rc=6) — and no broker is present, so
+the Kafka path cannot be executed here. ``to_kafka_payload`` (payload
+shaping) and the reader/writer option surfaces are covered by unit tests;
+on a networked cluster, add
+``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0`` and the
+same code runs unchanged.
 """
 
 from __future__ import annotations
@@ -203,27 +212,40 @@ def run_to_completion(
     result: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    sink: str | None = None,
 ) -> DataFrame:
-    """Execute a (finite) streaming DataFrame with Trigger.AvailableNow into
-    a memory sink and return the final result table (T4/T5/T6: output mode,
-    trigger, checkpoint)."""
+    """Execute a (finite) streaming DataFrame with Trigger.AvailableNow and
+    return the final result as a batch DataFrame (T4/T5/T6: output mode,
+    trigger, checkpoint).
+
+    Sink selection: append-mode queries land in a parquet file sink and are
+    read back, so the result is never driver-memory-bound (session-level
+    streaming outputs grow with the corpus). Complete/update modes are only
+    supported by the memory sink — fine there, since they're bounded
+    aggregate states (hourly windows, global KPIs) by construction. Pass
+    ``sink`` explicitly to override.
+    """
     spark = result.sparkSession
     name = f"stream_result_{os.getpid()}_{next(_counter)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    if sink is None:
+        sink = "parquet" if output_mode == "append" else "memory"
     # stateful operators allocate one state store per shuffle partition; at
     # the 200 default a small replay spends more time opening stores than
     # aggregating — clamp for the run, restore after
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        query = (
+        writer = (
             result.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
-            .start()
         )
+        if sink == "parquet":
+            out_dir = tempfile.mkdtemp(prefix=f"out_{name}_")
+            query = writer.format("parquet").option("path", out_dir).start()
+        else:
+            query = writer.format("memory").queryName(name).start()
         try:
             query.awaitTermination(timeout_s)
         finally:
@@ -231,4 +253,7 @@ def run_to_completion(
                 query.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if sink == "parquet":
+        # explicit schema: an empty replay leaves no files to infer from
+        return spark.read.schema(result.schema).parquet(out_dir)
     return spark.table(name)

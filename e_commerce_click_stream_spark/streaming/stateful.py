@@ -93,8 +93,13 @@ def _sessionize_group(
     gap_us = SESSION_GAP_SECONDS * 1_000_000
     acc = tuple(state.get) if state.exists else None
     closed: list[dict] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # A key's events within one micro-batch can span multiple Arrow chunks
+    # that are NOT globally time-ordered; sorting each chunk independently
+    # would split/merge sessions at chunk boundaries. Concatenate first so
+    # ordering is global per key per batch.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
         for t, etype, value in zip(ts_us, pdf["event_type"], pdf["value"]):
             if acc is not None and t - acc[1] > gap_us:

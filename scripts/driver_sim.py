@@ -22,12 +22,24 @@ ONLY = set(sys.argv[2:])
 
 
 def norm(v):
-    if isinstance(v, bool) or v is None:
+    """Type-sensitive normalization mirroring the driver's stringified hash.
+
+    The driver stringifies values before hashing, so ``-1`` (int) and ``-1.0``
+    (float) hash differently even though Python ``==`` treats them as equal.
+    Tag every scalar with its type name so int-vs-float / bool-vs-int oracle
+    drift fails HERE instead of in the real gate (this exact class of bug
+    slipped through round 1 as lineitem_math_functions).
+    """
+    if v is None:
         return v
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
+        return ("float", "NaN" if math.isnan(v) else round(v, 9))
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     return v
