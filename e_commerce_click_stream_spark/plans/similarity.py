@@ -487,3 +487,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling: per-class rates for training-set rebalancing
+
+_STRAT_SQL = """
+SELECT vec_id, label
+FROM embeddings
+WHERE ascii(substr(md5(vec_id::VARCHAR), 1, 1)) % 10
+      < CASE WHEN label % 2 = 0 THEN 2 ELSE 5 END
+"""
+
+
+@register("stratified_sample", oracle=_STRAT_SQL, tags=("sampling", "stratified"))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class deterministic sampling (~20% of even labels, ~50% of odd) —
+    the class-rebalancing primitive of a training-data pipeline. The keep
+    decision is a pure hash of the row key, so the sample is reproducible
+    across engines, runs, and partitionings, and composes with any
+    downstream filter; no shuffle, no rand()."""
+    e = table(spark, sf_dir, "embeddings")
+    rate = F.when(F.col("label") % 2 == 0, F.lit(2)).otherwise(F.lit(5))
+    keep = F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) % 10 < rate
+    return e.filter(keep).select("vec_id", "label")

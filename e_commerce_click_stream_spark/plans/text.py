@@ -280,3 +280,62 @@ def dedup_levenshtein_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.levenshtein("ha", "hb").cast("long").alias("edit_distance"))
         .filter(F.col("edit_distance") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: bin documents into fixed token budgets for LLM training
+
+SEQ_TOKEN_BUDGET = 2048
+
+_PACK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tok
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tok,
+           sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM toks
+)
+SELECT source,
+       floor((cum_tok - n_tok) / {SEQ_TOKEN_BUDGET})::BIGINT AS seq_id,
+       count(*) AS n_docs,
+       sum(n_tok) AS total_tokens,
+       round(sum(n_tok) / {SEQ_TOKEN_BUDGET}.0, 4) AS fill_ratio
+FROM cum
+GROUP BY source, seq_id
+"""
+
+
+@register("doc_pack_sequences", oracle=_PACK_SQL, tags=("text", "packing", "window"))
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM training: documents are laid out in
+    doc_id order within each source shard and assigned to the training
+    sequence their cumulative token offset starts in (budget 2048). The
+    running sum is windowed PER SOURCE, so at 100 TB each shard packs
+    independently in parallel — no global ordering, no single-partition
+    window. A document straddling a boundary stays in its starting
+    sequence (offset packing), the standard approximation when exact
+    first-fit isn't worth a sequential pass."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens()).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.withColumn("cum_tok", F.sum("n_tok").over(w))
+    seq_id = F.floor((F.col("cum_tok") - F.col("n_tok")) / SEQ_TOKEN_BUDGET)
+    return (
+        cum.groupBy("source", seq_id.alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_tok") / float(SEQ_TOKEN_BUDGET), 4).alias("fill_ratio"),
+        )
+    )

@@ -115,6 +115,73 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 2,
     },
+    # PPJoin candidate stage: prefix-filtered inverted index must stay an
+    # EQUI self-join (never a nested-loop/cartesian pair scan), df cap +
+    # distinct are hash aggregates
+    "dedup_ngram_jaccard": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 5,
+    },
+    # LSH near-dup: the only nested-loop is the broadcast of 8 hyperplanes;
+    # the candidate pair scan is an equi-join on signature
+    "embedding_neardup_lsh": {
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 6,
+    },
+    # EXISTS with inequality correlation: hash semi-join, never a
+    # nested-loop; order-date range pushed to the orders scan
+    "q4_order_priority": {
+        "contains": ["LeftSemi", "PushedFilters: [Is"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 3,
+    },
+    # returns top-20: dims broadcast, returnflag + date pushed, top-k is
+    # TakeOrderedAndProject
+    "q10_returned_items": {
+        "contains": ["BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters: [Is"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 3,
+    },
+    # left join + per-customer count + distribution: two agg shuffles max
+    # on top of the join
+    "q13_order_count_distribution": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
+    },
+    # one-month scan + broadcast part + single global agg
+    "q14_promo_revenue": {
+        "contains": ["BroadcastHashJoin", "HashAggregate", "PushedFilters: [Is"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # OR-of-ANDs predicates: still a broadcast EQUI join on p_partkey
+    # (Catalyst extracts the common key), single agg
+    "q19_disjunctive_predicates": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 1,
+    },
+    # scalar subquery broadcast (1-row BNLJ) + anti join on recent orders
+    "q22_dormant_customers": {
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
+    # per-source windowed cumsum + agg: one shuffle on source feeds both
+    "doc_pack_sequences": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
+    # pure hash-predicate filter: no shuffle at all, filter runs at scan
+    "stratified_sample": {
+        "contains": [],
+        "not_contains": ["Exchange", "Join"],
+        "max_exchanges": 0,
+    },
     # tumbling-window agg with EXACT count(distinct user_id): Catalyst's
     # distinct expansion is two shuffles (hash on (window,user) to dedup,
     # then on (window) to count) — that IS the minimal exact plan; the
