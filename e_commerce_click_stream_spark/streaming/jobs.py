@@ -208,6 +208,51 @@ def dashboard_metrics_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def run_with_processing_time(
+    result: DataFrame,
+    output_mode: str = "complete",
+    interval: str = "500 milliseconds",
+    idle_batches: int = 2,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """T5's other trigger: ``processingTime`` fires micro-batches on a
+    wall-clock cadence (the reference's continuous mode of operation) rather
+    than draining-and-stopping like AvailableNow. A finite replay has no
+    natural end under this trigger, so we stop after ``idle_batches``
+    consecutive empty micro-batches and return the final memory-sink table —
+    the result must equal the AvailableNow run over the same input."""
+    import time
+
+    spark = result.sparkSession
+    name = f"stream_pt_{os.getpid()}_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        query = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=interval)
+            .start()
+        )
+        try:
+            idle, last_batch = 0, -1
+            deadline = time.time() + timeout_s
+            while time.time() < deadline and idle < idle_batches:
+                time.sleep(0.25)
+                p = query.lastProgress
+                if p is not None and p["batchId"] != last_batch:
+                    last_batch = p["batchId"]
+                    idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def run_to_completion(
     result: DataFrame,
     output_mode: str = "complete",

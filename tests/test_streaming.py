@@ -95,3 +95,25 @@ def test_tables_ddl_and_seed(spark, tmp_path):
         assert got.filter("page_views > 0 AND conversion_rate > 0").count() >= 0
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_processing_time_trigger_matches_available_now(spark):
+    """T5: the same finite replay under a processingTime trigger converges
+    to the identical final state as Trigger.AvailableNow."""
+    from e_commerce_click_stream_spark.streaming.jobs import (
+        hourly_metrics_stream,
+        read_events_stream,
+        run_to_completion,
+        run_with_processing_time,
+    )
+
+    pt = run_with_processing_time(
+        hourly_metrics_stream(read_events_stream(spark, SF_SMOKE)), "complete"
+    )
+    an = run_to_completion(
+        hourly_metrics_stream(read_events_stream(spark, SF_SMOKE)), "complete"
+    )
+    cols = ["hour_timestamp", "total_events", "page_views", "purchases", "revenue"]
+    assert sorted(map(tuple, pt.select(cols).collect())) == sorted(
+        map(tuple, an.select(cols).collect())
+    )
