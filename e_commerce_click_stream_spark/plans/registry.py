@@ -40,6 +40,16 @@ _PLAN_MODULES = (
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new / changed this round — must verify
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
     "lineitem_math_functions",
     "session_cart_contents",
     "dedup_ngram_jaccard",

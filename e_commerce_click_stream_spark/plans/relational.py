@@ -1338,3 +1338,570 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style: min-cost supplier per part (derived cost relation + per-group min)
+#
+# The fixture schema has no partsupp table, so the part↔supplier cost
+# relation is DERIVED from lineitem (avg unit price per part/supplier pair)
+# — the correlated "minimum cost supplier within the region" shape of
+# TPC-H Q2 is preserved.
+
+_Q2_SQL = """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           round(avg(l_extendedprice / l_quantity), 4) AS supply_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+), eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), ranked AS (
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost,
+           min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+    FROM cost
+    JOIN part ON p_partkey = l_partkey
+    JOIN eu ON s_suppkey = l_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+)
+SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM ranked
+WHERE supply_cost = min_cost
+ORDER BY acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_SQL, tags=("join", "window", "subquery"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (cost relation derived from lineitem — the fixtures
+    have no partsupp): cheapest European supplier per STANDARD size-15
+    part. The per-part minimum is a partitioned window min (shuffles once
+    on p_partkey, no self-join), the supplier→nation→region chain and the
+    filtered part dim both broadcast, and the rounded cost is compared
+    identically on both engines so the min-equality filter is stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "supply_cost"
+        )
+    )
+    part_f = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(F.broadcast(part_f), cost.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "supply_cost",
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style: volume shipping between two nations, by direction and year
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+        OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_SQL, tags=("join", "agg"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    nation joins twice under different aliases (supplier side / customer
+    side); the cross-nation disjunction is applied after both broadcast
+    joins; only the final 3-key agg shuffles — lineitem never shuffles for
+    a join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6"))
+        | ((F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9"))
+    )
+    # orders is fact-sized at scale: no broadcast hint — AQE picks broadcast
+    # at small SF and a co-partitioned shuffle join beyond the threshold
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: national market share within a region's market, by year
+
+_Q8_SQL = """
+SELECT o_year,
+       round(round(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0.0 END), 2)
+             / round(sum(volume), 2), 6) AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_SQL, tags=("join", "agg", "conditional"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_9 suppliers' share of ASIA's ECONOMY-part
+    market by order year. Seven broadcast dimension joins around the
+    lineitem fact; the share is two conditional sums in one aggregate
+    (rounded before the ratio so both engines divide identical values)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # orders stays hint-free (fact-sized at scale; AQE decides)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(
+                        F.when(F.col("nation") == "NATION_9", F.col("volume")).otherwise(
+                            0.0
+                        )
+                    ),
+                    2,
+                )
+                / F.round(F.sum("volume"), 2),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-style: product-type profit by supplier nation and year
+#
+# The fixtures have no partsupp.ps_supplycost, so cost is derived from the
+# part list price (60% of retail × quantity) — the join topology and the
+# profit-by-nation-by-year shape of TPC-H Q9 are preserved.
+
+_Q9_SQL = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount)
+             - 0.6 * p_retailprice * l_quantity AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_type_profit", oracle=_Q9_SQL, tags=("join", "agg"))
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on red parts by supplier nation and order
+    year (cost proxied at 60% of part retail price — no partsupp in the
+    fixtures). The p_name LIKE filter prunes part before its broadcast;
+    orders broadcasts for the year column; one shuffle for the final
+    2-key agg."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-style: important-stock parts (grand-total scalar threshold)
+#
+# No partsupp in the fixtures, so a part's "stock value" is derived as the
+# total extended price shipped by NATION_9 suppliers — the
+# value-above-a-fraction-of-the-grand-total shape of TPC-H Q11 is kept.
+
+_Q11_SQL = """
+WITH pv AS (
+    SELECT l_partkey AS part_key, round(sum(l_extendedprice), 2) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+    GROUP BY l_partkey
+)
+SELECT part_key, part_value
+FROM pv
+WHERE part_value > (SELECT round(sum(part_value) * 0.001, 2) FROM pv)
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_SQL, tags=("agg", "subquery"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_9-supplied value exceeds 0.1% of
+    the national total. The per-part value table is computed ONCE
+    (localCheckpoint cuts the lineage so the grand-total scalar doesn't
+    re-scan lineitem), then the one-row threshold broadcasts back — no
+    single-partition window over the full part list, which matters when
+    parts number in the millions."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+        .localCheckpoint(eager=True)
+    )
+    thr = pv.agg(F.round(F.sum("part_value") * 0.001, 2).alias("thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("part_key", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: top supplier(s) by quarterly revenue (max selection with ties)
+
+_Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01'
+    GROUP BY l_suppkey
+), ranked AS (
+    SELECT supplier_no, total_revenue,
+           rank() OVER (ORDER BY total_revenue DESC) AS rk
+    FROM rev
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM ranked JOIN supplier ON s_suppkey = supplier_no
+WHERE rk = 1
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL, tags=("agg", "window", "topk"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in 2000Q1.
+    rank()=1 over the per-supplier revenue keeps max-with-ties semantics
+    and compiles to WindowGroupLimit — each partition pre-prunes to its
+    local top before the single-partition final, so the unpartitioned
+    window never sees more than one survivor per input partition."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2000-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.orderBy(F.desc("total_revenue"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(sup), F.col("supplier_no") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-style: supplier diversity per part spec, excluding flagged suppliers
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_diversity", oracle=_Q16_SQL, tags=("anti-join", "distinct-agg"))
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    from the shipped relation, excluding brand/type/size combinations and
+    a flagged-supplier list (NOT IN → broadcast anti-join; s_suppkey is
+    non-null so anti-join and NOT IN agree). count(DISTINCT) expands to
+    the standard two-phase distinct aggregate."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: small-quantity-order revenue (correlated per-part average)
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM (
+    SELECT l_extendedprice, l_quantity,
+           round(0.2 * avg(l_quantity) OVER (PARTITION BY l_partkey), 6) AS qty_thr
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+) brand_lines
+WHERE l_quantity < qty_thr
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_SQL, tags=("window", "agg", "subquery"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue forfeited if below-20%-of-average
+    quantity orders of Brand#23 parts stopped. The correlated per-part
+    average is a partitioned window over the brand-filtered join (partkey
+    determines brand, so the window input equals the correlated subquery's
+    domain) — one scan, one shuffle, instead of a second scan + self-join.
+    The threshold is rounded so the strict < compares identical values on
+    both engines."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("qty_thr", F.round(0.2 * F.avg("l_quantity").over(w), 6))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-style: suppliers with significant promo-part shipments (semi-join chain)
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate < TIMESTAMP '2001-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 300.0
+  )
+"""
+
+
+@register("q20_promo_part_suppliers", oracle=_Q20_SQL, tags=("semi-join", "agg"))
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_9 suppliers who shipped more than 300 units
+    of PROMO parts in 2000 (the fixtures have no ps_availqty, so the
+    excess-stock threshold is on shipped quantity). The IN-subquery is an
+    aggregate → HAVING → semi-join; the qualifying-supplier list is tiny,
+    so the supplier dim probes it broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2001-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+        .filter(F.col("promo_qty") > 300.0)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style: suppliers who alone delayed multi-supplier orders
+#
+# The fixtures have no commit/receipt dates, so "late" is adapted to
+# shipped more than 60 days after the order date; the exists/not-exists
+# structure (another supplier on the order; no OTHER late supplier)
+# becomes two per-order window counts over the flagged relation.
+
+_Q21_SQL = """
+WITH flagged AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+    SELECT l_orderkey, l_suppkey, is_late,
+           count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM flagged
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_6'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_SQL, tags=("window", "agg", "topk"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: NATION_6 suppliers who were the sole late shipper
+    (>60 days after order date — no receipt/commit dates in the fixtures)
+    on finalized multi-supplier orders. The EXISTS/NOT EXISTS pair becomes
+    two window counts per order over the (order, supplier) flag relation —
+    two key-local shuffles instead of two fact-fact self-joins."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    # orders is fact-sized at scale: hint-free equi join (AQE decides)
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_6")
+    return (
+        flagged.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

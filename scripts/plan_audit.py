@@ -190,6 +190,71 @@ EXPECTATIONS: dict[str, dict] = {
         "contains": ["HashAggregate"],
         "max_exchanges": 2,
     },
+    # derived cost agg (shuffle 1) + per-part window min (shuffle 2);
+    # part/supplier-chain dims broadcast; top-100 never a global sort
+    "q2_min_cost_supplier": {
+        "contains": ["BroadcastHashJoin", "Window", "TakeOrderedAndProject"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
+    # double-aliased nation dim broadcasts twice; single 3-key agg shuffle
+    "q7_volume_shipping": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # seven dim joins all broadcast; conditional-sum share in ONE agg pass
+    "q8_market_share": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    "q9_product_type_profit": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # per-part value agg (1 shuffle) + 1-row threshold broadcast back —
+    # NOT an unpartitioned window over every part
+    "q11_important_stock": {
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # rank()=1 over per-supplier revenue MUST pre-prune map-side
+    # (WindowGroupLimit) before the single-partition final window
+    "q15_top_supplier": {
+        "contains": ["WindowGroupLimit", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
+    # NOT IN → broadcast anti join; distinct agg expands to two shuffles
+    "q16_supplier_diversity": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
+    # correlated per-part avg as a partitioned window: ONE scan of
+    # lineitem (no self-join), window shuffle + final 1-row agg
+    "q17_small_quantity_revenue": {
+        "contains": ["BroadcastHashJoin", "Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
+    # HAVING-agg semi join: qualifying-supplier list broadcasts
+    "q20_promo_part_suppliers": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # exists/not-exists as two per-order window counts: (order,supp) agg
+    # shuffle, order-window shuffle, final s_name agg — never a
+    # fact-fact self-join
+    "q21_waiting_suppliers": {
+        "contains": ["Window", "HashAggregate", "TakeOrderedAndProject"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
