@@ -492,3 +492,93 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.size("t")), 4).alias("avg_tokens"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("en_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: resolve near-dup PAIRS into canonical GROUPS
+#
+# A pipeline that keeps one doc per near-dup cluster needs the transitive
+# closure of the pairwise matches (A~B, B~C => {A,B,C} even if A,C never
+# matched). Spark side: iterative min-label propagation (one hop per round,
+# converges in O(cluster diameter) rounds — near-dup clusters are shallow;
+# for graphs with long chains the two-phase large-star/small-star scheme of
+# Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14),
+# drops rounds to O(log n) with the same join-groupBy primitives). Oracle:
+# DuckDB recursive CTE over the identical pair set.
+
+def _cc_sql() -> str:
+    mh = _minhash_sql().strip()
+    # reuse the full minhash pipeline as the edge source; wrap its SELECT
+    body = mh[len("WITH") :].rsplit("SELECT", 1)
+    return f"""
+WITH RECURSIVE {body[0].rstrip().rstrip(',')},
+pairs AS (
+    SELECT{body[1]}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (
+    SELECT node, min(r) AS component_id FROM reach GROUP BY node
+)
+SELECT component_id,
+       count(*) AS n_docs,
+       list_sort(list(node)) AS members
+FROM comp
+GROUP BY component_id
+"""
+
+
+@register("dedup_connected_components", oracle=_cc_sql(), tags=("dedup", "graph", "iterative"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: transitive closure of the MinHash-LSH pair
+    relation via iterative min-label propagation. Each round is one
+    edges⋈labels hash join + a min groupBy (both key-local shuffles on
+    doc_id — skew-free), checkpointed so lineage stays flat; convergence is
+    an exact fixpoint, so the result is deterministic regardless of round
+    count. Singleton documents (no near-dup edge) are not components and
+    are excluded by construction."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(12):  # >= max cluster diameter; fixtures converge in <=4
+        via_edges = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            via_edges.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+    )

@@ -50,6 +50,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q20_promo_part_suppliers",
     "q21_waiting_suppliers",
+    "dedup_connected_components",
+    "doc_repetition_stats",
+    "doc_pii_scrub",
     "lineitem_math_functions",
     "session_cart_contents",
     "dedup_ngram_jaccard",

@@ -339,3 +339,182 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tok") / float(SEQ_TOKEN_BUDGET), 4).alias("fill_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality heuristics, Rae et al. 2021:
+# "Scaling Language Models: ... Gopher", Appendix A quality filters)
+
+_REP_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, t,
+           [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS g2,
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            for i in range(1, len(t) - 1)] AS g3
+    FROM toks
+),
+stats AS (
+    SELECT doc_id,
+           len(t) AS n_words,
+           list_max(list_transform(list_distinct(t),
+                                   x -> len(list_filter(t, y -> y = x))))
+               AS top_word_count,
+           len(g2) AS n_bigrams,
+           len(list_distinct(g2)) AS distinct_bigrams,
+           list_max(list_transform(list_distinct(g2),
+                                   x -> len(list_filter(g2, y -> y = x))))
+               AS top_bigram_count,
+           len(g3) AS n_trigrams,
+           len(list_distinct(g3)) AS distinct_trigrams
+    FROM grams
+)
+SELECT doc_id,
+       n_words,
+       round(top_word_count::DOUBLE / n_words, 6) AS top_word_frac,
+       CASE WHEN n_bigrams > 0
+            THEN round(1.0 - distinct_bigrams::DOUBLE / n_bigrams, 6) END
+           AS dup_bigram_frac,
+       CASE WHEN n_bigrams > 0
+            THEN round(top_bigram_count::DOUBLE / n_bigrams, 6) END
+           AS top_bigram_frac,
+       CASE WHEN n_trigrams > 0
+            THEN round(1.0 - distinct_trigrams::DOUBLE / n_trigrams, 6) END
+           AS dup_trigram_frac,
+       (round(top_word_count::DOUBLE / n_words, 6) <= 0.2
+        AND coalesce(round(1.0 - distinct_trigrams::DOUBLE / n_trigrams, 6), 0.0)
+            <= 0.3) AS passes_repetition
+FROM stats
+"""
+
+
+@register("doc_repetition_stats", oracle=_REP_SQL, tags=("text", "quality", "repetition"))
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-common-word
+    fraction, duplicate/top bigram fraction, duplicate trigram fraction,
+    and the pass/fail gate (top word <= 20%, dup trigrams <= 30%).
+
+    Entirely higher-order array expressions — a pure map with ZERO
+    shuffles at any corpus size. The mode count is O(n·distinct) per
+    document, bounded by document length; for book-length documents the
+    explode → groupBy(doc_id, gram) → max formulation trades the
+    quadratic-per-doc term for two key-local shuffles."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("t"))
+    g2 = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    g3 = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1),"
+            "             ' ', element_at(t, i + 2)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = docs.select("doc_id", "t", g2.alias("g2"), g3.alias("g3"))
+    mode_count = lambda col: F.array_max(  # noqa: E731
+        F.expr(f"transform(array_distinct({col}), x -> size(filter({col}, y -> y = x)))")
+    )
+    stats = grams.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_words"),
+        mode_count("t").alias("top_word_count"),
+        F.size("g2").alias("n_bigrams"),
+        F.size(F.array_distinct("g2")).alias("distinct_bigrams"),
+        mode_count("g2").alias("top_bigram_count"),
+        F.size("g3").alias("n_trigrams"),
+        F.size(F.array_distinct("g3")).alias("distinct_trigrams"),
+    )
+    top_word_frac = F.round(F.col("top_word_count").cast("double") / F.col("n_words"), 6)
+    dup_bi = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(1.0 - F.col("distinct_bigrams").cast("double") / F.col("n_bigrams"), 6),
+    )
+    top_bi = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6),
+    )
+    dup_tri = F.when(
+        F.col("n_trigrams") > 0,
+        F.round(1.0 - F.col("distinct_trigrams").cast("double") / F.col("n_trigrams"), 6),
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        top_word_frac.alias("top_word_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        top_bi.alias("top_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        ((top_word_frac <= 0.2) & (F.coalesce(dup_tri, F.lit(0.0)) <= 0.3)).alias(
+            "passes_repetition"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+#
+# The synthetic fixtures contain no PII-shaped strings (verified: zero
+# digits or '@' in any document), so the op seeds one deterministic email
+# and phone marker per document from doc_id before scrubbing — proving the
+# detect → redact → fingerprint path end-to-end with non-degenerate counts.
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\d{3}-\\d{4}"
+
+_PII_SQL = f"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or 555-'
+                || lpad(cast(doc_id AS VARCHAR), 4, '0') AS aug
+    FROM documents
+),
+scrub AS (
+    SELECT doc_id, aug,
+           len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS emails_found,
+           len(regexp_extract_all(aug, '{_PHONE_RE}')) AS phones_found,
+           regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+)
+SELECT doc_id, emails_found, phones_found,
+       length(aug) - length(redacted) AS chars_removed,
+       md5(redacted) AS redacted_fp
+FROM scrub
+"""
+
+
+@register("doc_pii_scrub", oracle=_PII_SQL, tags=("text", "pii", "redaction"))
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection and redaction: count and replace email/phone-shaped
+    substrings, reporting removed-char counts and an md5 fingerprint of
+    the redacted text. Pure regexp column expressions (codegen, zero
+    shuffles); the seeded markers exist because the fixtures carry no PII
+    (see module comment) — on real corpora the seeding step disappears."""
+    docs = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    seeded = docs.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("aug"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(_EMAIL_RE)).cast("long").alias("emails_found"),
+        F.regexp_count(F.col("aug"), F.lit(_PHONE_RE)).cast("long").alias("phones_found"),
+        (F.length("aug") - F.length(redacted)).cast("long").alias("chars_removed"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
