@@ -152,3 +152,30 @@ def _staged_replace(df: DataFrame, path: str, partition_by: Sequence[str] = ()) 
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join
+    key — the storage-level answer to repeated fact-fact joins at 100 TB.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO shuffle on either side (Catalyst matches the output
+    partitioning to the join's required distribution), and matching
+    ``sortBy`` removes the sort from sort-merge joins — the per-join cost
+    collapses to a streamed merge of pre-sorted buckets. Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog, not the parquet
+    files); plain ``.parquet(path)`` writes would silently drop the
+    bucketing. See tests/test_bucketing.py for the plan-level proof."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        int(num_buckets), *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
