@@ -53,6 +53,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_connected_components",
     "doc_repetition_stats",
     "doc_pii_scrub",
+    "embedding_kmeans_iter",
     "lineitem_math_functions",
     "session_cart_contents",
     "dedup_ngram_jaccard",

@@ -511,3 +511,119 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(F.col("label") % 2 == 0, F.lit(2)).otherwise(F.lit(5))
     keep = F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) % 10 < rate
     return e.filter(keep).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's) iterations: the IVF codebook TRAINING step
+#
+# ann_ivf_* use a fixed deterministic codebook; this op trains one with
+# KMEANS_ITERS rounds of assign → recenter. Every float op is identical
+# across engines: distances use |v-c|² = |v|² - 2·v·c + |c|² with
+# sequential-fold dot products, per-dimension means are rounded to 6
+# before centroids feed the next round, and argmin ties break toward the
+# lower centroid id — so the whole iteration is deterministic and the
+# oracle is the same recursion unrolled as CTEs.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+_EMB_DIM = 64  # fixture embedding dimensionality (oracle unrolls over it)
+
+
+def _kmeans_sql() -> str:
+    parts = [
+        """n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vn2
+    FROM embeddings
+)""",
+        f"""cent0 AS (
+    SELECT vec_id AS cent_id, v AS cv,
+           list_sum(list_transform(v, x -> x * x)) AS cn2
+    FROM n WHERE vec_id < {KMEANS_K}
+)""",
+    ]
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""assign{t} AS (
+    SELECT n.vec_id, n.v,
+           arg_min(c.cent_id,
+                   round(n.vn2 - 2 * list_dot_product(n.v, c.cv) + c.cn2, 6)
+                   + c.cent_id * 1e-12) AS cell
+    FROM n, cent{t - 1} c
+    GROUP BY n.vec_id, n.v
+)""")
+        parts.append(f"""dims{t} AS (
+    SELECT cell, r.range AS dim, round(avg(v[r.range + 1]), 6) AS m
+    FROM assign{t}, range({_EMB_DIM}) r
+    GROUP BY cell, r.range
+)""")
+        parts.append(f"""cent{t} AS (
+    SELECT cell AS cent_id, list(m ORDER BY dim) AS cv,
+           list_sum(list_transform(list(m ORDER BY dim), x -> x * x)) AS cn2
+    FROM dims{t}
+    GROUP BY cell
+)""")
+    final = f"""
+SELECT a.cell, count(*) AS n_vectors, min(c.cv) AS centroid
+FROM assign{KMEANS_ITERS} a JOIN cent{KMEANS_ITERS} c ON c.cent_id = a.cell
+GROUP BY a.cell
+"""
+    return "WITH " + ",\n".join(parts) + final
+
+
+@register("embedding_kmeans_iter", oracle=_kmeans_sql(), tags=("similarity", "kmeans", "iterative"))
+def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd's iterations of k-means (k=8, seeded from the first 8
+    corpus vectors) — training the coarse codebook the ann_ivf_* queries
+    consume. Per round: centroids broadcast against the corpus (the
+    corpus never shuffles for assignment), argmin via min_by with an id
+    tiebreak, then recentering as a per-(cell, dimension) mean — rows =
+    n·d with a key-local shuffle, no single-partition reassembly of
+    anything bigger than k centroid arrays. Centroids are checkpointed
+    per round (k rows) so lineage stays flat. Output: final cell sizes +
+    centroid vectors."""
+    n = _vecs(spark, sf_dir).select(
+        "vec_id",
+        "v",
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x).alias(
+            "vn2"
+        ),
+    )
+    cn2_of = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cent = n.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        cn2_of(F.col("v")).alias("cn2"),
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        dist = F.round(
+            F.col("vn2") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("cn2"), 6
+        )
+        assign = (
+            n.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id", "v")
+            .agg(F.min_by("cent_id", dist + F.col("cent_id") * 1e-12).alias("cell"))
+        )
+        dims = (
+            assign.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cent = (
+            dims.groupBy(F.col("cell").alias("cent_id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: x["m"]
+                ).alias("cv")
+            )
+            .select("cent_id", "cv", cn2_of(F.col("cv")).alias("cn2"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .join(cent, F.col("cell") == F.col("cent_id"))
+        .select("cell", "n_vectors", F.col("cv").alias("centroid"))
+    )
