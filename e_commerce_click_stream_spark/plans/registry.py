@@ -54,6 +54,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_repetition_stats",
     "doc_pii_scrub",
     "embedding_kmeans_iter",
+    "streaming_click_attribution",
     "lineitem_math_functions",
     "session_cart_contents",
     "dedup_ngram_jaccard",

@@ -156,3 +156,38 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         stateful_sessionize(read_events_stream(spark, sf_dir)), "append"
     )
+
+
+_STREAM_ATTRIBUTION_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       round(p.value, 2) AS purchase_value,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0, 4) AS lag_minutes
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("streaming_click_attribution", oracle=_STREAM_ATTRIBUTION_SQL,
+          tags=("stream-stream-join", "T1", "streaming"))
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a real streaming query:
+    purchases join the same user's clicks from the preceding 30 minutes,
+    with watermarks on both sides bounding the join state (Spark derives
+    the click-state TTL from the interval condition). Inner join in
+    append mode over the finite replay emits exactly the batch join
+    result — the oracle is the equivalent batch interval join."""
+    from e_commerce_click_stream_spark.streaming.jobs import (
+        click_purchase_join_stream,
+    )
+
+    return run_to_completion(
+        click_purchase_join_stream(read_events_stream(spark, sf_dir)), "append"
+    )

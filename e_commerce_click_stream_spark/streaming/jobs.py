@@ -302,3 +302,51 @@ def run_to_completion(
         # explicit schema: an empty replay leaves no files to infer from
         return spark.read.schema(result.schema).parquet(out_dir)
     return spark.table(name)
+
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def click_purchase_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding 30 minutes. Both sides carry a
+    watermark, so the join state is bounded — a click can be evicted once
+    the purchase-side watermark passes click_ts + 30 minutes (Spark derives
+    the state TTL from the interval condition). The equi-key (user_id)
+    keeps it a hash-partitioned join; the time bound is applied post-probe.
+    This is the streaming form of the batch purchase_attribution_window
+    range join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK_DELAY)
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+        F.round(lag_us / 60_000_000.0, 4).alias("lag_minutes"),
+    )
