@@ -570,7 +570,7 @@ GROUP BY a.cell
     return "WITH " + ",\n".join(parts) + final
 
 
-@register("embedding_kmeans_iter", oracle=_kmeans_sql(), tags=("similarity", "kmeans", "iterative"))
+@register("embedding_kmeans_iter", oracle=_kmeans_sql(), headline=True, tags=("similarity", "kmeans", "iterative"))
 def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three Lloyd's iterations of k-means (k=8, seeded from the first 8
     corpus vectors) — training the coarse codebook the ann_ivf_* queries
