@@ -549,3 +549,72 @@ def recent_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("cutoff")) & F.col("value").isNotNull())
         .select("event_id", "user_id", "event_type", "ts", F.round("value", 2).alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dead-letter split for the JSON decode (S2 extension)
+#
+# The reference's from_json silently nulls malformed events (SURVEY.md
+# §1.2: "no dead-letter handling"); a production pipeline routes them to a
+# dead-letter table instead. Fixture props are all valid JSON, so ~1% are
+# deterministically mangled first (closing brace dropped for
+# event_id % 97 == 0) to prove the split path with non-degenerate counts.
+
+_DEADLETTER_SQL = """
+WITH mangled AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 97 = 0
+                THEN substr(props, 1, length(props) - 1)
+                ELSE props END AS props
+    FROM events
+),
+classified AS (
+    -- "ok" = the typed field survives the parse, matching Spark's
+    -- permissive from_json (struct-of-nulls on malformed input, so the
+    -- struct itself is non-null and only the FIELD signals failure)
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN try_cast(json_extract_string(props, '$.k') AS INTEGER)
+                     IS NOT NULL
+                ELSE false END AS ok
+    FROM mangled
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE ok) AS n_ok,
+       count(*) FILTER (WHERE NOT ok) AS n_dead,
+       round(count(*) FILTER (WHERE NOT ok) * 100.0 / count(*), 4) AS dead_pct
+FROM classified
+GROUP BY event_type
+"""
+
+
+@register("events_json_deadletter", oracle=_DEADLETTER_SQL,
+          tags=("S2", "deadletter", "from_json"))
+def events_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for the JSON decode: rows whose payload
+    fails the explicit-schema parse (from_json → null struct) are counted
+    per event type instead of silently passing through as nulls — the
+    capability gap SURVEY.md §1.2 flags in the reference. Pure map +
+    single agg shuffle; at scale the same classifier column routes the
+    writer into main/dead-letter outputs (partitionBy on the flag)."""
+    ev = _events(spark, sf_dir)
+    mangled = F.when(
+        F.col("event_id") % 97 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    # permissive from_json yields a struct of nulls on malformed input
+    # (never a null struct), so failure is detected on the typed field
+    ok = F.from_json(mangled, "k INT")["k"].isNotNull()
+    return (
+        ev.select("event_type", ok.alias("ok"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+            F.count(F.when(~F.col("ok"), 1)).alias("n_dead"),
+            F.round(F.count(F.when(~F.col("ok"), 1)) * 100.0 / F.count("*"), 4).alias(
+                "dead_pct"
+            ),
+        )
+    )

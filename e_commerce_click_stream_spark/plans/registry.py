@@ -55,6 +55,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_pii_scrub",
     "embedding_kmeans_iter",
     "streaming_click_attribution",
+    "events_json_deadletter",
     "lineitem_math_functions",
     "session_cart_contents",
     "dedup_ngram_jaccard",
