@@ -1,0 +1,215 @@
+"""User-behavior analytics over the ``events`` stream table.
+
+Extends the reference's dashboard surface (reference
+processor/streaming_processor.py:197-274 computes hourly/session
+aggregates for Grafana) with the three classic product-analytics shapes a
+clickstream warehouse serves: cohort retention, ordered funnels, and
+DAU/WAU engagement. All are expressed as declarative DataFrame plans so
+Catalyst keeps partial aggregation map-side and reuses the ``user_id``
+hash partitioning across the window chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.plans.registry import register
+
+_RETENTION_SQL = """
+WITH activity AS (
+    SELECT DISTINCT user_id, ts::DATE AS day FROM events
+),
+firsts AS (
+    SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_day, count(*) AS cohort_users FROM firsts GROUP BY cohort_day
+)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, a.day) AS day_offset,
+       count(DISTINCT a.user_id) AS active_users,
+       max(s.cohort_users) AS cohort_users,
+       round(count(DISTINCT a.user_id)::DOUBLE / max(s.cohort_users), 6)
+           AS retention_rate
+FROM activity a
+JOIN firsts f ON f.user_id = a.user_id
+JOIN sizes s ON s.cohort_day = f.cohort_day
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+@register("user_retention_cohorts", oracle=_RETENTION_SQL, tags=("behavior", "retention"))
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active date, one
+    row per (cohort_day, day_offset) with the fraction of the cohort still
+    active that day.
+
+    Scale shape: the (user, day) distinct and the first-day agg both hash
+    on ``user_id``, so the activity→firsts join is co-partitioned (one
+    exchange feeds all three); cohort sizes are a date-cardinality table
+    (tiny at any event volume) and broadcast."""
+    activity = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("n_cohort"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "active_users",
+            F.col("n_cohort").alias("cohort_users"),
+            F.round(F.col("active_users").cast("double") / F.col("n_cohort"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH w1 AS (
+    SELECT user_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+    FROM events
+),
+w2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+              OVER (PARTITION BY user_id) AS first_click
+    FROM w1
+),
+w3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+              OVER (PARTITION BY user_id) AS first_purchase
+    FROM w2
+)
+SELECT user_id,
+       max(first_view) AS first_view,
+       max(first_click) AS first_click,
+       max(first_purchase) AS first_purchase,
+       CASE WHEN max(first_purchase) IS NOT NULL THEN 3
+            WHEN max(first_click) IS NOT NULL THEN 2
+            WHEN max(first_view) IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM w3
+GROUP BY user_id
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_SQL, tags=("behavior", "funnel", "window"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel per user: each step's first
+    timestamp must follow the previous step's (a click before the first
+    view doesn't count), plus the furthest stage reached (0-3).
+
+    One hash exchange on ``user_id`` feeds all three window passes and the
+    final group-by — Catalyst proves the partitioning is preserved, so the
+    chain adds no further shuffles at any event volume."""
+    w = Window.partitionBy("user_id")
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    e = e.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    e = e.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    agg = e.groupBy("user_id").agg(
+        F.max("first_view").alias("first_view"),
+        F.max("first_click").alias("first_click"),
+        F.max("first_purchase").alias("first_purchase"),
+    )
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.withColumn("funnel_stage", stage.cast("long"))
+
+
+_DAU_SQL = """
+WITH activity AS (
+    SELECT DISTINCT user_id, ts::DATE AS day FROM events
+),
+daily AS (
+    SELECT ts::DATE AS day, count(DISTINCT user_id) AS dau, count(*) AS n_events
+    FROM events GROUP BY day
+),
+wau AS (
+    SELECT d.day, count(DISTINCT a.user_id) AS wau
+    FROM daily d JOIN activity a
+      ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+)
+SELECT d.day, d.dau, d.n_events, w.wau,
+       round(d.dau::DOUBLE / w.wau, 6) AS stickiness,
+       round(avg(d.dau) OVER (ORDER BY d.day ROWS BETWEEN 6 PRECEDING
+                              AND CURRENT ROW), 4) AS dau_7d_avg
+FROM daily d JOIN wau w ON w.day = d.day
+"""
+
+
+@register("daily_active_users", oracle=_DAU_SQL, tags=("behavior", "engagement", "window"))
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement report: DAU, trailing-7-day WAU (true distinct users, not
+    an average), DAU/WAU stickiness, and a 7-day rolling DAU average.
+
+    WAU is a range join: the day grid (date-cardinality, tiny forever) is
+    broadcast against distinct (user, day) activity, fanning each activity
+    row out to at most 7 grid days before a hash agg on day — bounded
+    blow-up, no all-pairs. The final rolling window runs over per-day rows
+    only, so its single-partition sort is over date cardinality, never
+    event cardinality."""
+    events = table(spark, sf_dir, "events")
+    activity = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau"),
+        F.count("*").alias("n_events"),
+    )
+    grid = daily.select("day")
+    wau = (
+        activity.join(
+            F.broadcast(grid.withColumnRenamed("day", "grid_day")),
+            (F.col("day") >= F.date_sub(F.col("grid_day"), 6))
+            & (F.col("day") <= F.col("grid_day")),
+        )
+        .groupBy(F.col("grid_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    rolling = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "n_events",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .withColumn("dau_7d_avg", F.round(F.avg("dau").over(rolling), 4))
+    )

@@ -31,6 +31,7 @@ _PLAN_MODULES = (
     "e_commerce_click_stream_spark.plans.text",
     "e_commerce_click_stream_spark.plans.multimodal",
     "e_commerce_click_stream_spark.plans.streaming_parity",
+    "e_commerce_click_stream_spark.plans.behavior",
 )
 
 # The external correctness gate verifies a bounded prefix (~50) of queries()

@@ -627,3 +627,93 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cent, F.col("cell") == F.col("cent_id"))
         .select("cell", "n_vectors", F.col("cv").alias("centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) encoding: compress each 64-dim vector to 8
+# subspace codes against a deterministic codebook (vec_id < PQ_K per
+# subspace), the memory-compression companion to the IVF queries — an
+# IVF-PQ index stores these codes instead of raw vectors (Jégou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search")
+
+PQ_M = 8  # subspaces
+PQ_D = 8  # dims per subspace (PQ_M * PQ_D = 64 = fixture dim)
+PQ_K = 4  # codes per subspace (vec_id < 4 seed the codebook)
+
+_PQ_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sub AS (
+    SELECT vec_id, s.range AS sub_id,
+           v[(s.range * {PQ_D} + 1):(s.range * {PQ_D} + {PQ_D})] AS sv
+    FROM n, range({PQ_M}) s
+),
+cb AS (
+    SELECT vec_id AS code, sub_id, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+),
+best AS (
+    SELECT a.vec_id, a.sub_id,
+           arg_min(b.code,
+                   round(list_sum(list_transform(range(1, {PQ_D + 1}),
+                         i -> (a.sv[i] - b.cv[i]) * (a.sv[i] - b.cv[i]))), 6)
+                   + b.code * 1e-12) AS code,
+           min(round(list_sum(list_transform(range(1, {PQ_D + 1}),
+                     i -> (a.sv[i] - b.cv[i]) * (a.sv[i] - b.cv[i]))), 6))
+               AS sub_err
+    FROM sub a JOIN cb b ON b.sub_id = a.sub_id
+    GROUP BY a.vec_id, a.sub_id
+)
+SELECT vec_id,
+       list(code ORDER BY sub_id) AS pq_code,
+       round(sum(sub_err), 6) AS quant_err
+FROM best GROUP BY vec_id
+"""
+
+
+@register("embedding_pq_encode", oracle=_PQ_SQL, tags=("similarity", "pq", "compression"))
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each vector's 8 subspaces are matched
+    to the nearest of 4 codebook entries (L2, rounded to 6, ties to the
+    lower code), yielding an 8-byte code plus total quantization error.
+
+    Zero-shuffle on the corpus: the codebook (PQ_K rows) collapses to a
+    single array row, broadcast-cross-joined in, and the whole
+    argmin-per-subspace runs as nested higher-order functions inside one
+    projection — the corpus is scanned once, codes emitted in place. At
+    100 TB this is a pure map stage; only the k-row codebook ever moves."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v")
+    cb = (
+        n.filter(F.col("vec_id") < PQ_K)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("vec_id").alias("code"), F.col("v").alias("cv")))
+            ).alias("cb")
+        )
+    )
+    dist = (
+        f"round(aggregate(zip_with(slice(v, s * {PQ_D} + 1, {PQ_D}),"
+        f"                         slice(c.cv, s * {PQ_D} + 1, {PQ_D}),"
+        f"                         (x, y) -> (x - y) * (x - y)),"
+        f"                cast(0.0 as double), (a, x) -> a + x), 6)"
+    )
+    codes_errs = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), s -> "
+        f"  aggregate("
+        f"    transform(cb, c -> named_struct("
+        f"      'code', c.code, 'd', {dist} + c.code * 1e-12, 'err', {dist})),"
+        f"    named_struct('code', cast(-1 as bigint),"
+        f"                 'd', cast(1e18 as double), 'err', cast(0.0 as double)),"
+        f"    (acc, e) -> IF(e.d < acc.d, e, acc)))"
+    )
+    enc = n.crossJoin(F.broadcast(cb)).select(
+        "vec_id", codes_errs.alias("ce")
+    )
+    return enc.select(
+        "vec_id",
+        F.expr("transform(ce, x -> x.code)").alias("pq_code"),
+        F.round(
+            F.expr("aggregate(transform(ce, x -> x.err), cast(0.0 as double), (a, x) -> a + x)"),
+            6,
+        ).alias("quant_err"),
+    )

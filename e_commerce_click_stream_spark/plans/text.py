@@ -518,3 +518,74 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("aug") - F.length(redacted)).cast("long").alias("chars_removed"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicated-passage fraction (exact-substring dedup signal at
+# 8-gram granularity — the distributable core of Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better": instead of a
+# suffix array, every rolling 8-gram is fingerprinted and a gram shared by
+# >1 document marks its instances as duplicated text)
+
+GRAM_N = 8
+
+_CONTAM_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest([md5(array_to_string(t[i:i + {GRAM_N - 1}], ' '))
+                   for i in range(1, len(t) - {GRAM_N - 2})]) AS gh
+    FROM toks
+),
+df AS (
+    SELECT gh, count(DISTINCT doc_id) AS gdf FROM grams GROUP BY gh
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END) AS shared_grams,
+       round(sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS contamination,
+       round(sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           > 0.5 AS mostly_duplicated
+FROM grams g JOIN df USING (gh)
+GROUP BY g.doc_id
+"""
+
+
+@register("doc_gram_contamination", oracle=_CONTAM_SQL, tags=("text", "dedup", "contamination"))
+def doc_gram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a document's
+    rolling 8-gram fingerprints that also occur in some OTHER document —
+    the gram-granular form of corpus-wide exact-substring dedup (docs
+    shorter than 8 tokens emit no grams and no row, on both sides).
+
+    Scale shape: explode to (doc, gram-md5), hash-agg document frequency
+    per gram (md5 keys are uniform, partial agg shrinks hot grams
+    map-side), join each gram instance to its single df row — fan-out is
+    exactly 1, unlike a pair-generating self-join — then re-agg by doc.
+    Three key-local shuffles, no pair explosion, at any corpus size."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("t"))
+    gram_fp = F.when(
+        F.size("t") >= GRAM_N,
+        F.expr(
+            f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
+            f" i -> md5(concat_ws(' ', slice(t, i, {GRAM_N}))))"
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = docs.select("doc_id", F.explode(gram_fp).alias("gh"))
+    df = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("gdf"))
+    shared = F.sum(F.when(F.col("gdf") > 1, 1).otherwise(0))
+    return (
+        grams.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            shared.alias("shared_grams"),
+            F.round(shared.cast("double") / F.count("*"), 6).alias("contamination"),
+            (F.round(shared.cast("double") / F.count("*"), 6) > 0.5).alias(
+                "mostly_duplicated"
+            ),
+        )
+    )

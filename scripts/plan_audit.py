@@ -255,6 +255,41 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 3,
     },
+    # one hash exchange on user_id feeds all three window passes AND the
+    # final group-by — the partitioning-reuse proof for the funnel chain
+    "funnel_conversion": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # cohort sizes (date-cardinality) broadcast; activity/firsts join is
+    # hash on user_id; the only NLJ anywhere is forbidden
+    "user_retention_cohorts": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "max_exchanges": 6,
+    },
+    # WAU range join: day grid broadcasts (BNLJ over date-cardinality rows
+    # is the intended cheap path); rolling window sorts per-day rows only
+    "daily_active_users": {
+        "contains": ["BroadcastNestedLoopJoin", "Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 7,
+    },
+    # gram-df join must stay an EQUI join on the md5 key — fan-out 1 per
+    # gram instance, never a pair-generating scan
+    "doc_gram_contamination": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
+    # codebook collapses to ONE row then broadcasts; the corpus side is a
+    # single scan + projection with zero shuffles
+    "embedding_pq_encode": {
+        "contains": ["BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
