@@ -213,3 +213,48 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dau_7d_avg", F.round(F.avg("dau").over(rolling), 4))
     )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_type_markov", oracle=_MARKOV_SQL, tags=("behavior", "markov", "window"))
+def event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical event-type transition matrix: per-user event sequences
+    (ordered by ts with event_id tiebreak) yield (prev → next) counts and
+    row-normalized transition probabilities — the observed counterpart of
+    the reference generator's history-conditioned Markov mix (G3,
+    reference producer/producer.py event-mix logic).
+
+    One user_id exchange for the lag window, one hash agg on the 5×5
+    transition key, then a window over ≤25 rows — nothing downstream of
+    the first shuffle scales with event volume."""
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return counts.withColumn(
+        "p_transition",
+        F.round(F.col("n_transitions").cast("double") / total, 6),
+    )

@@ -191,3 +191,23 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         click_purchase_join_stream(read_events_stream(spark, sf_dir)), "append"
     )
+
+
+# every event exactly once — the union doubles each, the dedup restores
+_STREAM_DEDUP_SQL = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+@register("streaming_exactly_once_dedup", oracle=_STREAM_DEDUP_SQL,
+          tags=("dedup", "T1", "exactly-once", "streaming"))
+def streaming_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once: the replayed stream is unioned with
+    itself (every event delivered twice) and deduplicated by event key
+    within the watermark (bounded state). The oracle is the plain events
+    table — each event must come out exactly once."""
+    from e_commerce_click_stream_spark.streaming.jobs import dedup_events_stream
+
+    return run_to_completion(
+        dedup_events_stream(read_events_stream(spark, sf_dir)), "append"
+    )

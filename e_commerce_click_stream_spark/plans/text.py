@@ -8,7 +8,7 @@ map, no shuffle)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import table
@@ -589,3 +589,125 @@ def doc_gram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building + TF-IDF: the term-statistics pair every tokenizer /
+# retrieval pipeline computes over a corpus
+
+VOCAB_TOP = 50
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+stats AS (
+    SELECT tok, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+    FROM toks GROUP BY tok
+),
+ranked AS (
+    SELECT tok, term_freq, doc_freq,
+           row_number() OVER (ORDER BY term_freq DESC, tok) AS vocab_rank,
+           round(term_freq::DOUBLE / sum(term_freq) OVER (), 6) AS corpus_frac
+    FROM stats
+)
+SELECT tok, term_freq, doc_freq, vocab_rank, corpus_frac
+FROM ranked WHERE vocab_rank <= {VOCAB_TOP}
+"""
+
+
+@register("corpus_vocabulary", oracle=_VOCAB_SQL, tags=("text", "vocabulary"))
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary build: corpus-wide term frequency,
+    document frequency, deterministic rank (count desc, token asc), and
+    each term's share of all tokens — truncated to the top VOCAB_TOP.
+
+    Explode → one hash agg on token (md5-uniform enough for natural text;
+    partial agg absorbs hot stopwords map-side). The global rank is a
+    top-k over VOCABULARY cardinality, not corpus cardinality — vocab
+    fits one partition at any corpus size (heaps via
+    TakeOrderedAndProject would apply if it didn't)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count("*").alias("term_freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    total = F.sum("term_freq").over(Window.partitionBy())
+    ranked = stats.select(
+        "tok",
+        "term_freq",
+        "doc_freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("term_freq"), F.asc("tok")))
+        .cast("long")
+        .alias("vocab_rank"),
+        F.round(F.col("term_freq").cast("double") / total, 6).alias("corpus_frac"),
+    )
+    return ranked.filter(F.col("vocab_rank") <= VOCAB_TOP)
+
+
+TFIDF_TOP = 3
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+df AS (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rk
+      FROM scored)
+WHERE rk <= {TFIDF_TOP}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_SQL, tags=("text", "tfidf", "topk"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (ties broken by token): term
+    frequency per (doc, token), document frequency per token, idf =
+    ln(N/df) with N a 1-row broadcast scalar, then a per-doc
+    WindowGroupLimit top-k — no global sort, no driver collection.
+
+    Shuffle shape: (doc,tok) agg and tok agg are both md5-uniform-ish
+    hash aggs; the tf→df join is an equi-join on token with fan-out
+    exactly 1; the final window re-hashes on doc_id only."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    )
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= TFIDF_TOP).drop("rk")

@@ -350,3 +350,20 @@ def click_purchase_join_stream(events: DataFrame) -> DataFrame:
         F.round(F.col("purchase_value"), 2).alias("purchase_value"),
         F.round(lag_us / 60_000_000.0, 4).alias("lag_minutes"),
     )
+
+
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Exactly-once restoration over an at-least-once source: the input
+    stream is unioned with itself (every event delivered twice — the
+    redelivery pattern a Kafka consumer sees after a rebalance, reference
+    processor/streaming_processor.py:90-107 runs at-least-once) and
+    ``dropDuplicatesWithinWatermark`` on the event key restores
+    exactly-once delivery with BOUNDED state: a key is held only until
+    the watermark passes its event time, unlike an unbounded
+    ``dropDuplicates`` whose state grows with the key space forever."""
+    doubled = events.unionAll(events)
+    return (
+        doubled.withWatermark("ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

@@ -290,6 +290,25 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 1,
     },
+    # lag window on user_id, 5x5 transition agg, tiny prob window
+    "event_type_markov": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 3,
+    },
+    # explode -> token agg; global rank runs over vocab cardinality only
+    "corpus_vocabulary": {
+        "contains": ["Generate", "HashAggregate", "Window"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 3,
+    },
+    # tf-df equi-join on token (fan-out 1) + 1-row N broadcast + per-doc
+    # WindowGroupLimit top-k
+    "tfidf_top_terms": {
+        "contains": ["WindowGroupLimit", "BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 5,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
