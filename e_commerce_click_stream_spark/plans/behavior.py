@@ -258,3 +258,47 @@ def event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_transition",
         F.round(F.col("n_transitions").cast("double") / total, 6),
     )
+
+
+_ROLLUP_SQL = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day_b,
+       date_trunc('hour', ts) AS hour_b,
+       date_trunc('minute', ts) AS minute_b,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS revenue
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                 date_trunc('minute', ts))
+"""
+
+
+@register("events_rollup_hypertable", oracle=_ROLLUP_SQL, tags=("behavior", "rollup", "timeseries"))
+def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute, hour, day, and
+    grand-total rollups of the event stream in ONE pass — the
+    multi-granularity materialization a time-series store keeps per
+    chunk, expressed as ROLLUP(day, hour, minute) (one Expand + one
+    shuffle, never four scans). Coarser grains leave finer buckets NULL,
+    exactly like a TimescaleDB continuous-aggregate hierarchy."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.date_trunc("day", "ts").alias("day_b"),
+            F.date_trunc("hour", "ts").alias("hour_b"),
+            F.date_trunc("minute", "ts").alias("minute_b"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )

@@ -32,6 +32,7 @@ _PLAN_MODULES = (
     "e_commerce_click_stream_spark.plans.multimodal",
     "e_commerce_click_stream_spark.plans.streaming_parity",
     "e_commerce_click_stream_spark.plans.behavior",
+    "e_commerce_click_stream_spark.plans.graph",
 )
 
 # The external correctness gate verifies a bounded prefix (~50) of queries()
@@ -94,6 +95,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_dashboard_metrics",
     "streaming_session_windows",
     "streaming_stateful_sessions",
+    # new this round (the rest of the round's new queries queue for r3 —
+    # the 50-slot window is otherwise full of never-verified backlog)
+    "streaming_exactly_once_dedup",
 )
 
 

@@ -309,6 +309,19 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 5,
     },
+    # four grains in ONE pass: one Expand + one shuffle, never four scans
+    "events_rollup_hypertable": {
+        "contains": ["Expand", "HashAggregate"],
+        "not_contains": ["Union", "Join", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # BSP pagerank: edge build + per-round join/agg; rank joins stay hash
+    # equi-joins, the only BNLJ is the 1-row node count broadcast
+    "pagerank_bipartite": {
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 11,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
