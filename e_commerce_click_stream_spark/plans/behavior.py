@@ -302,3 +302,112 @@ def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_b, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT hour_b, event_type, n,
+           avg(n) OVER w AS mu,
+           CASE WHEN count(n) OVER w >= 2 THEN stddev_samp(n) OVER w END AS sigma
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_b
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_b, event_type, n,
+       round(mu, 4) AS trailing_mean,
+       round(sigma, 4) AS trailing_std,
+       CASE WHEN sigma > 0 THEN round((n - mu) / sigma, 4) END AS zscore,
+       coalesce(CASE WHEN sigma > 0 THEN abs((n - mu) / sigma) > 3.0 END, FALSE)
+           AS is_anomaly
+FROM stats
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ANOMALY_SQL, tags=("behavior", "anomaly", "window"))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection: each (event_type, hour) count is
+    scored against the mean/stddev of its preceding 24 hours (current hour
+    excluded, so an anomaly can't suppress itself); |z| > 3 flags. The
+    count >= 2 guard keeps the one-sample stddev NULL on both engines
+    (Spark would yield NaN, DuckDB NULL).
+
+    The expensive shuffle is the hourly pre-aggregation; the window then
+    runs over (type, hour) cardinality — time-dimension rows, not event
+    rows — so the per-type sort is trivially bounded forever."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_b"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_b")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("n").over(w)
+    sigma = F.when(F.count("n").over(w) >= 2, F.stddev_samp("n").over(w))
+    stats = hourly.select("hour_b", "event_type", "n", mu.alias("mu"), sigma.alias("sigma"))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return stats.select(
+        "hour_b",
+        "event_type",
+        "n",
+        F.round("mu", 4).alias("trailing_mean"),
+        F.round("sigma", 4).alias("trailing_std"),
+        F.when(F.col("sigma") > 0, F.round(z, 4)).alias("zscore"),
+        F.coalesce(
+            F.when(F.col("sigma") > 0, F.abs(z) > 3.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+_SLIDING_SQL = """
+WITH slid AS (
+    SELECT unnest([time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+                   for k in [0, 1, 2, 3]]) AS window_start,
+           event_type, value
+    FROM events
+)
+SELECT window_start::TIMESTAMP AS window_start,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS revenue
+FROM slid GROUP BY 1
+"""
+
+
+@register("events_sliding_windows", oracle=_SLIDING_SQL, tags=("behavior", "window", "hopping"))
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate: 1-hour windows sliding every 15 minutes
+    (each event lands in exactly 4 windows) — the overlapping-window
+    extension of the reference's tumbling T2, via ``F.window(slide=)``.
+    Spark expands the 4 assignments with an internal generator before one
+    hash agg on window start — same Expand-then-aggregate shape as the
+    rollup, bounded 4x fan-out at any volume."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "purchases",
+            "revenue",
+        )
+    )

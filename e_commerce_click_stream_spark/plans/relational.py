@@ -1907,3 +1907,52 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join: the one join type the rest of the suite doesn't exercise
+
+_FULL_OUTER_SQL = """
+WITH c AS (
+    SELECT c_nationkey AS nationkey, count(*) AS n_customers
+    FROM customer GROUP BY 1
+),
+s AS (
+    SELECT s_nationkey AS nationkey, count(*) AS n_debt_suppliers
+    FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_debt_suppliers, 0) AS n_debt_suppliers,
+       coalesce(c.n_customers, 0) - coalesce(s.n_debt_suppliers, 0) AS balance
+FROM c FULL OUTER JOIN s ON s.nationkey = c.nationkey
+"""
+
+
+@register("nation_coverage_full_outer", oracle=_FULL_OUTER_SQL, tags=("join", "full-outer"))
+def nation_coverage_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer counts against per-nation
+    negative-balance supplier counts — the debt-supplier side genuinely
+    misses nations, so both unmatched directions are exercised. Aggregate
+    first, join the two small per-key tables after: the outer join runs
+    over key cardinality, never row cardinality."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_debt_suppliers"))
+    )
+    j = c.join(s, c.c_nk == s.s_nk, "full_outer")
+    n_cust = F.coalesce("n_customers", F.lit(0))
+    n_supp = F.coalesce("n_debt_suppliers", F.lit(0))
+    return j.select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        n_cust.alias("n_customers"),
+        n_supp.alias("n_debt_suppliers"),
+        (n_cust - n_supp).alias("balance"),
+    )

@@ -315,6 +315,25 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Union", "Join", "CartesianProduct"],
         "max_exchanges": 1,
     },
+    # hourly pre-agg then a window over (type, hour) cardinality only
+    "events_anomaly_zscore": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
+    # hopping windows: Expand (4 assignments/event) then ONE hash agg
+    "events_sliding_windows": {
+        "contains": ["Expand", "HashAggregate"],
+        "not_contains": ["Join", "Union", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # aggregate-first full outer: join runs over key cardinality; both
+    # 25-row agg sides broadcastable but outer sides must keep nulls
+    "nation_coverage_full_outer": {
+        "contains": ["FullOuter", "HashAggregate"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 2,
+    },
     # BSP pagerank: edge build + per-round join/agg; rank joins stay hash
     # equi-joins, the only BNLJ is the 1-row node count broadcast
     "pagerank_bipartite": {
