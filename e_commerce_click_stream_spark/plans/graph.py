@@ -57,7 +57,7 @@ def _pagerank_sql() -> str:
     )
 
 
-@register("pagerank_bipartite", oracle=_pagerank_sql(), tags=("graph", "pagerank", "iterative"))
+@register("pagerank_bipartite", oracle=_pagerank_sql(), headline=True, tags=("graph", "pagerank", "iterative"))
 def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85, 2 rounds) over the undirected customer↔supplier
     bipartite graph from order lineitems — "which suppliers sit at the

@@ -677,7 +677,7 @@ WHERE rk <= {TFIDF_TOP}
 """
 
 
-@register("tfidf_top_terms", oracle=_TFIDF_SQL, tags=("text", "tfidf", "topk"))
+@register("tfidf_top_terms", oracle=_TFIDF_SQL, headline=True, tags=("text", "tfidf", "topk"))
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (ties broken by token): term
     frequency per (doc, token), document frequency per token, idf =
