@@ -36,6 +36,21 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_blocks(spark) -> None:
+    """Drop every persistent RDD left behind by the previous query.
+
+    Builders that materialize an intermediate (localCheckpoint in the
+    LSH-dedup and pagerank plans) leave blocks in the block manager until
+    the Python GC + ContextCleaner get around to them; across a timed
+    sweep that accumulation turns into GC pressure that bleeds into
+    UNRELATED queries' timings (measured: q3 0.5 s → 12 s after three
+    pagerank executions). Each query must be timed from a clean block
+    manager."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     specs = {n: s for n, s in all_specs().items() if s.headline}
@@ -49,9 +64,11 @@ def main() -> None:
     # steady-state signal
     timings: dict[str, float] = {}
     for name in sorted(specs):
+        _release_blocks(spark)
         _execute(specs[name].builder(spark, SF_DIR))
         best = float("inf")
         for _ in range(2):
+            _release_blocks(spark)
             t0 = time.perf_counter()
             _execute(specs[name].builder(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

@@ -1,0 +1,168 @@
+"""SQL-gateway parity, data-quality gates, and skew diagnostics.
+
+The reference's third entry point is raw SQL from dashboards and
+notebooks (reference README / Grafana provisioning; SURVEY.md §3.3).
+``sql_gateway_hourly_revenue`` proves that surface end-to-end: its
+builder is ``spark.sql(...)`` over ``io.register_views`` — and the SQL
+string submitted to Spark IS the DuckDB oracle, byte for byte, so the
+gateway dialect is verified ANSI-portable, not merely similar.
+
+The other two are the operational queries a warehouse runs about itself:
+a dbt-style constraint report and the hot-key profile that decides when
+a join needs salting (plans/clickstream.py::skew_salted_event_counts is
+the treatment; this is the diagnosis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import register_views, table
+from e_commerce_click_stream_spark.plans.registry import register
+
+# one SQL text, two engines — keep it in the ANSI intersection: no ::
+# casts, no engine-specific functions, explicit aliases everywhere
+_GATEWAY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_b,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS revenue,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4)
+           AS avg_purchase_value
+FROM events
+GROUP BY date_trunc('hour', ts)
+"""
+
+
+@register("sql_gateway_hourly_revenue", oracle=_GATEWAY_SQL, tags=("sql-gateway", "A4"))
+def sql_gateway_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-consumer entry point executed literally: the identical SQL
+    text a Grafana panel would submit runs through ``spark.sql`` over the
+    registered views here, and through DuckDB as the oracle — dialect
+    portability is part of what's asserted. Plan-wise it compiles to the
+    same partial+final hash agg as the DataFrame builders (Catalyst makes
+    no distinction)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GATEWAY_SQL)
+
+
+_DQ_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS check_name, count(*) AS violations
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orders_duplicate_pk', count(*) FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+) d
+UNION ALL
+SELECT 'events_null_user', count(*) FROM events WHERE user_id IS NULL
+UNION ALL
+SELECT 'events_unknown_type', count(*) FROM events
+WHERE event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error')
+UNION ALL
+SELECT 'lineitem_nonpositive_price', count(*) FROM lineitem
+WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'customer_broken_nation_fk', count(*)
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE n.n_nationkey IS NULL
+"""
+
+
+@register("dq_constraint_report", oracle=_DQ_SQL, tags=("data-quality", "anti-join"))
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style constraint report in one pass: referential integrity
+    (orphaned lineitems, broken customer→nation FKs via anti joins),
+    primary-key uniqueness, null keys, enum domain, and value ranges —
+    each a named check with its violation count. Dimension-side checks
+    broadcast; the orphan scan is the only fact-size anti join."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    orphans = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    null_user = events.filter(F.col("user_id").isNull())
+    bad_type = events.filter(
+        ~F.col("event_type").isin("view", "click", "purchase", "signup", "error")
+    )
+    bad_price = li.filter(F.col("l_extendedprice") <= 0)
+    broken_fk = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey, "left_anti"
+    )
+    return (
+        check("lineitem_orphan_orderkey", orphans)
+        .unionAll(check("orders_duplicate_pk", dup_pk))
+        .unionAll(check("events_null_user", null_user))
+        .unionAll(check("events_unknown_type", bad_type))
+        .unionAll(check("lineitem_nonpositive_price", bad_price))
+        .unionAll(check("customer_broken_nation_fk", broken_fk))
+    )
+
+
+SKEW_TOP = 10
+
+_SKEW_SQL = f"""
+WITH per_key AS (
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT sum(n_events) AS total_events, count(*) AS n_keys,
+           avg(n_events) AS mean_per_key
+    FROM per_key
+)
+SELECT p.user_id, p.n_events,
+       round(p.n_events * 100.0 / t.total_events, 4) AS share_pct,
+       round(p.n_events / t.mean_per_key, 4) AS x_mean
+FROM per_key p, tot t
+ORDER BY p.n_events DESC, p.user_id
+LIMIT {SKEW_TOP}
+"""
+
+
+@register("key_skew_profile", oracle=_SKEW_SQL, tags=("skew", "diagnostics", "topk"))
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis: the SKEW_TOP heaviest user_ids with their
+    event share and multiple-of-mean — the report that decides whether a
+    downstream join/agg on this key needs salting or AQE skew handling.
+    Per-key agg (one shuffle), 1-row totals broadcast, top-k via
+    TakeOrderedAndProject with a user_id tiebreak — never a global
+    sort."""
+    per_key = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = per_key.agg(
+        F.sum("n_events").alias("total_events"),
+        F.count("*").alias("n_keys"),
+        F.avg("n_events").alias("mean_per_key"),
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") * 100.0 / F.col("total_events"), 4).alias(
+                "share_pct"
+            ),
+            F.round(F.col("n_events") / F.col("mean_per_key"), 4).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(SKEW_TOP)
+    )

@@ -33,6 +33,7 @@ _PLAN_MODULES = (
     "e_commerce_click_stream_spark.plans.streaming_parity",
     "e_commerce_click_stream_spark.plans.behavior",
     "e_commerce_click_stream_spark.plans.graph",
+    "e_commerce_click_stream_spark.plans.governance",
 )
 
 # The external correctness gate verifies a bounded prefix (~50) of queries()

@@ -334,6 +334,25 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct"],
         "max_exchanges": 2,
     },
+    # the SQL text compiles to the same partial+final agg as the
+    # DataFrame builders — one shuffle
+    "sql_gateway_hourly_revenue": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct", "SortAggregate"],
+        "max_exchanges": 1,
+    },
+    # integrity checks: anti joins (dims broadcast), never nested loops
+    "dq_constraint_report": {
+        "contains": ["Union", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 7,
+    },
+    # per-key agg + 1-row totals broadcast + TakeOrderedAndProject top-k
+    "key_skew_profile": {
+        "contains": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
     # BSP pagerank: edge build + per-round join/agg; rank joins stay hash
     # equi-joins, the only BNLJ is the 1-row node count broadcast
     "pagerank_bipartite": {
