@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.textops import (
     STOPWORDS_EN,
     fingerprint,
@@ -565,8 +565,13 @@ def doc_gram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per gram (md5 keys are uniform, partial agg shrinks hot grams
     map-side), join each gram instance to its single df row — fan-out is
     exactly 1, unlike a pair-generating self-join — then re-agg by doc.
-    Three key-local shuffles, no pair explosion, at any corpus size."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("t"))
+    Three key-local shuffles, no pair explosion, at any corpus size.
+    ``spread`` pre-splits the single local parquet file so the
+    md5-per-gram stage parallelizes (no-op on a cluster where the scan
+    arrives pre-split)."""
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens().alias("t")
+    )
     gram_fp = F.when(
         F.size("t") >= GRAM_N,
         F.expr(

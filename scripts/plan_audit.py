@@ -277,11 +277,13 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 7,
     },
     # gram-df join must stay an EQUI join on the md5 key — fan-out 1 per
-    # gram instance, never a pair-generating scan
+    # gram instance, never a pair-generating scan; the spread() round-robin
+    # appears twice in the initial plan (grams feeds both the df agg and
+    # the join) and collapses to one ReusedExchange at runtime
     "doc_gram_contamination": {
         "contains": ["Generate", "HashAggregate"],
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
-        "max_exchanges": 3,
+        "max_exchanges": 5,
     },
     # codebook collapses to ONE row then broadcasts; the corpus side is a
     # single scan + projection with zero shuffles
