@@ -105,3 +105,72 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries consume — payload in, ANN-ready vectors out."""
     docs = with_binary_payload(spread(table(spark, sf_dir, "documents")))
     return extract_features(docs, n_features=8)
+
+
+# ---------------------------------------------------------------------------
+# training-shard packing for binary payloads — the webdataset/tar-shard
+# layout step: media items are laid out per kind in doc_id order and
+# assigned to the shard their cumulative byte offset starts in
+
+SHARD_BYTE_BUDGET = 65536
+
+
+_SHARD_SQL = f"""
+WITH sized AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_kind,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, media_kind, n_bytes,
+           sum(n_bytes) OVER (PARTITION BY media_kind ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_bytes
+    FROM sized
+)
+SELECT media_kind,
+       ((cum_bytes - n_bytes) // {SHARD_BYTE_BUDGET}) AS shard_id,
+       count(*) AS n_items,
+       sum(n_bytes) AS total_bytes,
+       round(sum(n_bytes) / {SHARD_BYTE_BUDGET}.0, 4) AS fill_ratio
+FROM cum
+GROUP BY media_kind, shard_id
+"""
+
+
+@register("multimodal_shard_pack", oracle=_SHARD_SQL, tags=("multimodal", "packing", "window"))
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget shard packing for media payloads (64 KiB shards): the
+    webdataset-style layout a multimodal training pipeline writes, one
+    running-sum window PER media kind — the binary twin of
+    ``doc_pack_sequences``. Each kind packs independently in parallel; an
+    item straddling a boundary stays in its starting shard (offset
+    packing). Media kind is a deterministic doc_id stand-in — real tables
+    carry it in the metadata struct (``with_binary_payload``)."""
+    from pyspark.sql import Window
+
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    sized = docs.select(
+        "doc_id", kind.alias("media_kind"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("media_kind")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_bytes", F.sum("n_bytes").over(w))
+    shard_id = F.floor((F.col("cum_bytes") - F.col("n_bytes")) / SHARD_BYTE_BUDGET)
+    return (
+        cum.groupBy("media_kind", shard_id.alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum("n_bytes") / float(SHARD_BYTE_BUDGET), 4).alias("fill_ratio"),
+        )
+    )

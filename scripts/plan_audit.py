@@ -170,6 +170,12 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 3,
     },
+    # per-kind windowed cumsum + agg — binary twin of doc_pack_sequences
+    "multimodal_shard_pack": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
     # per-source windowed cumsum + agg: one shuffle on source feeds both
     "doc_pack_sequences": {
         "contains": ["Window", "HashAggregate"],
