@@ -211,3 +211,34 @@ def streaming_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         dedup_events_stream(read_events_stream(spark, sf_dir)), "append"
     )
+
+
+# the batch twin of the hopping stream: same 4-windows-per-event expansion
+_STREAM_SLIDING_SQL = """
+WITH slid AS (
+    SELECT unnest([time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+                   for k in [0, 1, 2, 3]]) AS window_start,
+           event_type, value
+    FROM events
+)
+SELECT window_start::TIMESTAMP AS window_start,
+       count(*) AS n_events,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+           AS revenue
+FROM slid GROUP BY 1
+"""
+
+
+@register("streaming_sliding_windows", oracle=_STREAM_SLIDING_SQL,
+          tags=("T2", "hopping", "streaming"))
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows executed as a real watermarked stream (complete
+    mode over the finite replay = the batch expansion) — the overlapping
+    counterpart of streaming_hourly_metrics; events_sliding_windows is
+    the batch twin."""
+    from e_commerce_click_stream_spark.streaming.jobs import sliding_metrics_stream
+
+    return run_to_completion(
+        sliding_metrics_stream(read_events_stream(spark, sf_dir)), "complete"
+    )

@@ -367,3 +367,30 @@ def dedup_events_stream(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+def sliding_metrics_stream(events: DataFrame) -> DataFrame:
+    """Hopping-window variant of hourly_metrics_stream: 1-hour windows
+    sliding every 15 minutes (each event in 4 windows). Watermarked so
+    window state is evicted 4 closed slides after the watermark passes."""
+    agg = (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchases"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "n_events", "purchases", "revenue"
+    )
