@@ -411,3 +411,69 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+_LTV_SQL = """
+WITH firsts AS (
+    SELECT o_custkey,
+           date_trunc('month', min(o_orderdate))::TIMESTAMP AS cohort_month
+    FROM orders GROUP BY o_custkey
+),
+cohort AS (
+    SELECT f.cohort_month,
+           date_diff('month', f.cohort_month,
+                     date_trunc('month', o.o_orderdate)) AS month_offset,
+           o.o_totalprice
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+monthly AS (
+    SELECT cohort_month, month_offset,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS rev_raw
+    FROM cohort GROUP BY cohort_month, month_offset
+)
+SELECT cohort_month, month_offset, n_orders,
+       round(rev_raw, 2) AS revenue,
+       round(sum(rev_raw) OVER (PARTITION BY cohort_month ORDER BY month_offset
+                                ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+FROM monthly
+"""
+
+
+@register("customer_ltv_cohorts", oracle=_LTV_SQL, tags=("behavior", "ltv", "cohort", "window"))
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value triangle over ORDERS: customers cohorted by first
+    order month, revenue and cumulative revenue per (cohort, month
+    offset) — the monetary counterpart of user_retention_cohorts (which
+    tracks presence, not spend).
+
+    First-order agg and the cohort join both hash on o_custkey (one
+    exchange feeds both); the cumulative window runs per cohort over
+    month offsets — time-dimension cardinality, never order
+    cardinality."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    offset = F.months_between(
+        F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+    ).cast("long")
+    monthly = (
+        orders.join(firsts, "o_custkey")
+        .groupBy("cohort_month", offset.alias("month_offset"))
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("rev_raw"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "cohort_month",
+        "month_offset",
+        "n_orders",
+        F.round("rev_raw", 2).alias("revenue"),
+        F.round(F.sum("rev_raw").over(w), 2).alias("cum_revenue"),
+    )

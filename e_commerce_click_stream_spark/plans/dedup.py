@@ -582,3 +582,62 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("node")).alias("members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# approximation-quality evaluation: MinHash-LSH vs the exact jaccard pairs
+# — the engine measures its own approximate operator against ground truth
+
+_LSH_EVAL_SQL = f"""
+WITH lsh AS (SELECT doc_a, doc_b FROM ({_minhash_sql()}) x),
+ex AS (SELECT doc_a, doc_b FROM ({_NGRAM_SQL}) y),
+j AS (
+    SELECT coalesce(ex.doc_a, lsh.doc_a) AS doc_a,
+           (ex.doc_a IS NOT NULL) AS in_exact,
+           (lsh.doc_a IS NOT NULL) AS in_lsh
+    FROM ex FULL OUTER JOIN lsh
+      ON ex.doc_a = lsh.doc_a AND ex.doc_b = lsh.doc_b
+)
+SELECT count(*) FILTER (WHERE in_exact AND in_lsh) AS true_pos,
+       count(*) FILTER (WHERE in_lsh AND NOT in_exact) AS false_pos,
+       count(*) FILTER (WHERE in_exact AND NOT in_lsh) AS false_neg,
+       round(count(*) FILTER (WHERE in_exact AND in_lsh)
+             * 1.0 / greatest(count(*) FILTER (WHERE in_lsh), 1), 6)
+           AS lsh_precision,
+       round(count(*) FILTER (WHERE in_exact AND in_lsh)
+             * 1.0 / greatest(count(*) FILTER (WHERE in_exact), 1), 6)
+           AS lsh_recall
+FROM j
+"""
+
+
+@register("dedup_lsh_vs_exact_eval", oracle=_LSH_EVAL_SQL, tags=("dedup", "evaluation"))
+def dedup_lsh_vs_exact_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup pairs against the
+    exact PPJoin jaccard pairs at the same threshold — the acceptance
+    report a pipeline produces before trusting the approximate path at
+    scale (where exact runs only on a sample). Both pair sets come from
+    the registered operators themselves; a full outer join on the pair
+    key classifies TP / FP / FN in one pass."""
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_lsh", F.lit(True)
+    )
+    ex = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_exact", F.lit(True)
+    )
+    j = ex.join(lsh, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+    )
+    tp = F.count(F.when(F.col("in_exact") & F.col("in_lsh"), 1))
+    fp = F.count(F.when(F.col("in_lsh") & ~F.col("in_exact"), 1))
+    fn = F.count(F.when(F.col("in_exact") & ~F.col("in_lsh"), 1))
+    n_lsh = F.count(F.when(F.col("in_lsh"), 1))
+    n_ex = F.count(F.when(F.col("in_exact"), 1))
+    return j.agg(
+        tp.alias("true_pos"),
+        fp.alias("false_pos"),
+        fn.alias("false_neg"),
+        F.round(tp * 1.0 / F.greatest(n_lsh, F.lit(1)), 6).alias("lsh_precision"),
+        F.round(tp * 1.0 / F.greatest(n_ex, F.lit(1)), 6).alias("lsh_recall"),
+    )

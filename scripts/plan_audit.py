@@ -170,6 +170,13 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 3,
     },
+    # first-order agg + cohort join share the o_custkey exchange; cum
+    # window runs over (cohort, month-offset) cardinality
+    "customer_ltv_cohorts": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 3,
+    },
     # per-kind windowed cumsum + agg — binary twin of doc_pack_sequences
     "multimodal_shard_pack": {
         "contains": ["Window", "HashAggregate"],
