@@ -11,6 +11,8 @@ hash partitioning across the window chains.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -476,4 +478,63 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round("rev_raw", 2).alias("revenue"),
         F.round(F.sum("rev_raw").over(w), 2).alias("cum_revenue"),
+    )
+
+
+_ENTROPY_SQL = """
+WITH per_type AS (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY user_id, event_type
+),
+with_p AS (
+    SELECT user_id, c,
+           c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p
+    FROM per_type
+),
+per_user AS (
+    SELECT user_id, sum(c) AS n_events,
+           count(*) AS n_types,
+           round(-sum(p * ln(p)) / ln(2), 6) AS entropy_bits
+    FROM with_p
+    GROUP BY user_id
+)
+SELECT user_id, n_events, n_types, entropy_bits,
+       round(entropy_bits / (ln(5) / ln(2)), 6) AS entropy_norm
+FROM per_user
+"""
+
+
+@register("user_entropy_profile", oracle=_ENTROPY_SQL, tags=("behavior", "entropy", "feature"))
+def user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (bits, plus the
+    fraction of the 5-type maximum) — the behavioral-diversity feature a
+    bot/anomaly classifier consumes: near-0 = single-action automation,
+    near-1 = uniformly mixed activity.
+
+    Two key-local shuffles on user_id ((user, type) pre-agg, then the
+    per-user fold over ≤5 rows); the entropy itself is plain column math
+    — no UDF, fully codegen'd."""
+    per_type = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    n_user = F.sum("c").over(Window.partitionBy("user_id"))
+    p = F.col("c") * 1.0 / n_user
+    with_p = per_type.select("user_id", "c", (-p * F.log(p)).alias("term"))
+    max_bits = F.lit(math.log(5) / math.log(2))
+    return (
+        with_p.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.round(F.sum("term") / F.lit(math.log(2)), 6).alias("entropy_bits"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "entropy_bits",
+            F.round(F.col("entropy_bits") / max_bits, 6).alias("entropy_norm"),
+        )
     )

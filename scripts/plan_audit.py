@@ -305,6 +305,12 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 1,
     },
+    # (user,type) pre-agg then per-user fold over <=5 rows; no UDF
+    "user_entropy_profile": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
     # lag window on user_id, 5x5 transition agg, tiny prob window
     "event_type_markov": {
         "contains": ["Window", "HashAggregate"],
