@@ -641,3 +641,49 @@ def dedup_lsh_vs_exact_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp * 1.0 / F.greatest(n_lsh, F.lit(1)), 6).alias("lsh_precision"),
         F.round(tp * 1.0 / F.greatest(n_ex, F.lit(1)), 6).alias("lsh_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination: near-dup pairs that SPAN corpus sources —
+# the benchmark-leakage / train-test-contamination check (a near-dup
+# inside one source is redundancy; across sources it is leakage)
+
+_CONTAMINATION_SQL = f"""
+WITH pairs AS ({_minhash_sql()})
+SELECT da.source AS source_a,
+       db.source AS source_b,
+       count(*) AS contaminated_pairs,
+       round(avg(p.jaccard), 4) AS avg_jaccard,
+       max(p.jaccard) AS max_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE da.source <> db.source
+GROUP BY da.source, db.source
+"""
+
+
+@register("dedup_cross_source_contamination", oracle=_CONTAMINATION_SQL,
+          tags=("dedup", "contamination", "leakage"))
+def dedup_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage report: MinHash-LSH near-dup pairs whose two
+    documents belong to DIFFERENT sources, aggregated per source pair
+    with similarity stats — the contamination check run before a corpus
+    split is trusted (within-source near-dups are mere redundancy;
+    cross-source ones leak). The doc→source attachment is two broadcast
+    joins of the (tiny) pair set against the documents dimension."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "source_a")
+    db = docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "source_b")
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("contaminated_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
