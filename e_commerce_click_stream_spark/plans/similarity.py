@@ -717,3 +717,165 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quant_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed ANN index — coarse IVF probing (ann_ivf_*) plus
+# asymmetric PQ distance (embedding_pq_encode) instead of exact vectors.
+# At scale the index stores only cell + 8 codes per vector (9 bytes vs
+# 256 for raw floats); candidates are scored against the query through
+# the codebook (ADC, Jégou et al. 2011) without touching raw vectors.
+
+_IVF_PQ_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+    SELECT n.vec_id,
+           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                              - c.cent_id * 1e-12) AS cell
+    FROM n, cent c
+    GROUP BY n.vec_id
+),
+probes AS (
+    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
+                        c.cent_id) AS probe_rank
+    FROM n q, cent c
+    WHERE q.vec_id < {N_QUERIES}
+),
+sub AS (
+    SELECT vec_id, s.range AS sub_id,
+           v[(s.range * {PQ_D} + 1):(s.range * {PQ_D} + {PQ_D})] AS sv
+    FROM n, range({PQ_M}) s
+),
+cb AS (
+    SELECT vec_id AS code, sub_id, sv AS cv8 FROM sub WHERE vec_id < {PQ_K}
+),
+codes AS (
+    SELECT a.vec_id, a.sub_id,
+           arg_min(b.code,
+                   round(list_sum(list_transform(range(1, {PQ_D + 1}),
+                         i -> (a.sv[i] - b.cv8[i]) * (a.sv[i] - b.cv8[i]))), 6)
+                   + b.code * 1e-12) AS code
+    FROM sub a JOIN cb b ON b.sub_id = a.sub_id
+    GROUP BY a.vec_id, a.sub_id
+),
+adc AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_sum(list_transform(range(1, {PQ_D + 1}),
+                 i -> (qs.sv[i] - b.cv8[i]) * (qs.sv[i] - b.cv8[i]))), 6) AS d
+    FROM (SELECT query_id, cell FROM probes WHERE probe_rank <= {N_PROBE}) p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+    JOIN codes s ON s.vec_id = a.vec_id
+    JOIN cb b ON b.sub_id = s.sub_id AND b.code = s.code
+    JOIN sub qs ON qs.vec_id = p.query_id AND qs.sub_id = s.sub_id
+),
+summed AS (
+    SELECT query_id, neighbor_id, round(sum(d), 6) AS approx_dist
+    FROM adc GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_dist, neighbor_id) AS rank
+    FROM summed)
+WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_ivf_pq_topk", oracle=_IVF_PQ_SQL, tags=("similarity", "ivf", "pq", "topk"))
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ ANN search: queries probe their 3 nearest
+    coarse cells, and candidates in those cells are ranked by ASYMMETRIC
+    PQ distance — the query's exact subvectors against each candidate's
+    quantized codebook entries — so the raw corpus vectors are never
+    read at query time, only (cell, 8 codes) per vector.
+
+    Scale shape: assignment and coding are broadcast joins against the
+    two tiny codebooks; the probe→candidate expansion is an equi-join on
+    cell; the ADC join fans each candidate out to its 8 (sub, code) rows
+    against a broadcast codebook and broadcast query slices, then one
+    hash agg folds them back. Deterministic via rounded distances and id
+    tiebreaks at every argmin/rank."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
+    probes = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cent_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias("psim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    sub = n.select(
+        "vec_id",
+        F.expr(
+            f"explode(transform(sequence(0, {PQ_M - 1}),"
+            f" s -> struct(s AS sub_id, slice(v, s * {PQ_D} + 1, {PQ_D}) AS sv)))"
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub_id").alias("sub_id"), F.col("e.sv").alias("sv"))
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), "sub_id", F.col("sv").alias("cv8")
+    )
+    sqdist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv8"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "sub_id")
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min_by("code", sqdist + F.col("code") * 1e-12).alias("code"))
+    )
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub_id", F.col("sv").alias("qsv")
+    )
+    qdist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qsv"), F.col("cv8"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    adc = (
+        probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(cb), ["sub_id", "code"])
+        .join(F.broadcast(qsub), ["query_id", "sub_id"])
+        .select("query_id", "neighbor_id", qdist.alias("d"))
+    )
+    summed = adc.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("d"), 6).alias("approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", F.col("rank").cast("long").alias("rank"))
+    )

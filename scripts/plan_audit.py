@@ -368,6 +368,15 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_exchanges": 7,
     },
+    # IVF-PQ: codebooks broadcast; candidate expansion and the
+    # codes-attach are corpus-scale EQUI joins (SMJ legitimate — AQE
+    # converts small sides to broadcast at runtime); top-k via rank
+    # pushdown; never a cartesian pair scan
+    "ann_ivf_pq_topk": {
+        "contains": ["WindowGroupLimit", "HashAggregate", "BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 8,
+    },
     # per-key agg + 1-row totals broadcast + TakeOrderedAndProject top-k
     "key_skew_profile": {
         "contains": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin", "HashAggregate"],
