@@ -1956,3 +1956,46 @@ def nation_coverage_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_supp.alias("n_debt_suppliers"),
         (n_cust - n_supp).alias("balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact decimal money math: at 100 TB, double-summing currency drifts with
+# partition count and add order; DECIMAL sums are associative and exact —
+# this query needs NO round() on either side, unlike every double agg
+
+_DECIMAL_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS exact_revenue,
+       CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                * CAST(round(l_discount, 2) AS DECIMAL(4,2))) AS DECIMAL(18,4))
+           AS exact_discount_amount,
+       min(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS min_price,
+       max(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_decimal_money", oracle=_DECIMAL_SQL, tags=("decimal", "types", "agg"))
+def lineitem_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency aggregation in DECIMAL(18,2): each price is rounded to
+    cents once, cast to decimal, and summed EXACTLY — the only aggregate
+    family in this engine that is bit-identical across engines with no
+    output rounding, because decimal addition is associative (double
+    sums drift with partition count and add order). The P5 decimal
+    re-projection (reference db/init.sql NUMERIC columns) applied to
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    # decimal x decimal: the product is EXACT at scale 4 — no tie-prone
+    # double rounding anywhere (round(p*d, 2) differs across engines on
+    # .xx5 ties: HALF_UP vs half-even)
+    disc = price * F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(price).alias("exact_revenue"),
+        F.sum(disc).cast("decimal(18,4)").alias("exact_discount_amount"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
+    )

@@ -716,3 +716,74 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     )
     return scored.withColumn("rk", rk).filter(F.col("rk") <= TFIDF_TOP).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# winnowing (Schleimer et al. 2003, MOSS): select the minimum gram hash in
+# each sliding window of W consecutive hashes — a guaranteed-coverage
+# fingerprint sample ~1/W the size of the full gram set
+
+WINNOW_GRAM = 4
+WINNOW_W = 4
+
+_WINNOW_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           [md5(array_to_string(t[i:i + {WINNOW_GRAM - 1}], ' '))
+            for i in range(1, len(t) - {WINNOW_GRAM - 2})] AS g
+    FROM toks
+    WHERE len(t) >= {WINNOW_GRAM}
+),
+winnowed AS (
+    SELECT doc_id, len(g) AS n_grams,
+           list_distinct([list_min(g[j:j + {WINNOW_W - 1}])
+                          for j in range(1, len(g) - {WINNOW_W - 2})]) AS fps
+    FROM grams
+    WHERE len(g) >= {WINNOW_W}
+)
+SELECT doc_id, n_grams,
+       len(fps) AS n_fingerprints,
+       round(len(fps)::DOUBLE / n_grams, 6) AS density,
+       list_min(fps) AS min_fingerprint
+FROM winnowed
+"""
+
+
+@register("doc_winnowing_fingerprints", oracle=_WINNOW_SQL, tags=("text", "fingerprint", "winnowing"))
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing: the minimum md5 gram-hash of every sliding
+    window of 4 consecutive 4-gram hashes, deduplicated — guarantees any
+    shared run of >= w+gram-1 tokens between two documents shares a
+    fingerprint, at ~2/(w+1) the storage of the full gram set. Pure
+    higher-order array expressions per document: zero shuffles at any
+    corpus size (docs shorter than gram+w-1 tokens emit no row on either
+    side)."""
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens().alias("t")
+    )
+    g = F.expr(
+        f"transform(sequence(1, size(t) - {WINNOW_GRAM - 1}),"
+        f" i -> md5(concat_ws(' ', slice(t, i, {WINNOW_GRAM}))))"
+    )
+    grams = docs.filter(F.size("t") >= WINNOW_GRAM).select(
+        "doc_id", g.alias("g")
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(g) - {WINNOW_W - 1}),"
+            f" j -> array_min(slice(g, j, {WINNOW_W})))"
+        )
+    )
+    winnowed = grams.filter(F.size("g") >= WINNOW_W).select(
+        "doc_id", F.size("g").cast("long").alias("n_grams"), fps.alias("fps")
+    )
+    return winnowed.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.round(F.size("fps").cast("double") / F.col("n_grams"), 6).alias("density"),
+        F.array_min("fps").alias("min_fingerprint"),
+    )

@@ -189,6 +189,18 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 2,
     },
+    # exact decimal aggregation: one partial+final agg, no joins
+    "lineitem_decimal_money": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join", "SortAggregate", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # winnowing is a pure per-document map (plus the local-mode spread)
+    "doc_winnowing_fingerprints": {
+        "contains": [],
+        "not_contains": ["Join", "HashAggregate", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
     # pure hash-predicate filter: no shuffle at all, filter runs at scan
     "stratified_sample": {
         "contains": [],
