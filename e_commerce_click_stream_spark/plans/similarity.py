@@ -879,3 +879,71 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_dist", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# recall@k evaluation: both approximate indexes graded against the exact
+# brute-force baseline — the similarity-family twin of
+# dedup_lsh_vs_exact_eval (every approximation in this engine ships with
+# its own acceptance report)
+
+_ANN_RECALL_SQL = f"""
+WITH exact_pairs AS (SELECT query_id, neighbor_id FROM ({_TOPK_SQL}) e),
+ivf_pairs AS (SELECT query_id, neighbor_id FROM ({_IVF_TOPK_SQL}) i),
+pq_pairs AS (SELECT query_id, neighbor_id FROM ({_IVF_PQ_SQL}) p),
+per_query AS (
+    SELECT x.query_id,
+           count(*) AS k,
+           count(i.neighbor_id) AS ivf_hits,
+           count(p.neighbor_id) AS pq_hits
+    FROM exact_pairs x
+    LEFT JOIN ivf_pairs i
+      ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+    LEFT JOIN pq_pairs p
+      ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+)
+SELECT query_id, k, ivf_hits, pq_hits,
+       round(ivf_hits * 1.0 / k, 4) AS ivf_recall,
+       round(pq_hits * 1.0 / k, 4) AS pq_recall
+FROM per_query
+"""
+
+
+@register("ann_recall_eval", oracle=_ANN_RECALL_SQL, tags=("similarity", "evaluation", "recall"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 per query for BOTH approximate indexes (IVF-flat and
+    IVF-PQ) against the exact brute-force top-k: each exact neighbor is
+    left-joined into each index's result set and hits are counted — the
+    acceptance report run before an approximate index replaces the exact
+    scan. All three result sets are tiny (queries x k), so the grading
+    joins are broadcast no-ops regardless of corpus size."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("ivf_hit", F.lit(1))
+    )
+    pq = (
+        ann_ivf_pq_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("pq_hit", F.lit(1))
+    )
+    per_query = (
+        exact.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(pq), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.count("ivf_hit").alias("ivf_hits"),
+            F.count("pq_hit").alias("pq_hits"),
+        )
+    )
+    return per_query.select(
+        "query_id",
+        "k",
+        "ivf_hits",
+        "pq_hits",
+        F.round(F.col("ivf_hits") * 1.0 / F.col("k"), 4).alias("ivf_recall"),
+        F.round(F.col("pq_hits") * 1.0 / F.col("k"), 4).alias("pq_recall"),
+    )
