@@ -1999,3 +1999,78 @@ def lineitem_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(price).alias("min_price"),
         F.max(price).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence: brand pairs bought in the same order, with
+# support and lift — the association-mining primitive (the full Apriori /
+# FP-growth lattice prunes exactly this pairwise co-occurrence table)
+
+MIN_PAIR_SUPPORT = 5
+
+_BASKET_SQL = f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT count(DISTINCT okey) AS n FROM baskets),
+brand_freq AS (SELECT brand, count(*) AS freq FROM baskets GROUP BY brand),
+pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS pair_count
+    FROM baskets a JOIN baskets b
+      ON b.okey = a.okey AND a.brand < b.brand
+    GROUP BY a.brand, b.brand
+    HAVING count(*) >= {MIN_PAIR_SUPPORT}
+)
+SELECT p.brand_a, p.brand_b, p.pair_count,
+       round(p.pair_count * 1.0 / n.n, 6) AS support,
+       round(p.pair_count * 1.0 * n.n / (fa.freq * fb.freq), 4) AS lift
+FROM pairs p
+JOIN brand_freq fa ON fa.brand = p.brand_a
+JOIN brand_freq fb ON fb.brand = p.brand_b
+CROSS JOIN n_orders n
+"""
+
+
+@register("brand_basket_affinity", oracle=_BASKET_SQL, tags=("basket", "association", "self-join"))
+def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand pairs co-purchased within one order, with support and lift
+    (lift > 1 = bought together more than independence predicts) — the
+    pairwise co-occurrence table every association miner reduces to.
+
+    Scale shape: the self-join fans out per ORDER, and an order holds at
+    most ~7 distinct brands, so candidate pairs are bounded by
+    orders x C(7,2) — linear in the fact table, never corpus-quadratic;
+    brand frequencies and the order count are tiny broadcasts."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(_t(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.agg(F.count_distinct("okey").alias("n"))
+    brand_freq = baskets.groupBy("brand").agg(F.count("*").alias("freq"))
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= MIN_PAIR_SUPPORT)
+    )
+    fa = brand_freq.select(F.col("brand").alias("brand_a"), F.col("freq").alias("freq_a"))
+    fb = brand_freq.select(F.col("brand").alias("brand_b"), F.col("freq").alias("freq_b"))
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_count",
+            F.round(F.col("pair_count") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("pair_count") * 1.0 * F.col("n") / (F.col("freq_a") * F.col("freq_b")), 4
+            ).alias("lift"),
+        )
+    )

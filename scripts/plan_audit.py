@@ -189,6 +189,13 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 2,
     },
+    # basket self-join fans out per ORDER (bounded C(7,2)); brand dim and
+    # frequency/total tables broadcast; never corpus-quadratic
+    "brand_basket_affinity": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct"],
+        "max_exchanges": 11,
+    },
     # exact decimal aggregation: one partial+final agg, no joins
     "lineitem_decimal_money": {
         "contains": ["HashAggregate"],
