@@ -2074,3 +2074,71 @@ def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap counting via delta encoding: how many orders are OPEN
+# (placed, not yet fully shipped) each day — computed as +1/-1 boundary
+# events and a running sum, never by exploding order x days
+
+_BACKLOG_SQL = """
+WITH closes AS (
+    SELECT o.o_orderkey,
+           o.o_orderdate::DATE AS open_day,
+           max(l.l_shipdate)::DATE AS close_day
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT open_day AS day, 1 AS delta FROM closes
+    UNION ALL
+    SELECT close_day + 1 AS day, -1 AS delta FROM closes
+),
+days AS (
+    SELECT day,
+           sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS opened,
+           sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS closed,
+           sum(delta) AS net
+    FROM deltas GROUP BY day
+)
+SELECT day, opened, closed,
+       sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_backlog
+FROM days
+"""
+
+
+@register("orders_backlog_over_time", oracle=_BACKLOG_SQL, tags=("interval", "window", "timeseries"))
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: an order is open from its order date
+    until its last lineitem ships. Each interval becomes two boundary
+    deltas (+1 open, -1 the day after close) and the backlog is the
+    running sum — the delta-encoding trick that counts interval overlaps
+    in O(orders) rows instead of exploding order x days. The final
+    cumulative window runs over date cardinality only (time-dimension
+    rows, bounded forever)."""
+    closes = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .join(
+            table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.to_date("o_orderdate").alias("open_day"),
+            F.date_add(F.to_date("last_ship"), 1).alias("close_next"),
+        )
+    )
+    deltas = closes.select(F.col("open_day").alias("day"), F.lit(1).alias("delta")).unionAll(
+        closes.select(F.col("close_next").alias("day"), F.lit(-1).alias("delta"))
+    )
+    days = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("opened"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias("closed"),
+        F.sum("delta").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return days.select(
+        "day", "opened", "closed", F.sum("net").over(w).alias("open_backlog")
+    )

@@ -196,6 +196,13 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct"],
         "max_exchanges": 11,
     },
+    # delta-encoded interval count: per-order agg + day agg + one
+    # date-cardinality cumulative window; no order x days explosion
+    "orders_backlog_over_time": {
+        "contains": ["Union", "Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
+    },
     # exact decimal aggregation: one partial+final agg, no joins
     "lineitem_decimal_money": {
         "contains": ["HashAggregate"],
