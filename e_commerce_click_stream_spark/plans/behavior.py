@@ -538,3 +538,76 @@ def user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("entropy_bits") / max_bits, 6).alias("entropy_norm"),
         )
     )
+
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_b, event_type,
+           count(*) AS n_events,
+           round(avg(value), 4) AS observed_avg
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1
+    FROM events
+),
+grid AS (
+    SELECT g.h AS hour_b, t.event_type
+    FROM (SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+          FROM bounds) g
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+joined AS (
+    SELECT g.hour_b, g.event_type,
+           coalesce(h.n_events, 0) AS n_events,
+           h.observed_avg
+    FROM grid g LEFT JOIN hourly h
+      ON h.hour_b = g.hour_b AND h.event_type = g.event_type
+)
+SELECT hour_b, event_type, n_events, observed_avg,
+       last_value(observed_avg IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour_b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM joined
+"""
+
+
+@register("hourly_gapfill_locf", oracle=_GAPFILL_SQL, tags=("behavior", "timeseries", "gapfill"))
+def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the complete hour x event_type grid is
+    generated (sequence + explode from a 1-row bounds aggregate — never
+    collected), sparse hours join in with zero counts, and the average
+    value is forward-filled per type (LOCF via last(ignorenulls)) — the
+    densification step a dashboard or feature pipeline needs before
+    resampling. Grid size is time-dimension x enum cardinality, so the
+    left join's build side stays broadcastable at any event volume."""
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_b"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("observed_avg"),
+    )
+    bounds = events.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("h0"),
+        F.max(F.date_trunc("hour", "ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_b")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    joined = grid.join(F.broadcast(hourly), ["hour_b", "event_type"], "left").select(
+        "hour_b",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "observed_avg",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        "filled_avg", F.last("observed_avg", ignorenulls=True).over(w)
+    )

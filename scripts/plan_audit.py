@@ -362,6 +362,13 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Union", "Join", "CartesianProduct"],
         "max_exchanges": 1,
     },
+    # grid generated from a 1-row bounds agg (never collected); LOCF
+    # window over time-dimension rows
+    "hourly_gapfill_locf": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
     # hourly pre-agg then a window over (type, hour) cardinality only
     "events_anomaly_zscore": {
         "contains": ["Window", "HashAggregate"],
