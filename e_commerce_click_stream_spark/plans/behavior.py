@@ -611,3 +611,51 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.withColumn(
         "filled_avg", F.last("observed_avg", ignorenulls=True).over(w)
     )
+
+
+_INTERARRIVAL_SQL = """
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       count(gap_us) AS n_gaps,
+       round(avg(gap_us) / 60000000.0, 4) AS mean_gap_min,
+       round(min(gap_us) / 60000000.0, 4) AS min_gap_min,
+       round(max(gap_us) / 60000000.0, 4) AS max_gap_min,
+       round(stddev_samp(gap_us / 60000000.0), 4) AS std_gap_min,
+       sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) AS sub_second_gaps
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("user_interarrival_stats", oracle=_INTERARRIVAL_SQL, tags=("behavior", "interarrival", "window"))
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (mean/min/max/stddev in
+    minutes, plus sub-second burst count) — the cadence features behind
+    bot detection and session-gap tuning. Integer-microsecond lag math
+    (the engine-wide timestamp discipline), one user_id exchange shared
+    by the lag window and the aggregate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 60000000.0, 4).alias("mean_gap_min"),
+            F.round(F.min("gap_us") / 60000000.0, 4).alias("min_gap_min"),
+            F.round(F.max("gap_us") / 60000000.0, 4).alias("max_gap_min"),
+            F.round(F.stddev_samp(F.col("gap_us") / 60000000.0), 4).alias("std_gap_min"),
+            F.sum(F.when(F.col("gap_us") < 1000000, 1).otherwise(0)).alias(
+                "sub_second_gaps"
+            ),
+        )
+    )

@@ -2142,3 +2142,70 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.select(
         "day", "opened", "closed", F.sum("net").over(w).alias("open_backlog")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis: cumulative revenue share by customer rank
+
+_PARETO_SQL = """
+WITH cust AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, revenue,
+           row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+           sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_revenue,
+           sum(revenue) OVER () AS total_revenue,
+           count(*) OVER () AS n_customers
+    FROM cust
+)
+SELECT o_custkey, revenue, rnk,
+       round(cum_revenue / total_revenue, 6) AS cum_share,
+       round(rnk * 1.0 / n_customers, 6) AS rank_share,
+       CASE WHEN cum_revenue / total_revenue <= 0.8 THEN 'A'
+            WHEN cum_revenue / total_revenue <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("customer_pareto_abc", oracle=_PARETO_SQL, tags=("pareto", "abc", "window"))
+def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve + ABC classification: customers ranked by revenue,
+    cumulative share of total, and the classic A (first 80% of revenue) /
+    B (next 15%) / C (tail) segments — the concentration analysis behind
+    "20% of customers drive 80% of revenue".
+
+    The global rank runs over CUSTOMER-cardinality aggregates (one row
+    per customer, not per order); at warehouse scale the single-partition
+    window is the exact-Pareto cost, and the approximate path is a
+    quantile sketch on the same per-customer aggregate."""
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    order_w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all_w = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey",
+        "revenue",
+        F.row_number().over(order_w).cast("long").alias("rnk"),
+        F.sum("revenue").over(cum_w).alias("cum_revenue"),
+        F.sum("revenue").over(all_w).alias("total_revenue"),
+        F.count("*").over(all_w).alias("n_customers"),
+    )
+    share = F.col("cum_revenue") / F.col("total_revenue")
+    return ranked.select(
+        "o_custkey",
+        "revenue",
+        "rnk",
+        F.round(share, 6).alias("cum_share"),
+        F.round(F.col("rnk") * 1.0 / F.col("n_customers"), 6).alias("rank_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

@@ -196,6 +196,18 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct"],
         "max_exchanges": 11,
     },
+    # per-customer agg first; global rank over customer cardinality only
+    "customer_pareto_abc": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
+    # one user_id exchange shared by the lag window and the aggregate
+    "user_interarrival_stats": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
     # delta-encoded interval count: per-order agg + day agg + one
     # date-cardinality cumulative window; no order x days explosion
     "orders_backlog_over_time": {
