@@ -947,3 +947,107 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ivf_hits") * 1.0 / F.col("k"), 4).alias("ivf_recall"),
         F.round(F.col("pq_hits") * 1.0 / F.col("k"), 4).alias("pq_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-quality report over the labeled embeddings: intra-cluster
+# cohesion vs centroid separation — the simplified-silhouette acceptance
+# check run on a clustering (or on labels, as here) before it is trusted
+
+_EMB_DIM = 64
+
+
+def _cluster_quality_sql() -> str:
+    return f"""
+WITH n AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+    SELECT label, r.range AS dim, round(avg(v[r.range + 1]), 6) AS m
+    FROM n, range({_EMB_DIM}) r
+    GROUP BY label, r.range
+),
+cent AS (
+    SELECT label, list(m ORDER BY dim) AS cv FROM dims GROUP BY label
+),
+intra AS (
+    SELECT n.label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                 i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))))), 6)
+               AS mean_intra_dist
+    FROM n JOIN cent c ON c.label = n.label
+    GROUP BY n.label
+),
+sep AS (
+    SELECT a.label,
+           min(round(sqrt(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                 i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])))), 6))
+               AS nearest_centroid_dist
+    FROM cent a JOIN cent b ON b.label != a.label
+    GROUP BY a.label
+)
+SELECT i.label, i.n_vectors, i.mean_intra_dist, s.nearest_centroid_dist,
+       round(s.nearest_centroid_dist / i.mean_intra_dist, 4) AS separation_ratio
+FROM intra i JOIN sep s ON s.label = i.label
+"""
+
+
+@register("embedding_cluster_quality", oracle=_cluster_quality_sql(), tags=("similarity", "evaluation", "clusters"))
+def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster quality: mean distance to the label centroid
+    (cohesion) against the distance to the nearest OTHER centroid
+    (separation) and their ratio — a simplified-silhouette report; ratio
+    < 1 means the label's members sit closer to a rival centroid than to
+    their own on average.
+
+    Scale shape: centroids via the k-means recenter pattern (posexplode →
+    per-(label, dim) mean → re-assemble k tiny arrays); the cohesion pass
+    broadcasts the k centroids against the corpus (corpus never
+    shuffles for the join); the separation pass is k x k over the
+    centroid table only."""
+    n = _vecs(spark, sf_dir).select("vec_id", "label", "v")
+    dims = (
+        n.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: x["m"]
+        ).alias("cv")
+    )
+    l2 = lambda a, b: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    intra = (
+        n.join(F.broadcast(cent), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(l2(F.col("v"), F.col("cv"))), 6).alias("mean_intra_dist"),
+        )
+    )
+    a = cent.select(F.col("label").alias("label"), F.col("cv").alias("cva"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cvb"))
+    sep = (
+        a.join(F.broadcast(b), F.col("label_b") != F.col("label"))
+        .groupBy("label")
+        .agg(F.min(F.round(l2(F.col("cva"), F.col("cvb")), 6)).alias("nearest_centroid_dist"))
+    )
+    return (
+        intra.join(sep, "label")
+        .select(
+            "label",
+            "n_vectors",
+            "mean_intra_dist",
+            "nearest_centroid_dist",
+            F.round(
+                F.col("nearest_centroid_dist") / F.col("mean_intra_dist"), 4
+            ).alias("separation_ratio"),
+        )
+    )

@@ -196,6 +196,13 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct"],
         "max_exchanges": 11,
     },
+    # centroids re-assembled from k tiny arrays then broadcast; the
+    # corpus never shuffles for the cohesion join
+    "embedding_cluster_quality": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 7,
+    },
     # per-customer agg first; global rank over customer cardinality only
     "customer_pareto_abc": {
         "contains": ["Window", "HashAggregate"],
