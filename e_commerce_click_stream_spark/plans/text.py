@@ -787,3 +787,60 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size("fps").cast("double") / F.col("n_grams"), 6).alias("density"),
         F.array_min("fps").alias("min_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM scoring: per-document average negative log-likelihood under
+# the corpus unigram distribution — the cheap stand-in for the KenLM
+# perplexity filter a CCNet-style pipeline runs (Wenzek et al. 2020);
+# high nll = tokens rare in this corpus = out-of-domain or noise
+
+_UNIGRAM_NLL_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+freq AS (
+    SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+),
+total AS (SELECT sum(tf) AS n FROM freq),
+scored AS (
+    SELECT t.doc_id, -ln(f.tf * 1.0 / tt.n) AS nll
+    FROM toks t JOIN freq f ON f.tok = t.tok CROSS JOIN total tt
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(nll), 6) AS mean_nll,
+       round(exp(avg(nll)), 4) AS unigram_ppl,
+       round(max(nll), 6) AS max_token_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("doc_unigram_nll", oracle=_UNIGRAM_NLL_SQL, tags=("text", "quality", "lm"))
+def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood (and perplexity) under
+    the corpus's own unigram distribution — the distributable core of an
+    LM-perplexity quality filter: the model is a frequency table built in
+    one hash agg, scoring is an equi-join on token (fan-out exactly 1)
+    plus a per-doc aggregate. No trained artifact, no UDF, deterministic
+    to 6 decimals."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n"))
+    nll = -F.log(F.col("tf") * 1.0 / F.col("n"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("mean_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("unigram_ppl"),
+        F.round(F.max("nll"), 6).alias("max_token_nll"),
+    )

@@ -362,6 +362,12 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 3,
     },
+    # frequency table in one hash agg; scoring join fan-out exactly 1
+    "doc_unigram_nll": {
+        "contains": ["Generate", "HashAggregate", "BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 4,
+    },
     # explode -> token agg; global rank runs over vocab cardinality only
     "corpus_vocabulary": {
         "contains": ["Generate", "HashAggregate", "Window"],
