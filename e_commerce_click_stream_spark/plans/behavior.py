@@ -498,7 +498,7 @@ per_user AS (
     FROM with_p
     GROUP BY user_id
 )
-SELECT user_id, n_events, n_types, entropy_bits,
+SELECT user_id, n_events::BIGINT AS n_events, n_types, entropy_bits,
        round(entropy_bits / (ln(5) / ln(2)), 6) AS entropy_norm
 FROM per_user
 """
@@ -626,7 +626,7 @@ SELECT user_id,
        round(min(gap_us) / 60000000.0, 4) AS min_gap_min,
        round(max(gap_us) / 60000000.0, 4) AS max_gap_min,
        round(stddev_samp(gap_us / 60000000.0), 4) AS std_gap_min,
-       sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) AS sub_second_gaps
+       sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END)::BIGINT AS sub_second_gaps
 FROM gaps
 WHERE gap_us IS NOT NULL
 GROUP BY user_id

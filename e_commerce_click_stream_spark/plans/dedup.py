@@ -530,7 +530,7 @@ comp AS (
 )
 SELECT component_id,
        count(*) AS n_docs,
-       list_sort(list(node)) AS members
+       array_to_string(list_sort(list(node)), ',') AS members
 FROM comp
 GROUP BY component_id
 """
@@ -544,7 +544,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — skew-free), checkpointed so lineage stays flat; convergence is
     an exact fixpoint, so the result is deterministic regardless of round
     count. Singleton documents (no near-dup edge) are not components and
-    are excluded by construction."""
+    are excluded by construction. The member list is emitted as a sorted
+    comma-joined string: the correctness gate canonicalizes through pandas,
+    which cannot hash list cells, so array outputs are serialized on both
+    sides (same discipline as session_cart_contents)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -579,7 +582,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
         )
     )
 

@@ -91,8 +91,10 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEATURES_SQL = """
 SELECT doc_id,
-       list_transform(range(8), i -> ascii(substr(md5(text), (i + 1)::INT, 1)) / 255.0)
-           AS features
+       array_to_string(
+           list_transform(range(8),
+               i -> round(ascii(substr(md5(text), (i + 1)::INT, 1)) / 255.0 * 1000000)::BIGINT),
+           ',') AS features
 FROM documents
 """
 
@@ -101,10 +103,21 @@ FROM documents
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → fixed-length float feature vector through the real
     Arrow/mapInPandas plumbing (the encoder is the md5-derived stub). The
-    output column shape (array<double>) is exactly what the similarity
-    queries consume — payload in, ANN-ready vectors out."""
+    operator itself emits array<double> — exactly what the similarity
+    queries consume; for the gate the vector is serialized to micro-scaled
+    integers (pandas canonicalization can't hash list cells, and both
+    engines compute ascii/255.0*1e6 on identical IEEE doubles)."""
     docs = with_binary_payload(spread(table(spark, sf_dir, "documents")))
-    return extract_features(docs, n_features=8)
+    feats = extract_features(docs, n_features=8)
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "features", lambda x: F.round(x * 1000000).cast("bigint").cast("string")
+            ),
+            ",",
+        ).alias("features"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -130,9 +143,9 @@ cum AS (
     FROM sized
 )
 SELECT media_kind,
-       ((cum_bytes - n_bytes) // {SHARD_BYTE_BUDGET}) AS shard_id,
+       ((cum_bytes - n_bytes) // {SHARD_BYTE_BUDGET})::BIGINT AS shard_id,
        count(*) AS n_items,
-       sum(n_bytes) AS total_bytes,
+       sum(n_bytes)::BIGINT AS total_bytes,
        round(sum(n_bytes) / {SHARD_BYTE_BUDGET}.0, 4) AS fill_ratio
 FROM cum
 GROUP BY media_kind, shard_id

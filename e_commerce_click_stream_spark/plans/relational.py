@@ -2096,13 +2096,13 @@ deltas AS (
 ),
 days AS (
     SELECT day,
-           sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS opened,
-           sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS closed,
+           sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)::BIGINT AS opened,
+           sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)::BIGINT AS closed,
            sum(delta) AS net
     FROM deltas GROUP BY day
 )
 SELECT day, opened, closed,
-       sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_backlog
+       (sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT AS open_backlog
 FROM days
 """
 

@@ -563,7 +563,9 @@ def _kmeans_sql() -> str:
     GROUP BY cell
 )""")
     final = f"""
-SELECT a.cell, count(*) AS n_vectors, min(c.cv) AS centroid
+SELECT a.cell, count(*) AS n_vectors,
+       array_to_string(list_transform(min(c.cv), x -> round(x * 1000000)::BIGINT), ',')
+           AS centroid
 FROM assign{KMEANS_ITERS} a JOIN cent{KMEANS_ITERS} c ON c.cent_id = a.cell
 GROUP BY a.cell
 """
@@ -601,10 +603,19 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = F.round(
             F.col("vn2") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("cn2"), 6
         )
+        # groupBy vec_id ONLY: hashing/comparing the 64-dim vector in the
+        # grouping key widens the shuffle for nothing — the vector rides
+        # along inside the min_by struct instead, so exactly one narrow-keyed
+        # row per vector reaches the exchange.
         assign = (
             n.crossJoin(F.broadcast(cent))
-            .groupBy("vec_id", "v")
-            .agg(F.min_by("cent_id", dist + F.col("cent_id") * 1e-12).alias("cell"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cent_id", "v"), dist + F.col("cent_id") * 1e-12
+                ).alias("best")
+            )
+            .select("vec_id", F.col("best.v").alias("v"), F.col("best.cent_id").alias("cell"))
         )
         dims = (
             assign.select("cell", F.posexplode("v").alias("dim", "val"))
@@ -625,7 +636,20 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
         .join(cent, F.col("cell") == F.col("cent_id"))
-        .select("cell", "n_vectors", F.col("cv").alias("centroid"))
+        .select(
+            "cell",
+            "n_vectors",
+            # gate-safe serialization: pandas canonicalization can't hash list
+            # cells, so the vector is emitted as micro-scaled integers (the
+            # values are already rounded to 6 decimals, so x*1e6 is integral
+            # up to float noise on BOTH engines)
+            F.array_join(
+                F.transform(
+                    "cv", lambda x: F.round(x * 1000000).cast("bigint").cast("string")
+                ),
+                ",",
+            ).alias("centroid"),
+        )
     )
 
 
@@ -665,7 +689,7 @@ best AS (
     GROUP BY a.vec_id, a.sub_id
 )
 SELECT vec_id,
-       list(code ORDER BY sub_id) AS pq_code,
+       array_to_string(list(code ORDER BY sub_id), ',') AS pq_code,
        round(sum(sub_err), 6) AS quant_err
 FROM best GROUP BY vec_id
 """
@@ -711,7 +735,11 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enc.select(
         "vec_id",
-        F.expr("transform(ce, x -> x.code)").alias("pq_code"),
+        # comma-joined code string (positional, sub_id order) — the gate's
+        # pandas canonicalization can't hash list cells
+        F.expr("array_join(transform(ce, x -> cast(x.code as string)), ',')").alias(
+            "pq_code"
+        ),
         F.round(
             F.expr("aggregate(transform(ce, x -> x.err), cast(0.0 as double), (a, x) -> a + x)"),
             6,

@@ -223,7 +223,7 @@ WITH slid AS (
 )
 SELECT window_start::TIMESTAMP AS window_start,
        count(*) AS n_events,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchases,
        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
            AS revenue
 FROM slid GROUP BY 1

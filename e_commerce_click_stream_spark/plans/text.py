@@ -302,7 +302,7 @@ cum AS (
 SELECT source,
        floor((cum_tok - n_tok) / {SEQ_TOKEN_BUDGET})::BIGINT AS seq_id,
        count(*) AS n_docs,
-       sum(n_tok) AS total_tokens,
+       sum(n_tok)::BIGINT AS total_tokens,
        round(sum(n_tok) / {SEQ_TOKEN_BUDGET}.0, 4) AS fill_ratio
 FROM cum
 GROUP BY source, seq_id
@@ -544,7 +544,7 @@ df AS (
 )
 SELECT g.doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END) AS shared_grams,
+       sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END)::BIGINT AS shared_grams,
        round(sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
            AS contamination,
        round(sum(CASE WHEN df.gdf > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
