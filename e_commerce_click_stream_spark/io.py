@@ -27,11 +27,18 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-# rejects by default (PARQUET_TYPE_ILLEGAL). With the legacy flag the column
-# surfaces as LongType nanoseconds; we truncate to microseconds — the exact
-# semantics DuckDB applies when it scans a nanos parquet column — so oracle
-# comparisons stay bit-identical.
+# The driver has shipped events.ts under two encodings across rounds:
+#   1. TIMESTAMP(NANOS)-as-INT64 — Spark's reader rejects it by default
+#      (PARQUET_TYPE_ILLEGAL); with the legacy flag it surfaces as LongType
+#      nanoseconds, which we truncate to microseconds (DuckDB's semantics
+#      for a nanos scan, so oracle comparisons stay bit-identical);
+#   2. plain timestamp[us] with isAdjustedToUTC=false — Spark >=3.4 infers
+#      TIMESTAMP_NTZ, which unix_micros()/withWatermark() reject.
+# get_spark() disables NTZ inference session-wide, but queries also run
+# under sessions we don't build (the driver's gate, plan audits), so the
+# loader additionally re-reads with an explicit TIMESTAMP schema whenever a
+# NTZ column surfaces. The stored micros are then interpreted as UTC
+# instants directly — independent of the session time zone, unlike a cast.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -39,7 +46,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
+        fields = [
+            T.StructField(
+                f.name,
+                T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType) else f.dataType,
+                f.nullable,
+            )
+            for f in df.schema.fields
+        ]
+        df = spark.read.schema(T.StructType(fields)).parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col]
         if isinstance(field.dataType, T.LongType):
@@ -48,16 +66,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Round-robin repartition — only when the input is genuinely
+    under-split.
 
     The local fixtures are single parquet files → one input split → any
     expression-heavy pipeline (md5 minhashing, simhash explosion, vector
     math, Pandas decode) runs on one core unless spread first. On a real
-    cluster inputs arrive pre-split (maxPartitionBytes), so this is a
-    no-op-cost guard, not a crutch: it costs one narrow shuffle of the raw
-    rows before the expensive compute."""
+    cluster inputs arrive pre-split (maxPartitionBytes), so the guard below
+    makes this a literal no-op there: if the plan already has at least half
+    the target parallelism, no exchange is added. Call only on
+    freshly-scanned inputs: the getNumPartitions probe is jobless for a
+    scan, but under AQE it would eagerly execute any shuffle stage upstream
+    of df."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(n or sc.defaultParallelism)
+    target = n or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

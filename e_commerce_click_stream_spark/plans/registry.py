@@ -42,63 +42,60 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # new / changed this round — must verify
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "dedup_connected_components",
-    "doc_repetition_stats",
-    "doc_pii_scrub",
-    "embedding_kmeans_iter",
+    # r4 rotation: the 33 queries that have NEVER received a driver
+    # CORRECTNESS row (r1∪r2∪r3 window complement), per VERDICT.md r3 #2.
+    "funnel_conversion",
+    "daily_active_users",
+    "user_retention_cohorts",
+    "customer_ltv_cohorts",
+    "event_type_markov",
+    "events_rollup_hypertable",
+    "events_anomaly_zscore",
+    "events_sliding_windows",
+    "user_entropy_profile",
+    "hourly_gapfill_locf",
+    "user_interarrival_stats",
+    "customer_pareto_abc",
+    "orders_backlog_over_time",
+    "brand_basket_affinity",
+    "lineitem_decimal_money",
+    "nation_coverage_full_outer",
+    "pagerank_bipartite",
+    "tfidf_top_terms",
+    "corpus_vocabulary",
+    "doc_winnowing_fingerprints",
+    "doc_gram_contamination",
+    "doc_unigram_nll",
+    "dedup_lsh_vs_exact_eval",
+    "dedup_cross_source_contamination",
+    "embedding_pq_encode",
+    "ann_ivf_pq_topk",
+    "ann_recall_eval",
+    "embedding_cluster_quality",
+    "multimodal_shard_pack",
+    "sql_gateway_hourly_revenue",
+    "dq_constraint_report",
+    "key_skew_profile",
+    "streaming_sliding_windows",
+    # r3 err rows (TIMESTAMP_NTZ regression, fixed in session.py) — re-prove
     "streaming_click_attribution",
-    "events_json_deadletter",
-    "lineitem_math_functions",
     "session_cart_contents",
-    "dedup_ngram_jaccard",
-    "embedding_neardup_lsh",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_customers",
-    "doc_pack_sequences",
-    "stratified_sample",
-    # no CORRECTNESS_r01 row: similarity / sampling
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "embedding_cosine_pairs",
-    "ann_ivf_cells",
-    "ann_ivf_topk",
-    "deterministic_sample",
-    # no CORRECTNESS_r01 row: text analysis
-    "doc_quality_scores",
-    "doc_token_counts",
-    "doc_language_id",
-    "doc_fingerprints",
-    "corpus_source_stats",
-    "token_array_functions",
-    "dedup_levenshtein_sample",
-    # no CORRECTNESS_r01 row: multimodal plumbing
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "multimodal_feature_extract",
-    # no CORRECTNESS_r01 row: streaming parity (real streams, oracle on state)
     "streaming_hourly_metrics",
-    "streaming_dashboard_metrics",
     "streaming_session_windows",
-    "streaming_stateful_sessions",
-    # new this round (the rest of the round's new queries queue for r3 —
-    # the 50-slot window is otherwise full of never-verified backlog)
     "streaming_exactly_once_dedup",
+    # NTZ-broken at r3 review time (pytest-red, outside r3 window) — re-prove
+    "session_metrics",
+    "dashboard_metrics",
+    "user_activity_profile",
+    "session_first_event",
+    "conversion_by_duration_bucket",
+    "pipeline_status_union",
+    "events_asof_orders",
+    "purchase_attribution_window",
+    # changed this round: sign-LSH signature banding + ngram prefix filter
+    "embedding_neardup_lsh",
+    "ann_lsh_buckets",
+    "dedup_ngram_jaccard",
 )
 
 

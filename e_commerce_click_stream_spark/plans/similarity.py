@@ -21,7 +21,21 @@ from e_commerce_click_stream_spark.plans.registry import register
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
-N_PLANES = 8  # vec_id < 8 double as LSH hyperplanes
+
+# Sign-LSH geometry. 32 hyperplanes (the first 32 corpus vectors, so the
+# projection set is deterministic and oracle-reproducible) sliced into
+# 4 bands x 8 bits, OR-of-ANDs candidate semantics a la minhash-LSH:
+# a pair is a candidate iff it agrees on ALL bits of AT LEAST ONE band.
+# Per-band join-key cardinality is 2^BAND_BITS = 256 buckets; candidate
+# volume is bounded by N_BANDS * sum(occupancy^2)/2 per band, NOT n^2.
+# At larger corpora BAND_BITS should grow ~log2(n / target_bucket_size)
+# (e.g. 10^9 vectors, 1e4-row buckets -> ~17 bits/band) — it is a module
+# constant, not adaptive, because the DuckDB oracle must compute the
+# identical banding from a static SQL string; 8 bits matches the 500-2000
+# vector fixtures (expected bucket occupancy 2-8).
+N_PLANES = 32
+N_BANDS = 4
+BAND_BITS = 8
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +127,53 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planes_row(e: DataFrame) -> DataFrame:
+    """The N_PLANES hyperplanes packed into ONE row as a sorted array of
+    structs. Broadcast-crossJoined against the corpus, the full signature
+    becomes a single array expression per vector — no per-plane row
+    explosion and no groupBy shuffle to reassemble bits (the r3 shape
+    exploded 1 row per plane and shuffled on vec_id to collect them)."""
+    return (
+        e.filter(F.col("vec_id") < N_PLANES)
+        .select(F.struct(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")).alias("p"))
+        .agg(F.array_sort(F.collect_list("p")).alias("planes"))
+    )
+
+
+def _with_signature(e: DataFrame) -> DataFrame:
+    """Attach the N_PLANES-bit sign signature `sig` to every vector:
+    zero shuffles (1-row broadcast crossJoin + array fold)."""
+    return (
+        e.crossJoin(F.broadcast(_planes_row(e)))
+        .withColumn(
+            "sig",
+            F.array_join(
+                F.transform(
+                    "planes",
+                    lambda p: F.when(_dot(F.col("v"), p["pv"]) > 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    ),
+                ),
+                "",
+            ),
+        )
+        .drop("planes")
+    )
+
+
+def _bands() -> Column:
+    """Slice the packed signature into N_BANDS (band_id, band_sig) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.substring("sig", b * BAND_BITS + 1, BAND_BITS).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 _LSH_SQL = f"""
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -124,35 +185,29 @@ bits AS (
     SELECT e.vec_id, p.plane_id,
            CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN '1' ELSE '0' END AS bit
     FROM e, planes p
+),
+sigs AS (
+    SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket_signature
+    FROM bits GROUP BY vec_id
 )
-SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket_signature
-FROM bits GROUP BY vec_id
+SELECT vec_id, bucket_signature, b.band_id,
+       substr(bucket_signature, b.band_id * {BAND_BITS} + 1, {BAND_BITS}) AS band_sig
+FROM sigs, (SELECT unnest(range({N_BANDS})) AS band_id) b
 """
 
 
 @register("ann_lsh_buckets", oracle=_LSH_SQL, tags=("similarity", "lsh"))
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucket signature per vector (hyperplanes = the first 8
-    corpus vectors, so the projection set is deterministic and
-    oracle-reproducible). At scale: equi-join vectors on bucket_signature
-    to generate ANN candidates instead of scanning the corpus per query."""
+    """Sign-LSH signatures, banded: per vector the 32-bit signature plus
+    one row per (band_id, band_sig) — the candidate-join keys at scale
+    (equi-join on (band_id, band_sig), OR-of-bands semantics; see the
+    N_PLANES block comment for the bucket-count math). Hyperplanes = the
+    first 32 corpus vectors, deterministic and oracle-reproducible."""
     e = _vecs(spark, sf_dir)
-    planes = e.filter(F.col("vec_id") < N_PLANES).select(
-        F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")
-    )
-    bits = e.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "plane_id",
-        F.when(_dot(F.col("v"), F.col("pv")) > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-    )
     return (
-        bits.select("vec_id", F.struct("plane_id", "bit").alias("pb"))
-        .groupBy("vec_id")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("pb")), lambda x: x["bit"]), ""
-            ).alias("bucket_signature")
-        )
+        _with_signature(e)
+        .select("vec_id", F.col("sig").alias("bucket_signature"), F.explode(_bands()).alias("b"))
+        .select("vec_id", "bucket_signature", "b.band_id", "b.band_sig")
     )
 
 
@@ -210,11 +265,12 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # LSH-bucketed near-dup pair scan: the PRIMARY embedding near-dup path.
-# Candidates come from an equi-join on the 8-bit sign-LSH signature (same
-# hyperplanes as ann_lsh_buckets), so the pair count is bounded by bucket
-# occupancy instead of O(n²); each candidate is then verified with the exact
-# cosine. This composes ann_lsh_buckets → bucket join → cosine verify, with
-# embedding_cosine_pairs as the sampled all-pairs verify baseline.
+# Candidates come from an equi-join on (band_id, band_sig) — any shared
+# band of the 32-bit sign signature makes a pair a candidate (same
+# OR-of-bands construction as dedup_minhash_lsh) — so the pair count is
+# bounded by per-band bucket occupancy instead of O(n²); each candidate is
+# then verified with the exact cosine. embedding_cosine_pairs is the
+# sampled all-pairs verify baseline.
 
 NEARDUP_COSINE = 0.3
 
@@ -236,9 +292,16 @@ sigs AS (
     SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS sig
     FROM bits GROUP BY vec_id
 ),
+bands AS (
+    SELECT vec_id, b.band_id,
+           substr(sig, b.band_id * {BAND_BITS} + 1, {BAND_BITS}) AS band_sig
+    FROM sigs, (SELECT unnest(range({N_BANDS})) AS band_id) b
+),
 cand AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                AND a.vec_id < b.vec_id
 ),
 scored AS (
     SELECT c.vec_a, c.vec_b, ea.label AS label_a, eb.label AS label_b,
@@ -254,50 +317,46 @@ FROM scored WHERE cosine >= {NEARDUP_COSINE}
 
 @register("embedding_neardup_lsh", oracle=_NEARDUP_LSH_SQL, headline=True, tags=("similarity", "near-dup", "lsh"))
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-corpus embedding near-dup pairs, LSH-bucketed: vectors sharing
-    the 8-bit sign-LSH signature become candidates (equi-join on signature —
-    high-cardinality key, even shuffle), then each candidate pair is
-    verified with the exact cosine. At 100 TB this is the near-dup path:
-    candidates ≈ sum of bucket-occupancy² ≪ n², the corpus shuffles once on
-    signature, and the verify join touches only candidates — identical in
-    shape to dedup_minhash_lsh for documents."""
+    """Full-corpus embedding near-dup pairs, banded sign-LSH:
+    4 bands x 8 bits over a 32-bit signature; a pair is a candidate iff it
+    agrees on all bits of >=1 band, then every candidate is verified with
+    the exact cosine. Per-band join-key cardinality is 2^8 = 256 (see the
+    N_PLANES block comment for the scaling rule — BAND_BITS grows
+    ~log2(n) per deployment), candidates are bounded by
+    N_BANDS * sum(occupancy²)/2, NOT n². Stages: zero-shuffle signature
+    (broadcast planes array), band explode carrying only (vec_id, keys),
+    band equi-join, DISTINCT pair dedup (a pair can match several bands),
+    then two id-joins back to the corpus for the exact-cosine verify — the
+    heavy vector arrays never ride through the candidate join, identical
+    in shape to dedup_minhash_lsh for documents."""
     e = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
-    planes = e.filter(F.col("vec_id") < N_PLANES).select(
-        F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")
+    bands = (
+        _with_signature(e)
+        .select("vec_id", F.explode(_bands()).alias("b"))
+        .select("vec_id", "b.band_id", "b.band_sig")
     )
-    # signature per vector; v/nrm/label ride through the groupBy so the
-    # candidate join needs no extra corpus lookup
-    sig = (
-        e.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "nrm",
-            F.struct(
-                "plane_id",
-                F.when(_dot(F.col("v"), F.col("pv")) > 0, F.lit("1"))
-                .otherwise(F.lit("0"))
-                .alias("bit"),
-            ).alias("pb"),
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .groupBy("vec_id", "label", "v", "nrm")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("pb")), lambda x: x["bit"]), ""
-            ).alias("sig")
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
-    a = sig.select(
+    ea = e.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"), F.col("sig").alias("sig_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    b = sig.select(
+    eb = e.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"), F.col("sig").alias("sig_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     return (
-        a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -606,7 +665,9 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # groupBy vec_id ONLY: hashing/comparing the 64-dim vector in the
         # grouping key widens the shuffle for nothing — the vector rides
         # along inside the min_by struct instead, so exactly one narrow-keyed
-        # row per vector reaches the exchange.
+        # row per vector reaches the exchange. Invariant: vec_id is the
+        # embeddings PK (unique), so dropping v from the key cannot merge
+        # distinct vectors; the DuckDB oracle still groups by (vec_id, v).
         assign = (
             n.crossJoin(F.broadcast(cent))
             .groupBy("vec_id")

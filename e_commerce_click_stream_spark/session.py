@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- determinism ----------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Fixture parquet stores naive timestamp[us] (isAdjustedToUTC=false);
+        # Spark >=3.4 would infer TIMESTAMP_NTZ, which unix_micros() and
+        # withWatermark() reject. Force the classic TIMESTAMP (LTZ) read —
+        # with the UTC session TZ above the wall-clock values are identical
+        # to what DuckDB's oracle sees, so value hashes are unchanged.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # -- local-mode ergonomics -------------------------------------------
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

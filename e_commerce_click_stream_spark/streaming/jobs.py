@@ -33,6 +33,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from e_commerce_click_stream_spark.io import table
 
@@ -67,6 +68,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             shutil.copyfile(src, staged)
     raw_schema = spark.read.parquet(src).schema
+    # Same NTZ normalization as io.table(): the staged fixture may store
+    # naive timestamp[us], which would surface as TIMESTAMP_NTZ and be
+    # rejected by withWatermark(); an explicit TIMESTAMP schema reads the
+    # stored micros as UTC instants, independent of session time zone.
+    raw_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType) else f.dataType,
+                f.nullable,
+            )
+            for f in raw_schema.fields
+        ]
+    )
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -110,3 +110,15 @@ def test_csv_malformed_handling(spark):
     )
     kept = sorted(tuple(r) for r in dropped.collect())
     assert kept == [(1, 10, "view", 1.5), (2, 30, "purchase", 9.99)]
+
+
+def test_events_ts_loads_as_timestamp_ltz_at_every_sf(spark):
+    """Guard against fixture-encoding drift (round-3 regression).
+
+    The driver has shipped events.ts as TIMESTAMP(NANOS)-as-INT64 and as
+    plain timestamp[us] with isAdjustedToUTC=false; the loader + session
+    config must normalize BOTH to classic TIMESTAMP (LTZ) — TIMESTAMP_NTZ
+    breaks unix_micros() and withWatermark() across ~15 queries."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        dtypes = dict(table(spark, sf_dir, "events").dtypes)
+        assert dtypes["ts"] == "timestamp", f"{sf_dir}: ts loaded as {dtypes['ts']}"
