@@ -659,3 +659,76 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed EWMA: time-decayed per-user engagement
+
+EWMA_ALPHA = 0.3
+EWMA_FRAME = 16  # rows in the decay frame (current row + 15 preceding)
+
+_EWMA_SQL = f"""
+WITH framed AS (
+    SELECT user_id, ts, event_id,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING
+                                      AND CURRENT ROW) AS vals,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+),
+scored AS (
+    SELECT user_id, n_events,
+           round(list_sum(list_transform(vals,
+                     (x, i) -> x * pow({1 - EWMA_ALPHA}, len(vals) - i)))
+                 / ((1 - pow({1 - EWMA_ALPHA}, len(vals))) / {EWMA_ALPHA}), 6)
+               AS ewma_value
+    FROM framed WHERE rn = 1
+)
+SELECT user_id, n_events, ewma_value FROM scored
+"""
+
+
+@register("user_value_ewma", oracle=_EWMA_SQL, tags=("behavior", "window", "timeseries"))
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event ``value`` per user
+    (alpha=0.3), reported at each user's latest event — the time-decayed
+    engagement score behind churn/recency models.
+
+    Exact infinite-history EWMA is a sequential recurrence (y_i =
+    a·x_i + (1-a)·y_{i-1}) — inherently stateful and unexpressible as one
+    window pass. The scale-friendly form used here bounds the decay frame
+    to the last 16 rows (weights below (1-a)^16 ≈ 0.003 are dropped) with
+    pandas-style ``adjust=True`` normalization, making it a single
+    windowed collect + array fold per row: one user_id exchange, no UDFs,
+    no iteration. The final-row filter reuses the same exchange for its
+    row_number. Spark's transform lambda index is 0-based, DuckDB's is
+    1-based — the weight exponents account for it (size-1-i vs size-i)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(EWMA_FRAME - 1), Window.currentRow)
+    decay = 1 - EWMA_ALPHA
+    vals = F.collect_list("value").over(frame)
+    weighted = F.expr(
+        f"aggregate(transform(vals, (x, i) -> x * pow({decay}, size(vals) - 1 - i)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = (1 - F.pow(F.lit(decay), F.size("vals"))) / EWMA_ALPHA
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            vals.alias("vals"),
+            F.row_number().over(w.orderBy(F.desc("ts"), F.desc("event_id"))).alias("rn"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(weighted / norm, 6).alias("ewma_value"),
+        )
+    )

@@ -284,7 +284,14 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_SQL, headline=True, tags=("dedup", "jaccard"))
+# NOT headline: this is the exact brute-force-ish baseline that
+# dedup_minhash_lsh (headline) approximates — its candidate stage is
+# Σ df² over prefix shingles, intrinsically heavier than banded LSH.
+# Rarest-first (ascending-df) PPJoin ordering was measured here: the two
+# extra shuffles it needs (df count + per-doc reorder) cost more at this
+# scale than the ~2× candidate reduction saves (~6.5 s vs ~5.0 s at
+# sf0.1), so the lexicographic prefix + df-cap stands.
+@register("dedup_ngram_jaccard", oracle=_NGRAM_SQL, tags=("dedup", "jaccard"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-jaccard near-dup pairs with PPJoin-style candidate
     pruning, all provably lossless at threshold t=0.8:

@@ -123,8 +123,9 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_exchanges": 5,
     },
-    # LSH near-dup: the only nested-loop is the broadcast of 8 hyperplanes;
-    # the candidate pair scan is an equi-join on signature
+    # LSH near-dup: the only nested-loop is the broadcast of the 1-row
+    # packed hyperplane array; the candidate pair scan is an equi-join on
+    # (band_id, band_sig) with a distinct-pair hash aggregate
     "embedding_neardup_lsh": {
         "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
         "not_contains": ["CartesianProduct"],

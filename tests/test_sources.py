@@ -122,3 +122,29 @@ def test_events_ts_loads_as_timestamp_ltz_at_every_sf(spark):
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         dtypes = dict(table(spark, sf_dir, "events").dtypes)
         assert dtypes["ts"] == "timestamp", f"{sf_dir}: ts loaded as {dtypes['ts']}"
+
+
+def test_orc_round_trip_with_explicit_schema(spark, events_subset):
+    """ORC is the second Spark-native columnar format (vectorized reader,
+    predicate pushdown) — prove the same explicit-schema round-trip
+    discipline as parquet/CSV/JSON so mixed-format lakes can feed the
+    engine."""
+    out = tempfile.mkdtemp(prefix="events_orc_")
+    events_subset.write.mode("overwrite").orc(out)
+    back = spark.read.schema(SCHEMA).orc(out)
+    assert back.schema == SCHEMA
+    assert _multiset(back) == _multiset(events_subset)
+
+
+def test_orc_predicate_pushdown_reaches_scan(spark, events_subset):
+    out = tempfile.mkdtemp(prefix="events_orc_pd_")
+    events_subset.write.mode("overwrite").orc(out)
+    plan = (
+        spark.read.schema(SCHEMA)
+        .orc(out)
+        .filter("event_type = 'purchase'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "event_type" in plan
