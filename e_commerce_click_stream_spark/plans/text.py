@@ -844,3 +844,102 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.avg("nll")), 4).alias("unigram_ppl"),
         F.round(F.max("nll"), 6).alias("max_token_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-mix construction: importance sampling + source rebalancing
+
+_QWS_SQL = """
+WITH t AS (
+    SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+)
+SELECT doc_id, source,
+       len(t) AS n_tokens,
+       round(len(list_distinct(t))::DOUBLE / len(t), 6) AS keep_weight
+FROM t
+WHERE CAST(concat('0x', substr(md5('qws:' || doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+      / 4294967296.0
+      < len(list_distinct(t))::DOUBLE / len(t)
+"""
+
+
+@register("quality_weighted_sample", oracle=_QWS_SQL, tags=("sampling", "text", "quality"))
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling for training-mix construction:
+    each document is kept with probability equal to its unique-token ratio
+    (repetitive docs get down-sampled, diverse docs survive), decided by a
+    deterministic md5-derived uniform instead of rand() — reruns and the
+    DuckDB oracle see the identical sample. Zero shuffles: per-row
+    expressions only, so it composes with any downstream pipeline stage.
+    The md5-hex → integer uniform is exact in both engines (32 hex bits
+    / 2^32), and the weight is an exact small-int division, so the
+    keep/drop comparison is bit-identical cross-engine."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens().alias("t")
+    )
+    n = F.size("t")
+    w = F.size(F.array_distinct(F.col("t"))).cast("double") / n
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return docs.filter(u < w).select(
+        "doc_id",
+        "source",
+        n.cast("long").alias("n_tokens"),
+        F.round(w, 6).alias("keep_weight"),
+    )
+
+
+_MIX_SQL = """
+WITH s AS (
+    SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT sum(n_docs)::DOUBLE AS total, count(*)::DOUBLE AS n_sources FROM s
+)
+SELECT source, n_docs,
+       round(n_docs / total, 6) AS share,
+       round(1.0 / n_sources, 6) AS target_share,
+       round(least(1.0, (total / n_sources) / n_docs), 6) AS sampling_rate,
+       CAST(floor(least(n_docs::DOUBLE, total / n_sources)) AS BIGINT)
+           AS expected_docs
+FROM s, tot
+"""
+
+
+@register("corpus_mix_plan", oracle=_MIX_SQL, tags=("sampling", "governance"))
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-rebalancing plan for an equal-share training mix: per source,
+    the current share, the equal target share, and the down-sampling rate
+    that caps every source at total/n_sources docs (sources under the cap
+    keep everything). One groupBy shuffle; the corpus-wide totals ride in
+    as a broadcast 1-row aggregate (same shape as parts_above_avg_price),
+    so no single-partition window. expected_docs = floor(min(n, target))
+    — computed without an n·(target/n) product so there is no float
+    roundoff at integer boundaries in either engine."""
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = s.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    target = F.col("total") / F.col("n_sources")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+        F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+        F.round(F.least(F.lit(1.0), target / F.col("n_docs")), 6).alias("sampling_rate"),
+        F.floor(F.least(F.col("n_docs").cast("double"), target)).cast("bigint").alias(
+            "expected_docs"
+        ),
+    )
