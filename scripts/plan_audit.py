@@ -449,6 +449,39 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct"],
         "max_exchanges": 11,
     },
+    # windowed EWMA: one user_id exchange shared by the collect-frame,
+    # row_number, and partition count windows; pure expression fold, no
+    # joins, no UDFs
+    "user_value_ewma": {
+        "contains": ["Window"],
+        "not_contains": ["Join", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        "max_exchanges": 1,
+    },
+    # deterministic importance sampling: per-row expressions only — zero
+    # shuffles, filter evaluated at/near the scan
+    "quality_weighted_sample": {
+        "contains": ["Filter"],
+        "not_contains": ["Exchange", "Join", "Window"],
+        "max_exchanges": 0,
+    },
+    # source rebalancing: the corpus-scale shuffle is the per-source
+    # groupBy (compiled twice — the totals branch re-derives it; tiny:
+    # |sources| rows) + the 1-row totals' single-partition exchange; the
+    # totals attach as a 1-row BNLJ broadcast — never a global Window
+    "corpus_mix_plan": {
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "Window"],
+        "max_exchanges": 3,
+    },
+    # banded sign-LSH bucket emission: signature is computed against a
+    # broadcast 1-row planes array (BNLJ) and the bands explode in place
+    # (Generate) — the ONLY exchange is the ≤N_PLANES-row collect that
+    # packs the planes; the corpus itself never shuffles
+    "ann_lsh_buckets": {
+        "contains": ["BroadcastNestedLoopJoin", "Generate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
