@@ -1140,3 +1140,95 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("separation_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the second compression path next to PQ
+
+_SQ8_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+d AS (
+    SELECT i.i AS dim, min(v[i.i]) AS lo, max(v[i.i]) AS hi
+    FROM e, (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i) i
+    GROUP BY i.i
+),
+scales AS (
+    SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi FROM d
+),
+err AS (
+    SELECT vec_id,
+           list_transform(v, (x, i) ->
+               CASE WHEN hi[i] - lo[i] = 0 THEN x - lo[i]
+                    ELSE x - (lo[i] + floor(255 * (x - lo[i]) / (hi[i] - lo[i]) + 0.5)
+                                       / 255 * (hi[i] - lo[i]))
+               END) AS errs,
+           len(v) AS dim
+    FROM e, scales
+)
+SELECT vec_id,
+       dim,
+       round(list_sum(list_transform(errs, x -> x * x)) / dim, 9) AS mse,
+       round(list_max(list_transform(errs, x -> abs(x))), 6) AS max_abs_err
+FROM err
+"""
+
+
+@register("embedding_sq8_error", oracle=_SQ8_SQL, tags=("similarity", "compression"))
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization audit: encode every embedding to uint8
+    codes against per-dimension corpus [min, max] ranges, decode, and
+    report per-vector reconstruction error (mse, max-abs). The compression
+    decision input next to embedding_pq_encode — SQ8 is 4x smaller than
+    float32 with one multiply per dim at query time.
+
+    Scale shape: per-dim ranges are a posexplode + 64-key groupBy (rows =
+    n·d but the shuffle carries only (dim, x) pairs), collapsed to a
+    single broadcast row of [lo], [hi] arrays; encode/decode/error is then
+    a zero-shuffle projection over the corpus — the exact pattern of the
+    PQ codebook. Quantizer uses floor(y + 0.5), NOT round(): Spark rounds
+    half-up, DuckDB half-even, so round() would silently diverge on exact
+    .5 boundaries. Constant dims (hi == lo) encode to code 0, decode to lo."""
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    d = (
+        e.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    scales = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "lo"))), lambda s: s["lo"]
+        ).alias("lo"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "hi"))), lambda s: s["hi"]
+        ).alias("hi"),
+    )
+    errs = F.expr(
+        """
+        transform(v, (x, i) ->
+            CASE WHEN element_at(hi, i + 1) - element_at(lo, i + 1) = 0D
+                 THEN x - element_at(lo, i + 1)
+                 ELSE x - (element_at(lo, i + 1)
+                           + floor(255D * (x - element_at(lo, i + 1))
+                                   / (element_at(hi, i + 1) - element_at(lo, i + 1)) + 0.5D)
+                             / 255D * (element_at(hi, i + 1) - element_at(lo, i + 1)))
+            END)
+        """
+    )
+    return (
+        e.crossJoin(F.broadcast(scales))
+        .select("vec_id", F.size("v").cast("long").alias("dim"), errs.alias("errs"))
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                F.aggregate(
+                    F.transform("errs", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.col("dim"),
+                9,
+            ).alias("mse"),
+            F.round(F.array_max(F.transform("errs", F.abs)), 6).alias("max_abs_err"),
+        )
+    )
