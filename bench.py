@@ -58,16 +58,16 @@ def main() -> None:
     # warm the JVM + parquet footer caches outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # per-query untimed warmup + best-of-2: the first execution of a plan
-    # pays JIT/codegen/footer-cache costs that inflate even a best-of-2 by
-    # 2-3× on this host; one throwaway run, then min of two, is the
-    # steady-state signal
+    # per-query untimed warmup + best-of-3: the first execution of a plan
+    # pays JIT/codegen/footer-cache costs that inflate even a best-of-N by
+    # 2-3× on this host, and single timings carry ±20% host noise; one
+    # throwaway run, then min of three, is the steady-state signal
     timings: dict[str, float] = {}
     for name in sorted(specs):
         _release_blocks(spark)
         _execute(specs[name].builder(spark, SF_DIR))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             _release_blocks(spark)
             t0 = time.perf_counter()
             _execute(specs[name].builder(spark, SF_DIR))
