@@ -702,3 +702,94 @@ def dedup_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFr
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# containment (doc-in-doc) near-dup: the asymmetric complement of jaccard
+
+CONTAINMENT_THRESHOLD = 0.9
+# Rarer cap than the jaccard index: a contained document shares ALL its
+# shingles with its container, including its rare ones, so indexing only
+# rare shingles (df <= 20) keeps candidate fan-out tiny without losing
+# real containments (only a doc composed ENTIRELY of corpus-common
+# shingles could hide — same documented caveat as the jaccard df cap).
+CONTAINMENT_DF_CAP = 20
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLED_CTE},
+exploded AS (
+    SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM shingled WHERE len(s) > 0
+),
+kept AS (
+    SELECT sh FROM exploded GROUP BY sh HAVING count(*) <= {CONTAINMENT_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exploded a JOIN exploded b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id
+    WHERE a.sh IN (SELECT sh FROM kept)
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           len(sa.s) AS size_a, len(sb.s) AS size_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / least(len(sa.s), len(sb.s)), 4) AS containment
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, size_a, size_b, containment
+FROM scored WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_SQL, tags=("dedup", "containment"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc duplication: |A∩B| / min(|A|,|B|) >= 0.9 over shingle
+    sets — catches a short document embedded in a long one, which jaccard
+    NEVER flags (jaccard <= min/max, so a 10x size mismatch caps it at
+    0.1 and the PPJoin size filter drops the pair by design). The standard
+    quote/boilerplate/subset-dup detector a pretraining pipeline runs
+    alongside jaccard dedup.
+
+    Candidates come from a rare-shingle inverted index (df <=
+    CONTAINMENT_DF_CAP): a contained doc shares every one of its shingles
+    with its container, so rare-shingle co-occurrence is a lossless
+    candidate generator for real containments while bounding the
+    self-join at cap²/shingle. Verification is the exact intersection
+    over full shingle arrays, reusing the materialized shingled corpus."""
+    sh = _docs_shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("s").alias("sh"))
+    kept = (
+        ex.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+        .select("sh")
+    )
+    exk = ex.join(kept, "sh")
+    cand = (
+        exk.alias("a")
+        .join(
+            exk.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sa").cast("long").alias("size_a"),
+            F.size("sb").cast("long").alias("size_b"),
+            F.round(
+                common.cast("double") / F.least(F.size("sa"), F.size("sb")), 4
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
