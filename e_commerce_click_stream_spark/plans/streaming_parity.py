@@ -242,3 +242,32 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         sliding_metrics_stream(read_events_stream(spark, sf_dir)), "complete"
     )
+
+
+_STREAM_SEGMENT_SQL = """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS total_events,
+       count(*) FILTER (WHERE e.event_type = 'purchase') AS purchases,
+       round(sum(CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0.0 END), 2)
+           AS revenue
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("streaming_segment_enrichment", oracle=_STREAM_SEGMENT_SQL,
+          tags=("stream-static-join", "T4", "streaming"))
+def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join executed as a real streaming query: the event
+    replay is enriched with the broadcast customer dimension per
+    micro-batch, aggregated per market segment in complete mode, and the
+    final state must equal the batch left-join oracle."""
+    from e_commerce_click_stream_spark.io import table
+    from e_commerce_click_stream_spark.streaming.jobs import segment_metrics_stream
+
+    return run_to_completion(
+        segment_metrics_stream(
+            read_events_stream(spark, sf_dir), table(spark, sf_dir, "customer")
+        ),
+        "complete",
+    )

@@ -409,3 +409,30 @@ def sliding_metrics_stream(events: DataFrame) -> DataFrame:
     return agg.select(
         F.col("w.start").alias("window_start"), "n_events", "purchases", "revenue"
     )
+
+
+def segment_metrics_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment: join the event stream against
+    the static customer dim and aggregate per market segment. The static
+    side is re-planned per micro-batch (so a dim refresh is picked up
+    between batches) and broadcast — the stream side never shuffles for
+    the join; the only stateful operator is the bounded per-segment
+    aggregate (complete mode, |segments| rows of state). Left join +
+    coalesce('UNKNOWN') keeps events whose user has no dim row — the
+    standard late-dimension guard."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .withColumn("segment", F.coalesce("c_mktsegment", F.lit("UNKNOWN")))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("total_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("revenue"),
+        )
+    )
