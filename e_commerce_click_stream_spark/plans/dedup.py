@@ -793,3 +793,119 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# banded SimHash: hamming<=k pairs (dedup_simhash_groups only catches k=0)
+
+HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # pigeonhole: hamming<=3 over 4 bands => >=1 band equal
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+# A 32-bit simhash is weakly discriminating on short documents: hot band
+# values (all-zeros-ish, from common-token-dominated docs) collect
+# thousands of members and occupancy² explodes — measured 362k candidate
+# pairs / 52 s at sf0.1 uncapped. Dropping buckets over the cap bounds
+# fan-out at cap²/bucket; a pair lost to one hot band usually shares a
+# rarer band, and truly-informative near-dups live in cool buckets — the
+# same documented recall tradeoff as the stop-shingle NGRAM_DF_CAP.
+SIMHASH_BUCKET_CAP = 100
+
+_SIMHASH_HAMMING_SQL = f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+    SELECT doc_id, b.band_id,
+           substr(simhash, b.band_id * {_SIMHASH_BAND_BITS} + 1,
+                  {_SIMHASH_BAND_BITS}) AS band_sig
+    FROM sigs, (SELECT unnest(range({_SIMHASH_BANDS})) AS band_id) b
+),
+kept AS (
+    SELECT band_id, band_sig FROM bands
+    GROUP BY band_id, band_sig HAVING count(*) <= {SIMHASH_BUCKET_CAP}
+),
+kb AS (
+    SELECT b.* FROM bands b
+    JOIN kept k ON k.band_id = b.band_id AND k.band_sig = b.band_sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kb a
+    JOIN kb b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           cast(list_sum(list_transform(range(1, {_SIMHASH_BITS} + 1), i ->
+               CASE WHEN substr(sa.simhash, i::INT, 1) != substr(sb.simhash, i::INT, 1)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {HAMMING_MAX}
+"""
+
+
+@register("dedup_simhash_hamming", oracle=_SIMHASH_HAMMING_SQL, tags=("dedup", "simhash", "lsh"))
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 — the banded
+    extension of dedup_simhash_groups (which only catches distance 0).
+    Pigeonhole guarantee: any pair differing in <=3 of 32 bits must agree
+    EXACTLY on at least one of 4 8-bit bands, so the candidate stage is a
+    band equi-join (2^8-bucket keys per band, the same OR-of-bands shape
+    as embedding_neardup_lsh / dedup_minhash_lsh) — lossless for the
+    distance bound up to the hot-bucket cap (see SIMHASH_BUCKET_CAP),
+    never an all-pairs scan. Verification computes the exact Hamming
+    distance on the two 32-bit signatures — a 32-char compare, far
+    cheaper than the shingle-set intersections the jaccard verifiers
+    pay."""
+    sigs = _simhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band_id"),
+                        F.substring(
+                            "simhash", b * _SIMHASH_BAND_BITS + 1, _SIMHASH_BAND_BITS
+                        ).alias("band_sig"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_sig")
+    kept = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") <= SIMHASH_BUCKET_CAP)
+        .select("band_id", "band_sig")
+    )
+    bands = bands.join(kept, ["band_id", "band_sig"])
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.aggregate(
+        F.expr(
+            f"transform(sequence(1, {_SIMHASH_BITS}), i -> "
+            f"CASE WHEN substring(ha, i, 1) != substring(hb, i, 1) THEN 1 ELSE 0 END)"
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
