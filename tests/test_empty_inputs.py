@@ -1,0 +1,56 @@
+"""Empty-input robustness: at 100 TB, empty partitions, empty date
+ranges, and freshly-created tables are routine — a representative query
+from every operator family must plan and execute against zero-row inputs
+without raising, returning an empty (or well-defined aggregate) result."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from e_commerce_click_stream_spark.io import TABLES, table
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+# one per family: TPC-H join/agg, sessionization, windowed agg, exact +
+# LSH dedup, ANN, iterative (kmeans / pagerank / components), text,
+# sampling, EWMA window, mix plan, multimodal, streaming replay
+REPRESENTATIVE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "session_metrics",
+    "hourly_metrics",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
+    "ann_cosine_topk",
+    "embedding_kmeans_iter",
+    "dedup_connected_components",
+    "doc_quality_scores",
+    "quality_weighted_sample",
+    "corpus_mix_plan",
+    "user_value_ewma",
+    "multimodal_decode_meta",
+    "streaming_hourly_metrics",
+)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark):
+    """A fixture directory with every table present but zero rows, with
+    the exact production schemas (written via limit(0) round-trips)."""
+    out = tempfile.mkdtemp(prefix="sf_empty_")
+    for name in TABLES:
+        table(spark, SF_SMOKE, name).limit(0).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_survives_empty_inputs(spark, empty_sf_dir, name):
+    df = all_specs()[name].builder(spark, empty_sf_dir)
+    assert df.columns
+    assert df.count() >= 0
