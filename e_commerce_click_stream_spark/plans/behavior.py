@@ -732,3 +732,92 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(weighted / norm, 6).alias("ewma_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral time-series similarity (PAPERS.md: "Time Series Similarity
+# Search for Streaming Data in Distributed Systems", EDBT 2019 — the
+# profile-vector formulation, not a code port)
+
+SIMILARITY_TOP_K = 3
+
+_ACTIVITY_SIM_SQL = f"""
+WITH totals AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+by_hour AS (
+    SELECT user_id, extract(hour FROM ts) AS h, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+prof AS (
+    SELECT t.user_id,
+           list(coalesce(c.cnt, 0)::DOUBLE / t.n ORDER BY g.h) AS p
+    FROM totals t
+    CROSS JOIN (SELECT unnest(range(24)) AS h) g
+    LEFT JOIN by_hour c ON c.user_id = t.user_id AND c.h = g.h
+    GROUP BY t.user_id
+),
+scored AS (
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           round(list_dot_product(a.p, b.p)
+                 / (sqrt(list_sum(list_transform(a.p, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.p, x -> x * x)))), 6) AS cosine
+    FROM prof a JOIN prof b ON a.user_id != b.user_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY user_a ORDER BY cosine DESC, user_b) AS rank
+    FROM scored
+)
+SELECT user_a, user_b, cosine, rank FROM ranked WHERE rank <= {SIMILARITY_TOP_K}
+"""
+
+
+@register("user_activity_similarity", oracle=_ACTIVITY_SIM_SQL, tags=("behavior", "similarity", "timeseries"))
+def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral time-series similarity: each user's hour-of-day activity
+    histogram becomes a 24-dim share vector (one conditional-sum pass, no
+    pivot shuffle beyond the user_id agg), then the top-3 most-similar
+    users per user by cosine. The fixture's user population is small
+    enough for the exact pair scan shown here; at corpus scale the SAME
+    derived vectors feed the embedding ANN paths (sign-LSH banding / IVF
+    cells) — this query is the feature-engineering stage, the pair scan
+    its exact verifier. Share normalization uses each user's own event
+    count, so heavy and light users with the same daily shape match."""
+    hours = list(range(24))
+    counts = F.array(
+        *[
+            F.sum(F.when(F.hour("ts") == h, 1).otherwise(0)).cast("double")
+            for h in hours
+        ]
+    )
+    prof = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(counts.alias("c"), F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.transform("c", lambda x: x / F.col("n")).alias("p"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    a = prof.select(F.col("user_id").alias("user_a"), F.col("p").alias("pa"))
+    b = prof.select(F.col("user_id").alias("user_b"), F.col("p").alias("pb"))
+    scored = a.join(b, F.col("user_a") != F.col("user_b")).select(
+        "user_a",
+        "user_b",
+        F.round(dot / (nrm(F.col("pa")) * nrm(F.col("pb"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("user_a").orderBy(F.desc("cosine"), F.asc("user_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIMILARITY_TOP_K)
+        .select("user_a", "user_b", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
