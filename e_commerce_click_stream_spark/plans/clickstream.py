@@ -618,3 +618,42 @@ def events_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PROPS_MAP_SQL = """
+WITH kv AS (
+    SELECT e.event_type,
+           k.key,
+           json_extract_string(e.props::JSON, '$.' || k.key) AS val
+    FROM events e, unnest(json_keys(e.props::JSON)) AS k(key)
+)
+SELECT event_type, key,
+       count(*) AS n,
+       count(DISTINCT val) AS n_distinct_values,
+       round(min(TRY_CAST(val AS DOUBLE)), 4) AS min_numeric,
+       round(max(TRY_CAST(val AS DOUBLE)), 4) AS max_numeric
+FROM kv
+GROUP BY event_type, key
+"""
+
+
+@register("event_props_map_profile", oracle=_PROPS_MAP_SQL, tags=("F13", "map", "governance"))
+def event_props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema discovery: parse the props JSON into a
+    MAP<STRING,STRING> with from_json (keys need not be known in
+    advance), explode the map, and profile every discovered key per event
+    type — cardinality and numeric range. The governance pass run before
+    promoting a semi-structured column to typed columns; MAP explode +
+    one hash agg, no UDFs, scales as a single shuffle on the
+    (event_type, key) grid."""
+    ev = _events(spark, sf_dir)
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val"),
+    )
+    return kv.groupBy("event_type", "key").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("val").alias("n_distinct_values"),
+        F.round(F.min(F.col("val").cast("double")), 4).alias("min_numeric"),
+        F.round(F.max(F.col("val").cast("double")), 4).alias("max_numeric"),
+    )

@@ -482,6 +482,20 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 1,
     },
+    # behavioral profiles: one user_id agg builds the 24-dim vectors, the
+    # deliberately-exact pair scan broadcasts one side (profile count ≪
+    # events), top-k via rank pushdown
+    "user_activity_similarity": {
+        "contains": ["HashAggregate", "WindowGroupLimit"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
+    # map explode + single hash agg on the discovered-key grid
+    "event_props_map_profile": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
