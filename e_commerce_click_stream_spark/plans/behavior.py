@@ -821,3 +821,51 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SIMILARITY_TOP_K)
         .select("user_a", "user_b", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# weekly seasonality: day-of-week indices over the daily event series
+
+_SEASONALITY_SQL = """
+WITH daily AS (
+    SELECT ts::DATE AS d, count(*) AS n FROM events GROUP BY 1
+),
+tot AS (
+    SELECT avg(n) AS g FROM daily
+)
+SELECT CAST(extract(isodow FROM daily.d) AS BIGINT) AS dow_iso,
+       count(*) AS n_days,
+       round(avg(daily.n), 4) AS avg_daily_events,
+       round(stddev_samp(daily.n), 4) AS std_daily_events,
+       round(avg(daily.n) / tot.g, 6) AS seasonal_index
+FROM daily, tot
+GROUP BY dow_iso, tot.g
+"""
+
+
+@register("events_weekly_seasonality", oracle=_SEASONALITY_SQL, tags=("behavior", "timeseries"))
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily event series:
+    per ISO weekday, the mean/stddev of daily counts and the seasonal
+    index (weekday mean over the global daily mean) — the capacity-
+    planning and anomaly-baseline profile. Daily rollup is one shuffle;
+    the global mean rides in as a broadcast 1-row aggregate (never a
+    single-partition window); weekday() + 1 gives ISO numbering in Spark
+    to match DuckDB's extract(isodow)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = daily.agg(F.avg("n").alias("g"))
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy((F.expr("weekday(d)") + 1).cast("long").alias("dow_iso"), "g")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg("n"), 4).alias("avg_daily_events"),
+            F.round(F.stddev_samp("n"), 4).alias("std_daily_events"),
+            F.round(F.avg("n") / F.first("g"), 6).alias("seasonal_index"),
+        )
+        .drop("g")
+    )

@@ -943,3 +943,36 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_docs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation: confusion matrix of declared vs detected language
+
+_LANG_CONFUSION_SQL = f"""
+WITH ids AS ({_LANG_SQL})
+SELECT lang_actual, lang_guess,
+       count(*) AS n_docs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang_actual), 6)
+           AS row_share
+FROM ids
+GROUP BY lang_actual, lang_guess
+"""
+
+
+@register("doc_language_confusion", oracle=_LANG_CONFUSION_SQL, tags=("text", "langid", "evaluation"))
+def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the dataset's declared language vs the
+    marker-word detector (doc_language_id): per (actual, guess) cell,
+    document count and row-normalized share — the evaluation a pipeline
+    runs before trusting a cheap language filter to route corpus
+    partitions. One agg shuffle + a per-row window share on the tiny
+    |langs|² grid."""
+    ids = doc_language_id(spark, sf_dir).select("lang_actual", "lang_guess")
+    counts = ids.groupBy("lang_actual", "lang_guess").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang_actual")
+    return counts.select(
+        "lang_actual",
+        "lang_guess",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6).alias("row_share"),
+    )
