@@ -42,6 +42,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def ntz_to_ltz(schema: T.StructType) -> T.StructType:
+    """Rewrite every TIMESTAMP_NTZ field to classic TIMESTAMP (LTZ).
+
+    Used as an explicit read schema: the stored micros are then
+    interpreted as UTC instants directly, independent of the session time
+    zone — unlike a cast, which would re-interpret wall-clock values.
+    The single source of truth for this rewrite (loader, streaming
+    replay, and the processor CLI all share it)."""
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType) else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -49,15 +69,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
-        fields = [
-            T.StructField(
-                f.name,
-                T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType) else f.dataType,
-                f.nullable,
-            )
-            for f in df.schema.fields
-        ]
-        df = spark.read.schema(T.StructType(fields)).parquet(path)
+        df = spark.read.schema(ntz_to_ltz(df.schema)).parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col]
         if isinstance(field.dataType, T.LongType):

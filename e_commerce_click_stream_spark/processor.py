@@ -30,15 +30,17 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from e_commerce_click_stream_spark.io import ntz_to_ltz
 from e_commerce_click_stream_spark.session import get_spark
 from e_commerce_click_stream_spark.sinks.writers import overwrite_snapshot
 from e_commerce_click_stream_spark.streaming.jobs import (
     dashboard_metrics_stream,
+    decode_kafka_payload,
     hourly_metrics_stream,
     read_kafka_stream,
     session_window_metrics_stream,
@@ -46,19 +48,24 @@ from e_commerce_click_stream_spark.streaming.jobs import (
 
 
 def _normalized_stream(spark: SparkSession, source: str) -> DataFrame:
-    """File-tail the source dir with an explicit schema, normalized to the
+    """File-tail the source with an explicit schema, normalized to the
     engine schema (ts TIMESTAMP, user_id, event_type view/click/purchase,
-    value DOUBLE) regardless of which producer wrote it."""
+    value DOUBLE) regardless of which producer wrote it.
+
+    The file streaming source requires a DIRECTORY; a single-file source
+    (the fixture-replay default) is staged into a temp dir via symlink —
+    the same trick as streaming/jobs.read_events_stream. The legacy nanos
+    flag must be set before the batch schema probe: the r1-r3 fixture
+    encoding stores TIMESTAMP(NANOS), which the reader otherwise rejects."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(source):
+        stage_dir = tempfile.mkdtemp(prefix="processor_src_")
+        os.symlink(source, os.path.join(stage_dir, os.path.basename(source)))
+        stream_path = stage_dir
+    else:
+        stream_path = source
     batch = spark.read.parquet(source)
-    fields = [
-        T.StructField(
-            f.name,
-            T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType) else f.dataType,
-            f.nullable,
-        )
-        for f in batch.schema.fields
-    ]
-    stream = spark.readStream.schema(T.StructType(fields)).parquet(source)
+    stream = spark.readStream.schema(ntz_to_ltz(batch.schema)).parquet(stream_path)
     cols = set(stream.columns)
     if "timestamp" in cols:  # producer schema
         stream = stream.select(
@@ -91,7 +98,11 @@ def main() -> None:
     spark = get_spark(app_name="clickstream-processor")
     if source.startswith("kafka://"):  # JAR-gated; config parity with reference
         servers, _, topic = source.removeprefix("kafka://").partition("/")
-        events = read_kafka_stream(spark, servers, topic)
+        # raw frames -> typed events via the explicit-schema JSON decode
+        # (inverse of to_kafka_payload), then drop unparseable payloads
+        events = decode_kafka_payload(read_kafka_stream(spark, servers, topic)).filter(
+            F.col("ts").isNotNull()
+        )
     else:
         events = _normalized_stream(spark, source)
 

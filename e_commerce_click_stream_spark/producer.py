@@ -38,7 +38,10 @@ def main() -> None:
     seed = int(os.environ.get("PRODUCER_SEED", "42"))
 
     spark = get_spark(app_name="clickstream-producer")
-    total = 0
+    try:
+        pre_existing = spark.read.parquet(out).count()
+    except Exception:  # first run: directory absent / empty
+        pre_existing = 0
     for b in range(batches):
         df = generate_events(
             spark,
@@ -48,9 +51,11 @@ def main() -> None:
             max_products=max_products,
         )
         df.write.mode("append").parquet(out)
-        total += df.count()
         if sleep_s and b < batches - 1:
             time.sleep(sleep_s)
+    # count from the written files: a .count() on the generator DataFrame
+    # would re-run the whole mapInPandas generation a second time per batch
+    total = spark.read.parquet(out).count() - pre_existing
     print(
         json.dumps(
             {"producer": "done", "batches": batches, "events": total, "output": out}

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.io import ntz_to_ltz, table
 
 _counter = itertools.count()
 
@@ -67,21 +67,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.copyfile(src, staged)
-    raw_schema = spark.read.parquet(src).schema
-    # Same NTZ normalization as io.table(): the staged fixture may store
+    # NTZ normalization (io.ntz_to_ltz): the staged fixture may store
     # naive timestamp[us], which would surface as TIMESTAMP_NTZ and be
     # rejected by withWatermark(); an explicit TIMESTAMP schema reads the
     # stored micros as UTC instants, independent of session time zone.
-    raw_schema = T.StructType(
-        [
-            T.StructField(
-                f.name,
-                T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType) else f.dataType,
-                f.nullable,
-            )
-            for f in raw_schema.fields
-        ]
-    )
+    raw_schema = ntz_to_ltz(spark.read.parquet(src).schema)
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -115,6 +105,21 @@ def to_kafka_payload(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         F.col(key_col).cast("string").alias("key"),
         F.to_json(F.struct(F.col(key_col), *value_cols)).alias("value"),
     )
+
+
+def decode_kafka_payload(frames: DataFrame) -> DataFrame:
+    """Inverse of to_kafka_payload: decode raw Kafka frames (binary
+    key/value + topic/partition/offset metadata) into typed event rows
+    with an EXPLICIT schema (S2 — the engine never infers), mirroring the
+    reference's from_json decode (streaming_processor.py:108-128). Rows
+    whose payload fails the parse surface with null ts/user_id and are
+    droppable by the caller (dead-letter discipline of
+    events_json_deadletter)."""
+    payload_schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    parsed = frames.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("e")
+    )
+    return parsed.select("e.ts", "e.user_id", "e.event_type", "e.value", "e.event_id")
 
 
 def write_kafka_stream(

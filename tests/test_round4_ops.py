@@ -60,40 +60,63 @@ def test_ewma_matches_pandas_recomputation(spark, ewma_rows):
         assert abs(r.ewma_value - num / den) < 1e-5, r.user_id
 
 
-def test_containment_supersets_high_jaccard_pairs(spark):
-    """jaccard = |∩|/|∪| <= |∩|/min = containment, so every ngram pair at
-    jaccard >= 0.9 must reappear in the containment output (threshold
-    0.9)."""
-    high_j = {
-        (r.doc_a, r.doc_b)
+def test_containment_score_dominates_jaccard_on_shared_pairs(spark):
+    """jaccard = |∩|/|∪| <= |∩|/min = containment. The SCORE relation is
+    guaranteed; full pair-set subsetting is NOT (the two operators use
+    different candidate caps — prefix-df<=100 vs rare-shingle-df<=20 — so
+    either may miss a pair the other finds). Assert the guaranteed part:
+    on pairs emitted by both, containment >= jaccard; and containment
+    output is internally sane."""
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
         for r in SPECS["dedup_ngram_jaccard"].builder(spark, SF_SMOKE).collect()
-        if r.jaccard >= 0.9
     }
-    cont = {
-        (r.doc_a, r.doc_b)
-        for r in SPECS["dedup_containment"].builder(spark, SF_SMOKE).collect()
-    }
-    missing = high_j - cont
-    assert not missing, f"high-jaccard pairs missing from containment: {missing}"
+    cont_rows = SPECS["dedup_containment"].builder(spark, SF_SMOKE).collect()
+    assert cont_rows
+    for r in cont_rows:
+        assert r.doc_a < r.doc_b and 0.9 - 1e-9 <= r.containment <= 1.0 + 1e-9
+        assert r.size_a > 0 and r.size_b > 0
+        j = jac.get((r.doc_a, r.doc_b))
+        if j is not None:
+            assert r.containment >= j - 1e-4, (r, j)
 
 
 def test_simhash_hamming_bounds_and_zero_distance_groups(spark):
+    from e_commerce_click_stream_spark.plans.dedup import (
+        _SIMHASH_BAND_BITS,
+        _SIMHASH_BANDS,
+        SIMHASH_BUCKET_CAP,
+    )
+
     rows = SPECS["dedup_simhash_hamming"].builder(spark, SF_SMOKE).collect()
     assert all(0 <= r.hamming <= 3 and r.doc_a < r.doc_b for r in rows)
-    # distance-0 collision groups must reappear as hamming=0 pairs
     zero_pairs = {(r.doc_a, r.doc_b) for r in rows if r.hamming == 0}
     for g in SPECS["dedup_simhash_groups"].builder(spark, SF_SMOKE).collect():
         assert g.n_docs >= 2
-    groups = (
-        SPECS["dedup_simhash"]
-        .builder(spark, SF_SMOKE)
-        .groupBy("simhash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .collect()
-    )
-    for g in groups:
-        ids = g.ids
+    # Distance-0 collision groups must reappear as hamming=0 pairs —
+    # UNLESS every band bucket the group occupies is hot (over the
+    # documented SIMHASH_BUCKET_CAP drop), so compute band occupancy and
+    # assert only for cap-surviving groups.
+    sigs = SPECS["dedup_simhash"].builder(spark, SF_SMOKE).collect()
+    occ: dict[tuple[int, str], int] = {}
+    for r in sigs:
+        for b in range(_SIMHASH_BANDS):
+            key = (b, r.simhash[b * _SIMHASH_BAND_BITS : (b + 1) * _SIMHASH_BAND_BITS])
+            occ[key] = occ.get(key, 0) + 1
+    by_sig: dict[str, list[int]] = {}
+    for r in sigs:
+        by_sig.setdefault(r.simhash, []).append(r.doc_id)
+    for sig, ids in by_sig.items():
+        if len(ids) < 2:
+            continue
+        survives = any(
+            occ[(b, sig[b * _SIMHASH_BAND_BITS : (b + 1) * _SIMHASH_BAND_BITS])]
+            <= SIMHASH_BUCKET_CAP
+            for b in range(_SIMHASH_BANDS)
+        )
+        if not survives:
+            continue
+        ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert (ids[i], ids[j]) in zero_pairs, (ids[i], ids[j])
