@@ -271,3 +271,28 @@ def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "complete",
     )
+
+
+_STREAM_TOP_USERS_SQL = """
+SELECT user_id,
+       round(sum(value), 2) AS revenue,
+       count(*) AS purchases
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY revenue DESC, user_id
+LIMIT 10
+"""
+
+
+@register("streaming_top_users", oracle=_STREAM_TOP_USERS_SQL,
+          tags=("O1", "T4", "topk", "streaming"))
+def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k executed as a real complete-mode stream: the
+    final leaderboard after the replay drains must equal the batch
+    ORDER BY / LIMIT oracle (deterministic tiebreak on user_id)."""
+    from e_commerce_click_stream_spark.streaming.jobs import top_users_stream
+
+    return run_to_completion(
+        top_users_stream(read_events_stream(spark, sf_dir)), "complete"
+    )

@@ -441,3 +441,23 @@ def segment_metrics_stream(events: DataFrame, customers: DataFrame) -> DataFrame
             ).alias("revenue"),
         )
     )
+
+
+def top_users_stream(events: DataFrame, k: int = 10) -> DataFrame:
+    """Streaming top-k: the k highest-revenue users, maintained as the
+    stream progresses. Sorting a streaming aggregate is only legal in
+    complete mode (the sort re-runs over the full re-emitted state each
+    batch — fine here because the state is one row per user, not per
+    event); the deterministic user_id tiebreak keeps the cut stable when
+    revenues tie. The O-series top-k surface on streams, next to the
+    batch TakeOrderedAndProject paths."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("revenue"),
+            F.count("*").alias("purchases"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("user_id"))
+        .limit(k)
+    )
