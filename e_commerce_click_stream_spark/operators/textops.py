@@ -56,3 +56,20 @@ def normalized_text(text_col: str = "text") -> Column:
 
 def fingerprint(text_col: str = "text") -> Column:
     return F.md5(normalized_text(text_col))
+
+
+def signature_bands(sig_col: str, n_bands: int, band_bits: int) -> Column:
+    """Slice a packed bit-string signature into an array of
+    (band_id, band_sig) structs — the LSH OR-of-bands candidate keys.
+    Shared by the sign-LSH (similarity) and SimHash-Hamming (dedup)
+    banding paths so the 1-based substring arithmetic lives in one
+    place."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.substring(sig_col, b * band_bits + 1, band_bits).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )

@@ -791,6 +791,8 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in hours
         ]
     )
+    # checkpoint: both sides of the pair join reference the profile —
+    # lazily each side would re-run the full events aggregation
     prof = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -799,6 +801,7 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.transform("c", lambda x: x / F.col("n")).alias("p"),
         )
+        .localCheckpoint(eager=True)
     )
     dot = F.aggregate(
         F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: x * y),

@@ -26,6 +26,7 @@ from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.textops import (
     fingerprint,
     shingles,
+    signature_bands,
     tokens,
 )
 from e_commerce_click_stream_spark.plans.registry import register
@@ -861,19 +862,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _simhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band_id"),
-                        F.substring(
-                            "simhash", b * _SIMHASH_BAND_BITS + 1, _SIMHASH_BAND_BITS
-                        ).alias("band_sig"),
-                    )
-                    for b in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
+        F.explode(signature_bands("simhash", _SIMHASH_BANDS, _SIMHASH_BAND_BITS)).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_sig")
     kept = (
         bands.groupBy("band_id", "band_sig")

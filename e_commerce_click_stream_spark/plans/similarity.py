@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.operators.textops import signature_bands
 from e_commerce_click_stream_spark.plans.registry import register
 
 TOP_K = 5
@@ -163,15 +164,7 @@ def _with_signature(e: DataFrame) -> DataFrame:
 
 def _bands() -> Column:
     """Slice the packed signature into N_BANDS (band_id, band_sig) structs."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band_id"),
-                F.substring("sig", b * BAND_BITS + 1, BAND_BITS).alias("band_sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+    return signature_bands("sig", N_BANDS, BAND_BITS)
 
 
 _LSH_SQL = f"""

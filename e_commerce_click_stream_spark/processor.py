@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +43,7 @@ from e_commerce_click_stream_spark.streaming.jobs import (
     hourly_metrics_stream,
     read_kafka_stream,
     session_window_metrics_stream,
+    stage_file_as_dir,
 )
 
 
@@ -58,12 +58,7 @@ def _normalized_stream(spark: SparkSession, source: str) -> DataFrame:
     flag must be set before the batch schema probe: the r1-r3 fixture
     encoding stores TIMESTAMP(NANOS), which the reader otherwise rejects."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if os.path.isfile(source):
-        stage_dir = tempfile.mkdtemp(prefix="processor_src_")
-        os.symlink(source, os.path.join(stage_dir, os.path.basename(source)))
-        stream_path = stage_dir
-    else:
-        stream_path = source
+    stream_path = stage_file_as_dir(source) if os.path.isfile(source) else source
     batch = spark.read.parquet(source)
     stream = spark.readStream.schema(ntz_to_ltz(batch.schema)).parquet(stream_path)
     cols = set(stream.columns)
@@ -137,9 +132,10 @@ def main() -> None:
         )
         .start(),
     ]
-    for q in queries:
-        q.awaitTermination() if trigger == "available-now" else None
-    if trigger != "available-now":  # pragma: no cover - continuous mode
+    if trigger == "available-now":
+        for q in queries:
+            q.awaitTermination()
+    else:  # pragma: no cover - continuous mode
         spark.streams.awaitAnyTermination()
     print(json.dumps({"processor": "done", "source": source, "output": out}))
 

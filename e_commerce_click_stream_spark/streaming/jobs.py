@@ -44,6 +44,25 @@ HOURLY_WINDOW = "1 hour"  # T2 (streaming_processor.py:281)
 SESSION_GAP = "30 minutes"  # idiomatic T3 alternative (session_window)
 
 
+def stage_file_as_dir(path: str) -> str:
+    """Stage a single file into a deterministic temp DIRECTORY (symlink,
+    copy-fallback) — the file streaming source only accepts directories.
+    Deterministic (path-keyed) so checkpoints, which bind to the source
+    path, keep resolving the same directory across runs."""
+    tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(stage_dir, exist_ok=True)
+    staged = os.path.join(stage_dir, os.path.basename(path))
+    if not os.path.exists(staged):
+        try:
+            os.symlink(path, staged)
+        except OSError:  # pragma: no cover - fs without symlinks
+            import shutil
+
+            shutil.copyfile(path, staged)
+    return stage_dir
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events fixture (finite replay).
 
@@ -54,19 +73,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
-    # deterministic staging dir: checkpoints bind to the source path, so
-    # re-running against the same checkpoint must see the same directory
-    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
-    stage_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
-    os.makedirs(stage_dir, exist_ok=True)
-    staged = os.path.join(stage_dir, "events.parquet")
-    if not os.path.exists(staged):
-        try:
-            os.symlink(src, staged)
-        except OSError:  # pragma: no cover - fs without symlinks
-            import shutil
-
-            shutil.copyfile(src, staged)
+    stage_dir = stage_file_as_dir(src)
     # NTZ normalization (io.ntz_to_ltz): the staged fixture may store
     # naive timestamp[us], which would surface as TIMESTAMP_NTZ and be
     # rejected by withWatermark(); an explicit TIMESTAMP schema reads the

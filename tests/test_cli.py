@@ -80,28 +80,19 @@ def test_processor_outputs_exist_and_are_consistent(spark, pipeline_dirs):
     assert sessions.count() > 0
 
 
-def test_processor_single_file_fixture_replay(spark):
+def test_processor_single_file_fixture_replay(spark, monkeypatch):
     """The documented default source is a single parquet FILE (the events
     fixture) — the file streaming source requires a directory, so the
     processor must stage it; this is the regression path found by review."""
     out = tempfile.mkdtemp(prefix="cli_out_single_")
-    env = {
-        "CLICKSTREAM_SOURCE": os.path.join("/root/testdata/sf0.001", "events.parquet"),
-        "CLICKSTREAM_OUTPUT": out,
-        "CLICKSTREAM_TRIGGER": "available-now",
-    }
-    old = {k: os.environ.get(k) for k in env}
-    os.environ.update(env)
-    try:
-        from e_commerce_click_stream_spark import processor
+    monkeypatch.setenv(
+        "CLICKSTREAM_SOURCE", os.path.join("/root/testdata/sf0.001", "events.parquet")
+    )
+    monkeypatch.setenv("CLICKSTREAM_OUTPUT", out)
+    monkeypatch.setenv("CLICKSTREAM_TRIGGER", "available-now")
+    from e_commerce_click_stream_spark import processor
 
-        processor.main()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    processor.main()
     dash = spark.read.parquet(os.path.join(out, "dashboard_metrics")).collect()
     n_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert len(dash) == 1 and dash[0].total_events == n_events
