@@ -482,11 +482,12 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 1,
     },
-    # behavioral profiles: one user_id agg builds the 24-dim vectors, the
-    # deliberately-exact pair scan broadcasts one side (profile count ≪
-    # events), top-k via rank pushdown
+    # behavioral profiles: the user_id agg runs once behind a
+    # localCheckpoint (so it is NOT visible in this audited plan — the
+    # plan starts at the checkpointed profile scan), the pair scan
+    # broadcasts one side, top-k via rank pushdown
     "user_activity_similarity": {
-        "contains": ["HashAggregate", "WindowGroupLimit"],
+        "contains": ["WindowGroupLimit"],
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 3,
     },
