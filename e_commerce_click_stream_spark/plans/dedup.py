@@ -898,3 +898,48 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup savings report: what the cluster resolution is worth in bytes
+
+def _savings_sql() -> str:
+    return f"""
+WITH comp AS (
+    SELECT component_id, members FROM ({_cc_sql()}) x
+),
+m AS (
+    SELECT component_id, unnest(string_split(members, ',')) AS doc_s FROM comp
+),
+j AS (
+    SELECT m.component_id, d.doc_id, d.n_chars
+    FROM m JOIN documents d ON d.doc_id = CAST(m.doc_s AS BIGINT)
+)
+SELECT component_id,
+       count(*) AS n_docs,
+       sum(n_chars) AS chars_total,
+       sum(CASE WHEN doc_id = component_id THEN 0 ELSE n_chars END) AS chars_saved
+FROM j
+GROUP BY component_id
+"""
+
+
+@register("dedup_savings_report", oracle=_savings_sql(), tags=("dedup", "reporting"))
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a dedup pipeline is judged by: per near-dup cluster, how
+    many documents and characters are removed when only the canonical
+    (min-doc_id == component_id) member is kept. Composes
+    dedup_connected_components with a documents join on doc_id — the
+    report stage every curation run emits before committing a delete."""
+    comp = dedup_connected_components(spark, sf_dir).select(
+        "component_id", F.explode(F.split("members", ",")).alias("doc_s")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, comp.doc_s.cast("long") == docs.doc_id)
+    return j.groupBy("component_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("component_id"), 0).otherwise(F.col("n_chars"))
+        ).alias("chars_saved"),
+    )
