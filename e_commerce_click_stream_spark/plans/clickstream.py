@@ -651,9 +651,14 @@ def event_props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.explode(F.from_json("props", "map<string,string>")).alias("key", "val"),
     )
+    # try_cast, not cast: under ANSI mode (session default) a plain CAST
+    # throws CAST_INVALID_INPUT on any non-numeric props value; the oracle's
+    # TRY_CAST yields NULL — match that so fixture regeneration with mixed
+    # value types can't desync the two sides.
+    num = F.col("val").try_cast("double")
     return kv.groupBy("event_type", "key").agg(
         F.count("*").alias("n"),
         F.countDistinct("val").alias("n_distinct_values"),
-        F.round(F.min(F.col("val").cast("double")), 4).alias("min_numeric"),
-        F.round(F.max(F.col("val").cast("double")), 4).alias("max_numeric"),
+        F.round(F.min(num), 4).alias("min_numeric"),
+        F.round(F.max(num), 4).alias("max_numeric"),
     )

@@ -555,7 +555,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded by construction. The member list is emitted as a sorted
     comma-joined string: the correctness gate canonicalizes through pandas,
     which cannot hash list cells, so array outputs are serialized on both
-    sides (same discipline as session_cart_contents)."""
+    sides (same discipline as session_cart_contents, driver-green r4)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -754,11 +754,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside jaccard dedup.
 
     Candidates come from a rare-shingle inverted index (df <=
-    CONTAINMENT_DF_CAP): a contained doc shares every one of its shingles
-    with its container, so rare-shingle co-occurrence is a lossless
-    candidate generator for real containments while bounding the
-    self-join at cap²/shingle. Verification is the exact intersection
-    over full shingle arrays, reusing the materialized shingled corpus."""
+    CONTAINMENT_DF_CAP): at containment = 1.0 the smaller doc shares EVERY
+    shingle with its container, so any rare shingle it has co-occurs and
+    the generator is lossless for full containments (with >= 1 rare
+    shingle). At the 0.9 output threshold it is a high-recall heuristic,
+    not lossless: a pair with 0.9 <= containment < 1 is missed iff the
+    smaller doc's rare shingles all fall in its unshared <= 10% (or it has
+    none) — the same documented-recall-cap style as SIMHASH_BUCKET_CAP.
+    The self-join stays bounded at cap²/shingle. Verification is the exact
+    intersection over full shingle arrays, reusing the materialized
+    shingled corpus."""
     sh = _docs_shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("s").alias("sh"))
     kept = (

@@ -1960,18 +1960,26 @@ def nation_coverage_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # exact decimal money math: at 100 TB, double-summing currency drifts with
-# partition count and add order; DECIMAL sums are associative and exact —
-# this query needs NO round() on either side, unlike every double agg
+# partition count and add order; DECIMAL sums are associative and exact.
+# The OUTPUT columns are cast to DOUBLE on both sides: Spark's decimal(28,2)
+# and DuckDB's DECIMAL(38,2) sums stringify differently in the driver's
+# hasher even when cell-identical (CORRECTNESS_r04 red row), and a single
+# exact-decimal -> double cast per *final* value is deterministic — the
+# order-dependence decimal exists to avoid lives in the summation, which
+# stays decimal.
 
 _DECIMAL_SQL = """
 SELECT l_returnflag,
        count(*) AS n_lines,
-       sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS exact_revenue,
-       CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
-                * CAST(round(l_discount, 2) AS DECIMAL(4,2))) AS DECIMAL(18,4))
-           AS exact_discount_amount,
-       min(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS min_price,
-       max(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS max_price
+       CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS exact_revenue,
+       CAST(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))
+                     * CAST(round(l_discount, 2) AS DECIMAL(4,2))) AS DECIMAL(18,4))
+            AS DOUBLE) AS exact_discount_amount,
+       CAST(min(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS min_price,
+       CAST(max(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS max_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -1980,10 +1988,12 @@ GROUP BY l_returnflag
 @register("lineitem_decimal_money", oracle=_DECIMAL_SQL, tags=("decimal", "types", "agg"))
 def lineitem_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Currency aggregation in DECIMAL(18,2): each price is rounded to
-    cents once, cast to decimal, and summed EXACTLY — the only aggregate
-    family in this engine that is bit-identical across engines with no
-    output rounding, because decimal addition is associative (double
-    sums drift with partition count and add order). The P5 decimal
+    cents once, cast to decimal, and summed EXACTLY — decimal addition is
+    associative, so the sum is bit-identical across engines and partition
+    orders (double sums drift with add order). Final columns are cast to
+    DOUBLE only at the very end: one exact decimal -> double conversion
+    per OUTPUT value is deterministic and hash-stable across engines,
+    while the summation itself stays decimal. The P5 decimal
     re-projection (reference db/init.sql NUMERIC columns) applied to
     aggregation."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1994,10 +2004,10 @@ def lineitem_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = price * F.round(F.col("l_discount"), 2).cast("decimal(4,2)")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),
-        F.sum(price).alias("exact_revenue"),
-        F.sum(disc).cast("decimal(18,4)").alias("exact_discount_amount"),
-        F.min(price).alias("min_price"),
-        F.max(price).alias("max_price"),
+        F.sum(price).cast("double").alias("exact_revenue"),
+        F.sum(disc).cast("decimal(18,4)").cast("double").alias("exact_discount_amount"),
+        F.min(price).cast("double").alias("min_price"),
+        F.max(price).cast("double").alias("max_price"),
     )
 
 

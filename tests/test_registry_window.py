@@ -5,13 +5,27 @@ queries (dict-insertion order). These tests pin the window's
 composition so a refactor can't silently push a must-verify query out
 of it: every name in ``_VERIFY_FIRST`` must exist, land inside the
 first 50, and keep its oracle; duplicates or dead names in the list
-are registration bugs."""
+are registration bugs. The coverage guard (VERDICT r4 #5) additionally
+requires every registered query to sit in the window OR hold an
+ever-green driver row recorded in the committed ``evergreen.json`` —
+so registering a new operator without giving it a verify slot fails CI
+instead of shipping driver-unproven (the round-4 process slip)."""
 
 from __future__ import annotations
+
+import json
+import os
 
 from e_commerce_click_stream_spark.plans.registry import _VERIFY_FIRST, all_specs
 
 WINDOW = 50
+
+_EVERGREEN_PATH = os.path.join(os.path.dirname(__file__), "evergreen.json")
+
+
+def _evergreen() -> dict[str, dict]:
+    with open(_EVERGREEN_PATH) as f:
+        return json.load(f)
 
 
 def test_verify_first_names_all_registered():
@@ -39,3 +53,30 @@ def test_window_queries_have_oracles():
     names = list(specs)[:WINDOW]
     no_oracle = [n for n in names if specs[n].oracle is None]
     assert not no_oracle, f"window queries without oracles: {no_oracle}"
+
+
+def test_every_registered_query_has_a_verify_slot_or_evergreen_row():
+    """VERDICT r4 #5: no registration without driver proof or a slot.
+
+    A query may ship only if it (a) sits inside the driver-verify window
+    this round, or (b) already holds an ever-green driver CORRECTNESS row
+    (tests/evergreen.json, regenerated from CORRECTNESS_r*.json by
+    scripts/gen_evergreen.py). Anything else is a new operator that would
+    ship never-driver-verified — the exact round-4 process slip."""
+    specs = all_specs()
+    evergreen = _evergreen()
+    window = set(list(specs)[:WINDOW])
+    unproven = [n for n in specs if n not in window and n not in evergreen]
+    assert not unproven, (
+        f"registered without a verify slot or ever-green driver row: {unproven}; "
+        "add them to _VERIFY_FIRST (plans/registry.py) or regenerate "
+        "tests/evergreen.json"
+    )
+
+
+def test_evergreen_names_still_registered():
+    # a renamed/deleted query must not leave a dangling evergreen entry
+    # silently satisfying the coverage guard for a name that no longer runs
+    specs = all_specs()
+    dangling = [n for n in _evergreen() if n not in specs]
+    assert not dangling, f"evergreen.json names not registered: {dangling}"

@@ -148,3 +148,21 @@ def test_orc_predicate_pushdown_reaches_scan(spark, events_subset):
         .toString()
     )
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_embeddings_vec_id_unique_at_every_sf():
+    """Pin the invariant embedding_kmeans_iter's assignment groupBy relies
+    on (plans/similarity.py): vec_id is the embeddings PK, so grouping by
+    vec_id alone (vector riding inside the min_by struct, narrow shuffle
+    key) cannot merge distinct vectors. The DuckDB oracle groups by
+    (vec_id, v); if the driver ever regenerates embeddings with duplicate
+    ids the two sides would silently diverge — fail fast here instead."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n, n_ids = con.execute(
+            f"SELECT count(*), count(DISTINCT vec_id) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()
+        assert n == n_ids, f"{sf_dir}: {n - n_ids} duplicate vec_id values"
+    con.close()
