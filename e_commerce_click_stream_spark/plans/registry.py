@@ -46,13 +46,19 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r2, so r1/r2-only green rows are stale proof. Slots 1-7 = the 7
     # never-green oracle-backed queries (lineitem_decimal_money red in r4 —
     # decimal outputs now cast to DOUBLE — plus the 6 ops registered after
-    # the r4 window was packed); the rest = 43 of the 45 queries whose only
-    # green rows predate the regeneration, headline + clickstream §2 family
-    # first. The 2 lowest-priority stale queries (simple scalar-function
-    # shapes, both driver_sim-green on current fixtures) rotate in r6.
+    # the r4 window was packed) + the 2 plans rewritten for scale this round;
+    # the rest = 41 of the 45 queries whose only green rows predate the
+    # regeneration, headline + clickstream §2 family first. The 4 deferred
+    # stale queries (simple scalar/setop shapes: part_string_functions,
+    # order_date_functions, order_price_dispersion, nation_set_ops — all
+    # driver_sim-green on current fixtures) rotate in r6.
     # never driver-verified
     "lineitem_decimal_money",
     "event_props_map_profile",
+    # changed this round (r5 perf rewrites: broadcast-rank BSP join;
+    # zero-shuffle kmeans assignment) — r4 proof no longer covers the code
+    "pagerank_bipartite",
+    "embedding_kmeans_iter",
     "dedup_savings_report",
     "doc_language_confusion",
     "streaming_top_users",
@@ -102,8 +108,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_simhash_groups",
     "embedding_norms",
-    "order_price_dispersion",
-    "nation_set_ops",
 )
 
 

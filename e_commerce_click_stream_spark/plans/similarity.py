@@ -635,13 +635,15 @@ GROUP BY a.cell
 def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three Lloyd's iterations of k-means (k=8, seeded from the first 8
     corpus vectors) — training the coarse codebook the ann_ivf_* queries
-    consume. Per round: centroids broadcast against the corpus (the
-    corpus never shuffles for assignment), argmin via min_by with an id
-    tiebreak, then recentering as a per-(cell, dimension) mean — rows =
-    n·d with a key-local shuffle, no single-partition reassembly of
-    anything bigger than k centroid arrays. Centroids are checkpointed
-    per round (k rows) so lineage stays flat. Output: final cell sizes +
-    centroid vectors."""
+    consume. Per round: the k centroids pack into a 1-row broadcast array
+    and every corpus vector computes its argmin cell as a narrow per-row
+    expression — the assignment step shuffles NOTHING — then recentering
+    is a per-(cell, dimension) mean: rows = n·d with a key-local shuffle,
+    no single-partition reassembly of anything bigger than k centroid
+    arrays. Centroids are checkpointed per round (k rows) so lineage
+    stays flat; the final assignment is checkpointed once because two
+    consumers read it and a narrow plan has no shuffle output to reuse.
+    Output: final cell sizes + centroid vectors."""
     n = _vecs(spark, sf_dir).select(
         "vec_id",
         "v",
@@ -658,26 +660,53 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cn2_of(F.col("v")).alias("cn2"),
     )
     assign = None
-    for _ in range(KMEANS_ITERS):
-        dist = F.round(
-            F.col("vn2") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("cn2"), 6
+    for it in range(KMEANS_ITERS):
+        # ZERO-SHUFFLE assignment: the k centroids collapse into ONE row
+        # holding a cent_id-sorted array of (cent_id, cv, cn2) structs; that
+        # row broadcasts and each corpus vector folds over the array to find
+        # its argmin centroid — a narrow per-row expression. The previous
+        # shape (crossJoin to n×k rows, then groupBy(vec_id).min_by) paid an
+        # n-row exchange carrying the 64-dim vector EVERY iteration; at
+        # corpus scale that shuffle — not the FLOPs — is the iteration cost.
+        # Same pattern as the sign-LSH 1-row packed plane broadcast.
+        # Tie semantics unchanged: score = round(dist², 6) + cent_id·1e-12 is
+        # unique per centroid, and array_min over (score, cent_id) structs
+        # (lexicographic: score first) picks the same winner as min_by did;
+        # the DuckDB oracle is the identical arg_min recursion. transform
+        # computes each centroid's score exactly once.
+        cent_row = cent.agg(
+            F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn2"))).alias("cents")
         )
-        # groupBy vec_id ONLY: hashing/comparing the 64-dim vector in the
-        # grouping key widens the shuffle for nothing — the vector rides
-        # along inside the min_by struct instead, so exactly one narrow-keyed
-        # row per vector reaches the exchange. Invariant: vec_id is the
-        # embeddings PK (unique), so dropping v from the key cannot merge
-        # distinct vectors; the DuckDB oracle still groups by (vec_id, v).
-        assign = (
-            n.crossJoin(F.broadcast(cent))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cent_id", "v"), dist + F.col("cent_id") * 1e-12
-                ).alias("best")
+
+        def _score(c):
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), c["cv"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, x: s + x,
             )
-            .select("vec_id", F.col("best.v").alias("v"), F.col("best.cent_id").alias("cell"))
+            return (
+                F.round(F.col("vn2") - 2 * dot + c["cn2"], 6) + c["cent_id"] * 1e-12
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _score(c).cast("double").alias("score"),
+                    c["cent_id"].cast("bigint").alias("cell"),
+                ),
+            )
         )
+        assign = (
+            n.crossJoin(F.broadcast(cent_row))
+            .select("vec_id", "v", best["cell"].alias("cell"))
+        )
+        if it == KMEANS_ITERS - 1:
+            # the last assignment is consumed TWICE (recenter for the output
+            # centroids + the final cell-size count); narrow plans have no
+            # shuffle output to reuse, so without this the n×k distance pass
+            # runs twice (measured 2.60 → 2.42 s at sf0.1)
+            assign = assign.localCheckpoint(eager=True)
         dims = (
             assign.select("cell", F.posexplode("v").alias("dim", "val"))
             .groupBy("cell", "dim")
@@ -696,7 +725,9 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assign.groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
-        .join(cent, F.col("cell") == F.col("cent_id"))
+        # k rows; checkpointed RDDs have no stats, so un-hinted this 8×8
+        # join planned as a full SortMergeJoin (exchange + sort both sides)
+        .join(F.broadcast(cent), F.col("cell") == F.col("cent_id"))
         .select(
             "cell",
             "n_vectors",

@@ -442,12 +442,24 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 3,
     },
-    # BSP pagerank: edge build + per-round join/agg; rank joins stay hash
-    # equi-joins, the only BNLJ is the 1-row node count broadcast
+    # BSP pagerank: the per-round rank⋈edges join must be a BROADCAST hash
+    # join (checkpointed edges report UnknownPartitioning, so a shuffle join
+    # re-exchanges + sorts the whole edge list every round — the r4
+    # regression); the checkpointed 1-row node count kills the per-round
+    # edge-scan recompute. Final-round plan: 1 shuffle Exchange (dst agg)
+    # + broadcasts only.
     "pagerank_bipartite": {
-        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
-        "not_contains": ["CartesianProduct"],
-        "max_exchanges": 11,
+        "contains": ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # k-means final round (earlier rounds sit behind checkpoints): the cell
+    # count is ONE exchange over the checkpointed zero-shuffle assignment;
+    # joining the k-row centroid table must broadcast, never sort-merge
+    "embedding_kmeans_iter": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
     },
     # windowed EWMA: one user_id exchange shared by the collect-frame,
     # row_number, and partition count windows; pure expression fold, no
