@@ -706,6 +706,66 @@ def dedup_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# split leakage: assign a deterministic train/eval split, then audit the
+# near-dup pair relation for pairs that CROSS it — the reason dedup runs
+# before a split is trusted (an eval doc with a train near-twin is a
+# leaked answer, invisible to source-level checks when both docs share a
+# source)
+
+_SPLIT_LEAKAGE_SQL = f"""
+WITH pairs AS ({_minhash_sql()}),
+lab AS (
+    SELECT CASE WHEN ascii(substring(md5(CAST(doc_a AS VARCHAR)), 1, 1)) % 10 < 2
+                THEN 'eval' ELSE 'train' END AS sa,
+           CASE WHEN ascii(substring(md5(CAST(doc_b AS VARCHAR)), 1, 1)) % 10 < 2
+                THEN 'eval' ELSE 'train' END AS sb,
+           doc_a, doc_b
+    FROM pairs
+),
+ex AS (
+    SELECT concat_ws('-', least(sa, sb), greatest(sa, sb)) AS pair_class,
+           unnest([doc_a, doc_b]) AS doc_id
+    FROM lab
+)
+SELECT pair_class,
+       CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+       count(DISTINCT doc_id) AS n_docs
+FROM ex
+GROUP BY pair_class
+"""
+
+
+@register("train_eval_split_leakage", oracle=_SPLIT_LEAKAGE_SQL,
+          tags=("dedup", "leakage", "sampling"))
+def train_eval_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage ACROSS a holdout split: documents get the same
+    deterministic md5-bucket split a 100 TB pipeline would use (the
+    deterministic_sample discipline — reproducible across engines, runs,
+    and partitionings, unlike rand()), and the MinHash-LSH pair relation
+    is classified by the splits it touches. 'eval-train' rows are leaked
+    eval answers; n_docs counts the distinct documents implicated. The
+    labeling is a per-row hash on the (bounded, banded-LSH) pair set —
+    no joins beyond the reused pair pipeline, one grid aggregation."""
+    split_of = lambda c: F.when(  # noqa: E731
+        F.ascii(F.substring(F.md5(c.cast("string")), 1, 1)) % 10 < 2, "eval"
+    ).otherwise("train")
+    lab = dedup_minhash_lsh(spark, sf_dir).select(
+        split_of(F.col("doc_a")).alias("sa"),
+        split_of(F.col("doc_b")).alias("sb"),
+        "doc_a",
+        "doc_b",
+    )
+    ex = lab.select(
+        F.concat_ws("-", F.least("sa", "sb"), F.greatest("sa", "sb")).alias("pair_class"),
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    return ex.groupBy("pair_class").agg(
+        (F.count("*") / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # containment (doc-in-doc) near-dup: the asymmetric complement of jaccard
 
 CONTAINMENT_THRESHOLD = 0.9

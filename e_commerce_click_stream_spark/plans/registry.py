@@ -46,12 +46,14 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r2, so r1/r2-only green rows are stale proof. Slots 1-7 = the 7
     # never-green oracle-backed queries (lineitem_decimal_money red in r4 —
     # decimal outputs now cast to DOUBLE — plus the 6 ops registered after
-    # the r4 window was packed) + the 2 plans rewritten for scale this round;
-    # the rest = 41 of the 45 queries whose only green rows predate the
-    # regeneration, headline + clickstream §2 family first. The 4 deferred
-    # stale queries (simple scalar/setop shapes: part_string_functions,
-    # order_date_functions, order_price_dispersion, nation_set_ops — all
-    # driver_sim-green on current fixtures) rotate in r6.
+    # the r4 window was packed), the 2 plans rewritten for scale this round,
+    # and the 3 new r5 operators; the rest = 38 of the 45 queries whose only
+    # green rows predate the regeneration, headline + clickstream §2 family
+    # first. The 7 deferred stale queries (simple scalar/setop/stat shapes:
+    # part_string_functions, order_date_functions, order_price_dispersion,
+    # nation_set_ops, embedding_norms, dedup_exact_stats,
+    # dedup_simhash_groups — all driver_sim-green on current fixtures)
+    # rotate in r6.
     # never driver-verified
     "lineitem_decimal_money",
     "event_props_map_profile",
@@ -59,6 +61,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # zero-shuffle kmeans assignment) — r4 proof no longer covers the code
     "pagerank_bipartite",
     "embedding_kmeans_iter",
+    # new this round — never driver-verified
+    "customer_rolling_spend_90d",
+    "customer_purchase_streaks",
+    "train_eval_split_leakage",
     "dedup_savings_report",
     "doc_language_confusion",
     "streaming_top_users",
@@ -104,10 +110,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q12_priority_shipping",
     "q18_large_volume_customers",
     "dedup_exact",
-    "dedup_exact_stats",
     "dedup_simhash",
-    "dedup_simhash_groups",
-    "embedding_norms",
 )
 
 

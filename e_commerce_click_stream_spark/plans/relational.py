@@ -381,6 +381,96 @@ def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLING90_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       o_orderdate,
+       round(sum(o_totalprice) OVER w, 2) AS spend_90d,
+       count(*) OVER w AS n_orders_90d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+             RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("customer_rolling_spend_90d", oracle=_ROLLING90_SQL, tags=("window", "range-frame"))
+def customer_rolling_spend_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-90-day spend per order via a RANGE window frame over epoch
+    days — the time-based frame ROWS frames can't express (a customer's
+    order count per frame varies, so "last N rows" is wrong; the frame
+    must be "orders whose date falls in [d-89, d]"). Epoch-day integers
+    keep the frame bound arithmetic identical across engines, and peers
+    on the same day share one frame on both sides by RANGE semantics.
+    One hash exchange on o_custkey shared by both window aggregates; no
+    joins — the shape survives any scale the window partition fits."""
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )
+
+
+_STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT o_custkey, o_orderdate::DATE AS d FROM orders
+),
+isl AS (
+    SELECT o_custkey, d,
+           (d - DATE '1970-01-01')
+           - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
+    FROM days
+),
+runs AS (
+    SELECT o_custkey, grp, count(*) AS len FROM isl GROUP BY o_custkey, grp
+)
+SELECT o_custkey,
+       count(*) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS n_order_days,
+       max(len) AS longest_streak
+FROM runs
+GROUP BY o_custkey
+"""
+
+
+@register("customer_purchase_streaks", oracle=_STREAKS_SQL, tags=("window", "gaps-islands"))
+def customer_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE order days per
+    customer. The classic trick — epoch_day − row_number() is constant
+    exactly within a consecutive run, so runs fall out of a groupBy with
+    no self-join or iteration. Plan: one exchange for the (custkey, day)
+    distinct, one for the custkey window; the two stacked groupBys reuse
+    the window's custkey partitioning (grouping keys prefix-extend it),
+    so streak assembly adds zero shuffles at any scale."""
+    days = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = days.select(
+        "o_custkey",
+        (
+            F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("o_custkey", "grp").agg(F.count("*").alias("len"))
+    return runs.groupBy("o_custkey").agg(
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_order_days"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rollup / pivot / set ops
 

@@ -453,6 +453,21 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 1,
     },
+    # RANGE-interval frame: one custkey exchange shared by both window
+    # aggregates; pure window math, no joins
+    "customer_rolling_spend_90d": {
+        "contains": ["Window"],
+        "not_contains": ["Join", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        "max_exchanges": 1,
+    },
+    # gaps-and-islands: (cust, day) distinct + cust window; the stacked
+    # run/streak groupBys must reuse the window's custkey partitioning
+    # (grouping keys prefix-extend it) — no third exchange
+    "customer_purchase_streaks": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
     # k-means final round (earlier rounds sit behind checkpoints): the cell
     # count is ONE exchange over the checkpointed zero-shuffle assignment;
     # joining the k-row centroid table must broadcast, never sort-merge
