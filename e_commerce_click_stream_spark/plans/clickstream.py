@@ -662,3 +662,79 @@ def event_props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(num), 4).alias("min_numeric"),
         F.round(F.max(num), 4).alias("max_numeric"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: merge a stored partial-aggregate state with
+# a late-arriving batch and land on EXACTLY the full recompute
+
+
+@register("hourly_metrics_incremental", oracle=_HOURLY_SQL,
+          tags=("A4", "incremental", "ivm"))
+def hourly_metrics_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of ``hourly_metrics``: 80% of events play
+    the role of an already-materialized aggregate STATE, the other 20% a
+    late batch; both are reduced to (hour, user) PARTIALS (counts / sums —
+    every merge-safe statistic), unioned, merged by key, and only then
+    collapsed to the hourly grain. ``count(DISTINCT user_id)`` — the one
+    non-mergeable statistic in the view — survives because the partial
+    grain keys by user: after the merge each (hour, user) contributes
+    exactly one row, so the final distinct is a plain ``count(*)``.
+
+    The oracle is the FULL recompute: incremental maintenance is only
+    correct if state ∪ batch re-aggregates to the identical view. Scale
+    shape: at 100 TB the state side is a stored table (never rescanned
+    from raw events); here both sides derive from the same scan split by
+    a deterministic key. Union of co-keyed partials merges in one
+    shuffle; the final hour-grain agg is a second — the price of distinct
+    correctness under increments."""
+    ev = _events(spark, sf_dir)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_timestamp"),
+            F.col("user_id"),
+        ).agg(
+            F.count("*").alias("total_events"),
+            _cond_count("view").alias("page_views"),
+            _cond_count("click").alias("cart_additions"),
+            _cond_count("purchase").alias("purchases"),
+            F.sum(
+                F.when(_is("purchase"), F.col("value")).otherwise(F.lit(0.0))
+            ).alias("revenue"),
+        )
+
+    state = partials(ev.filter(F.col("event_id") % 10 < 8))
+    batch = partials(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("hour_timestamp", "user_id")
+        .agg(
+            F.sum("total_events").alias("total_events"),
+            F.sum("page_views").alias("page_views"),
+            F.sum("cart_additions").alias("cart_additions"),
+            F.sum("purchases").alias("purchases"),
+            F.sum("revenue").alias("revenue"),
+        )
+    )
+    out = merged.groupBy("hour_timestamp").agg(
+        F.sum("total_events").alias("total_events"),
+        F.count("*").alias("unique_users"),
+        F.sum("page_views").alias("page_views"),
+        F.sum("cart_additions").alias("cart_additions"),
+        F.sum("purchases").alias("purchases"),
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+    )
+    conv = F.when(
+        F.col("page_views") > 0, F.col("purchases") * 100.0 / F.col("page_views")
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("conversion_rate", F.round(conv, 2)).select(
+        "hour_timestamp",
+        "total_events",
+        "unique_users",
+        "page_views",
+        "cart_additions",
+        "purchases",
+        "conversion_rate",
+        "revenue",
+    )

@@ -2309,3 +2309,114 @@ def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered anti-join: the runtime-filter (semi-join reduction)
+# pattern — subtract a large blocklist from a huge fact table without
+# shuffling the fact rows that obviously don't match
+
+BLOOM_BITS = 8192  # 128 longs; fpp ~ (1 - e^(-k*n/m))^k, sized for the demo
+BLOOM_HASHES = 4
+
+_BLOOM_ANTI_SQL = """
+SELECT l.l_linestatus,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS clean_revenue
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderpriority = '1-URGENT'
+                    AND o.o_orderkey = l.l_orderkey)
+GROUP BY l.l_linestatus
+"""
+
+
+def _bloom_positions(key: str) -> F.Column:
+    """k portable bit positions per key (xxhash64 with k seeds, mod m)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(BLOOM_BITS))
+            for s in range(BLOOM_HASHES)
+        ]
+    )
+
+
+@register(
+    "bloom_prefiltered_antijoin",
+    oracle=_BLOOM_ANTI_SQL,
+    tags=("anti-join", "bloom", "runtime-filter"),
+)
+def bloom_prefiltered_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist subtraction via an explicit Bloom runtime filter: build an
+    8192-bit Bloom filter over the flagged order keys AS AN AGGREGATE
+    (per-key bit masks → bit_or per 64-bit word → one 128-long array
+    row), broadcast it, and route every lineitem whose key is DEFINITELY
+    absent straight to the aggregate with a pure projection — no join at
+    all; only the bloom-positive candidates run the EXACT anti-join.
+    False positives are removed by that join; false negatives are
+    impossible by construction, so the union equals the plain NOT EXISTS
+    oracle.
+
+    Scale shape: this is Spark's own runtime-filter/semi-join-reduction
+    strategy made explicit. The fact table is never shuffled for the
+    subtraction — the Bloom rides a 1-row broadcast (fixed 1 KiB
+    regardless of blocklist size at this m), the prefilter is
+    whole-stage-codegen'd, and the exact anti-join only pays for rows
+    that pass (true matches + ~fpp of the rest) instead of the full
+    fact."""
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    flagged = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+
+    words = (
+        flagged.select(F.explode(_bloom_positions("o_orderkey")).alias("pos"))
+        .select(
+            F.expr("int(pos div 64)").alias("word"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    # materialize the 1-row bloom once — both union branches reference it,
+    # and without the checkpoint Catalyst re-plans the whole build subtree
+    # (scan → explode → two aggs) under each branch
+    bloom = (
+        words.agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {BLOOM_BITS // 64 - 1}),"
+                " w -> coalesce(element_at(m, w), 0L))"
+            ).alias("bloom")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    probe = lineitem.withColumn("ppos", _bloom_positions("l_orderkey")).join(
+        F.broadcast(bloom)
+    )
+    might_contain = F.expr(
+        "forall(ppos, p -> (bloom[int(p div 64)] & shiftleft(1L, int(p % 64))) != 0)"
+    )
+    # Bloom-negative rows are PROVABLY clean — they join nothing and flow
+    # straight to the aggregate; only bloom-positive candidates (true
+    # matches + ~fpp false positives) pay for the exact anti-join.
+    clean_certain = probe.filter(~might_contain).drop("bloom", "ppos")
+    candidates = probe.filter(might_contain).drop("bloom", "ppos")
+    clean_verified = candidates.join(
+        flagged, candidates.l_orderkey == flagged.o_orderkey, "left_anti"
+    )
+    return (
+        clean_certain.unionByName(clean_verified)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("clean_revenue"),
+        )
+    )

@@ -1316,3 +1316,52 @@ def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("in_lsh") * 1.0 / F.count("*"), 6).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension feature statistics: the normalization-constant pass a
+# feature pipeline runs before scaling / whitening embedding columns
+
+_DIM_STATS_SQL = """
+WITH dims AS (
+    SELECT s.d AS dim, s.x::DOUBLE AS x
+    FROM (SELECT unnest([{'d': i - 1, 'x': embedding[i]}
+                         for i in range(1, len(embedding) + 1)]) AS s
+          FROM embeddings)
+)
+SELECT dim,
+       count(*) AS n_vecs,
+       round(avg(x), 6) AS mean,
+       round(stddev_samp(x), 6) AS stddev,
+       round(min(x), 6) AS vmin,
+       round(max(x), 6) AS vmax,
+       round(max(x) - min(x), 6) AS value_range
+FROM dims
+GROUP BY dim
+"""
+
+
+@register("embedding_dim_stats", oracle=_DIM_STATS_SQL, tags=("similarity", "features"))
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / stddev / min / max over the embedding corpus —
+    the constants a standard-scaler (or SQ8 range quantizer) needs before
+    normalizing a feature column for training.
+
+    Scale shape: posexplode fans each vector out to (dim, value) rows,
+    then ONE hash agg on the 64-key dim column; every statistic is
+    associative (count/sum/sumsq/min/max), so partial aggregation
+    collapses each map partition to |dim| rows before the shuffle —
+    shuffle volume is O(partitions x dims), independent of corpus size."""
+    v = _vecs(spark, sf_dir)
+    return (
+        v.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.stddev_samp("x"), 6).alias("stddev"),
+            F.round(F.min("x"), 6).alias("vmin"),
+            F.round(F.max("x"), 6).alias("vmax"),
+            F.round(F.max("x") - F.min("x"), 6).alias("value_range"),
+        )
+    )

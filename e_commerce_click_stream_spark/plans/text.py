@@ -976,3 +976,171 @@ def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6).alias("row_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup: remove corpus-duplicated passages and REWRITE the
+# document — the CCNet/C4 boilerplate-removal step that operates below
+# document granularity (doc_gram_contamination only measures; this cleans)
+
+PASSAGE_TOKENS = 10
+
+_PASSAGE_DEDUP_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+    SELECT doc_id, s.i AS i,
+           s.c AS chunk,
+           md5(s.c) AS fp
+    FROM (
+        SELECT doc_id,
+               unnest([{{'i': i,
+                         'c': array_to_string(
+                             t[i * {PASSAGE_TOKENS} + 1 : (i + 1) * {PASSAGE_TOKENS}],
+                             ' ')}}
+                       for i in range(0, cast(ceil(len(t) / {PASSAGE_TOKENS}.0) AS INT))]) AS s
+        FROM toks)
+),
+df AS (SELECT fp, count(*) AS cnt FROM chunks GROUP BY fp)
+SELECT c.doc_id,
+       count(*) AS n_passages,
+       sum(CASE WHEN df.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS removed_passages,
+       length(coalesce(string_agg(CASE WHEN df.cnt = 1 THEN c.chunk END, ' '
+                                  ORDER BY c.i), ''))::BIGINT AS kept_chars,
+       md5(coalesce(string_agg(CASE WHEN df.cnt = 1 THEN c.chunk END, ' '
+                               ORDER BY c.i), '')) AS cleaned_fp
+FROM chunks c JOIN df USING (fp)
+GROUP BY c.doc_id
+"""
+
+
+@register(
+    "doc_passage_dedup",
+    oracle=_PASSAGE_DEDUP_SQL,
+    tags=("text", "dedup", "rewrite"),
+)
+def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup with document REWRITE: split each document
+    into consecutive 10-token passages, drop every passage whose md5
+    occurs more than once corpus-wide (boilerplate / duplicated spans),
+    and reassemble the surviving passages in order. Emits per-doc passage
+    counts plus the cleaned text's length and fingerprint — the
+    sub-document cleaning step (CCNet paragraph dedup / C4 line dedup)
+    that document-level dedup cannot express.
+
+    Scale shape (same discipline as doc_gram_contamination): zero-shuffle
+    chunking via a sequence/slice projection, posexplode to
+    (doc, idx, passage), hash-agg passage frequency on uniform md5 keys
+    (partial agg shrinks hot boilerplate map-side), fan-out-exactly-1
+    join back, then one re-agg by doc that rebuilds the text with
+    sort_array over (idx, passage) structs — no pair explosion, three
+    key-local shuffles at any corpus size."""
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens().alias("t")
+    )
+    chunk_arr = F.when(
+        F.size("t") >= 1,
+        F.expr(
+            f"transform(sequence(0, int(ceil(size(t) / {PASSAGE_TOKENS}.0)) - 1),"
+            f" i -> concat_ws(' ', slice(t, i * {PASSAGE_TOKENS} + 1, {PASSAGE_TOKENS})))"
+        ),
+    ).otherwise(F.expr("cast(array() AS array<string>)"))
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("i", "chunk")
+    ).withColumn("fp", F.md5("chunk"))
+    df = chunks.groupBy("fp").agg(F.count("*").alias("cnt"))
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("cnt") == 1, F.struct(F.col("i"), F.col("chunk")))
+        )
+    )
+    cleaned = F.concat_ws(" ", F.expr("transform(kept, s -> s.chunk)"))
+    return (
+        chunks.join(df, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("removed_passages"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "removed_passages",
+            F.length(cleaned).cast("long").alias("kept_chars"),
+            F.md5(cleaned).alias("cleaned_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (hashing-trick TF vectors): fixed-width featurization with
+# NO vocabulary pass — the streaming-friendly alternative to tfidf_top_terms
+
+HASH_DIM = 32
+
+# portable token bucket: two md5 hex chars -> int, identical in both engines
+_BUCKET_SPARK = f"(ascii(substr(md5(x), 1, 1)) * 256 + ascii(substr(md5(x), 2, 1))) % {HASH_DIM}"
+_BUCKET_DUCK = _BUCKET_SPARK
+
+_HASHED_TF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(string_split_regex(trim(text), '\\s+'),
+                          x -> {_BUCKET_DUCK}) AS tb
+    FROM documents
+)
+SELECT doc_id,
+       len(tb) AS n_tokens,
+       list_transform(range(0, {HASH_DIM}),
+                      b -> len(list_filter(tb, v -> v = b))) AS tf,
+       len(list_filter(list_transform(range(0, {HASH_DIM}),
+                                      b -> len(list_filter(tb, v -> v = b))),
+                       c -> c > 0)) AS nnz,
+       round(sqrt(list_sum(list_transform(
+           list_transform(range(0, {HASH_DIM}), b -> len(list_filter(tb, v -> v = b))),
+           c -> (c * c)::DOUBLE))), 6) AS l2_norm
+FROM toks
+"""
+
+
+@register("doc_hashed_tf_vectors", oracle=_HASHED_TF_SQL, tags=("text", "features", "hashing"))
+def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency vectors: every token is bucketed by a
+    portable md5-derived hash into a fixed HASH_DIM(=32)-wide vector — the
+    vocabulary-free featurization (sklearn HashingVectorizer / Vowpal
+    Wabbit) that needs no corpus-wide fit pass, so it runs identically
+    over a stream, a new shard, or 100 TB without coordinating a
+    dictionary. Emits the TF vector plus its sparsity and L2 norm.
+
+    Scale shape: pure per-row projection — tokens are bucketed once
+    (one md5 per token), the vector is a zero-shuffle higher-order
+    fold; no join, no agg, no vocabulary broadcast."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"transform(split(trim(text), '\\\\s+'), x -> {_BUCKET_SPARK})"
+        ).alias("tb"),
+    )
+    tf = F.expr(
+        f"transform(sequence(0, {HASH_DIM - 1}),"
+        " b -> cast(size(filter(tb, v -> v = b)) AS bigint))"
+    )
+    docs = docs.select("doc_id", F.size("tb").cast("long").alias("n_tokens"), tf.alias("tf"))
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        "tf",
+        F.expr("cast(size(filter(tf, c -> c > 0)) AS bigint)").alias("nnz"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("tf"), lambda c: (c * c).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    )

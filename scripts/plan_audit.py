@@ -524,6 +524,44 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 2,
     },
+    # passage rewrite: zero-shuffle chunking (Generate), df agg + fan-out-1
+    # equi-join back + doc re-agg — key-local shuffles only, no pair join
+    "doc_passage_dedup": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
+    },
+    # explicit runtime filter: the bloom is built ONCE behind a
+    # localCheckpoint and rides a 1-row BNLJ broadcast into both union
+    # branches; the fact side is never exchanged before the prefilter —
+    # the only shuffle is the final aggregate, and no full-fact SMJ may
+    # appear
+    "bloom_prefiltered_antijoin": {
+        "contains": ["BroadcastNestedLoopJoin", "Union", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
+    # posexplode fan-out + ONE hash agg on the 64-key dim column; all
+    # statistics associative so partials collapse map-side
+    "embedding_dim_stats": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct", "Window"],
+        "max_exchanges": 1,
+    },
+    # incremental view maintenance: two partial-grain aggs + union merge +
+    # final-grain agg; strictly no join anywhere
+    "hourly_metrics_incremental": {
+        "contains": ["Union", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 5,
+    },
+    # hashing-trick featurization is a pure projection: no shuffle, no
+    # join, no Python
+    "doc_hashed_tf_vectors": {
+        "contains": ["Project"],
+        "not_contains": ["Exchange", "Join", "HashAggregate", "BatchEvalPython"],
+        "max_exchanges": 0,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)

@@ -1,0 +1,142 @@
+"""Invariant tests for the round-5 operators, independent of the DuckDB
+oracles (which could share a bug with the Spark side): pure-Python
+recomputations of the passage rewrite and hashed TF vectors, Bloom
+subtraction vs a plain anti-join, and merge-equals-recompute for the
+incremental view."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from e_commerce_click_stream_spark.plans.text import HASH_DIM, PASSAGE_TOKENS
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_passage_dedup_matches_python_recomputation(spark):
+    """Recompute the chunk split / global-count removal / reassembly in
+    plain Python for every document and compare all output columns."""
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    chunks: dict[int, list[str]] = {
+        d: [
+            " ".join(t[i * PASSAGE_TOKENS : (i + 1) * PASSAGE_TOKENS])
+            for i in range(math.ceil(len(t) / PASSAGE_TOKENS))
+        ]
+        for d, t in docs.items()
+    }
+    counts: dict[str, int] = {}
+    for cs in chunks.values():
+        for c in cs:
+            counts[c] = counts.get(c, 0) + 1
+    out = SPECS["doc_passage_dedup"].builder(spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in out} == set(docs)
+    for r in out:
+        cs = chunks[r.doc_id]
+        kept = [c for c in cs if counts[c] == 1]
+        cleaned = " ".join(kept)
+        assert r.n_passages == len(cs)
+        assert r.removed_passages == len(cs) - len(kept)
+        assert r.kept_chars == len(cleaned)
+        assert r.cleaned_fp == _md5(cleaned)
+
+
+def test_bloom_antijoin_equals_plain_antijoin(spark):
+    """The Bloom prefilter must be output-invisible: union(certain,
+    verified) == the plain left_anti join, computed entirely in Spark."""
+    li = table(spark, SF_SMOKE, "lineitem")
+    flagged = table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    exact = (
+        li.join(flagged, li.l_orderkey == flagged.o_orderkey, "left_anti")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("clean_revenue"),
+        )
+    )
+    got = {
+        r.l_linestatus: (r.n_items, r.clean_revenue)
+        for r in SPECS["bloom_prefiltered_antijoin"].builder(spark, SF_SMOKE).collect()
+    }
+    want = {r.l_linestatus: (r.n_items, r.clean_revenue) for r in exact.collect()}
+    assert got == want
+    # and the subtraction did remove something
+    total = li.count()
+    assert sum(n for n, _ in got.values()) < total
+
+
+def test_embedding_dim_stats_bounds(spark):
+    rows = SPECS["embedding_dim_stats"].builder(spark, SF_SMOKE).collect()
+    n = table(spark, SF_SMOKE, "embeddings").count()
+    dim = len(
+        table(spark, SF_SMOKE, "embeddings").select("embedding").first().embedding
+    )
+    assert len(rows) == dim
+    assert sorted(r.dim for r in rows) == list(range(dim))
+    for r in rows:
+        assert r.n_vecs == n
+        assert r.vmin <= r.mean <= r.vmax
+        assert r.stddev >= 0
+        # vmin/vmax are rounded(6) independently of value_range, so the
+        # recomputed difference can drift a full ulp-of-rounding
+        assert abs(r.value_range - round(r.vmax - r.vmin, 6)) <= 2e-6
+
+
+def test_incremental_equals_full_recompute(spark):
+    """The merged state∪batch view must be row-identical to the one-pass
+    hourly_metrics — the definition of correct incremental maintenance."""
+    full = {
+        r.hour_timestamp: r.asDict()
+        for r in SPECS["hourly_metrics"].builder(spark, SF_SMOKE).collect()
+    }
+    inc = {
+        r.hour_timestamp: r.asDict()
+        for r in SPECS["hourly_metrics_incremental"].builder(spark, SF_SMOKE).collect()
+    }
+    assert full.keys() == inc.keys()
+    for k, f in full.items():
+        i = inc[k]
+        for col, v in f.items():
+            if isinstance(v, float):
+                assert abs(v - i[col]) < 1e-6, (k, col)
+            else:
+                assert v == i[col], (k, col)
+
+
+def test_hashed_tf_matches_python_recomputation(spark):
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+
+    def bucket(tok: str) -> int:
+        h = _md5(tok)
+        return (ord(h[0]) * 256 + ord(h[1])) % HASH_DIM
+
+    out = SPECS["doc_hashed_tf_vectors"].builder(spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in out} == set(docs)
+    for r in out:
+        toks = docs[r.doc_id]
+        tf = [0] * HASH_DIM
+        for t in toks:
+            tf[bucket(t)] += 1
+        assert r.n_tokens == len(toks)
+        assert list(r.tf) == tf
+        assert r.nnz == sum(1 for c in tf if c > 0)
+        assert sum(r.tf) == r.n_tokens
+        assert abs(r.l2_norm - round(math.sqrt(sum(c * c for c in tf)), 6)) <= 1e-9
