@@ -47,15 +47,16 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # never-green oracle-backed queries (lineitem_decimal_money red in r4 —
     # decimal outputs now cast to DOUBLE — plus the 6 ops registered after
     # the r4 window was packed), the 2 plans rewritten for scale this round,
-    # and the 8 new r5 operators; the rest = 33 of the 45 queries whose only
-    # green rows predate the regeneration, headline + clickstream §2 family
-    # first. The 12 deferred stale queries (simple scalar/setop/stat shapes
-    # plus five displaced by late-r5 operators: part_string_functions,
-    # order_date_functions, order_price_dispersion, nation_set_ops,
-    # embedding_norms, dedup_exact_stats, dedup_simhash_groups,
-    # q6_forecast_revenue, q12_priority_shipping,
-    # q18_large_volume_customers, dedup_exact, dedup_simhash — all
-    # driver_sim-green on current fixtures) rotate in r6.
+    # and the 11 new r5 operators; the rest = 30 of the 45 queries whose
+    # only green rows predate the regeneration, headline + clickstream §2
+    # family first. The 15 deferred stale queries (simple scalar/setop/stat
+    # shapes plus eight displaced by late-r5 operators:
+    # part_string_functions, order_date_functions, order_price_dispersion,
+    # nation_set_ops, embedding_norms, dedup_exact_stats,
+    # dedup_simhash_groups, q6_forecast_revenue, q12_priority_shipping,
+    # q18_large_volume_customers, dedup_exact, dedup_simhash,
+    # orders_with_returns, customer_order_stats, parts_above_avg_price —
+    # all driver_sim-green on current fixtures) rotate in r6.
     # never driver-verified
     "lineitem_decimal_money",
     "event_props_map_profile",
@@ -64,6 +65,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pagerank_bipartite",
     "embedding_kmeans_iter",
     # new this round — never driver-verified
+    "skew_salted_fact_join",
+    "bpe_merge_pairs",
+    "order_value_histogram",
     "doc_passage_dedup",
     "bloom_prefiltered_antijoin",
     "embedding_dim_stats",
@@ -110,9 +114,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_monthly_trend",
     "order_value_percentiles",
     "customers_without_orders",
-    "orders_with_returns",
-    "customer_order_stats",
-    "parts_above_avg_price",
 )
 
 

@@ -2420,3 +2420,114 @@ def bloom_prefiltered_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("clean_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# salted fact-fact JOIN: the join-side twin of skew_salted_event_counts —
+# replicate the build side over S salts so one hot key cannot pin a reducer
+
+JOIN_SALTS = 8
+
+_SALTED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("skew_salted_fact_join", oracle=_SALTED_JOIN_SQL, tags=("join", "skew", "salt"))
+def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-fact equi-join: the probe side (lineitem) gets a
+    per-row salt (l_linenumber % S — any row-local value works), the
+    build side (orders) is replicated S ways with an explode, and the
+    join key becomes (orderkey, salt) — a hot orderkey's rows now land on
+    S reducers instead of one. The aggregate result is bit-identical to
+    the unsalted join (the oracle): salting changes the partitioning,
+    never the matches.
+
+    At 100 TB this is the manual fallback where AQE's skew-join split
+    doesn't reach: AQE splits oversized PARTITIONS of a sort-merge join
+    after the shuffle is already written, while salting prevents the
+    skewed shuffle from existing — at the price of an S× replication of
+    the build side, which is why S stays small and the technique is
+    reserved for keys AQE statistics flag. The plan must stay an
+    equi-join on the compound key (SMJ/SHJ, never a nested loop)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.col("l_linenumber"), F.lit(JOIN_SALTS)).alias("salt"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1))))
+    )
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram: the distribution-profiling agg a feature pipeline
+# runs before choosing clipping / binning constants
+
+HIST_WIDTH = 25_000.0
+
+_HIST_SQL = f"""
+WITH binned AS (
+    SELECT cast(floor(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bin,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n_orders) AS total FROM binned)
+SELECT bin,
+       round(bin * {HIST_WIDTH}, 2)::DOUBLE AS bin_lo,
+       round((bin + 1) * {HIST_WIDTH}, 2)::DOUBLE AS bin_hi,
+       n_orders,
+       round(n_orders / total, 6) AS pct,
+       round(sum(n_orders) OVER (ORDER BY bin) / total, 6) AS cum_pct
+FROM binned, tot
+"""
+
+
+@register("order_value_histogram", oracle=_HIST_SQL, tags=("histogram", "profile"))
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value with per-bin share and a running
+    cumulative share — the distribution profile that picks clipping
+    bounds and bin edges for downstream featurization.
+
+    Scale shape: one hash agg collapses the fact to |bins| rows; the
+    grand total rides a 1-row broadcast (no second scan), and the
+    cumulative window runs over the tiny bin grid — the single-partition
+    sort is over dozens of rows by construction."""
+    orders = _t(spark, sf_dir, "orders")
+    binned = orders.groupBy(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("long").alias("bin")
+    ).agg(F.count("*").alias("n_orders"))
+    # grand total as an unpartitioned window over the |bins| grid (W1
+    # pattern) — a separate agg branch would re-plan the fact scan and
+    # agg a second time; both windows share one single-partition pass
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum("n_orders").over(w_all)
+    return binned.select(
+        "bin",
+        F.round(F.col("bin") * HIST_WIDTH, 2).alias("bin_lo"),
+        F.round((F.col("bin") + 1) * HIST_WIDTH, 2).alias("bin_hi"),
+        "n_orders",
+        F.round(F.col("n_orders") / total, 6).alias("pct"),
+        F.round(F.sum("n_orders").over(w_cum) / total, 6).alias("cum_pct"),
+    )

@@ -1144,3 +1144,86 @@ def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics: the pair-frequency count at the heart of tokenizer
+# training — one merge iteration of byte-pair encoding, corpus-wide
+
+BPE_TOP = 20
+
+_BPE_SQL = f"""
+WITH words AS (
+    SELECT w, count(*) AS wc
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) >= 2
+    GROUP BY w
+),
+pairs AS (
+    SELECT p.a AS left_sym, p.b AS right_sym, wc
+    FROM (SELECT wc,
+                 unnest([{{'a': w[i:i], 'b': w[i+1:i+1]}}
+                         for i in range(1, length(w))]) AS p
+          FROM words)
+),
+counts AS (
+    SELECT left_sym, right_sym, sum(wc)::BIGINT AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym)
+               AS merge_rank
+    FROM counts
+)
+SELECT merge_rank, left_sym, right_sym,
+       left_sym || right_sym AS merged, pair_count
+FROM ranked WHERE merge_rank <= {BPE_TOP}
+"""
+
+
+@register("bpe_merge_pairs", oracle=_BPE_SQL, tags=("text", "tokenizer", "bpe"))
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge iteration over the corpus: count every
+    adjacent character pair weighted by word frequency and rank the top
+    candidates — the statistic a BPE tokenizer trainer recomputes per
+    merge. Deterministic tiebreak (count desc, then pair) so the chosen
+    merge is reproducible across runs and engines.
+
+    Scale shape: the word-frequency agg collapses the corpus to its
+    vocabulary BEFORE pair explosion (partial agg absorbs Zipf-hot words
+    map-side), so pairs explode over |vocab| rows, not |corpus| tokens;
+    then one pair agg and a top-K via a single-partition window over the
+    ≤ |alphabet|² pair grid (tiny by construction — this is the one
+    place a 1-partition sort is legitimate)."""
+    words = (
+        spread(table(spark, sf_dir, "documents"))
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    counts = pairs.groupBy(
+        F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+    ).agg(F.sum("wc").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+    return (
+        counts.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= BPE_TOP)
+        .select(
+            "merge_rank",
+            "left_sym",
+            "right_sym",
+            F.concat("left_sym", "right_sym").alias("merged"),
+            "pair_count",
+        )
+    )

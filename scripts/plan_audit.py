@@ -555,6 +555,30 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 5,
     },
+    # salted fact-fact join: compound (key, salt) equi-join — the explode
+    # replication (Generate) must be present and the join must never
+    # degrade to a nested loop over the inequality-free predicate
+    "skew_salted_fact_join": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 3,
+    },
+    # BPE pair stats: vocab agg BEFORE pair explosion (Generate sits over
+    # the |vocab| rows, not the corpus), pair agg, then top-K on the tiny
+    # pair grid
+    "bpe_merge_pairs": {
+        "contains": ["Generate", "HashAggregate", "Window"],
+        "not_contains": ["CartesianProduct", "Join"],
+        "max_exchanges": 3,
+    },
+    # histogram: one fact agg to |bins| rows; grand total and cum-share
+    # are two frames of ONE single-partition window over the bin grid —
+    # strictly no join, no second scan of the fact
+    "order_value_histogram": {
+        "contains": ["HashAggregate", "Window"],
+        "not_contains": ["CartesianProduct", "Join"],
+        "max_exchanges": 2,
+    },
     # hashing-trick featurization is a pure projection: no shuffle, no
     # join, no Python
     "doc_hashed_tf_vectors": {

@@ -140,3 +140,62 @@ def test_hashed_tf_matches_python_recomputation(spark):
         assert r.nnz == sum(1 for c in tf if c > 0)
         assert sum(r.tf) == r.n_tokens
         assert abs(r.l2_norm - round(math.sqrt(sum(c * c for c in tf)), 6)) <= 1e-9
+
+
+def test_salted_join_equals_unsalted(spark):
+    """Salting redistributes rows, never changes the matches: the salted
+    compound-key join must agg to the same result as the plain join."""
+    li = table(spark, SF_SMOKE, "lineitem")
+    orders = table(spark, SF_SMOKE, "orders")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+    want = {r.o_orderpriority: (r.n_items, r.revenue) for r in plain.collect()}
+    got = {
+        r.o_orderpriority: (r.n_items, r.revenue)
+        for r in SPECS["skew_salted_fact_join"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_bpe_pairs_match_python_recomputation(spark):
+    """Recompute the weighted adjacent-pair counts in plain Python and
+    compare the full ranked top list."""
+    words: dict[str, int] = {}
+    for r in table(spark, SF_SMOKE, "documents").select("text").collect():
+        for w in r.text.strip().lower().split():
+            if len(w) >= 2:
+                words[w] = words.get(w, 0) + 1
+    pairs: dict[tuple[str, str], int] = {}
+    for w, wc in words.items():
+        for i in range(len(w) - 1):
+            k = (w[i], w[i + 1])
+            pairs[k] = pairs.get(k, 0) + wc
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = sorted(
+        SPECS["bpe_merge_pairs"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    assert len(out) == min(20, len(ranked))
+    for r, ((a, b), c) in zip(out, ranked):
+        assert (r.left_sym, r.right_sym, r.pair_count) == (a, b, c)
+        assert r.merged == a + b
+
+
+def test_histogram_partitions_all_orders(spark):
+    rows = SPECS["order_value_histogram"].builder(spark, SF_SMOKE).collect()
+    n_orders = table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(sum(r.pct for r in rows) - 1.0) < 1e-4
+    last = max(rows, key=lambda r: r.bin)
+    assert abs(last.cum_pct - 1.0) < 1e-6
+    for r in rows:
+        assert r.bin_hi - r.bin_lo == 25_000.0
+        assert r.n_orders > 0
