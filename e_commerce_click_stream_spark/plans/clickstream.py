@@ -738,3 +738,69 @@ def hourly_metrics_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conversion_rate",
         "revenue",
     )
+
+
+# ---------------------------------------------------------------------------
+# session path analysis: the top click-paths report — which ordered
+# event-type sequences dominate, and how much traffic each carries
+
+PATH_TOP = 20
+
+_PATHS_SQL = f"""
+{_SESS_CTE},
+paths AS (
+    SELECT session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sessionized
+    GROUP BY session_id
+),
+counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path),
+ranked AS (
+    SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS path_rank,
+           sum(n_sessions) OVER () AS total
+    FROM counts
+)
+SELECT path_rank, path, n_sessions,
+       round(n_sessions / total, 6) AS share
+FROM ranked WHERE path_rank <= {PATH_TOP}
+"""
+
+
+@register("session_event_paths", oracle=_PATHS_SQL, tags=("sessionize", "paths", "topk"))
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top ordered event-type paths across sessions ('view>click>purchase'
+    style), with session counts and traffic share — the path-analysis
+    report behind funnel design, built on the same deterministic
+    sessionizer as session_metrics.
+
+    Scale shape: the ordered path assembles per session via
+    array_sort(collect_list(struct)) INSIDE the session-key agg (the
+    sessionizer's user_id exchange already co-locates each session, and
+    AQE coalesces the reuse), then path counting collapses to path
+    cardinality; rank + share run on the tiny top-path grid in one
+    single-partition window."""
+    ev = with_session_id(_events(spark, sf_dir))
+    paths = ev.groupBy("session_id").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+                " s -> s.event_type)"
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    w_rank = Window.orderBy(F.desc("n_sessions"), "path")
+    w_all = Window.partitionBy()
+    return (
+        counts.select(
+            F.row_number().over(w_rank).alias("path_rank"),
+            "path",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.sum("n_sessions").over(w_all), 6).alias(
+                "share"
+            ),
+        )
+        .filter(F.col("path_rank") <= PATH_TOP)
+    )

@@ -1365,3 +1365,67 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("x") - F.min("x"), 6).alias("value_range"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# covariance matrix over the embedding corpus: the input to PCA / whitening
+# — the decorrelation transform a feature pipeline fits before projection
+
+_COV_SQL = """
+WITH pairs AS (
+    SELECT s.i AS di, s.j AS dj, s.x::DOUBLE AS x, s.y::DOUBLE AS y
+    FROM (
+        SELECT unnest(flatten([[{'i': i - 1, 'j': j - 1,
+                                 'x': embedding[i], 'y': embedding[j]}
+                                for j in range(i, len(embedding) + 1)]
+                               for i in range(1, len(embedding) + 1)])) AS s
+        FROM embeddings)
+)
+SELECT di, dj,
+       count(*) AS n_vecs,
+       round(avg(x * y) - avg(x) * avg(y), 8) AS cov,
+       round((avg(x * y) - avg(x) * avg(y))
+             / (sqrt(avg(x * x) - avg(x) * avg(x))
+                * sqrt(avg(y * y) - avg(y) * avg(y))), 6) AS corr
+FROM pairs
+GROUP BY di, dj
+"""
+
+
+@register("embedding_covariance", oracle=_COV_SQL, tags=("similarity", "features", "pca"))
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance + correlation matrix over the embedding
+    dimensions — the moment statistics PCA / ZCA whitening fits before
+    decorrelating a feature column (population moments, same as the
+    classic E[xy] − E[x]E[y] identity on both engines).
+
+    Scale shape: each vector emits its d(d+1)/2 upper-triangle pairs in
+    a zero-shuffle projection, then ONE hash agg on the 2 080-key
+    (di, dj) grid; all five moments (count, Σxy, Σx, Σy, Σx², Σy²) are
+    associative, so map-side partials collapse every partition to the
+    grid size before the shuffle — shuffle volume is O(partitions × d²),
+    independent of corpus size. The d² pair fan-out is the honest cost
+    of covariance; it rides compute, not the network."""
+    v = _vecs(spark, sf_dir)
+    pairs = v.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v) - 1),"
+                " i -> transform(sequence(i, size(v) - 1),"
+                " j -> struct(i AS di, j AS dj,"
+                " element_at(v, i + 1) AS x, element_at(v, j + 1) AS y))))"
+            )
+        ).alias("p")
+    ).select("p.di", "p.dj", "p.x", "p.y")
+    exy = F.avg(F.col("x") * F.col("y"))
+    ex, ey = F.avg("x"), F.avg("y")
+    ex2 = F.avg(F.col("x") * F.col("x"))
+    ey2 = F.avg(F.col("y") * F.col("y"))
+    cov = exy - ex * ey
+    return pairs.groupBy("di", "dj").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(cov, 8).alias("cov"),
+        F.round(cov / (F.sqrt(ex2 - ex * ex) * F.sqrt(ey2 - ey * ey)), 6).alias(
+            "corr"
+        ),
+    )

@@ -555,6 +555,20 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 5,
     },
+    # covariance: zero-shuffle upper-triangle pair fan-out (Generate) +
+    # ONE hash agg on the (di, dj) grid; all moments associative, no join
+    "embedding_covariance": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct", "Window"],
+        "max_exchanges": 1,
+    },
+    # session paths: sessionizer window + per-session ordered collect +
+    # path count + one single-partition rank/share window; no join
+    "session_event_paths": {
+        "contains": ["Window", "ObjectHashAggregate"],
+        "not_contains": ["Join", "CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 4,
+    },
     # salted fact-fact join: compound (key, salt) equi-join — the explode
     # replication (Generate) must be present and the join must never
     # degrade to a nested loop over the inequality-free predicate

@@ -199,3 +199,44 @@ def test_histogram_partitions_all_orders(spark):
     for r in rows:
         assert r.bin_hi - r.bin_lo == 25_000.0
         assert r.n_orders > 0
+
+
+def test_covariance_matches_numpy(spark):
+    """Population covariance/correlation recomputed with numpy over the
+    full (small) fixture."""
+    import numpy as np
+
+    vecs = sorted(
+        table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([r.embedding for r in vecs], dtype=np.float64)
+    n, d = X.shape
+    cov = np.cov(X, rowvar=False, bias=True)
+    sd = X.std(axis=0)
+    out = SPECS["embedding_covariance"].builder(spark, SF_SMOKE).collect()
+    assert len(out) == d * (d + 1) // 2
+    for r in out:
+        assert r.di <= r.dj and r.n_vecs == n
+        assert abs(r.cov - cov[r.di, r.dj]) < 5e-7, (r.di, r.dj)
+        assert abs(r.corr - cov[r.di, r.dj] / (sd[r.di] * sd[r.dj])) < 5e-5
+    diag = [r for r in out if r.di == r.dj]
+    for r in diag:
+        assert abs(r.corr - 1.0) < 1e-6
+
+
+def test_session_paths_share_and_rank(spark):
+    rows = SPECS["session_event_paths"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    ranks = sorted(r.path_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.path_rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a.n_sessions, b.path) >= (b.n_sessions, a.path)  # count desc
+        assert a.n_sessions >= b.n_sessions
+    # share denominator is ALL sessions, not just the top-k
+    n_sessions = (
+        SPECS["session_metrics"].builder(spark, SF_SMOKE).count()
+    )
+    for r in rows:
+        assert abs(r.share - round(r.n_sessions / n_sessions, 6)) <= 1e-6
