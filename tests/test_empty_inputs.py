@@ -34,6 +34,18 @@ REPRESENTATIVE = (
     "user_value_ewma",
     "multimodal_decode_meta",
     "streaming_hourly_metrics",
+    # round-5 families: passage rewrite, bloom runtime filter, IVM,
+    # hashing-trick features, covariance grid, BPE stats, salted join,
+    # histogram, session paths
+    "doc_passage_dedup",
+    "bloom_prefiltered_antijoin",
+    "hourly_metrics_incremental",
+    "doc_hashed_tf_vectors",
+    "embedding_covariance",
+    "bpe_merge_pairs",
+    "skew_salted_fact_join",
+    "order_value_histogram",
+    "session_event_paths",
 )
 
 
