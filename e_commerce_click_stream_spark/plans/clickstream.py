@@ -115,19 +115,11 @@ GROUP BY 1
 """
 
 
-def _hourly(ev: DataFrame) -> DataFrame:
-    out = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_timestamp")).agg(
-        F.count("*").alias("total_events"),
-        F.countDistinct("user_id").alias("unique_users"),
-        _cond_count("view").alias("page_views"),
-        _cond_count("click").alias("cart_additions"),
-        _cond_count("purchase").alias("purchases"),
-        F.round(
-            F.sum(F.when(_is("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
-        ).alias("revenue"),
-    )
-    # P7 safe-division conversion metric
-    # (/root/reference/processor/streaming_processor.py:298-303)
+def _finish_hourly(out: DataFrame) -> DataFrame:
+    """Canonical tail of the hourly view — derives the P7 safe-division
+    conversion metric (/root/reference/processor/streaming_processor.py:298-303)
+    and fixes the column order. Shared by the one-pass view (_hourly) and
+    the incremental maintenance path so their definitions cannot drift."""
     conv = F.when(
         F.col("page_views") > 0, F.col("purchases") * 100.0 / F.col("page_views")
     ).otherwise(F.lit(0.0))
@@ -141,6 +133,20 @@ def _hourly(ev: DataFrame) -> DataFrame:
         "conversion_rate",
         "revenue",
     )
+
+
+def _hourly(ev: DataFrame) -> DataFrame:
+    out = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_timestamp")).agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        _cond_count("view").alias("page_views"),
+        _cond_count("click").alias("cart_additions"),
+        _cond_count("purchase").alias("purchases"),
+        F.round(
+            F.sum(F.when(_is("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
+        ).alias("revenue"),
+    )
+    return _finish_hourly(out)
 
 
 @register("hourly_metrics", oracle=_HOURLY_SQL, headline=True,
@@ -725,19 +731,7 @@ def hourly_metrics_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("purchases").alias("purchases"),
         F.round(F.sum("revenue"), 2).alias("revenue"),
     )
-    conv = F.when(
-        F.col("page_views") > 0, F.col("purchases") * 100.0 / F.col("page_views")
-    ).otherwise(F.lit(0.0))
-    return out.withColumn("conversion_rate", F.round(conv, 2)).select(
-        "hour_timestamp",
-        "total_events",
-        "unique_users",
-        "page_views",
-        "cart_additions",
-        "purchases",
-        "conversion_rate",
-        "revenue",
-    )
+    return _finish_hourly(out)
 
 
 # ---------------------------------------------------------------------------

@@ -2440,7 +2440,8 @@ GROUP BY o.o_orderpriority
 @register("skew_salted_fact_join", oracle=_SALTED_JOIN_SQL, tags=("join", "skew", "salt"))
 def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant fact-fact equi-join: the probe side (lineitem) gets a
-    per-row salt (l_linenumber % S — any row-local value works), the
+    per-row salt ((l_linenumber − 1) % S — any row-local value with
+    full residue coverage works), the
     build side (orders) is replicated S ways with an explode, and the
     join key becomes (orderkey, salt) — a hot orderkey's rows now land on
     S reducers instead of one. The aggregate result is bit-identical to
@@ -2458,7 +2459,9 @@ def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_extendedprice",
         "l_discount",
-        F.pmod(F.col("l_linenumber"), F.lit(JOIN_SALTS)).alias("salt"),
+        # l_linenumber is 1-based (1..7): subtract 1 so salt 0 is live
+        # and all S build replicas can match
+        F.pmod(F.col("l_linenumber") - 1, F.lit(JOIN_SALTS)).alias("salt"),
     )
     orders = (
         _t(spark, sf_dir, "orders")

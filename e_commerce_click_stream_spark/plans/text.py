@@ -1081,8 +1081,10 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 HASH_DIM = 32
 
 # portable token bucket: two md5 hex chars -> int, identical in both engines
-_BUCKET_SPARK = f"(ascii(substr(md5(x), 1, 1)) * 256 + ascii(substr(md5(x), 2, 1))) % {HASH_DIM}"
-_BUCKET_DUCK = _BUCKET_SPARK
+# multiplier must be coprime to HASH_DIM or the first char is dead:
+# 256 % 32 == 0 would reduce the bucket to the second char alone,
+# leaving only the 16 residues ascii hex chars can reach
+_BUCKET_DUCK = f"(ascii(substr(md5(x), 1, 1)) * 101 + ascii(substr(md5(x), 2, 1))) % {HASH_DIM}"
 
 _HASHED_TF_SQL = f"""
 WITH toks AS (
@@ -1117,11 +1119,12 @@ def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row projection — tokens are bucketed once
     (one md5 per token), the vector is a zero-shuffle higher-order
     fold; no join, no agg, no vocabulary broadcast."""
+    def _bucket(x):  # same formula as _BUCKET_DUCK, via the shared tokenizer
+        h = F.md5(x)
+        return (F.ascii(F.substring(h, 1, 1)) * 101 + F.ascii(F.substring(h, 2, 1))) % HASH_DIM
+
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(
-            f"transform(split(trim(text), '\\\\s+'), x -> {_BUCKET_SPARK})"
-        ).alias("tb"),
+        "doc_id", F.transform(tokens(), _bucket).alias("tb")
     )
     tf = F.expr(
         f"transform(sequence(0, {HASH_DIM - 1}),"

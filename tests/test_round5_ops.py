@@ -126,7 +126,7 @@ def test_hashed_tf_matches_python_recomputation(spark):
 
     def bucket(tok: str) -> int:
         h = _md5(tok)
-        return (ord(h[0]) * 256 + ord(h[1])) % HASH_DIM
+        return (ord(h[0]) * 101 + ord(h[1])) % HASH_DIM
 
     out = SPECS["doc_hashed_tf_vectors"].builder(spark, SF_SMOKE).collect()
     assert {r.doc_id for r in out} == set(docs)

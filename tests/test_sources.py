@@ -151,11 +151,11 @@ def test_orc_predicate_pushdown_reaches_scan(spark, events_subset):
 
 
 def test_embeddings_vec_id_unique_at_every_sf():
-    """Pin the invariant embedding_kmeans_iter's assignment groupBy relies
-    on (plans/similarity.py): vec_id is the embeddings PK, so grouping by
-    vec_id alone (vector riding inside the min_by struct, narrow shuffle
-    key) cannot merge distinct vectors. The DuckDB oracle groups by
-    (vec_id, v); if the driver ever regenerates embeddings with duplicate
+    """Pin the invariant the kmeans/ANN plans rely on (plans/similarity.py):
+    vec_id is the embeddings PK. embedding_kmeans_iter seeds its centroids
+    from ``vec_id < K`` (duplicate ids would double-count a seed) and its
+    DuckDB oracle groups by (vec_id, v) where the Spark side treats vec_id
+    as unique; if the driver ever regenerates embeddings with duplicate
     ids the two sides would silently diverge — fail fast here instead."""
     import duckdb
 
