@@ -1230,3 +1230,84 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# length-percentile gate: fit corpus-level clipping bounds, then filter —
+# exact quantiles computed scale-safely over the DISCRETE token-count domain
+
+LEN_P_LO = 0.05
+LEN_P_HI = 0.95
+
+_LEN_FILTER_SQL = f"""
+WITH lens AS (
+    SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+hist AS (SELECT n_tokens, count(*) AS n FROM lens GROUP BY n_tokens),
+cum AS (
+    SELECT n_tokens,
+           sum(n) OVER (ORDER BY n_tokens) AS cum_n,
+           sum(n) OVER () AS total
+    FROM hist
+),
+bounds AS (
+    SELECT min(CASE WHEN cum_n >= {LEN_P_LO} * total THEN n_tokens END) AS lo,
+           min(CASE WHEN cum_n >= {LEN_P_HI} * total THEN n_tokens END) AS hi
+    FROM cum
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN n_tokens BETWEEN lo AND hi THEN 1 ELSE 0 END)::BIGINT AS kept,
+       sum(CASE WHEN n_tokens < lo THEN 1 ELSE 0 END)::BIGINT AS too_short,
+       sum(CASE WHEN n_tokens > hi THEN 1 ELSE 0 END)::BIGINT AS too_long,
+       min(lo)::BIGINT AS p05_tokens,
+       min(hi)::BIGINT AS p95_tokens
+FROM lens, bounds
+GROUP BY source
+"""
+
+
+@register("doc_length_percentile_filter", oracle=_LEN_FILTER_SQL, tags=("text", "quality", "quantile"))
+def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length gate: fit exact p05/p95 token-count bounds, then
+    report per-source how many documents the filter keeps / drops on each
+    side — the fit-then-filter pattern (length clipping) every
+    pretraining corpus pass applies.
+
+    Scale shape: the usual exact-percentile blocker (a global sort, or
+    Spark's percentile agg collecting every value on one reducer) is
+    sidestepped because token counts live in a small DISCRETE domain —
+    the corpus collapses to a length HISTOGRAM first (one associative
+    agg), the cumulative walk runs over the tiny grid in a
+    single-partition window, and the two bounds ride back over the
+    corpus as a 1-row broadcast. Exact quantiles, no global sort, at any
+    corpus size."""
+    lens = table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens()).cast("long").alias("n_tokens")
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count("*").alias("n"))
+    w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "n_tokens",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    bounds = cum.agg(
+        F.min(F.when(F.col("cum_n") >= LEN_P_LO * F.col("total"), F.col("n_tokens"))).alias("lo"),
+        F.min(F.when(F.col("cum_n") >= LEN_P_HI * F.col("total"), F.col("n_tokens"))).alias("hi"),
+    )
+    t = F.col("n_tokens")
+    return (
+        lens.join(F.broadcast(bounds))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(t.between(F.col("lo"), F.col("hi")), 1).otherwise(0)).alias("kept"),
+            F.sum(F.when(t < F.col("lo"), 1).otherwise(0)).alias("too_short"),
+            F.sum(F.when(t > F.col("hi"), 1).otherwise(0)).alias("too_long"),
+            F.min("lo").alias("p05_tokens"),
+            F.min("hi").alias("p95_tokens"),
+        )
+    )

@@ -555,11 +555,20 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 5,
     },
-    # covariance: zero-shuffle upper-triangle pair fan-out (Generate) +
-    # ONE hash agg on the (di, dj) grid; all moments associative, no join
+    # exact percentiles over a discrete domain: histogram agg + cum walk
+    # on the tiny length grid + 1-row broadcast bounds back over the
+    # corpus (BNLJ) — never a global sort or a collect-style percentile
+    "doc_length_percentile_filter": {
+        "contains": ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
+    # covariance: BLAS Gram partials inside ONE Arrow-batch Python hop
+    # (MapInPandas — the legitimate kind) + one hash agg merging
+    # O(partitions × d²) associative-moment rows; no join, no explode
     "embedding_covariance": {
-        "contains": ["Generate", "HashAggregate"],
-        "not_contains": ["Join", "CartesianProduct", "Window"],
+        "contains": ["MapInPandas", "HashAggregate"],
+        "not_contains": ["Join", "CartesianProduct", "Window", "Generate"],
         "max_exchanges": 1,
     },
     # session paths: sessionizer window + per-session ordered collect +

@@ -240,3 +240,31 @@ def test_session_paths_share_and_rank(spark):
     )
     for r in rows:
         assert abs(r.share - round(r.n_sessions / n_sessions, 6)) <= 1e-6
+
+
+def test_length_filter_bounds_and_partition(spark):
+    """Bounds recomputed in Python (same cumulative rule); per-source
+    kept/short/long must partition each source's docs."""
+    lens = [
+        len(r.text.strip().split())
+        for r in table(spark, SF_SMOKE, "documents").select("text").collect()
+    ]
+    total = len(lens)
+    hist: dict[int, int] = {}
+    for n in lens:
+        hist[n] = hist.get(n, 0) + 1
+    cum = 0
+    lo = hi = None
+    for n in sorted(hist):
+        cum += hist[n]
+        if lo is None and cum >= 0.05 * total:
+            lo = n
+        if hi is None and cum >= 0.95 * total:
+            hi = n
+    rows = SPECS["doc_length_percentile_filter"].builder(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert (r.p05_tokens, r.p95_tokens) == (lo, hi)
+        assert r.kept + r.too_short + r.too_long == r.n_docs
+    dropped = sum(r.too_short + r.too_long for r in rows)
+    assert dropped / total <= 0.1 + 1e-9  # at most ~10% outside [p5, p95]
