@@ -1469,3 +1469,120 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov / (F.sqrt(m2i - mi * mi) * F.sqrt(m2j - mj * mj)), 6
         ).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) dedup inside coarse cells — the
+# curation pass that removes meaning-level duplicates document dedup
+# cannot see, bounded by the cell partition instead of all-pairs
+
+SEMDEDUP_COSINE = 0.3  # fixture-scaled; production prunes at ~0.95+
+
+_SEMDEDUP_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+    SELECT n.vec_id, n.v, n.nrm,
+           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                              - c.cent_id * 1e-12) AS cell
+    FROM n, cent c
+    GROUP BY n.vec_id, n.v, n.nrm
+),
+dups AS (
+    SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {SEMDEDUP_COSINE}
+),
+cells AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY cell),
+stats AS (
+    SELECT cell, count(*) AS n_dup_pairs, count(DISTINCT vb) AS n_removed
+    FROM dups GROUP BY cell
+)
+SELECT cell,
+       n_vectors,
+       coalesce(n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(n_removed, 0) AS n_removed,
+       n_vectors - coalesce(n_removed, 0) AS n_kept
+FROM cells LEFT JOIN stats USING (cell)
+"""
+
+
+@register("dedup_semantic_cells", oracle=_SEMDEDUP_SQL, tags=("dedup", "similarity", "semdedup"))
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al.): assign every embedding to its nearest
+    coarse cell, find within-cell pairs above the cosine threshold, and
+    remove the higher-id member of each pair (keep-lowest-id canonical) —
+    per-cell duplicate pairs, removals, and survivors. Cross-cell
+    duplicates are missed BY DESIGN; that approximation is what turns
+    all-pairs semantic dedup into a partitionable per-cell job.
+
+    Scale shape: cell assignment reuses the kmeans zero-shuffle pattern
+    (centroids packed into a 1-row broadcast array, per-row argmax fold —
+    tie semantics identical to ann_ivf_cells); the assignment is
+    checkpointed once (three consumers), and the pair stage is an
+    EQUI-join on cell — candidate volume is Σ|cell|²/2, bounded by the
+    coarse partition, never corpus². At production scale cells come from
+    the trained codebook (embedding_kmeans_iter) and hot cells split
+    recursively; the join shape is unchanged."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cnrm"))).alias("cents")
+    )
+
+    def _score(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), c["cv"], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        return F.round(dot / (F.col("nrm") * c["cnrm"]), 6) - c["cent_id"] * 1e-12
+
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _score(c).cast("double").alias("score"),
+                c["cent_id"].cast("bigint").alias("cell"),
+            ),
+        )
+    )
+    assign = (
+        n.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", "v", "nrm", best["cell"].alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    a = assign.select(
+        "cell", F.col("vec_id").alias("va"), F.col("v").alias("xa"), F.col("nrm").alias("na")
+    )
+    b = assign.select(
+        "cell", F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("nrm").alias("nb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            F.round(_dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6)
+            >= SEMDEDUP_COSINE
+        )
+        .select("cell", "va", "vb")
+    )
+    cells = assign.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    stats = dups.groupBy("cell").agg(
+        F.count("*").alias("n_dup_pairs"), F.count_distinct("vb").alias("n_removed")
+    )
+    return cells.join(stats, "cell", "left").select(
+        "cell",
+        "n_vectors",
+        F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+    )

@@ -555,6 +555,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 5,
     },
+    # SemDeDup: zero-shuffle cell assignment (1-row packed centroid
+    # broadcast, audited plan starts at the checkpointed assignment) and a
+    # cell EQUI-join for the pair stage — never an all-pairs product
+    "dedup_semantic_cells": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
+    },
     # exact percentiles over a discrete domain: histogram agg + cum walk
     # on the tiny length grid + 1-row broadcast bounds back over the
     # corpus (BNLJ) — never a global sort or a collect-style percentile

@@ -46,6 +46,8 @@ REPRESENTATIVE = (
     "skew_salted_fact_join",
     "order_value_histogram",
     "session_event_paths",
+    "dedup_semantic_cells",
+    "doc_length_percentile_filter",
 )
 
 

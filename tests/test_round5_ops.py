@@ -268,3 +268,47 @@ def test_length_filter_bounds_and_partition(spark):
         assert r.kept + r.too_short + r.too_long == r.n_docs
     dropped = sum(r.too_short + r.too_long for r in rows)
     assert dropped / total <= 0.1 + 1e-9  # at most ~10% outside [p5, p95]
+
+
+def test_semantic_dedup_python_recomputation(spark):
+    """Recompute cell assignment + within-cell dup pairs with numpy and
+    compare every per-cell statistic."""
+    import numpy as np
+
+    from e_commerce_click_stream_spark.plans.similarity import (
+        N_CENTROIDS,
+        SEMDEDUP_COSINE,
+    )
+
+    rows = sorted(
+        table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    nrm = np.linalg.norm(X, axis=1)
+    C, cn = X[:N_CENTROIDS], nrm[:N_CENTROIDS]
+    sims = np.round((X @ C.T) / np.outer(nrm, cn), 6) - np.arange(N_CENTROIDS) * 1e-12
+    cell = sims.argmax(axis=1)
+    want: dict[int, dict] = {
+        c: {"n_vectors": 0, "pairs": 0, "removed": set()} for c in set(cell)
+    }
+    for c in cell:
+        want[c]["n_vectors"] += 1
+    for c in want:
+        members = np.where(cell == c)[0]
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                cos = round(float(X[a] @ X[b] / (nrm[a] * nrm[b])), 6)
+                if cos >= SEMDEDUP_COSINE:
+                    want[c]["pairs"] += 1
+                    want[c]["removed"].add(int(ids[b]))
+    out = SPECS["dedup_semantic_cells"].builder(spark, SF_SMOKE).collect()
+    assert {r.cell for r in out} == set(want)
+    for r in out:
+        w = want[r.cell]
+        assert r.n_vectors == w["n_vectors"]
+        assert r.n_dup_pairs == w["pairs"], r.cell
+        assert r.n_removed == len(w["removed"])
+        assert r.n_kept == r.n_vectors - r.n_removed
