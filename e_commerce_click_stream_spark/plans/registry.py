@@ -47,18 +47,19 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # never-green oracle-backed queries (lineitem_decimal_money red in r4 —
     # decimal outputs now cast to DOUBLE — plus the 6 ops registered after
     # the r4 window was packed), the 2 plans rewritten for scale this round,
-    # and the 15 new r5 operators; the rest = 26 of the 45 queries whose
+    # and the 16 new r5 operators; the rest = 25 of the 45 queries whose
     # only green rows predate the regeneration, headline + clickstream §2
-    # family first. The 19 deferred stale queries (simple scalar/setop/stat
-    # shapes plus twelve displaced by late-r5 operators:
+    # family first. The 20 deferred stale queries (simple scalar/setop/stat
+    # shapes plus thirteen displaced by late-r5 operators:
     # part_string_functions, order_date_functions, order_price_dispersion,
     # nation_set_ops, embedding_norms, dedup_exact_stats,
     # dedup_simhash_groups, q6_forecast_revenue, q12_priority_shipping,
     # q18_large_volume_customers, dedup_exact, dedup_simhash,
     # orders_with_returns, customer_order_stats, parts_above_avg_price,
     # order_value_percentiles, customers_without_orders,
-    # orders_monthly_trend, customer_revenue_quartiles — all
-    # driver_sim-green on current fixtures) rotate in r6.
+    # orders_monthly_trend, customer_revenue_quartiles,
+    # running_customer_revenue — all driver_sim-green on current fixtures)
+    # rotate in r6.
     # never driver-verified
     "lineitem_decimal_money",
     "event_props_map_profile",
@@ -67,6 +68,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pagerank_bipartite",
     "embedding_kmeans_iter",
     # new this round — never driver-verified
+    "embedding_pca_power",
     "dedup_semantic_cells",
     "doc_length_percentile_filter",
     "embedding_covariance",
@@ -115,7 +117,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_status_pivot",
     "top_orders_per_customer",
     "customer_order_gaps",
-    "running_customer_revenue",
 )
 
 

@@ -1586,3 +1586,112 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# power-iteration PCA: dominant eigenvector of the covariance matrix — the
+# fourth iterative family (after connected components, k-means, pagerank),
+# this one a distributed matrix-vector recurrence
+
+PCA_ITERS = 8
+_PCA_V0 = 0.125  # 1/sqrt(64): uniform unit start vector
+
+
+def _pca_power_sql() -> str:
+    parts = [
+        f"cov AS MATERIALIZED ({_COV_SQL.strip()})",
+        """sym AS MATERIALIZED (
+    SELECT di, dj, cov FROM cov
+    UNION ALL
+    SELECT dj AS di, di AS dj, cov FROM cov WHERE di != dj
+)""",
+        f"v0 AS (SELECT r.range AS dim, {_PCA_V0}::DOUBLE AS val FROM range({_EMB_DIM}) r)",
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+    SELECT s.di AS dim, sum(s.cov * v.val) AS wv
+    FROM sym s JOIN v{t - 1} v ON v.dim = s.dj
+    GROUP BY s.di
+)""")
+        parts.append(f"n{t} AS MATERIALIZED (SELECT sqrt(sum(wv * wv)) AS nrm FROM w{t})")
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT dim, round(wv / nrm, 8) AS val FROM w{t}, n{t})"
+        )
+    final = f"""
+,ray AS (
+    SELECT round(sum(vi.val * s.cov * vj.val), 6) AS eigenvalue
+    FROM sym s
+    JOIN v{PCA_ITERS} vi ON vi.dim = s.di
+    JOIN v{PCA_ITERS} vj ON vj.dim = s.dj
+)
+SELECT v.dim, v.val AS loading, ray.eigenvalue
+FROM v{PCA_ITERS} v, ray
+"""
+    return "WITH " + ",\n".join(parts) + final
+
+
+@register("embedding_pca_power", oracle=_pca_power_sql(), tags=("similarity", "pca", "iterative"))
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by power
+    iteration over the (rounded) covariance matrix: v_{t+1} =
+    normalize(C·v_t), 8 rounds from a uniform unit vector, plus the
+    Rayleigh-quotient eigenvalue — the projection axis a dimensionality
+    reducer or whitening transform uses first.
+
+    Cross-engine determinism: both engines iterate over the IDENTICAL
+    matrix (covariance entries rounded to 8 digits by
+    embedding_covariance) and re-round the unit vector to 8 digits per
+    round, so the recurrence cannot drift. (On the near-isotropic fixture
+    spectrum 8 rounds are far from eigen-convergence — the contract is
+    the recurrence itself; production runs iterate until the Rayleigh
+    delta is small, same loop shape.)
+
+    Scale shape: the corpus is touched ONCE (the BLAS covariance pass,
+    checkpointed); every iteration is then a matrix-vector product on the
+    d² grid — a broadcast-joined 64-row vector against the d²-row matrix,
+    one tiny key-local agg per round, checkpointed so the loop plan stays
+    flat. Iteration cost is independent of corpus size — exactly how
+    power iteration should ride on a cluster."""
+    # coalesce(1): the matrix is d² rows and every iteration artifact is
+    # ≤ d rows — in a vanilla session (200 shuffle partitions) leaving
+    # them at shuffle parallelism costs thousands of empty tiny tasks
+    # across the 8 checkpointed rounds (measured 106 s → ~8 s at sf0.01)
+    cov = (
+        embedding_covariance(spark, sf_dir)
+        .select("di", "dj", "cov")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    swapped = cov.filter(F.col("di") != F.col("dj")).select(
+        F.col("dj").alias("di"), F.col("di").alias("dj"), "cov"
+    )
+    sym = cov.unionByName(swapped)
+    v = spark.range(_EMB_DIM).select(
+        F.col("id").cast("int").alias("dim"), F.lit(_PCA_V0).alias("val")
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            sym.join(F.broadcast(v), sym.dj == v.dim)
+            .groupBy("di")
+            .agg(F.sum(F.col("cov") * F.col("val")).alias("wv"))
+            .coalesce(1)
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        v = (
+            w.join(F.broadcast(nrm))
+            .select(
+                F.col("di").alias("dim"),
+                F.round(F.col("wv") / F.col("nrm"), 8).alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    vi = v.select(F.col("dim").alias("i_dim"), F.col("val").alias("vi"))
+    vj = v.select(F.col("dim").alias("j_dim"), F.col("val").alias("vj"))
+    ray = (
+        sym.join(F.broadcast(vi), sym.di == vi.i_dim)
+        .join(F.broadcast(vj), sym.dj == vj.j_dim)
+        .agg(F.round(F.sum(F.col("vi") * F.col("cov") * F.col("vj")), 6).alias("eigenvalue"))
+    )
+    return v.join(F.broadcast(ray)).select(
+        "dim", F.col("val").alias("loading"), "eigenvalue"
+    )

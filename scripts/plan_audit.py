@@ -555,6 +555,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct"],
         "max_exchanges": 5,
     },
+    # power-iteration PCA: the audited plan starts at the checkpointed
+    # 64-row final vector — matrix-vector rounds are broadcast joins on
+    # the d² grid, never an SMJ or cartesian anywhere
+    "embedding_pca_power": {
+        "contains": ["BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
     # SemDeDup: zero-shuffle cell assignment (1-row packed centroid
     # broadcast, audited plan starts at the checkpointed assignment) and a
     # cell EQUI-join for the pair stage — never an all-pairs product

@@ -48,6 +48,7 @@ REPRESENTATIVE = (
     "session_event_paths",
     "dedup_semantic_cells",
     "doc_length_percentile_filter",
+    "embedding_pca_power",
 )
 
 

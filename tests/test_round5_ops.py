@@ -312,3 +312,40 @@ def test_semantic_dedup_python_recomputation(spark):
         assert r.n_dup_pairs == w["pairs"], r.cell
         assert r.n_removed == len(w["removed"])
         assert r.n_kept == r.n_vectors - r.n_removed
+
+
+def test_pca_power_matches_numpy_recurrence(spark):
+    """Replicate the EXACT recurrence in numpy — same rounded covariance
+    matrix, same per-round normalize+round — and compare per component.
+    (The fixture embeddings are near-isotropic, so 8 rounds do NOT
+    converge to the true eigenvector; the contract is the recurrence,
+    plus Rayleigh bounds against the true spectrum.)"""
+    import numpy as np
+
+    from e_commerce_click_stream_spark.plans.similarity import PCA_ITERS, _PCA_V0
+
+    rows = sorted(
+        table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    C = np.round(np.cov(X, rowvar=False, bias=True), 8)  # the rounded matrix
+    v = np.full(d, _PCA_V0)
+    for _ in range(PCA_ITERS):
+        w = C @ v
+        v = np.round(w / np.linalg.norm(w), 8)
+    out = sorted(
+        SPECS["embedding_pca_power"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r.dim,
+    )
+    assert len(out) == d
+    got = np.array([r.loading for r in out])
+    assert np.max(np.abs(got - v)) <= 5e-7, np.max(np.abs(got - v))
+    ray = out[0].eigenvalue
+    assert all(r.eigenvalue == ray for r in out)
+    evals = np.linalg.eigvalsh(C)
+    # Rayleigh quotient of any unit vector lies inside the spectrum, and
+    # power iteration can only have moved it UP from the start vector
+    r0 = float(np.full(d, _PCA_V0) @ C @ np.full(d, _PCA_V0))
+    assert r0 - 1e-6 <= ray <= evals[-1] + 1e-6
