@@ -2426,7 +2426,11 @@ def bloom_prefiltered_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salted fact-fact JOIN: the join-side twin of skew_salted_event_counts —
 # replicate the build side over S salts so one hot key cannot pin a reducer
 
-JOIN_SALTS = 8
+# 7, not 8: the salt must vary WITHIN one join key, and l_linenumber —
+# the only within-order discriminator — takes exactly the values 1..7;
+# an 8th replica could never match (r5 review caught the off-by-one both
+# ways: pmod(l,8) left replica 0 dead, pmod(l-1,8) left replica 7 dead)
+JOIN_SALTS = 7
 
 _SALTED_JOIN_SQL = """
 SELECT o.o_orderpriority,
@@ -2440,11 +2444,11 @@ GROUP BY o.o_orderpriority
 @register("skew_salted_fact_join", oracle=_SALTED_JOIN_SQL, tags=("join", "skew", "salt"))
 def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant fact-fact equi-join: the probe side (lineitem) gets a
-    per-row salt ((l_linenumber − 1) % S — any row-local value with
-    full residue coverage works), the
+    per-row salt ((l_linenumber − 1) % S, with S sized to the
+    discriminator's residue coverage), the
     build side (orders) is replicated S ways with an explode, and the
-    join key becomes (orderkey, salt) — a hot orderkey's rows now land on
-    S reducers instead of one. The aggregate result is bit-identical to
+    join key becomes (orderkey, salt) — a hot orderkey's rows now land
+    on S reducers instead of one. The aggregate result is bit-identical to
     the unsalted join (the oracle): salting changes the partitioning,
     never the matches.
 
@@ -2459,8 +2463,8 @@ def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_extendedprice",
         "l_discount",
-        # l_linenumber is 1-based (1..7): subtract 1 so salt 0 is live
-        # and all S build replicas can match
+        # l_linenumber is 1-based (1..7): subtract 1 so residues cover
+        # exactly 0..S-1 and every build replica can match
         F.pmod(F.col("l_linenumber") - 1, F.lit(JOIN_SALTS)).alias("salt"),
     )
     orders = (

@@ -1453,9 +1453,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 080 upper-triangle pairs through a hash agg), which the history
     preserves; the explode shape pays per-pair codegen where BLAS pays a
     fused matrix multiply."""
-    v = table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("v")
-    )
+    v = _vecs(spark, sf_dir).select("v")
     partials = v.mapInPandas(_gram_partials, schema=_COV_PARTIAL_SCHEMA)
     cnt = F.sum("cnt")
     sxy = F.sum("sxy")
@@ -1670,11 +1668,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("dim"), F.lit(_PCA_V0).alias("val")
     )
     for _ in range(PCA_ITERS):
+        # checkpoint w: both nrm and the next v consume it, and without
+        # the checkpoint the matvec join+agg executes twice per round
         w = (
             sym.join(F.broadcast(v), sym.dj == v.dim)
             .groupBy("di")
             .agg(F.sum(F.col("cov") * F.col("val")).alias("wv"))
             .coalesce(1)
+            .localCheckpoint(eager=True)
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
         v = (

@@ -245,8 +245,12 @@ def test_session_paths_share_and_rank(spark):
 def test_length_filter_bounds_and_partition(spark):
     """Bounds recomputed in Python (same cumulative rule); per-source
     kept/short/long must partition each source's docs."""
+    import re
+
+    # re.split matches the engines' regex-split semantics: '' -> [''] (one
+    # token), unlike str.split() which returns [] for empty text
     lens = [
-        len(r.text.strip().split())
+        len(re.split(r"\s+", r.text.strip()))
         for r in table(spark, SF_SMOKE, "documents").select("text").collect()
     ]
     total = len(lens)
