@@ -19,7 +19,7 @@ DuckDB oracles (see plans/registry.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import spread, table
@@ -1007,4 +1007,192 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("doc_id") == F.col("component_id"), 0).otherwise(F.col("n_chars"))
         ).alias("chars_saved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup: a new batch of documents checked against the
+# already-indexed corpus (plus earlier docs in the same batch) — the
+# production shape: at 100 TB you never re-dedup the whole corpus per
+# ingest, you probe the stored band index with just the new partition
+
+NEW_SRC_MIN = 16  # sources srcNN with NN >= this are the "incoming batch"
+
+
+def _incremental_minhash_sql() -> str:
+    mh_cols = ",\n           ".join(
+        f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(NUM_BANDS):
+        cols = " || '|' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh")
+    bands = "\n    UNION ALL\n    ".join(band_rows)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(substr(source, 4) AS INT) >= {NEW_SRC_MIN} AS is_new,
+           string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+),
+shingled AS (
+    SELECT doc_id, is_new,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, len(t) - 1)])
+                ELSE [] END AS s
+    FROM toks
+),
+exploded AS (
+    SELECT doc_id, unnest(s) AS sh FROM shingled WHERE len(s) > 0
+),
+mh AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM exploded GROUP BY doc_id
+),
+buckets AS (
+    {bands}
+),
+fb AS (
+    SELECT b.doc_id, b.band, b.bucket, s.is_new
+    FROM buckets b JOIN shingled s ON s.doc_id = b.doc_id
+),
+cand AS (
+    SELECT DISTINCT p.doc_id AS probe_id, m.doc_id AS match_id, m.is_new AS match_is_new
+    FROM fb p JOIN fb m
+      ON p.band = m.band AND p.bucket = m.bucket
+     AND p.is_new
+     AND (NOT m.is_new OR m.doc_id < p.doc_id)
+),
+scored AS (
+    SELECT c.probe_id, c.match_id, c.match_is_new,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+               AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.probe_id
+    JOIN shingled sb ON sb.doc_id = c.match_id
+),
+best AS (
+    SELECT probe_id, match_id, match_is_new, jaccard,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY jaccard DESC, match_is_new ASC, match_id ASC)
+               AS rn
+    FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id,
+       CASE WHEN b.match_id IS NULL THEN 'novel'
+            WHEN b.match_is_new THEN 'dup_in_batch'
+            ELSE 'dup_of_index' END AS verdict,
+       b.match_id AS match_doc_id,
+       b.jaccard AS jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.probe_id = d.doc_id
+WHERE CAST(substr(d.source, 4) AS INT) >= {NEW_SRC_MIN}
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_incremental_minhash_sql(),
+          tags=("dedup", "minhash", "lsh", "incremental"))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup: sources src16+ play the incoming
+    ingest batch, the rest the already-indexed corpus. Every new document
+    gets exactly one verdict row: ``dup_of_index`` (matches a stored
+    doc), ``dup_in_batch`` (matches an EARLIER doc of the same batch —
+    later doc loses, mirroring the min-id-canonical convention), or
+    ``novel``. The best match is chosen by (jaccard desc, index-before-
+    batch, min id) — a total order, so both engines pick the same row.
+
+    Scale shape: in production the index side is a PRE-STORED band-bucket
+    table (appended per ingest), so per batch only the new docs are
+    shingled/signed — the probe is an equi-join of |batch| band rows
+    against the store, never a corpus self-join; candidates-only
+    verification as in dedup_minhash_lsh. Here both sides are built from
+    the fixture in one pass (the store doesn't exist yet), carrying an
+    ``is_new`` flag through one shared signature stage instead of
+    signing twice."""
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.substring("source", 4, 8).cast("int") >= NEW_SRC_MIN).alias("is_new"),
+        tokens().alias("toks"),
+    )
+    sh = docs.select(
+        "doc_id", "is_new", shingles("toks", 3).alias("s")
+    ).localCheckpoint(eager=True)
+    nonempty = sh.filter(F.size("s") > 0)
+    ex = nonempty.select("doc_id", "is_new", F.explode("s").alias("sh_"))
+    sig = ex.groupBy("doc_id", "is_new").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh_")))).alias(f"mh{s}")
+            for s in range(NUM_HASHES)
+        ]
+    )
+    band_structs = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        concat_cols: list = []
+        for i, c in enumerate(cols):
+            if i:
+                concat_cols.append(F.lit("|"))
+            concat_cols.append(c)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*concat_cols)).alias("bucket"))
+        )
+    buckets = sig.select(
+        "doc_id", "is_new", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id", "is_new", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).localCheckpoint(eager=True)
+
+    p = buckets.filter("is_new").alias("p")
+    m = buckets.alias("m")
+    cand = (
+        p.join(
+            m,
+            (F.col("p.band") == F.col("m.band"))
+            & (F.col("p.bucket") == F.col("m.bucket"))
+            & (~F.col("m.is_new") | (F.col("m.doc_id") < F.col("p.doc_id"))),
+        )
+        .select(
+            F.col("p.doc_id").alias("probe_id"),
+            F.col("m.doc_id").alias("match_id"),
+            F.col("m.is_new").alias("match_is_new"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("probe_id"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("match_id"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union_sz = F.size("sa") + F.size("sb") - common
+    scored = (
+        cand.join(sa, "probe_id")
+        .join(sb, "match_id")
+        .select(
+            "probe_id",
+            "match_id",
+            "match_is_new",
+            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_is_new").asc(), F.col("match_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    new_docs = table(spark, sf_dir, "documents").filter(
+        F.substring("source", 4, 8).cast("int") >= NEW_SRC_MIN
+    ).select("doc_id")
+    return new_docs.join(
+        best, new_docs["doc_id"] == best["probe_id"], "left"
+    ).select(
+        new_docs["doc_id"].alias("doc_id"),
+        F.when(F.col("match_id").isNull(), "novel")
+        .when(F.col("match_is_new"), "dup_in_batch")
+        .otherwise("dup_of_index")
+        .alias("verdict"),
+        F.col("match_id").alias("match_doc_id"),
+        F.col("jaccard"),
     )

@@ -166,3 +166,73 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(SKEW_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle: shard manifest
+
+N_TRAIN_SHARDS = 16
+
+_SHARD_SQL = f"""
+WITH hashed AS (
+    SELECT doc_id, source, n_chars,
+           md5('shard:' || doc_id) AS h
+    FROM documents
+)
+SELECT CAST(CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT)
+            % {N_TRAIN_SHARDS} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT source) AS n_sources,
+       min(CAST(CAST(concat('0x', substr(h, 1, 15)) AS UBIGINT) AS BIGINT))
+           AS min_hash_prefix,
+       max(CAST(CAST(concat('0x', substr(h, 1, 15)) AS UBIGINT) AS BIGINT))
+           AS max_hash_prefix,
+       sum(CAST(CAST(concat('0x', substr(h, 9, 8)) AS UBIGINT) AS BIGINT))::BIGINT
+           AS order_checksum
+FROM hashed
+GROUP BY shard
+"""
+
+
+@register("training_shard_manifest", oracle=_SHARD_SQL, tags=("sampling", "shuffle", "manifest"))
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, audited as a manifest:
+    every document is assigned a shard by a seeded md5 (so reruns, the
+    oracle, and every epoch agree), and each shard reports its size,
+    byte volume, source diversity, hash range (as the numeric 60-bit
+    hash prefix — numeric min/max keeps the aggregate a HashAggregate;
+    string min/max would force a SortAggregate over every partition),
+    and an order-insensitive checksum over a second independent hash
+    slice. The writing twin is
+    ``df.repartition(shard).sortWithinPartitions(h)`` — this query is the
+    audit that the shuffle is balanced and reproducible before an epoch
+    is laid down.
+
+    Scale shape: one hash agg on a uniform md5-derived key — shards are
+    balanced by construction (binomial around n/16), so no salting is
+    ever needed; the checksum sums 32-bit slices into a 64-bit
+    accumulator (no overflow until ~2^31 docs per shard, and both
+    engines wrap identically in 64-bit if ever exceeded)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    hashed = docs.select(
+        "source", "n_chars", h.alias("h")
+    )
+    shard = (
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % N_TRAIN_SHARDS
+    ).alias("shard")
+    return hashed.groupBy(shard).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(F.conv(F.substring("h", 1, 15), 16, 10).cast("long")).alias(
+            "min_hash_prefix"
+        ),
+        F.max(F.conv(F.substring("h", 1, 15), 16, 10).cast("long")).alias(
+            "max_hash_prefix"
+        ),
+        F.sum(F.conv(F.substring("h", 9, 8), 16, 10).cast("long")).cast("bigint").alias(
+            "order_checksum"
+        ),
+    )

@@ -49,8 +49,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # the r4 window was packed), the 2 plans rewritten for scale this round,
     # and the 16 new r5 operators; the rest = 25 of the 45 queries whose
     # only green rows predate the regeneration, headline + clickstream §2
-    # family first. The 20 deferred stale queries (simple scalar/setop/stat
-    # shapes plus thirteen displaced by late-r5 operators:
+    # family first. The 25 deferred stale queries (simple scalar/setop/stat
+    # shapes plus those displaced by late-r5 operators:
     # part_string_functions, order_date_functions, order_price_dispersion,
     # nation_set_ops, embedding_norms, dedup_exact_stats,
     # dedup_simhash_groups, q6_forecast_revenue, q12_priority_shipping,
@@ -58,8 +58,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # orders_with_returns, customer_order_stats, parts_above_avg_price,
     # order_value_percentiles, customers_without_orders,
     # orders_monthly_trend, customer_revenue_quartiles,
-    # running_customer_revenue — all driver_sim-green on current fixtures)
-    # rotate in r6.
+    # running_customer_revenue, lineitem_grouping_sets, part_type_rollup,
+    # orders_status_pivot, top_orders_per_customer, customer_order_gaps —
+    # all driver_sim-green on current fixtures) rotate in r6.
     # never driver-verified
     "lineitem_decimal_money",
     "event_props_map_profile",
@@ -68,6 +69,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pagerank_bipartite",
     "embedding_kmeans_iter",
     # new this round — never driver-verified
+    "doc_bigram_nll",
+    "doc_rag_chunks",
+    "customer_scd2_history",
+    "training_shard_manifest",
+    "dedup_incremental_minhash",
     "embedding_pca_power",
     "dedup_semantic_cells",
     "doc_length_percentile_filter",
@@ -112,11 +118,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "purchase_attribution_window",
     "skew_salted_event_counts",
     "lineitem_cube",
-    "lineitem_grouping_sets",
-    "part_type_rollup",
-    "orders_status_pivot",
-    "top_orders_per_customer",
-    "customer_order_gaps",
 )
 
 

@@ -2538,3 +2538,68 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_orders") / total, 6).alias("pct"),
         F.round(F.sum("n_orders").over(w_cum) / total, 6).alias("cum_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 build: collapse the order stream into a temporal dimension
+# (the CDC→warehouse pattern; the reference's Postgres sink stores only
+# current state — reference processor/streaming_processor.py:131-170 —
+# this derives the full validity history instead)
+
+_SCD2_SQL = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+           lag(o_orderpriority) OVER w AS prev_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+    SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate
+    FROM ordered
+    WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+)
+SELECT o_custkey AS custkey,
+       row_number() OVER w AS version,
+       o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("customer_scd2_history", oracle=_SCD2_SQL, tags=("scd2", "window", "cdc"))
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from the order stream: per
+    customer, each run of a repeated order priority collapses to one
+    versioned row with [valid_from, valid_to) bounds (open-ended for the
+    current version) — the CDC-collapse a warehouse runs to turn event
+    history into a temporal dimension.
+
+    Scale shape: ONE hash exchange on ``o_custkey`` feeds both window
+    passes (the change filter preserves the partitioning, so lag →
+    filter → row_number/lead re-sorts locally without reshuffling);
+    everything after the exchange is linear per-partition work. The
+    change rows order by (valid_from, orderkey) — orderkey is unique, so
+    the ordering is total and both engines version A→B→A same-day flips
+    identically."""
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.lag("o_orderpriority").over(w1).alias("prev_priority"),
+    )
+    changes = ordered.filter(
+        F.col("prev_priority").isNull()
+        | (F.col("prev_priority") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w2).alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+    )

@@ -1311,3 +1311,155 @@ def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hi").alias("p95_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM scoring: the step up from doc_unigram_nll toward the KenLM
+# perplexity filter (CCNet, Wenzek et al. 2020) — interpolated bigram
+# conditional probabilities, still trained and applied wholly in-engine
+
+BIGRAM_LAMBDA = 0.9  # weight on the bigram MLE; 1-λ backs off to unigram
+
+_BIGRAM_NLL_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+uni AS (
+    SELECT tok, count(*) AS tf
+    FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+total AS (SELECT sum(tf)::DOUBLE AS n FROM uni),
+bigrams AS (
+    SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS big
+    FROM toks WHERE len(t) >= 2
+),
+freq2 AS (
+    SELECT big, count(*) AS c12 FROM bigrams GROUP BY big
+),
+marg AS (
+    SELECT split_part(big, ' ', 1) AS w1, sum(c12) AS c1 FROM freq2 GROUP BY 1
+),
+probs AS (
+    SELECT f.big, f.c12, m.c1
+    FROM freq2 f JOIN marg m ON m.w1 = split_part(f.big, ' ', 1)
+),
+scored AS (
+    SELECT b.doc_id,
+           -ln({BIGRAM_LAMBDA} * (p.c12 * 1.0 / p.c1)
+               + {1.0 - BIGRAM_LAMBDA} * (u.tf / tt.n)) AS nll
+    FROM bigrams b
+    JOIN probs p ON p.big = b.big
+    JOIN uni u ON u.tok = split_part(b.big, ' ', 2)
+    CROSS JOIN total tt
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(nll), 6) AS mean_nll,
+       round(exp(avg(nll)), 4) AS bigram_ppl,
+       round(max(nll), 6) AS max_bigram_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("doc_bigram_nll", oracle=_BIGRAM_NLL_SQL, tags=("text", "quality", "lm"))
+def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram LM trained on
+    the corpus itself: P(w2|w1) = λ·C(w1w2)/C(w1·) + (1−λ)·C(w2)/N. The
+    whole filter — train + score — is three hash aggs and three equi-joins
+    (bigram table, first-token marginal, unigram backoff), each fan-out
+    exactly 1, so it distributes like any other join chain: no model
+    artifact leaves the engine, no UDF runs. Tokens never contain
+    whitespace (they come from a \\s+ split), so the 'w1 w2' composite
+    key splits back losslessly on the single space."""
+    toks = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    total = uni.agg(F.sum("tf").cast("double").alias("n"))
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))")
+        ).alias("big"),
+    )
+    freq2 = bigrams.groupBy("big").agg(F.count("*").alias("c12"))
+    w1 = F.split(F.col("big"), " ").getItem(0)
+    marg = freq2.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    probs = freq2.withColumn("w1", w1).join(marg, "w1").select("big", "c12", "c1")
+    p = (
+        F.lit(BIGRAM_LAMBDA) * (F.col("c12") * 1.0 / F.col("c1"))
+        + F.lit(1.0 - BIGRAM_LAMBDA) * (F.col("tf") / F.col("n"))
+    )
+    scored = (
+        bigrams.join(probs, "big")
+        .withColumn("tok", F.split(F.col("big"), " ").getItem(1))
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(p)).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("mean_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("bigram_ppl"),
+        F.round(F.max("nll"), 6).alias("max_bigram_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval chunking: overlapping fixed-token windows per document — the
+# materialization step a RAG / retrieval-indexing pipeline runs before
+# embedding; one output row per chunk
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_RAG_CHUNKS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       ((start - 1) / {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       start::BIGINT AS start_tok,
+       least({CHUNK_TOKENS}, len(t) - start + 1)::BIGINT AS n_tokens,
+       md5(array_to_string(list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' '))
+           AS chunk_fp
+FROM starts
+"""
+
+
+@register("doc_rag_chunks", oracle=_RAG_CHUNKS_SQL, tags=("text", "chunking", "retrieval"))
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48) —
+    the document→passage explosion a retrieval index builds before
+    embedding each chunk. Pure per-row array expressions (sequence →
+    explode → slice → md5): zero shuffles, fully codegen'd, and the
+    chunk fingerprint makes the output joinable against a dedup or
+    embedding stage without re-reading the text. Start offsets are
+    1-based in both engines (Spark slice() and DuckDB list_slice() both
+    clamp the final partial chunk)."""
+    toks = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("t"))
+    starts = toks.filter(F.size("t") > 0).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS))).alias(
+            "chunk_fp"
+        ),
+    )

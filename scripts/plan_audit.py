@@ -625,6 +625,40 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "Join", "HashAggregate", "BatchEvalPython"],
         "max_exchanges": 0,
     },
+    # bigram LM: three hash aggs + three fan-out-1 equi-joins; the 1-row
+    # token total broadcasts; nothing nested-loops over the corpus
+    "doc_bigram_nll": {
+        "contains": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 7,
+    },
+    # RAG chunking is sequence→explode→slice per row: zero shuffles,
+    # no join, no Python
+    "doc_rag_chunks": {
+        "contains": ["Generate"],
+        "not_contains": ["Exchange", "Join", "HashAggregate", "BatchEvalPython"],
+        "max_exchanges": 0,
+    },
+    # SCD2 collapse: ONE hash exchange on custkey feeds both window
+    # passes (lag → filter → row_number/lead re-sort locally); no join
+    "customer_scd2_history": {
+        "contains": ["Window"],
+        "not_contains": ["Join", "CartesianProduct", "HashAggregate"],
+        "max_exchanges": 1,
+    },
+    # shard manifest: one hash agg on the uniform md5-derived shard key
+    "training_shard_manifest": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join", "Window", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
+    # incremental dedup: banded equi-joins only (probe×store, verify,
+    # final left join) — candidate generation must never nested-loop
+    "dedup_incremental_minhash": {
+        "contains": ["Window"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "max_exchanges": 12,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)

@@ -49,6 +49,13 @@ REPRESENTATIVE = (
     "dedup_semantic_cells",
     "doc_length_percentile_filter",
     "embedding_pca_power",
+    # late-round-5 families: bigram LM, RAG chunking, SCD2 collapse,
+    # shard manifest, incremental dedup
+    "doc_bigram_nll",
+    "doc_rag_chunks",
+    "customer_scd2_history",
+    "training_shard_manifest",
+    "dedup_incremental_minhash",
 )
 
 
