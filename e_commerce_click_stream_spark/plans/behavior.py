@@ -872,3 +872,125 @@ def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("g")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: deterministic hash assignment + two-proportion
+# z-test — the experimentation surface a clickstream warehouse serves
+
+AB_VALUE_MIN = 100.0  # qualifying-purchase threshold; plain "any purchase"
+# saturates at 100% conversion in this domain (every user buys eventually),
+# which degenerates the pooled variance — the readout needs a non-trivial metric
+
+_AB_SQL = f"""
+WITH users AS (
+    SELECT user_id,
+           CAST(CAST(concat('0x', substr(md5('ab:' || user_id), 1, 8))
+                AS UBIGINT) AS BIGINT) % 2 AS variant,
+           max(CASE WHEN event_type = 'purchase' AND value >= {AB_VALUE_MIN}
+               THEN 1 ELSE 0 END) AS converted
+    FROM events
+    GROUP BY user_id
+),
+arms AS (
+    SELECT count(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+           count(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+           sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS conv_a,
+           sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS conv_b
+    FROM users
+)
+SELECT n_a, n_b,
+       CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(conv_b AS BIGINT) AS conv_b,
+       CASE WHEN n_a > 0 THEN round(conv_a * 1.0 / n_a, 6) END AS rate_a,
+       CASE WHEN n_b > 0 THEN round(conv_b * 1.0 / n_b, 6) END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round((conv_b * 1.0 / n_b) - (conv_a * 1.0 / n_a), 6)
+            END AS abs_lift,
+       CASE WHEN n_a > 0 AND n_b > 0
+                 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+            THEN round(((conv_b * 1.0 / n_b) - (conv_a * 1.0 / n_a))
+                       / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                              * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)), 4)
+            END AS z_score
+FROM arms
+"""
+
+
+@register("ab_test_readout", oracle=_AB_SQL, tags=("behavior", "experiment"))
+def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout: users are assigned to variants by a
+    seeded md5 hash (deterministic — the same user lands in the same arm
+    on every rerun, engine, and epoch; no assignment table to store or
+    join), conversion = a qualifying purchase, and the pooled two-proportion
+    z-statistic decides significance. Rounded to 4 decimals — the z-test
+    is a decision statistic, not a currency amount.
+
+    Scale shape: one hash agg to user grain (the only shuffle —
+    user_id-uniform), then a single-row conditional aggregate; no join,
+    no window, nothing driver-side. At 100 TB this is the cheapest
+    query in the engine: two partial+final agg pairs."""
+    users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= AB_VALUE_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+            "converted",
+        )
+    )
+    arms = users.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    conv = F.col("conv_a") + F.col("conv_b")
+    rate_a = F.col("conv_a") * 1.0 / n_a
+    rate_b = F.col("conv_b") * 1.0 / n_b
+    pooled = conv * 1.0 / (n_a + n_b)
+    # the z denominator is 0 when an arm is empty or conversion is 0%/100%
+    # — ANSI mode (driver default) raises on it, and the oracle's NULL is
+    # the right answer anyway: guard BOTH engines to NULL identically
+    defined = (n_a > 0) & (n_b > 0) & (conv > 0) & (conv < n_a + n_b)
+    z = F.when(
+        defined,
+        F.round(
+            (rate_b - rate_a)
+            / F.sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b)),
+            4,
+        ),
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.when(n_a > 0, F.round(rate_a, 6)).alias("rate_a"),
+        F.when(n_b > 0, F.round(rate_b, 6)).alias("rate_b"),
+        F.when((n_a > 0) & (n_b > 0), F.round(rate_b - rate_a, 6)).alias("abs_lift"),
+        z.alias("z_score"),
+    )

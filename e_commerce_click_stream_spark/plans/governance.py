@@ -236,3 +236,102 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: a DETERMINISTIC mergeable
+# cardinality estimator (Bar-Yossef et al. 2002; the theta-sketch core).
+# Unlike HLL (hourly_metrics_approx, rows-only check), the md5-based KMV
+# reproduces bit-identically in DuckDB, so the approximate operator gets
+# a full value-hash oracle — and it self-grades against the exact count.
+
+KMV_K = 64
+
+_KMV_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+    SELECT event_type, user_id,
+           CAST(CAST(concat('0x', substr(md5('kmv:' || user_id), 1, 15))
+                AS UBIGINT) AS BIGINT) / 1152921504606846976.0 AS frac
+    FROM du
+),
+ranked AS (
+    SELECT event_type, frac,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY frac, user_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS exact_distinct
+    FROM hashed
+)
+SELECT event_type,
+       max(exact_distinct) AS exact_distinct,
+       CASE WHEN max(exact_distinct) < {KMV_K} THEN max(exact_distinct)
+            ELSE CAST(round(({KMV_K} - 1) / max(CASE WHEN rn = {KMV_K} THEN frac END))
+                      AS BIGINT) END AS kmv_estimate,
+       round(abs(CASE WHEN max(exact_distinct) < {KMV_K} THEN max(exact_distinct)
+                      ELSE CAST(round(({KMV_K} - 1)
+                                / max(CASE WHEN rn = {KMV_K} THEN frac END))
+                                AS BIGINT) END
+                 - max(exact_distinct)) * 1.0 / max(exact_distinct), 4)
+           AS rel_error
+FROM ranked
+WHERE rn <= {KMV_K}
+GROUP BY event_type
+"""
+
+
+@register("events_kmv_distinct", oracle=_KMV_SQL, tags=("sketch", "approx", "cardinality"))
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a k-minimum-values sketch
+    (k=64): keep each group's 64 smallest md5-derived hash fractions;
+    estimate = (k−1)/frac_(k). The sketch is MERGEABLE (k smallest of a
+    union = k smallest of the per-partition k-smallest), deterministic,
+    and — because the hash is md5 — bit-reproducible in the oracle, so
+    this approximate operator gets the full value-hash gate instead of
+    the rows-only check HLL needs. Self-grades: emits the exact distinct
+    count and the relative error beside the estimate.
+
+    Scale shape: the per-group top-k runs as a rank-pushdown window
+    (WindowGroupLimit keeps ≤ k rows per group per partition BEFORE the
+    shuffle), so shuffle volume is groups × k, not users; the exact
+    column is test-scale self-grading — production drops it and the
+    plan collapses to the sketch alone."""
+    from pyspark.sql import Window
+
+    du = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    # exact count in its own hash-agg branch, NOT as an unordered window
+    # beside the rank window: a count-over-full-group window forces every
+    # row through the window sort and disables WindowGroupLimit pruning
+    # (verified in the plan) — as a groupBy it stays a partial+final agg
+    # and joins back over group cardinality (broadcast)
+    counts = du.groupBy("event_type").agg(F.count("*").alias("exact_distinct"))
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    hashed = du.select("event_type", "user_id", frac.alias("frac"))
+    w = Window.partitionBy("event_type").orderBy("frac", "user_id")
+    ranked = hashed.select(
+        "event_type",
+        "frac",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= KMV_K)
+    sketch = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("frac"))).alias("kth"),
+        F.count("*").alias("n_in_sketch"),
+    )
+    est = F.when(F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")).otherwise(
+        F.round((KMV_K - 1) / F.col("kth")).cast("bigint")
+    )
+    exact = F.col("exact_distinct")
+    return sketch.join(F.broadcast(counts), "event_type").select(
+        "event_type",
+        exact.alias("exact_distinct"),
+        est.alias("kmv_estimate"),
+        F.round(F.abs(est - exact) * 1.0 / exact, 4).alias("rel_error"),
+    )

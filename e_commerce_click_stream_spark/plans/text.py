@@ -1463,3 +1463,85 @@ def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_fp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir sampling (Efraimidis & Spirakis 2006): top-k by
+# u^(1/w) — equivalently the k SMALLEST exponential clocks -ln(u)/w —
+# gives an exact weighted sample WITHOUT replacement in one distributed
+# pass; the md5-uniform keeps it deterministic and oracle-reproducible
+
+RESERVOIR_K = 5  # docs kept per source
+
+_RESERVOIR_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, source,
+           len(list_distinct(t))::DOUBLE / len(t) AS weight,
+           round(-ln(CAST(CAST(concat('0x', substr(md5('wrs:' || doc_id), 1, 15))
+                          AS UBIGINT) AS BIGINT) / 1152921504606846976.0)
+                 / (len(list_distinct(t))::DOUBLE / len(t)), 9) AS clock
+    FROM t WHERE len(t) > 0
+)
+SELECT source, rank, doc_id,
+       round(weight, 6) AS weight,
+       clock
+FROM (
+    SELECT source, doc_id, weight, clock,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY clock, doc_id) AS rank
+    FROM keyed
+)
+WHERE rank <= {RESERVOIR_K}
+"""
+
+
+@register("weighted_reservoir_sample", oracle=_RESERVOIR_SQL, tags=("sampling", "text"))
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    per source, keep the 5 documents with the smallest exponential clock
+    −ln(u)/w, where w is the unique-token quality weight and u a
+    deterministic md5 uniform — inclusion probability proportional to
+    weight, reproducible across reruns and engines. The one-pass,
+    mergeable top-k is what makes weighted sampling work distributed:
+    no global sort, no sequential reservoir state.
+
+    Scale shape: per-group top-k via rank window — WindowGroupLimit
+    prunes to ≤ k rows per source per partition BEFORE the shuffle, so
+    shuffle volume is sources × k regardless of corpus size. The clock
+    is rounded to 9 decimals on both engines before ranking (libm ln()
+    may differ in the last ulp), with doc_id as total-order tiebreak."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens().alias("t")
+    )
+    n = F.size("t")
+    w_q = F.size(F.array_distinct(F.col("t"))).cast("double") / n
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    keyed = docs.filter(n > 0).select(
+        "doc_id",
+        "source",
+        w_q.alias("weight"),
+        F.round(-F.log(u) / w_q, 9).alias("clock"),
+    )
+    win = Window.partitionBy("source").orderBy("clock", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select(
+            "source",
+            "rank",
+            "doc_id",
+            F.round("weight", 6).alias("weight"),
+            "clock",
+        )
+    )

@@ -659,6 +659,26 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "max_exchanges": 12,
     },
+    # KMV sketch: rank window MUST prune (WindowGroupLimit before the
+    # shuffle — the mergeable-sketch property); exact-count branch joins
+    # back broadcast over group cardinality
+    "events_kmv_distinct": {
+        "contains": ["WindowGroupLimit", "BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 5,
+    },
+    # weighted reservoir: per-group top-k with rank pushdown, no join
+    "weighted_reservoir_sample": {
+        "contains": ["WindowGroupLimit"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # A/B readout: user-grain agg + single-row conditional agg, no join
+    "ab_test_readout": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join", "Window", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)

@@ -56,6 +56,9 @@ REPRESENTATIVE = (
     "customer_scd2_history",
     "training_shard_manifest",
     "dedup_incremental_minhash",
+    "events_kmv_distinct",
+    "weighted_reservoir_sample",
+    "ab_test_readout",
 )
 
 

@@ -17,12 +17,13 @@ from e_commerce_click_stream_spark.plans.dedup import (
     JACCARD_THRESHOLD,
     NEW_SRC_MIN,
 )
-from e_commerce_click_stream_spark.plans.governance import N_TRAIN_SHARDS
+from e_commerce_click_stream_spark.plans.governance import KMV_K, N_TRAIN_SHARDS
 from e_commerce_click_stream_spark.plans.registry import all_specs
 from e_commerce_click_stream_spark.plans.text import (
     BIGRAM_LAMBDA,
     CHUNK_STRIDE,
     CHUNK_TOKENS,
+    RESERVOIR_K,
 )
 from tests.conftest import SF_SMOKE
 
@@ -138,6 +139,57 @@ def test_scd2_history_invariants(spark):
         assert all(r.valid_to is not None for r in rows[:-1])
 
 
+def test_kmv_sketch_matches_python_recomputation(spark):
+    rows = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    by_type = defaultdict(set)
+    for r in rows:
+        by_type[r.event_type].add(r.user_id)
+    out = {r.event_type: r for r in SPECS["events_kmv_distinct"].builder(spark, SF_SMOKE).collect()}
+    assert set(out) == set(by_type)
+    for et, users in by_type.items():
+        fracs = sorted(int(_md5(f"kmv:{u}")[:15], 16) / 2**60 for u in users)
+        exact = len(users)
+        est = exact if exact < KMV_K else round((KMV_K - 1) / fracs[KMV_K - 1])
+        r = out[et]
+        assert r.exact_distinct == exact
+        assert r.kmv_estimate == est
+        assert abs(r.rel_error - round(abs(est - exact) / exact, 4)) < 1e-9
+        # k=64 KMV has relative standard error ~1/sqrt(k-2) ≈ 12.7%;
+        # 4x that is a astronomically-safe determinism check, not a tuning bound
+        assert r.rel_error < 0.5
+
+
+def test_weighted_reservoir_matches_python_recomputation(spark):
+    rows = (
+        table(spark, SF_SMOKE, "documents").select("doc_id", "source", "text").collect()
+    )
+    by_source = defaultdict(list)
+    for r in rows:
+        t = r.text.strip().split()
+        if not t:
+            continue
+        w = len(set(t)) / len(t)
+        u = int(_md5(f"wrs:{r.doc_id}")[:15], 16) / 2**60
+        by_source[r.source].append((round(-math.log(u) / w, 9), r.doc_id, w))
+    out = defaultdict(list)
+    for r in SPECS["weighted_reservoir_sample"].builder(spark, SF_SMOKE).collect():
+        out[r.source].append(r)
+    assert set(out) == set(by_source)
+    for src, cands in by_source.items():
+        cands.sort()
+        expected = cands[:RESERVOIR_K]
+        got = sorted(out[src], key=lambda r: r.rank)
+        assert [r.doc_id for r in got] == [c[1] for c in expected]
+        for r, (clock, _, w) in zip(got, expected):
+            assert abs(r.clock - clock) < 1e-8
+            assert abs(r.weight - round(w, 6)) < 1e-9
+
+
 def test_incremental_dedup_consistent_with_full_lsh(spark):
     out = SPECS["dedup_incremental_minhash"].builder(spark, SF_SMOKE).collect()
     new_ids = {
@@ -166,3 +218,37 @@ def test_incremental_dedup_consistent_with_full_lsh(spark):
         lo, hi = sorted((p.doc_a, p.doc_b))
         if hi in new_ids:
             assert by_id[hi].verdict != "novel"
+
+
+def test_ab_readout_matches_python_recomputation(spark):
+    from e_commerce_click_stream_spark.plans.behavior import AB_VALUE_MIN
+
+    rows = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    conv = defaultdict(int)
+    for r in rows:
+        if r.event_type == "purchase" and r.value >= AB_VALUE_MIN:
+            conv[r.user_id] = 1
+        else:
+            conv.setdefault(r.user_id, 0)
+    arms = {0: [0, 0], 1: [0, 0]}  # variant -> [n, converted]
+    for u, c in conv.items():
+        v = int(_md5(f"ab:{u}")[:8], 16) % 2
+        arms[v][0] += 1
+        arms[v][1] += c
+    (n_a, c_a), (n_b, c_b) = arms[0], arms[1]
+    [r] = SPECS["ab_test_readout"].builder(spark, SF_SMOKE).collect()
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, c_a, c_b)
+    assert abs(r.rate_a - round(c_a / n_a, 6)) < 1e-9
+    assert abs(r.rate_b - round(c_b / n_b, 6)) < 1e-9
+    pooled = (c_a + c_b) / (n_a + n_b)
+    if 0 < pooled < 1:
+        z = (c_b / n_b - c_a / n_a) / math.sqrt(
+            pooled * (1 - pooled) * (1 / n_a + 1 / n_b)
+        )
+        assert abs(r.z_score - round(z, 4)) < 1e-9
+    else:
+        assert r.z_score is None
