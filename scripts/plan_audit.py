@@ -679,6 +679,117 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "Window", "CartesianProduct"],
         "max_exchanges": 2,
     },
+    # --- breadth pins: every remaining headline + scale-critical batch
+    # query holds at least a no-scale-killer pin (counts measured on the
+    # audited plan; checkpointed builders truncate lineage, so their
+    # exchange counts cover the FINAL segment only — the upstream
+    # segments are audited via their own primitives above)
+    # banded LSH dedup (headline): band-bucket equi-joins only; the
+    # verify join broadcasts candidates against the shingled corpus
+    "dedup_minhash_lsh": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
+    # rare-shingle inverted-index containment: equi-join candidates only
+    "dedup_containment": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
+    },
+    # pigeonhole-banded Hamming pairs: equi-join candidates only
+    "dedup_simhash_hamming": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
+    },
+    # exact dedup: ONE hash shuffle on the uniform md5 fingerprint
+    "dedup_exact": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join", "Window", "SortAggregate"],
+        "max_exchanges": 1,
+    },
+    # IVF probe: centroids broadcast (1-row packed array), per-query
+    # top-k via rank pushdown — never a corpus-wide sort
+    "ann_ivf_topk": {
+        "contains": ["WindowGroupLimit", "BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 3,
+    },
+    # IVF cell stats: zero-shuffle assignment + one cell agg
+    "ann_ivf_cells": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 2,
+    },
+    # corpus clean: dedup + quality gates fused in one pass
+    "corpus_clean_pipeline": {
+        "contains": ["HashAggregate", "WindowGroupLimit"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 2,
+    },
+    # star join: dims broadcast, fact never shuffles for the join
+    "brand_revenue": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["SortMergeJoin", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # zero-shuffle per-row text/embedding ops: pure codegen projections
+    "deterministic_sample": {"not_contains": ["Exchange", "Join", "HashAggregate"], "max_exchanges": 0},
+    "doc_quality_scores": {"not_contains": ["Exchange", "Join", "BatchEvalPython"], "max_exchanges": 0},
+    "doc_token_counts": {"not_contains": ["Exchange", "Join"], "max_exchanges": 0},
+    "doc_language_id": {"not_contains": ["Exchange", "Join"], "max_exchanges": 0},
+    "doc_fingerprints": {"not_contains": ["Exchange", "Join"], "max_exchanges": 0},
+    "embedding_norms": {"not_contains": ["Exchange", "Join"], "max_exchanges": 0},
+    "events_enriched": {"not_contains": ["Exchange", "Join", "BatchEvalPython"], "max_exchanges": 0},
+    # split-leakage audit: band equi-joins; never a pair nested loop
+    "train_eval_split_leakage": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
+    },
+    # CUBE / ROLLUP: one Expand pass + one agg shuffle — never one scan
+    # per grouping set
+    "lineitem_cube": {
+        "contains": ["Expand", "HashAggregate"],
+        "not_contains": ["Join", "Union"],
+        "max_exchanges": 1,
+    },
+    "part_type_rollup": {
+        "contains": ["Expand", "HashAggregate"],
+        "not_contains": ["Join", "Union"],
+        "max_exchanges": 1,
+    },
+    # pivot: two-phase agg, no per-status scan fan-out
+    "orders_status_pivot": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join", "Union"],
+        "max_exchanges": 2,
+    },
+    # window chains: ONE custkey exchange feeds the frames
+    "running_customer_revenue": {
+        "contains": ["Window"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    "customer_order_gaps": {
+        "contains": ["Window"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # per-group top-k MUST rank-pushdown
+    "top_orders_per_customer": {
+        "contains": ["WindowGroupLimit"],
+        "not_contains": ["Join", "CartesianProduct"],
+        "max_exchanges": 1,
+    },
+    # multimodal decode: the ONE legitimate Python hop — Arrow-batched
+    # mapInPandas, never row-at-a-time BatchEvalPython
+    "multimodal_decode_meta": {
+        "contains": ["MapInPandas"],
+        "not_contains": ["BatchEvalPython", "Join"],
+        "max_exchanges": 1,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
