@@ -1033,7 +1033,8 @@ def _incremental_minhash_sql() -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           CAST(substr(source, 4) AS INT) >= {NEW_SRC_MIN} AS is_new,
+           coalesce(TRY_CAST(substr(source, 4) AS INT) >= {NEW_SRC_MIN}, false)
+               AS is_new,
            string_split_regex(trim(text), '\\s+') AS t
     FROM documents
 ),
@@ -1091,7 +1092,7 @@ SELECT d.doc_id,
        b.jaccard AS jaccard
 FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.probe_id = d.doc_id
-WHERE CAST(substr(d.source, 4) AS INT) >= {NEW_SRC_MIN}
+WHERE coalesce(TRY_CAST(substr(d.source, 4) AS INT) >= {NEW_SRC_MIN}, false)
 """
 
 
@@ -1116,7 +1117,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signing twice."""
     docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id",
-        (F.substring("source", 4, 8).cast("int") >= NEW_SRC_MIN).alias("is_new"),
+        F.coalesce(
+            F.substring("source", 4, 8).try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+        ).alias("is_new"),
         tokens().alias("toks"),
     )
     sh = docs.select(
@@ -1183,7 +1186,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     new_docs = table(spark, sf_dir, "documents").filter(
-        F.substring("source", 4, 8).cast("int") >= NEW_SRC_MIN
+        F.coalesce(
+            F.substring("source", 4, 8).try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+        )
     ).select("doc_id")
     return new_docs.join(
         best, new_docs["doc_id"] == best["probe_id"], "left"

@@ -267,11 +267,12 @@ ranked AS (
 SELECT event_type,
        max(exact_distinct) AS exact_distinct,
        CASE WHEN max(exact_distinct) < {KMV_K} THEN max(exact_distinct)
-            ELSE CAST(round(({KMV_K} - 1) / max(CASE WHEN rn = {KMV_K} THEN frac END))
+            ELSE CAST(floor(({KMV_K} - 1)
+                            / max(CASE WHEN rn = {KMV_K} THEN frac END) + 0.5)
                       AS BIGINT) END AS kmv_estimate,
        round(abs(CASE WHEN max(exact_distinct) < {KMV_K} THEN max(exact_distinct)
-                      ELSE CAST(round(({KMV_K} - 1)
-                                / max(CASE WHEN rn = {KMV_K} THEN frac END))
+                      ELSE CAST(floor(({KMV_K} - 1)
+                                / max(CASE WHEN rn = {KMV_K} THEN frac END) + 0.5)
                                 AS BIGINT) END
                  - max(exact_distinct)) * 1.0 / max(exact_distinct), 4)
            AS rel_error
@@ -325,8 +326,11 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == KMV_K, F.col("frac"))).alias("kth"),
         F.count("*").alias("n_in_sketch"),
     )
+    # floor(x + 0.5), not round(): Spark rounds half-up, DuckDB half-away
+    # (same convention as embedding_sq8_error) — exact-.5 estimates must
+    # land identically in both engines
     est = F.when(F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")).otherwise(
-        F.round((KMV_K - 1) / F.col("kth")).cast("bigint")
+        F.floor((KMV_K - 1) / F.col("kth") + 0.5).cast("bigint")
     )
     exact = F.col("exact_distinct")
     return sketch.join(F.broadcast(counts), "event_type").select(

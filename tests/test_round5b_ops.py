@@ -154,7 +154,7 @@ def test_kmv_sketch_matches_python_recomputation(spark):
     for et, users in by_type.items():
         fracs = sorted(int(_md5(f"kmv:{u}")[:15], 16) / 2**60 for u in users)
         exact = len(users)
-        est = exact if exact < KMV_K else round((KMV_K - 1) / fracs[KMV_K - 1])
+        est = exact if exact < KMV_K else math.floor((KMV_K - 1) / fracs[KMV_K - 1] + 0.5)
         r = out[et]
         assert r.exact_distinct == exact
         assert r.kmv_estimate == est
