@@ -144,3 +144,142 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("node_key"),
         F.col("rank").alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the part co-purchase graph — the fourth graph
+# primitive (after components, PageRank, power-iteration PCA), and the
+# canonical test of whether a join engine can do graph analytics at
+# scale: the degree-ordered orientation (Schank & Wagner 2005; the same
+# trick behind every MapReduce/Spark triangle counter) bounds wedge
+# generation by out-degree ≤ O(sqrt(m)) instead of max degree, so hub
+# nodes never explode the intermediate.
+
+_TRIANGLE_SQL = """
+WITH pe AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM pe UNION ALL SELECT v AS node FROM pe
+    ) GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN pe.u ELSE pe.v END AS src,
+           CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN pe.v ELSE pe.u END AS dst,
+           CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN du.d ELSE dv.d END AS sd,
+           CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN dv.d ELSE du.d END AS dd
+    FROM pe JOIN deg du ON du.node = pe.u JOIN deg dv ON dv.node = pe.v
+),
+wedges AS (
+    SELECT CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst) THEN e1.dst ELSE e2.dst END AS v,
+           CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst) THEN e2.dst ELSE e1.dst END AS w
+    FROM oriented e1 JOIN oriented e2
+      ON e1.src = e2.src AND e1.dst < e2.dst
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM wedges JOIN oriented o ON o.src = wedges.v AND o.dst = wedges.w
+),
+stats AS (
+    SELECT count(*) AS n_nodes,
+           sum(d * (d - 1) / 2)::BIGINT AS n_wedges
+    FROM deg
+),
+ecount AS (SELECT count(*) AS n_edges FROM pe)
+SELECT s.n_nodes, e.n_edges, s.n_wedges,
+       t.n_triangles,
+       round(CASE WHEN s.n_wedges > 0
+                  THEN 3.0 * t.n_triangles / s.n_wedges END, 6) AS transitivity
+FROM stats s, ecount e, tri t
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_SQL, tags=("graph", "triangles"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + transitivity of the part co-purchase graph
+    (parts are adjacent when some order contains both). Every triangle is
+    counted exactly once: edges are oriented low→high in the (degree,
+    id) total order, wedges form only at each triangle's lowest vertex,
+    and the closing edge is probed in its oriented direction — three
+    equi-joins, no Cartesian anything.
+
+    Scale shape: the co-purchase self-join is per-order (order baskets
+    are small and bounded — the same argument as brand_basket_affinity);
+    the wedge join fans out by ORIENTED out-degree, which the
+    degree-ordering bounds by O(sqrt(edges)) even on power-law graphs —
+    hub parts contribute wedges only toward higher-degree nodes. The
+    (degree, id) pair comparison is a lexicographic total order, so both
+    engines orient identically."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced by deg, oriented, and stats
+    )
+    deg = (
+        pe.select(F.col("u").alias("node"))
+        .unionAll(pe.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pe.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    ).localCheckpoint(eager=True)  # wedge join reads it twice, closer once
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("dst1"), F.col("dd").alias("dd1")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("dst2"), F.col("dd").alias("dd2")
+    )
+    first_lower = (F.col("dd1") < F.col("dd2")) | (
+        (F.col("dd1") == F.col("dd2")) & (F.col("dst1") < F.col("dst2"))
+    )
+    wedges = (
+        e1.join(e2, "src")
+        .filter(F.col("dst1") < F.col("dst2"))
+        .select(
+            F.when(first_lower, F.col("dst1")).otherwise(F.col("dst2")).alias("v"),
+            F.when(first_lower, F.col("dst2")).otherwise(F.col("dst1")).alias("w"),
+        )
+    )
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closer, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    ecount = pe.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ),
+                6,
+            ).alias("transitivity"),
+        )
+    )

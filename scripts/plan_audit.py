@@ -790,6 +790,16 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "Join"],
         "max_exchanges": 1,
     },
+    # triangle counting: degree-ordered wedge + closing equi-joins only;
+    # checkpointed edge list truncates the audited plan to the final
+    # segment — the co-purchase self-join is audited via basket affinity
+    # (the BroadcastNestedLoopJoins in this plan are the 1-row × 1-row
+    # final-stat assembly crossJoins, not a data-scale nested loop)
+    "graph_triangle_count": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 8,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)

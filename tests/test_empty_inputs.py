@@ -59,6 +59,7 @@ REPRESENTATIVE = (
     "events_kmv_distinct",
     "weighted_reservoir_sample",
     "ab_test_readout",
+    "graph_triangle_count",
 )
 
 

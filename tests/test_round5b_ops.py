@@ -252,3 +252,34 @@ def test_ab_readout_matches_python_recomputation(spark):
         assert abs(r.z_score - round(z, 4)) < 1e-9
     else:
         assert r.z_score is None
+
+
+def test_triangle_count_matches_python_recomputation(spark):
+    from itertools import combinations
+
+    rows = (
+        table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey").collect()
+    )
+    orders = defaultdict(set)
+    for r in rows:
+        orders[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        for u, v in combinations(sorted(parts), 2):
+            edges.add((u, v))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    triangles = 0
+    for u, v in edges:
+        triangles += len(adj[u] & adj[v])
+    triangles //= 3  # each triangle counted once per edge
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    [r] = SPECS["graph_triangle_count"].builder(spark, SF_SMOKE).collect()
+    assert r.n_nodes == len(adj)
+    assert r.n_edges == len(edges)
+    assert r.n_wedges == wedges
+    assert r.n_triangles == triangles
+    if wedges:
+        assert abs(r.transitivity - round(3 * triangles / wedges, 6)) < 1e-9
