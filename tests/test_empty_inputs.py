@@ -79,4 +79,11 @@ def empty_sf_dir(spark):
 def test_query_survives_empty_inputs(spark, empty_sf_dir, name):
     df = all_specs()[name].builder(spark, empty_sf_dir)
     assert df.columns
+    # EXECUTE, don't just plan: runtime-only failures (ANSI
+    # divide-by-zero in an aggregate over zero rows, a window over an
+    # empty frame) never surface at plan time
+    rows = df.collect()
+    # global aggregates legitimately return a single all-NULL/zero row;
+    # everything else must be empty
+    assert len(rows) <= 1
     assert df.count() >= 0
