@@ -34,8 +34,11 @@ DECODED_SCHEMA = (
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct, the storage
-    shape a multimodal table uses (payload: binary, meta: struct)."""
-    payload = F.encode(F.col(text_col), "UTF-8")
+    shape a multimodal table uses (payload: binary, meta: struct). A NULL
+    source column becomes an EMPTY payload, not a NULL one — downstream
+    Arrow batches then never carry None where the decode expects bytes
+    (mirrors a production ingest writing b'' for failed fetches)."""
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
     return docs.select(
         "doc_id",
         payload.alias("payload"),
@@ -104,10 +107,14 @@ def decode_metadata(docs_with_payload: DataFrame, use_real_codec: bool = False) 
 def frame_sample(docs_with_payload: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' over an opaque byte stream: deterministic byte-range
     chunks every N bytes (the video-path plumbing: one row per sampled
-    frame, chunk offsets carried alongside). Pure built-in expressions."""
+    frame, chunk offsets carried alongside). Pure built-in expressions.
+
+    Zero-byte payloads are filtered BEFORE the explode: they yield no
+    frames, and sequence(0, n-1) raises on n=0 ("Illegal sequence
+    boundaries: 0 to -1") — found by the edge-corpus parity matrix."""
     n = F.octet_length(F.col("payload"))
     offsets = F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
-    return docs_with_payload.select(
+    return docs_with_payload.filter(n > 0).select(
         "doc_id", F.posexplode(offsets).alias("frame_idx", "offset")
     ).select(
         "doc_id",

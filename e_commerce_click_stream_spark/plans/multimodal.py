@@ -23,11 +23,11 @@ from e_commerce_click_stream_spark.plans.registry import register
 
 _DECODE_SQL = """
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       md5(text) AS content_fp,
-       (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 1024 + 16
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       md5(coalesce(text, '')) AS content_fp,
+       (ascii(substr(md5(coalesce(text, '')), 1, 1)) * 256 + ascii(substr(md5(coalesce(text, '')), 2, 1))) % 1024 + 16
            AS width,
-       (ascii(substr(md5(text), 3, 1)) * 256 + ascii(substr(md5(text), 4, 1))) % 1024 + 16
+       (ascii(substr(md5(coalesce(text, '')), 3, 1)) * 256 + ascii(substr(md5(coalesce(text, '')), 4, 1))) % 1024 + 16
            AS height,
        3 AS n_channels,
        'fake-md5' AS decoder
@@ -46,8 +46,8 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAMES_SQL = """
 SELECT doc_id,
-       unnest(range((octet_length(encode(text)) + 63) // 64)) AS frame_idx,
-       unnest(range((octet_length(encode(text)) + 63) // 64)) * 64 AS offset
+       unnest(range((octet_length(encode(coalesce(text, ''))) + 63) // 64)) AS frame_idx,
+       unnest(range((octet_length(encode(coalesce(text, ''))) + 63) // 64)) * 64 AS offset
 FROM documents
 """
 
@@ -63,9 +63,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_SQL = """
 WITH d AS (
     SELECT doc_id,
-           (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 1024 + 16
+           (ascii(substr(md5(coalesce(text, '')), 1, 1)) * 256 + ascii(substr(md5(coalesce(text, '')), 2, 1))) % 1024 + 16
                AS width,
-           (ascii(substr(md5(text), 3, 1)) * 256 + ascii(substr(md5(text), 4, 1))) % 1024 + 16
+           (ascii(substr(md5(coalesce(text, '')), 3, 1)) * 256 + ascii(substr(md5(coalesce(text, '')), 4, 1))) % 1024 + 16
                AS height
     FROM documents
 )
@@ -93,7 +93,7 @@ _FEATURES_SQL = """
 SELECT doc_id,
        array_to_string(
            list_transform(range(8),
-               i -> round(ascii(substr(md5(text), (i + 1)::INT, 1)) / 255.0 * 1000000)::BIGINT),
+               i -> round(ascii(substr(md5(coalesce(text, '')), (i + 1)::INT, 1)) / 255.0 * 1000000)::BIGINT),
            ',') AS features
 FROM documents
 """
@@ -133,7 +133,7 @@ WITH sized AS (
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_kind,
-           octet_length(encode(text)) AS n_bytes
+           octet_length(encode(coalesce(text, ''))) AS n_bytes
     FROM documents
 ),
 cum AS (

@@ -1241,7 +1241,12 @@ LEN_P_HI = 0.95
 
 _LEN_FILTER_SQL = f"""
 WITH lens AS (
-    SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    -- coalesce: a NULL text must enter the histogram as length 0, not as
+    -- a NULL group — Spark windows order NULLS FIRST, DuckDB NULLS LAST,
+    -- so a NULL length group would land at opposite ends of the
+    -- cumulative walk and shift the percentile bounds between engines
+    SELECT doc_id, source,
+           coalesce(len(string_split_regex(trim(text), '\\s+')), 0) AS n_tokens
     FROM documents
 ),
 hist AS (SELECT n_tokens, count(*) AS n FROM lens GROUP BY n_tokens),
@@ -1284,7 +1289,8 @@ def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus as a 1-row broadcast. Exact quantiles, no global sort, at any
     corpus size."""
     lens = table(spark, sf_dir, "documents").select(
-        "source", F.size(tokens()).cast("long").alias("n_tokens")
+        "source",
+        F.coalesce(F.size(tokens()), F.lit(0)).cast("long").alias("n_tokens"),
     )
     hist = lens.groupBy("n_tokens").agg(F.count("*").alias("n"))
     w_cum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
