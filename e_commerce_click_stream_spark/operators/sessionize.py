@@ -35,7 +35,16 @@ def with_session_id(
 
     Integer microsecond arithmetic end-to-end so the DuckDB oracle can
     reproduce the assignment bit-for-bit.
+
+    Events with a NULL user or NULL timestamp are DROPPED: a session
+    needs both an owner and a position. Without the filter the engines
+    silently diverge — Spark windows sort NULLS FIRST where DuckDB
+    sorts NULLS LAST (shifting every subsequent session number), and a
+    NULL user yields session_id "<n>" under concat_ws (which skips
+    NULLs) but NULL under DuckDB's ``||`` (which propagates) — found
+    by the events edge-corpus parity matrix.
     """
+    events = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc(), F.col(order_col).asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     us = F.unix_micros(F.col(ts_col))
@@ -65,6 +74,7 @@ def sessionize_sql(gap_seconds: int = SESSION_GAP_SECONDS, source: str = "events
                     SELECT *, lag(epoch_us(ts)) OVER (
                                PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
                     FROM {source}
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
                 )
             )
         )

@@ -219,10 +219,13 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKOV_SQL = """
 WITH seq AS (
+    -- ts IS NOT NULL: an unstamped event has no position in a sequence,
+    -- and the engines would order it at opposite ends (Spark NULLS
+    -- FIRST, DuckDB NULLS LAST), silently shifting every transition
     SELECT user_id, event_type,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT prev_type, event_type AS next_type, count(*) AS n_transitions,
        round(count(*)::DOUBLE
@@ -243,12 +246,16 @@ def event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     One user_id exchange for the lag window, one hash agg on the 5×5
     transition key, then a window over ≤25 rows — nothing downstream of
     the first shuffle scales with event volume."""
-    seq = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.lag("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev_type"),
+    seq = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("prev_type"),
+        )
     )
     counts = (
         seq.filter(F.col("prev_type").isNotNull())
@@ -308,8 +315,11 @@ def events_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANOMALY_SQL = """
 WITH hourly AS (
+    -- ts IS NOT NULL: a NULL hour group would sort at opposite ends of
+    -- the trailing window per engine (NULLS FIRST vs LAST), shifting
+    -- every hour's trailing stats
     SELECT date_trunc('hour', ts) AS hour_b, event_type, count(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 stats AS (
     SELECT hour_b, event_type, n,
@@ -342,6 +352,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — so the per-type sort is trivially bounded forever."""
     hourly = (
         table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.date_trunc("hour", "ts").alias("hour_b"), "event_type")
         .agg(F.count("*").alias("n"))
     )
@@ -369,10 +380,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SLIDING_SQL = """
 WITH slid AS (
+    -- ts IS NOT NULL: Spark's window() silently drops unstamped rows;
+    -- without the filter DuckDB would emit a NULL window_start group
     SELECT unnest([time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
                    for k in [0, 1, 2, 3]]) AS window_start,
            event_type, value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start::TIMESTAMP AS window_start,
        count(*) AS n_events,
@@ -669,14 +682,20 @@ EWMA_FRAME = 16  # rows in the decay frame (current row + 15 preceding)
 
 _EWMA_SQL = f"""
 WITH framed AS (
+    -- coalesce(value, 0): Spark's collect_list DROPS NULL elements while
+    -- DuckDB's list() keeps them, so a NULL value would shift every decay
+    -- weight on one engine only; an unvalued event contributes 0 but
+    -- still occupies its frame slot. ts IS NOT NULL: unstamped events
+    -- have no position (Spark orders NULLS FIRST, DuckDB NULLS LAST).
     SELECT user_id, ts, event_id,
-           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           list(coalesce(value, 0.0)) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING
                                       AND CURRENT ROW) AS vals,
            row_number() OVER (PARTITION BY user_id
                               ORDER BY ts DESC, event_id DESC) AS rn,
            count(*) OVER (PARTITION BY user_id) AS n_events
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ),
 scored AS (
     SELECT user_id, n_events,
@@ -708,7 +727,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-(EWMA_FRAME - 1), Window.currentRow)
     decay = 1 - EWMA_ALPHA
-    vals = F.collect_list("value").over(frame)
+    vals = F.collect_list(F.coalesce(F.col("value"), F.lit(0.0))).over(frame)
     weighted = F.expr(
         f"aggregate(transform(vals, (x, i) -> x * pow({decay}, size(vals) - 1 - i)), "
         f"cast(0.0 as double), (acc, x) -> acc + x)"
@@ -716,6 +735,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = (1 - F.pow(F.lit(decay), F.size("vals"))) / EWMA_ALPHA
     return (
         table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .select(
             "user_id",
             "ts",
@@ -884,12 +904,17 @@ AB_VALUE_MIN = 100.0  # qualifying-purchase threshold; plain "any purchase"
 
 _AB_SQL = f"""
 WITH users AS (
+    -- '||', never concat(): DuckDB concat() SKIPS a NULL argument, so a
+    -- NULL user would hash as md5('ab:') where Spark's concat returns
+    -- NULL — and an unattributable event belongs to no experiment arm
+    -- anyway, so NULL users are excluded outright on both sides
     SELECT user_id,
-           CAST(CAST(concat('0x', substr(md5('ab:' || user_id), 1, 8))
+           CAST(CAST(('0x' || substr(md5('ab:' || user_id), 1, 8))
                 AS UBIGINT) AS BIGINT) % 2 AS variant,
            max(CASE WHEN event_type = 'purchase' AND value >= {AB_VALUE_MIN}
                THEN 1 ELSE 0 END) AS converted
     FROM events
+    WHERE user_id IS NOT NULL
     GROUP BY user_id
 ),
 arms AS (
@@ -933,6 +958,7 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     query in the engine: two partial+final agg pairs."""
     users = (
         table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.max(

@@ -455,7 +455,9 @@ SELECT event_id,
             ELSE TIMESTAMP '2024-01-01 00:00:00' END AS repaired_ts,
        user_id,
        regexp_replace(event_type, '^view$', 'page_view') AS event_type,
-       json_extract_string(props, '$.k')::INTEGER AS prop_k,
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+            END AS prop_k,
        round(coalesce(value, 0.0), 2) AS value_filled,
        (event_type = 'purchase') AS is_purchase,
        date_trunc('hour', ts) AS hour_timestamp
@@ -485,7 +487,10 @@ def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         repaired.alias("repaired_ts"),
         "user_id",
         F.regexp_replace("event_type", "^view$", "page_view").alias("event_type"),
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        # try_cast: get_json_object yields NULL on malformed JSON, but a
+        # non-numeric k would make a plain ANSI cast throw where the
+        # oracle's TRY_CAST returns NULL (edge-corpus parity matrix)
+        F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
         F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value_filled"),
         _is("purchase").alias("is_purchase"),
         F.date_trunc("hour", F.col("ts")).alias("hour_timestamp"),
@@ -498,11 +503,18 @@ def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CART_SQL = f"""
 {_SESS_CTE}
 SELECT session_id,
-       string_agg(json_extract_string(props, '$.k'), ','
-                  ORDER BY json_extract_string(props, '$.k')) AS cart_items,
+       string_agg(item, ',' ORDER BY item) AS cart_items,
        count(*)::BIGINT AS cart_size
-FROM sessionized
-WHERE event_type = 'click'
+FROM (
+    -- json_valid guard: DuckDB's json_extract_string RAISES on malformed
+    -- JSON where Spark's get_json_object returns NULL; the guard makes
+    -- both engines treat a broken props payload as no item
+    SELECT session_id,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS item
+    FROM sessionized
+    WHERE event_type = 'click'
+)
 GROUP BY session_id
 """
 
@@ -628,10 +640,14 @@ def events_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROPS_MAP_SQL = """
 WITH kv AS (
+    -- json_valid guard: ::JSON RAISES on malformed input in DuckDB;
+    -- Spark's from_json yields NULL and explode() then emits no rows,
+    -- so both engines must treat broken/NULL props as zero kv pairs
     SELECT e.event_type,
            k.key,
            json_extract_string(e.props::JSON, '$.' || k.key) AS val
-    FROM events e, unnest(json_keys(e.props::JSON)) AS k(key)
+    FROM (SELECT * FROM events WHERE json_valid(props)) e,
+         unnest(json_keys(e.props::JSON)) AS k(key)
 )
 SELECT event_type, key,
        count(*) AS n,
@@ -725,7 +741,11 @@ def hourly_metrics_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = merged.groupBy("hour_timestamp").agg(
         F.sum("total_events").alias("total_events"),
-        F.count("*").alias("unique_users"),
+        # count(user_id), not count(*): the merged grain has one row per
+        # (hour, user) INCLUDING a NULL-user group, and the full-recompute
+        # oracle's count(DISTINCT user_id) ignores NULLs — counting the
+        # column (NULL-skipping) keeps increment and recompute identical
+        F.count("user_id").alias("unique_users"),
         F.sum("page_views").alias("page_views"),
         F.sum("cart_additions").alias("cart_additions"),
         F.sum("purchases").alias("purchases"),

@@ -249,11 +249,15 @@ KMV_K = 64
 
 _KMV_SQL = f"""
 WITH du AS (
+    -- NULL users are not users: they would also diverge the engines
+    -- (DuckDB concat() skips NULLs; Spark propagates) and a NULL frac
+    -- sorts NULLS FIRST in Spark windows but NULLS LAST in DuckDB
     SELECT DISTINCT event_type, user_id FROM events
+    WHERE user_id IS NOT NULL
 ),
 hashed AS (
     SELECT event_type, user_id,
-           CAST(CAST(concat('0x', substr(md5('kmv:' || user_id), 1, 15))
+           CAST(CAST(('0x' || substr(md5('kmv:' || user_id), 1, 15))
                 AS UBIGINT) AS BIGINT) / 1152921504606846976.0 AS frac
     FROM du
 ),
@@ -300,7 +304,12 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan collapses to the sketch alone."""
     from pyspark.sql import Window
 
-    du = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    du = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
     # exact count in its own hash-agg branch, NOT as an unordered window
     # beside the rank window: a count-over-full-group window forces every
     # row through the window sort and disables WindowGroupLimit pruning
@@ -333,8 +342,13 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((KMV_K - 1) / F.col("kth") + 0.5).cast("bigint")
     )
     exact = F.col("exact_distinct")
-    return sketch.join(F.broadcast(counts), "event_type").select(
-        "event_type",
+    # null-safe join key: a NULL event_type is still a real group (the
+    # oracle computes both branches in one grouped pass, so it keeps it);
+    # a plain equi-join would silently drop it
+    return sketch.join(
+        F.broadcast(counts), sketch["event_type"].eqNullSafe(counts["event_type"])
+    ).select(
+        sketch["event_type"].alias("event_type"),
         exact.alias("exact_distinct"),
         est.alias("kmv_estimate"),
         F.round(F.abs(est - exact) * 1.0 / exact, 4).alias("rel_error"),

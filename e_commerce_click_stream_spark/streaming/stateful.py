@@ -30,6 +30,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -124,9 +125,15 @@ def _sessionize_group(
 
 
 def stateful_sessionize(events: DataFrame) -> DataFrame:
-    """Apply the custom sessionizer to a streaming events DataFrame."""
+    """Apply the custom sessionizer to a streaming events DataFrame.
+
+    NULL user/ts rows are dropped before grouping — the same contract as
+    the batch ``with_session_id`` (a session needs an owner and a
+    position); without it the streaming and batch paths would diverge on
+    dirty feeds."""
     return (
         events.select("user_id", "ts", "event_type", "value")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,

@@ -1,0 +1,64 @@
+"""Cross-engine parity on an EDGE-CASE events table for every batch
+events-only query.
+
+Companion to tests/test_edge_corpus_parity.py (documents table). The
+constructed fixture carries the event-stream divergence triggers a
+regenerated fixture could introduce at any round: NULL user_id /
+event_type / value / props / ts, malformed and non-numeric props JSON,
+and exact-timestamp ties. This matrix found and drove the fixes for:
+NULL user/ts sessionization divergence (Spark NULLS FIRST vs DuckDB
+NULLS LAST + concat_ws vs ``||``), DuckDB concat() skipping NULL in the
+md5 bucket hashes, plain ANSI casts on props values, DuckDB json
+functions RAISING on malformed JSON where Spark returns NULL, Spark
+collect_list dropping NULL elements where DuckDB list() keeps them, and
+a NULL-user group counted as a distinct user by the incremental view.
+
+Streaming twins are exercised separately (tests/test_streaming.py) on
+well-formed replays; their batch oracles are covered here."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from scripts.edge_events_probe import (
+    BATCH_EVENT_QUERIES,
+    build_fixture,
+    norm,
+)
+from e_commerce_click_stream_spark.plans.registry import all_specs
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    return build_fixture(spark)
+
+
+@pytest.fixture(scope="module")
+def events_duck(events_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{events_dir}/events.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", BATCH_EVENT_QUERIES)
+def test_events_query_parity_on_edge_fixture(spark, events_dir, events_duck, name):
+    spec = SPECS[name]
+    sdf = spec.builder(spark, events_dir)
+    s_cols = sorted(sdf.columns)
+    s_rows = Counter(tuple(norm(r[c]) for c in s_cols) for r in sdf.collect())
+    cur = events_duck.execute(spec.oracle)
+    o_col_names = [d[0] for d in cur.description]
+    o_cols = sorted(o_col_names)
+    idx = [o_col_names.index(c) for c in o_cols]
+    o_rows = Counter(tuple(norm(r[i]) for i in idx) for r in cur.fetchall())
+    assert s_cols == o_cols
+    assert s_rows == o_rows
