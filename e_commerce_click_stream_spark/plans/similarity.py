@@ -42,8 +42,27 @@ BAND_BITS = 8
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread(): the vector math is light enough that a pre-shuffle costs
     # more than the single-partition compute it parallelizes (measured)
-    return table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    #
+    # Input hygiene gate, mirrored verbatim in every vector-math oracle:
+    # NULL embeddings, wrong-dimension vectors, and all-zero vectors are
+    # excluded up front. A zero vector has no direction — every cosine
+    # denominator becomes 0 (ANSI raises, DuckDB yields NULL, silently
+    # diverging), and a NULL inside list_inner_product RAISES in DuckDB.
+    # At 100 TB these rows are routine (failed encoder calls, padding) —
+    # the gate is the production contract, and embedding_quality_gate
+    # reports what it drops. The oracle gate also REBUILDS the list
+    # (list_transform + cast): DuckDB's list_inner_product NULL check
+    # scans the chunk's child buffer, and with NULL and short vectors in
+    # the same file it rejects even post-filter clean rows.
+    emb = F.col("embedding")
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(
+            emb.isNotNull()
+            & (F.size(emb) == 64)
+            & (F.size(F.filter(emb, lambda x: x != 0.0)) > 0)
+        )
+        .select("vec_id", emb.cast("array<double>").alias("v"), "label")
     )
 
 
@@ -63,7 +82,7 @@ SELECT vec_id,
        len(embedding) AS dim,
        round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
            AS l2_norm
-FROM embeddings
+FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 """
 
 
@@ -83,7 +102,7 @@ _TOPK_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 scored AS (
     SELECT q.vec_id AS query_id,
@@ -169,7 +188,7 @@ def _bands() -> Column:
 
 _LSH_SQL = f"""
 WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 planes AS (
     SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
@@ -208,7 +227,7 @@ _PAIRS_SQL = """
 WITH n AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
     WHERE vec_id % 20 = 0
 ),
 scored AS (
@@ -271,7 +290,7 @@ _NEARDUP_LSH_SQL = f"""
 WITH e AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 planes AS (
     SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
@@ -379,7 +398,7 @@ _IVF_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -448,7 +467,7 @@ _IVF_TOPK_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -593,7 +612,7 @@ def _kmeans_sql() -> str:
         """n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vn2
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 )""",
         f"""cent0 AS (
     SELECT vec_id AS cent_id, v AS cv,
@@ -758,7 +777,7 @@ PQ_K = 4  # codes per subspace (vec_id < 4 seed the codebook)
 
 _PQ_SQL = f"""
 WITH n AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 sub AS (
     SELECT vec_id, s.range AS sub_id,
@@ -850,7 +869,7 @@ _IVF_PQ_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -1080,7 +1099,7 @@ _EMB_DIM = 64
 def _cluster_quality_sql() -> str:
     return f"""
 WITH n AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 dims AS (
     SELECT label, r.range AS dim, round(avg(v[r.range + 1]), 6) AS m
@@ -1178,7 +1197,7 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQ8_SQL = """
 WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 d AS (
     SELECT i.i AS dim, min(v[i.i]) AS lo, max(v[i.i]) AS hi
@@ -1327,7 +1346,7 @@ WITH dims AS (
     SELECT s.d AS dim, s.x::DOUBLE AS x
     FROM (SELECT unnest([{'d': i - 1, 'x': embedding[i]}
                          for i in range(1, len(embedding) + 1)]) AS s
-          FROM embeddings)
+          FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
 )
 SELECT dim,
        count(*) AS n_vecs,
@@ -1379,7 +1398,7 @@ WITH pairs AS (
                                  'x': embedding[i], 'y': embedding[j]}
                                 for j in range(i, len(embedding) + 1)]
                                for i in range(1, len(embedding) + 1)])) AS s
-        FROM embeddings)
+        FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
 )
 SELECT di, dj,
        count(*) AS n_vecs,
@@ -1480,7 +1499,7 @@ _SEMDEDUP_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -1695,4 +1714,47 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return v.join(F.broadcast(ray)).select(
         "dim", F.col("val").alias("loading"), "eigenvalue"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the hygiene gate, surfaced as a first-class audit: how many vectors the
+# similarity family's shared input filter drops, and why — run this before
+# trusting any ANN/dedup output over a fresh embedding shard
+
+_QUALITY_GATE_SQL = """
+SELECT count(*) AS total_vectors,
+       count(*) FILTER (WHERE embedding IS NULL) AS null_vectors,
+       count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) <> 64)
+           AS wrong_dim,
+       count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) = 64
+                        AND len(list_filter(embedding, x -> x <> 0)) = 0)
+           AS zero_vectors,
+       count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) = 64
+                        AND len(list_filter(embedding, x -> x <> 0)) > 0)
+           AS clean_vectors
+FROM embeddings
+"""
+
+
+@register("embedding_quality_gate", oracle=_QUALITY_GATE_SQL,
+          tags=("similarity", "data-quality", "gate"))
+def embedding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the shared vector-input hygiene gate (``_vecs``): counts
+    of NULL, wrong-dimension, and all-zero embeddings vs the clean rows
+    every vector-math query actually consumes. The four failure buckets
+    partition the table exactly (total = null + wrong_dim + zero +
+    clean), so the report doubles as a reconciliation check between the
+    raw shard and the gated working set. One single-row aggregate —
+    nothing here scales with anything but the scan."""
+    emb = F.col("embedding")
+    nonnull = emb.isNotNull()
+    right_dim = F.size(emb) == 64
+    nonzero = F.size(F.filter(emb, lambda x: x != 0.0)) > 0
+    return table(spark, sf_dir, "embeddings").agg(
+        F.count("*").alias("total_vectors"),
+        F.count(F.when(~nonnull, 1)).alias("null_vectors"),
+        F.count(F.when(nonnull & ~right_dim, 1)).alias("wrong_dim"),
+        F.count(F.when(nonnull & right_dim & ~nonzero, 1)).alias("zero_vectors"),
+        F.count(F.when(nonnull & right_dim & nonzero, 1)).alias("clean_vectors"),
     )

@@ -793,6 +793,12 @@ EXPECTATIONS: dict[str, dict] = {
     # triangle counting: degree-ordered wedge + closing equi-joins only;
     # checkpointed edge list truncates the audited plan to the final
     # segment — the co-purchase self-join is audited via basket affinity
+    # hygiene-gate audit: one single-row aggregate, nothing else
+    "embedding_quality_gate": {
+        "contains": ["HashAggregate"],
+        "not_contains": ["Join", "Window", "CartesianProduct", "SortAggregate"],
+        "max_exchanges": 1,
+    },
     # (the BroadcastNestedLoopJoins in this plan are the 1-row × 1-row
     # final-stat assembly crossJoins, not a data-scale nested loop)
     "graph_triangle_count": {

@@ -60,6 +60,7 @@ REPRESENTATIVE = (
     "weighted_reservoir_sample",
     "ab_test_readout",
     "graph_triangle_count",
+    "embedding_quality_gate",
 )
 
 
