@@ -322,7 +322,7 @@ SELECT o_custkey,
        lead(o_orderkey) OVER w AS next_orderkey,
        first_value(o_orderkey) OVER w AS first_orderkey
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 
@@ -352,10 +352,10 @@ SELECT o_custkey,
        o_orderkey,
        o_orderdate,
        round(sum(o_totalprice) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent,
        round(avg(o_totalprice) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
 FROM orders
 """
@@ -1160,8 +1160,9 @@ WITH m AS (
     GROUP BY 1
 )
 SELECT month, n_orders, revenue,
-       round((revenue - lag(revenue) OVER (ORDER BY month))
-             / lag(revenue) OVER (ORDER BY month) * 100, 4) AS mom_revenue_pct
+       round((revenue - lag(revenue) OVER (ORDER BY month NULLS FIRST))
+             / lag(revenue) OVER (ORDER BY month NULLS FIRST) * 100, 4)
+           AS mom_revenue_pct
 FROM m
 """
 
@@ -2505,7 +2506,7 @@ SELECT bin,
        round((bin + 1) * {HIST_WIDTH}, 2)::DOUBLE AS bin_hi,
        n_orders,
        round(n_orders / total, 6) AS pct,
-       round(sum(n_orders) OVER (ORDER BY bin) / total, 6) AS cum_pct
+       round(sum(n_orders) OVER (ORDER BY bin NULLS FIRST) / total, 6) AS cum_pct
 FROM binned, tot
 """
 
@@ -2551,7 +2552,7 @@ WITH ordered AS (
     SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
            lag(o_orderpriority) OVER w AS prev_priority
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 ),
 changes AS (
     SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate
@@ -2564,7 +2565,7 @@ SELECT o_custkey AS custkey,
        o_orderdate AS valid_from,
        lead(o_orderdate) OVER w AS valid_to
 FROM changes
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 
