@@ -60,7 +60,15 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             emb.isNotNull()
             & (F.size(emb) == 64)
-            & (F.size(F.filter(emb, lambda x: x != 0.0)) > 0)
+            # non-lambda built-ins only: higher-order predicates
+            # (exists/filter + lambda) are interpreted per element and
+            # cost ~0.4 s on the LSH signature scan at sf0.1;
+            # array_compact/array_remove stay on the JVM fast path.
+            # array_compact(emb) == 64 also rejects vectors with NULL
+            # ELEMENTS (which the oracle's x <> 0 filter drops and
+            # which would NULL-poison every dot product)
+            & (F.size(F.array_compact(emb)) == 64)
+            & (F.size(F.array_remove(emb, 0.0)) > 0)
         )
         .select("vec_id", emb.cast("array<double>").alias("v"), "label")
     )
@@ -82,7 +90,7 @@ SELECT vec_id,
        len(embedding) AS dim,
        round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
            AS l2_norm
-FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 """
 
 
@@ -102,7 +110,7 @@ _TOPK_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 scored AS (
     SELECT q.vec_id AS query_id,
@@ -188,7 +196,7 @@ def _bands() -> Column:
 
 _LSH_SQL = f"""
 WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 planes AS (
     SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
@@ -227,7 +235,7 @@ _PAIRS_SQL = """
 WITH n AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
     WHERE vec_id % 20 = 0
 ),
 scored AS (
@@ -290,7 +298,7 @@ _NEARDUP_LSH_SQL = f"""
 WITH e AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 planes AS (
     SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
@@ -398,7 +406,7 @@ _IVF_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -467,7 +475,7 @@ _IVF_TOPK_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -612,7 +620,7 @@ def _kmeans_sql() -> str:
         """n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS vn2
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 )""",
         f"""cent0 AS (
     SELECT vec_id AS cent_id, v AS cv,
@@ -777,7 +785,7 @@ PQ_K = 4  # codes per subspace (vec_id < 4 seed the codebook)
 
 _PQ_SQL = f"""
 WITH n AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 sub AS (
     SELECT vec_id, s.range AS sub_id,
@@ -869,7 +877,7 @@ _IVF_PQ_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -1099,7 +1107,7 @@ _EMB_DIM = 64
 def _cluster_quality_sql() -> str:
     return f"""
 WITH n AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 dims AS (
     SELECT label, r.range AS dim, round(avg(v[r.range + 1]), 6) AS m
@@ -1197,7 +1205,7 @@ def embedding_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQ8_SQL = """
 WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 d AS (
     SELECT i.i AS dim, min(v[i.i]) AS lo, max(v[i.i]) AS hi
@@ -1346,7 +1354,7 @@ WITH dims AS (
     SELECT s.d AS dim, s.x::DOUBLE AS x
     FROM (SELECT unnest([{'d': i - 1, 'x': embedding[i]}
                          for i in range(1, len(embedding) + 1)]) AS s
-          FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
+          FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
 )
 SELECT dim,
        count(*) AS n_vecs,
@@ -1398,7 +1406,7 @@ WITH pairs AS (
                                  'x': embedding[i], 'y': embedding[j]}
                                 for j in range(i, len(embedding) + 1)]
                                for i in range(1, len(embedding) + 1)])) AS s
-        FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
+        FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings)
 )
 SELECT di, dj,
        count(*) AS n_vecs,
@@ -1499,7 +1507,7 @@ _SEMDEDUP_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
@@ -1725,12 +1733,16 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_GATE_SQL = """
 SELECT count(*) AS total_vectors,
        count(*) FILTER (WHERE embedding IS NULL) AS null_vectors,
-       count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) <> 64)
+       count(*) FILTER (WHERE embedding IS NOT NULL
+                        AND (len(embedding) <> 64 OR
+                             len(list_filter(embedding, x -> x IS NOT NULL)) <> 64))
            AS wrong_dim,
        count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) = 64
+                        AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64
                         AND len(list_filter(embedding, x -> x <> 0)) = 0)
            AS zero_vectors,
        count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) = 64
+                        AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64
                         AND len(list_filter(embedding, x -> x <> 0)) > 0)
            AS clean_vectors
 FROM embeddings
@@ -1750,11 +1762,13 @@ def embedding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
     nonnull = emb.isNotNull()
     right_dim = F.size(emb) == 64
-    nonzero = F.size(F.filter(emb, lambda x: x != 0.0)) > 0
+    nonzero = F.size(F.array_remove(emb, 0.0)) > 0
+    no_null_elems = F.size(F.array_compact(emb)) == 64
+    usable = nonnull & right_dim & no_null_elems
     return table(spark, sf_dir, "embeddings").agg(
         F.count("*").alias("total_vectors"),
         F.count(F.when(~nonnull, 1)).alias("null_vectors"),
-        F.count(F.when(nonnull & ~right_dim, 1)).alias("wrong_dim"),
-        F.count(F.when(nonnull & right_dim & ~nonzero, 1)).alias("zero_vectors"),
-        F.count(F.when(nonnull & right_dim & nonzero, 1)).alias("clean_vectors"),
+        F.count(F.when(nonnull & ~(right_dim & no_null_elems), 1)).alias("wrong_dim"),
+        F.count(F.when(usable & ~nonzero, 1)).alias("zero_vectors"),
+        F.count(F.when(usable & nonzero, 1)).alias("clean_vectors"),
     )

@@ -48,6 +48,7 @@ def emb_dir(spark):
         (1001, None, 2),  # NULL embedding
         (1002, list(rows[0][1]), None),  # duplicate vector, NULL label
         (1003, [1.0] * 16, 3),  # wrong dimension
+        (1004, [None] + [1.0] * 63, 4),  # NULL element: dot-product poison
     ]
     spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label long"
@@ -96,9 +97,9 @@ def test_embeddings_query_parity_on_edge_fixture(spark, emb_dir, emb_duck, name)
 
 def test_quality_gate_buckets_partition_the_fixture(spark, emb_dir):
     [r] = SPECS["embedding_quality_gate"].builder(spark, emb_dir).collect()
-    assert r.total_vectors == 24
+    assert r.total_vectors == 25
     assert r.null_vectors == 1
-    assert r.wrong_dim == 1
+    assert r.wrong_dim == 2  # the 16-dim vector + the NULL-element vector
     assert r.zero_vectors == 1
     assert r.clean_vectors == 21
     assert (
