@@ -45,6 +45,7 @@ SELECT date_trunc('hour', ts) AS hour_timestamp,
        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
            AS revenue
 FROM events
+WHERE ts IS NOT NULL  -- streaming window() silently drops unstamped rows
 GROUP BY 1
 """
 
@@ -220,6 +221,7 @@ WITH slid AS (
                    for k in [0, 1, 2, 3]]) AS window_start,
            event_type, value
     FROM events
+    WHERE ts IS NOT NULL  -- streaming window() silently drops unstamped rows
 )
 SELECT window_start::TIMESTAMP AS window_start,
        count(*) AS n_events,

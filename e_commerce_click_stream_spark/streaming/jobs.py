@@ -49,6 +49,11 @@ def stage_file_as_dir(path: str) -> str:
     copy-fallback) — the file streaming source only accepts directories.
     Deterministic (path-keyed) so checkpoints, which bind to the source
     path, keep resolving the same directory across runs."""
+    if os.path.isdir(path):
+        # already a directory of part files (any Spark-written dataset) —
+        # the file source consumes it natively; only a bare single-file
+        # fixture needs staging
+        return path
     tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
     stage_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(stage_dir, exist_ok=True)
@@ -192,7 +197,11 @@ def session_window_metrics_stream(events: DataFrame) -> DataFrame:
     is_ = lambda t: F.col("event_type") == t  # noqa: E731
     cond = lambda t: F.sum(F.when(is_(t), 1).otherwise(0))  # noqa: E731
     agg = (
-        events.withWatermark("ts", WATERMARK_DELAY)
+        # same contract as the batch sessionizer: a session needs an owner
+        # and a position, so NULL user/ts rows are dropped (session_window
+        # would otherwise keep a NULL-user group the batch twin excludes)
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", WATERMARK_DELAY)
         .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), F.col("user_id"))
         .agg(
             F.min("ts").alias("session_start"),

@@ -52,6 +52,13 @@ EDGE_EVENTS = [
     (17, None, 300, "click", 0.0, '{"k": 13}'),  # NULL ts
 ]
 
+STREAMING_EVENT_QUERIES = [
+    "streaming_hourly_metrics", "streaming_dashboard_metrics",
+    "streaming_session_windows", "streaming_stateful_sessions",
+    "streaming_click_attribution", "streaming_exactly_once_dedup",
+    "streaming_sliding_windows", "streaming_top_users",
+]
+
 BATCH_EVENT_QUERIES = [
     "event_props_map_profile", "ab_test_readout", "events_kmv_distinct",
     "session_event_paths", "hourly_metrics_incremental",

@@ -13,8 +13,10 @@ functions RAISING on malformed JSON where Spark returns NULL, Spark
 collect_list dropping NULL elements where DuckDB list() keeps them, and
 a NULL-user group counted as a distinct user by the incremental view.
 
-Streaming twins are exercised separately (tests/test_streaming.py) on
-well-formed replays; their batch oracles are covered here."""
+The streaming twins run here too — as REAL streams over the dirty
+replay (this probe found the replay stager rejecting directory-shaped
+fixtures, a NULL-user session_window group the batch twin excludes, and
+NULL-ts rows silently dropped by window() but kept by the oracles)."""
 
 from __future__ import annotations
 
@@ -24,6 +26,7 @@ import pytest
 
 from scripts.edge_events_probe import (
     BATCH_EVENT_QUERIES,
+    STREAMING_EVENT_QUERIES,
     build_fixture,
     norm,
 )
@@ -49,8 +52,7 @@ def events_duck(events_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", BATCH_EVENT_QUERIES)
-def test_events_query_parity_on_edge_fixture(spark, events_dir, events_duck, name):
+def _compare(spark, events_dir, events_duck, name):
     spec = SPECS[name]
     sdf = spec.builder(spark, events_dir)
     s_cols = sorted(sdf.columns)
@@ -62,3 +64,13 @@ def test_events_query_parity_on_edge_fixture(spark, events_dir, events_duck, nam
     o_rows = Counter(tuple(norm(r[i]) for i in idx) for r in cur.fetchall())
     assert s_cols == o_cols
     assert s_rows == o_rows
+
+
+@pytest.mark.parametrize("name", BATCH_EVENT_QUERIES)
+def test_events_query_parity_on_edge_fixture(spark, events_dir, events_duck, name):
+    _compare(spark, events_dir, events_duck, name)
+
+
+@pytest.mark.parametrize("name", STREAMING_EVENT_QUERIES)
+def test_streaming_query_parity_on_edge_fixture(spark, events_dir, events_duck, name):
+    _compare(spark, events_dir, events_duck, name)
