@@ -353,3 +353,93 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("kmv_estimate"),
         F.round(F.abs(est - exact) * 1.0 / exact, 4).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: what changed between two corpus versions — the audit a
+# recurring crawl/curation pipeline runs before re-training on the new
+# snapshot (added / removed / content-changed docs, per source)
+
+_SNAPDIFF_SQL = """
+WITH v1 AS (
+    SELECT doc_id, source,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    WHERE CAST(CAST(('0x' || substr(md5('v1:' || doc_id), 1, 8))
+               AS UBIGINT) AS BIGINT) % 10 < 9
+),
+v2 AS (
+    SELECT doc_id, source,
+           CASE WHEN CAST(CAST(('0x' || substr(md5('mut:' || doc_id), 1, 8))
+                     AS UBIGINT) AS BIGINT) % 20 = 0
+                THEN md5('mutated:' || doc_id)
+                ELSE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                END AS fp
+    FROM documents
+    WHERE CAST(CAST(('0x' || substr(md5('v2:' || doc_id), 1, 8))
+               AS UBIGINT) AS BIGINT) % 10 < 9
+),
+j AS (
+    SELECT coalesce(v1.source, v2.source) AS source,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.fp <> v2.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source, status, count(*) AS n_docs
+FROM j
+GROUP BY source, status
+"""
+
+
+@register("corpus_snapshot_diff", oracle=_SNAPDIFF_SQL,
+          tags=("governance", "diff", "full-outer"))
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff: per (source, status) counts of
+    added / removed / changed / unchanged documents between two versions
+    of the corpus — the change audit a recurring-crawl pipeline runs
+    before retraining. The two versions are derived deterministically
+    from the fixture (each drops a different md5-chosen ~10%, and v2
+    mutates a ~5% slice's content), so the diff logic — full-outer join
+    on doc_id, fingerprint comparison for content change — is exercised
+    with all four statuses populated.
+
+    Scale shape: both snapshot scans reduce to (doc_id, source, fp)
+    before the join (fingerprints, not text, move through the shuffle);
+    the full-outer join hashes on doc_id — uniform, no skew — and the
+    status classification is a per-row CASE. At 100 TB this is two scans
+    + one co-partitioned join; the output is source × 4 rows."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+
+    def bucket(seed: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    v1 = docs.filter(bucket("v1:") % 10 < 9).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    v2 = docs.filter(bucket("v2:") % 10 < 9).select(
+        "doc_id",
+        "source",
+        F.when(
+            bucket("mut:") % 20 == 0,
+            F.md5(F.concat(F.lit("mutated:"), F.col("doc_id").cast("string"))),
+        )
+        .otherwise(fp)
+        .alias("fp"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("source", "status").agg(F.count("*").alias("n_docs"))

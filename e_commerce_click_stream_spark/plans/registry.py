@@ -49,7 +49,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # the r4 window was packed), the 2 plans rewritten for scale this round,
     # and the 16 new r5 operators; the rest = 25 of the 45 queries whose
     # only green rows predate the regeneration, headline + clickstream §2
-    # family first. The 30 deferred stale queries (simple scalar/setop/stat
+    # family first. The 31 deferred stale queries (simple scalar/setop/stat
     # shapes plus those displaced by late-r5 operators:
     # part_string_functions, order_date_functions, order_price_dispersion,
     # nation_set_ops, embedding_norms, dedup_exact_stats,
@@ -61,7 +61,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # running_customer_revenue, lineitem_grouping_sets, part_type_rollup,
     # orders_status_pivot, top_orders_per_customer, customer_order_gaps,
     # skew_salted_event_counts, lineitem_cube, purchase_attribution_window,
-    # events_asof_orders, recent_events_window —
+    # events_asof_orders, recent_events_window, events_enriched —
     # all driver_sim-green on current fixtures) rotate in r6.
     # never driver-verified
     "lineitem_decimal_money",
@@ -71,6 +71,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pagerank_bipartite",
     "embedding_kmeans_iter",
     # new this round — never driver-verified
+    "corpus_snapshot_diff",
     "embedding_quality_gate",
     "graph_triangle_count",
     "ab_test_readout",
@@ -118,7 +119,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pipeline_status_union",
     "user_activity_profile",
     "session_first_event",
-    "events_enriched",
 )
 
 

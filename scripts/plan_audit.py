@@ -793,6 +793,13 @@ EXPECTATIONS: dict[str, dict] = {
     # triangle counting: degree-ordered wedge + closing equi-joins only;
     # checkpointed edge list truncates the audited plan to the final
     # segment — the co-purchase self-join is audited via basket affinity
+    # snapshot diff: fingerprints (not text) through ONE co-partitioned
+    # full-outer join on the uniform doc_id key, then a tiny status agg
+    "corpus_snapshot_diff": {
+        "contains": ["SortMergeJoin FullOuter", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 3,
+    },
     # hygiene-gate audit: one single-row aggregate, nothing else
     "embedding_quality_gate": {
         "contains": ["HashAggregate"],

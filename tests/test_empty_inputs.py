@@ -61,6 +61,7 @@ REPRESENTATIVE = (
     "ab_test_readout",
     "graph_triangle_count",
     "embedding_quality_gate",
+    "corpus_snapshot_diff",
 )
 
 
