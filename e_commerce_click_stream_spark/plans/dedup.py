@@ -669,7 +669,13 @@ WITH pairs AS ({_minhash_sql()})
 SELECT da.source AS source_a,
        db.source AS source_b,
        count(*) AS contaminated_pairs,
-       round(avg(p.jaccard), 4) AS avg_jaccard,
+       -- order-independent mean: each jaccard is already a round(.,4)
+       -- value, so its 1e4-scaled form is integral; summing exact
+       -- BIGINTs then dividing ONCE gives a bit-identical double in any
+       -- summation order (a double avg() flips the 4th decimal between
+       -- engines once groups grow — seen at sf0.1)
+       round(sum(CAST(floor(p.jaccard * 10000 + 0.5) AS BIGINT))
+             / (count(*) * 10000.0), 4) AS avg_jaccard,
        max(p.jaccard) AS max_jaccard
 FROM pairs p
 JOIN documents da ON da.doc_id = p.doc_a
@@ -699,7 +705,13 @@ def dedup_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("source_a", "source_b")
         .agg(
             F.count("*").alias("contaminated_pairs"),
-            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            # integer-sum mean — see the oracle comment: avg() over
+            # doubles is summation-order-dependent across engines
+            F.round(
+                F.sum(F.floor(F.col("jaccard") * 10000 + 0.5).cast("bigint"))
+                / (F.count("*") * 10000.0),
+                4,
+            ).alias("avg_jaccard"),
             F.max("jaccard").alias("max_jaccard"),
         )
     )

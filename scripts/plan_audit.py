@@ -807,9 +807,11 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 1,
     },
     # (the BroadcastNestedLoopJoins in this plan are the 1-row × 1-row
-    # final-stat assembly crossJoins, not a data-scale nested loop)
+    # final-stat assembly crossJoins, not a data-scale nested loop);
+    # the closing-edge check MUST be a broadcast probe — sort-merging
+    # the wedge stream OOM'd a default-heap session at sf0.1
     "graph_triangle_count": {
-        "contains": ["HashAggregate"],
+        "contains": ["HashAggregate", "BroadcastHashJoin"],
         "not_contains": ["CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
     },
