@@ -555,9 +555,16 @@ def user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAPFILL_SQL = """
 WITH hourly AS (
+    -- integer-cent mean: value is cents-valued, so the exact BIGINT sum
+    -- + ONE division is bit-identical in any summation order (a double
+    -- avg() flips the 4th decimal between engines on big groups), and
+    -- floor(x*1e4+0.5)/1e4 instead of round(.,4): cent means land on
+    -- EXACT 5th-decimal midpoints (e.g. 47.25375) where Spark's HALF_UP
+    -- and DuckDB's double rounding disagree
     SELECT date_trunc('hour', ts) AS hour_b, event_type,
            count(*) AS n_events,
-           round(avg(value), 4) AS observed_avg
+           floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100.0
+                 / count(value) + 0.5) / 10000.0 AS observed_avg
     FROM events GROUP BY 1, 2
 ),
 bounds AS (
@@ -599,7 +606,16 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour_b"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("observed_avg"),
+        # integer-cent mean + floor-rounding — see the oracle comment
+        (
+            F.floor(
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+                * 100.0
+                / F.count("value")
+                + 0.5
+            )
+            / 10000.0
+        ).alias("observed_avg"),
     )
     bounds = events.agg(
         F.min(F.date_trunc("hour", "ts")).alias("h0"),

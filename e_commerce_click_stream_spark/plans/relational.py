@@ -1078,11 +1078,21 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scalar subquery: filter against a computed global aggregate
 
 _ABOVE_AVG_SQL = """
+-- all price math in exact integer cents: both the threshold comparison
+-- (price*n > sum — no engine-ordered double avg on either side of the
+-- inequality) and the per-brand mean are bit-identical in any
+-- summation order; a double avg() flipped the 4th decimal at sf0.1
+WITH tot AS (
+    SELECT sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           count(*) AS n
+    FROM part
+)
 SELECT p_brand,
        count(*) AS premium_parts,
-       round(avg(p_retailprice), 4) AS avg_premium_price
-FROM part
-WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+       round(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+             / (count(*) * 100.0), 4) AS avg_premium_price
+FROM part, tot
+WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * n > sum_cents
 GROUP BY p_brand
 """
 
@@ -1094,14 +1104,18 @@ def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     single row — free), never collected to the driver, so the whole plan
     stays distributed and re-optimizable by AQE."""
     part = _t(spark, sf_dir, "part")
-    avg_price = part.agg(F.avg("p_retailprice").alias("global_avg"))
+    cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint")
+    tot = part.agg(F.sum(cents).alias("sum_cents"), F.count("*").alias("n"))
     return (
-        part.join(F.broadcast(avg_price))
-        .filter(F.col("p_retailprice") > F.col("global_avg"))
+        part.join(F.broadcast(tot))
+        # exact integer threshold — see the oracle comment
+        .filter(cents * F.col("n") > F.col("sum_cents"))
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("premium_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_premium_price"),
+            F.round(F.sum(cents) / (F.count("*") * 100.0), 4).alias(
+                "avg_premium_price"
+            ),
         )
     )
 
