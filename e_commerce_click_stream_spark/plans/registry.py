@@ -9,8 +9,20 @@ row count + schema + order-insensitive value hash, so:
 - every computed column is aliased identically on both sides;
 - floating-point aggregates are rounded on both sides (summation order
   differs between engines, so raw doubles would never hash-match);
+- when the averaged column is integral at a fixed scale (cents, rounded
+  jaccards), the mean is computed as an exact integer sum + ONE final
+  division — round(avg(double), k) flips its last decimal between
+  engines once groups grow (summation order, observed at sf0.1 in
+  dedup_cross_source_contamination / hourly_gapfill_locf /
+  parts_above_avg_price); where the result can land on an exact decimal
+  midpoint, final rounding is floor(x*10^k + 0.5)/10^k, never round()
+  (Spark HALF_UP vs DuckDB double rounding);
+- window ORDER BY over a nullable column says NULLS FIRST explicitly in
+  the oracle (Spark's ASC default; DuckDB defaults NULLS LAST);
 - all hashing/fingerprinting uses md5 hex *strings* (identical in Spark and
-  DuckDB) rather than engine-specific integer hash functions.
+  DuckDB) rather than engine-specific integer hash functions — composed
+  with ``||`` in SQL, never concat() (DuckDB concat() SKIPS NULL
+  arguments where Spark's propagates them).
 """
 
 from __future__ import annotations
