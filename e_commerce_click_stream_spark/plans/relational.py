@@ -570,8 +570,9 @@ SELECT p_partkey,
        concat_ws('|', p_brand, p_type) AS brand_type,
        replace(p_type, ' ', '_') AS type_slug,
        lpad(p_size::VARCHAR, 4, '0') AS size_pad,
-       trim(concat(' ', p_brand, ' ')) AS brand_trim,
-       split_part(p_type, ' ', 1) AS type_head,
+       trim(' ' || p_brand || ' ') AS brand_trim,
+       CASE WHEN p_type IS NULL THEN NULL
+            ELSE split_part(p_type, ' ', 1) END AS type_head,
        reverse(p_brand) AS brand_rev,
        contains(p_type, 'BRUSHED') AS is_brushed,
        starts_with(p_name, 'a') AS starts_a
@@ -582,7 +583,12 @@ FROM part
 @register("part_string_functions", oracle=_STRINGS_SQL, tags=("scalar", "string"))
 def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar surface: case, length, substr, concat_ws, replace,
-    pad, trim, split, reverse, contains, prefix tests."""
+    pad, trim, split, reverse, contains, prefix tests.
+
+    NULL-input parity notes (part-dimension edge probe): the oracle
+    wraps concat with ``||`` (DuckDB concat() SKIPS NULL args where
+    Spark propagates) and NULL-guards split_part (DuckDB returns ''
+    on NULL input where Spark returns NULL)."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
