@@ -2223,7 +2223,8 @@ days AS (
     FROM deltas GROUP BY day
 )
 SELECT day, opened, closed,
-       (sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT AS open_backlog
+       (sum(net) OVER (ORDER BY day NULLS FIRST ROWS UNBOUNDED PRECEDING))::BIGINT
+           AS open_backlog
 FROM days
 """
 

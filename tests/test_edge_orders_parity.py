@@ -21,7 +21,7 @@ from collections import Counter
 import duckdb
 import pytest
 
-from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.io import TABLES, table
 from e_commerce_click_stream_spark.plans.registry import all_specs
 
 SPECS = all_specs()
@@ -39,6 +39,12 @@ WINDOW_FAMILY = [
     "order_value_histogram",
     "customer_order_stats",
     "orders_status_pivot",
+    "order_date_functions",
+    "order_price_dispersion",
+    "orders_backlog_over_time",
+    "q4_order_priority",
+    "customer_pareto_abc",
+    "customers_without_orders",
 ]
 
 
@@ -60,16 +66,19 @@ def orders_dir(spark):
     spark.createDataFrame(rows, base.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "orders.parquet"))
-    table(spark, "/root/testdata/sf0.001", "customer").write.mode("overwrite").parquet(
-        os.path.join(out, "customer.parquet")
-    )
+    for t in TABLES:
+        if t == "orders":
+            continue
+        table(spark, "/root/testdata/sf0.001", t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
     return out
 
 
 @pytest.fixture(scope="module")
 def orders_duck(orders_dir):
     con = duckdb.connect()
-    for t in ("orders", "customer"):
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{orders_dir}/{t}.parquet/*.parquet'"
         )
