@@ -449,7 +449,8 @@ monthly AS (
 )
 SELECT cohort_month, month_offset, n_orders,
        round(rev_raw, 2) AS revenue,
-       round(sum(rev_raw) OVER (PARTITION BY cohort_month ORDER BY month_offset
+       round(sum(rev_raw) OVER (PARTITION BY cohort_month
+                                ORDER BY month_offset NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
 FROM monthly
 """

@@ -45,6 +45,7 @@ WINDOW_FAMILY = [
     "q4_order_priority",
     "customer_pareto_abc",
     "customers_without_orders",
+    "customer_ltv_cohorts",
 ]
 
 
