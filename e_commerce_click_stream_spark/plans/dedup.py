@@ -994,8 +994,8 @@ j AS (
 )
 SELECT component_id,
        count(*) AS n_docs,
-       sum(n_chars) AS chars_total,
-       sum(CASE WHEN doc_id = component_id THEN 0 ELSE n_chars END) AS chars_saved
+       sum(n_chars)::BIGINT AS chars_total,
+       sum(CASE WHEN doc_id = component_id THEN 0 ELSE n_chars END)::BIGINT AS chars_saved
 FROM j
 GROUP BY component_id
 """
@@ -1130,7 +1130,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.coalesce(
-            F.substring("source", 4, 8).try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+            F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
         ).alias("is_new"),
         tokens().alias("toks"),
     )
@@ -1199,7 +1199,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     new_docs = table(spark, sf_dir, "documents").filter(
         F.coalesce(
-            F.substring("source", 4, 8).try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+            F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
         )
     ).select("doc_id")
     return new_docs.join(

@@ -179,16 +179,16 @@ WITH hashed AS (
            md5('shard:' || doc_id) AS h
     FROM documents
 )
-SELECT CAST(CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT)
+SELECT CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT)
             % {N_TRAIN_SHARDS} AS BIGINT) AS shard,
        count(*) AS n_docs,
        sum(n_chars)::BIGINT AS total_chars,
        count(DISTINCT source) AS n_sources,
-       min(CAST(CAST(concat('0x', substr(h, 1, 15)) AS UBIGINT) AS BIGINT))
+       min(CAST(CAST(('0x' || substr(h, 1, 15)) AS UBIGINT) AS BIGINT))
            AS min_hash_prefix,
-       max(CAST(CAST(concat('0x', substr(h, 1, 15)) AS UBIGINT) AS BIGINT))
+       max(CAST(CAST(('0x' || substr(h, 1, 15)) AS UBIGINT) AS BIGINT))
            AS max_hash_prefix,
-       sum(CAST(CAST(concat('0x', substr(h, 9, 8)) AS UBIGINT) AS BIGINT))::BIGINT
+       sum(CAST(CAST(('0x' || substr(h, 9, 8)) AS UBIGINT) AS BIGINT))::BIGINT
            AS order_checksum
 FROM hashed
 GROUP BY shard

@@ -67,7 +67,9 @@ FROM r{PR_ITERS}"""
 
 
 @register("pagerank_bipartite", oracle=_pagerank_sql(), headline=True, tags=("graph", "pagerank", "iterative"))
-def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_bipartite(
+    spark: SparkSession, sf_dir: str, bucketed_edges: bool = False
+) -> DataFrame:
     """PageRank (d=0.85, 2 rounds) over the undirected customer↔supplier
     bipartite graph from order lineitems — "which suppliers sit at the
     center of the purchase network". Symmetric edges mean no dangling
@@ -93,7 +95,17 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row node count is checkpointed once — un-checkpointed it was
     recomputed from a full edge scan + distinct in EVERY round's plan —
     and rank rounding to 8 per round keeps the iteration
-    bit-deterministic."""
+    bit-deterministic.
+
+    ``bucketed_edges=True`` exercises that crossover in-session: the
+    edge list is persisted pre-partitioned on src (repartition +
+    persist — InMemoryRelation, unlike a checkpoint, preserves
+    hashpartitioning(src) in Catalyst's view), the broadcast hint is
+    dropped, and the per-round join is a SHUFFLE_HASH join whose only
+    exchange is the O(nodes) rank vector — the edge side is read from
+    cache with no exchange. Results are identical to the broadcast
+    shape (tests/test_broadcast_crossovers.py pins both plan and
+    parity)."""
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -109,7 +121,15 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    if bucketed_edges:
+        # crossover shape: pre-partition on src and persist — the cached
+        # relation keeps hashpartitioning(src), so each round's join
+        # exchanges only the rank vector (the cluster analogue is a table
+        # bucketed by src)
+        edges_deg = edges.join(deg, "src").repartition("src").persist()
+        edges_deg.count()  # materialize once, before the rounds
+    else:
+        edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     # 1 row; without the checkpoint every round's plan recomputes the count
     # from a full edge scan + distinct + two exchanges
@@ -118,8 +138,9 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
     for i in range(PR_ITERS):
+        rank_side = ranks.hint("shuffle_hash") if bucketed_edges else F.broadcast(ranks)
         contrib = (
-            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.node)
+            edges_deg.join(rank_side, edges_deg.src == rank_side.node)
             .groupBy(F.col("dst").alias("node_dst"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
@@ -198,7 +219,9 @@ FROM stats s, ecount e, tri t
 
 
 @register("graph_triangle_count", oracle=_TRIANGLE_SQL, tags=("graph", "triangles"))
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangle_count(
+    spark: SparkSession, sf_dir: str, bucketed_close: bool = False
+) -> DataFrame:
     """Global triangle count + transitivity of the part co-purchase graph
     (parts are adjacent when some order contains both). Every triangle is
     counted exactly once: edges are oriented low→high in the (degree,
@@ -268,7 +291,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1; at cluster scale where |E| outgrows a broadcast, the same
     # shape survives as a bucketed join on (v, w) — the invariant is
     # "wedges stream, edges index", pinned in plan_audit.
-    tri = wedges.join(F.broadcast(closer), ["v", "w"]).agg(
+    # ``bucketed_close=True`` exercises that crossover: a SHUFFLE_HASH
+    # join with the hash table built on the edge side — wedges are
+    # hashed to their (v, w) partition and PROBED, never sorted (the
+    # sort is what OOM'd); parity + plan pinned in
+    # tests/test_broadcast_crossovers.py.
+    closer_side = closer.hint("shuffle_hash") if bucketed_close else F.broadcast(closer)
+    tri = wedges.join(closer_side, ["v", "w"]).agg(
         F.count("*").alias("n_triangles")
     )
     stats = deg.agg(

@@ -858,7 +858,7 @@ SELECT doc_id, source,
        len(t) AS n_tokens,
        round(len(list_distinct(t))::DOUBLE / len(t), 6) AS keep_weight
 FROM t
-WHERE CAST(concat('0x', substr(md5('qws:' || doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+WHERE CAST(('0x' || substr(md5('qws:' || doc_id::VARCHAR), 1, 8)) AS UBIGINT)
       / 4294967296.0
       < len(list_distinct(t))::DOUBLE / len(t)
 """
@@ -1092,18 +1092,20 @@ WITH toks AS (
            list_transform(string_split_regex(trim(text), '\\s+'),
                           x -> {_BUCKET_DUCK}) AS tb
     FROM documents
+),
+vec AS (
+    SELECT doc_id,
+           len(tb) AS n_tokens,
+           list_transform(range(0, {HASH_DIM}),
+                          b -> len(list_filter(tb, v -> v = b))) AS tfl
+    FROM toks
 )
 SELECT doc_id,
-       len(tb) AS n_tokens,
-       list_transform(range(0, {HASH_DIM}),
-                      b -> len(list_filter(tb, v -> v = b))) AS tf,
-       len(list_filter(list_transform(range(0, {HASH_DIM}),
-                                      b -> len(list_filter(tb, v -> v = b))),
-                       c -> c > 0)) AS nnz,
-       round(sqrt(list_sum(list_transform(
-           list_transform(range(0, {HASH_DIM}), b -> len(list_filter(tb, v -> v = b))),
-           c -> (c * c)::DOUBLE))), 6) AS l2_norm
-FROM toks
+       n_tokens,
+       array_to_string(list_transform(tfl, c -> c::VARCHAR), ',') AS tf,
+       len(list_filter(tfl, c -> c > 0)) AS nnz,
+       round(sqrt(list_sum(list_transform(tfl, c -> (c * c)::DOUBLE))), 6) AS l2_norm
+FROM vec
 """
 
 
@@ -1118,7 +1120,12 @@ def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row projection — tokens are bucketed once
     (one md5 per token), the vector is a zero-shuffle higher-order
-    fold; no join, no agg, no vocabulary broadcast."""
+    fold; no join, no agg, no vocabulary broadcast.
+
+    The tf vector is emitted as a comma-joined string, not a raw
+    array: the driver's pandas-based value hasher cannot hash list
+    cells (registry contract — no array/map/struct in output
+    schemas; see tests/test_oracle_types.py)."""
     def _bucket(x):  # same formula as _BUCKET_DUCK, via the shared tokenizer
         h = F.md5(x)
         return (F.ascii(F.substring(h, 1, 1)) * 101 + F.ascii(F.substring(h, 2, 1))) % HASH_DIM
@@ -1130,16 +1137,16 @@ def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, {HASH_DIM - 1}),"
         " b -> cast(size(filter(tb, v -> v = b)) AS bigint))"
     )
-    docs = docs.select("doc_id", F.size("tb").cast("long").alias("n_tokens"), tf.alias("tf"))
+    docs = docs.select("doc_id", F.size("tb").cast("long").alias("n_tokens"), tf.alias("tfl"))
     return docs.select(
         "doc_id",
         "n_tokens",
-        "tf",
-        F.expr("cast(size(filter(tf, c -> c > 0)) AS bigint)").alias("nnz"),
+        F.array_join(F.transform(F.col("tfl"), lambda c: c.cast("string")), ",").alias("tf"),
+        F.expr("cast(size(filter(tfl, c -> c > 0)) AS bigint)").alias("nnz"),
         F.round(
             F.sqrt(
                 F.aggregate(
-                    F.transform(F.col("tf"), lambda c: (c * c).cast("double")),
+                    F.transform(F.col("tfl"), lambda c: (c * c).cast("double")),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 )
@@ -1360,8 +1367,8 @@ scored AS (
 )
 SELECT doc_id,
        count(*) AS n_bigrams,
-       round(avg(nll), 6) AS mean_nll,
-       round(exp(avg(nll)), 4) AS bigram_ppl,
+       round(avg(nll), 4) AS mean_nll,
+       round(exp(avg(nll)), 2) AS bigram_ppl,
        round(max(nll), 6) AS max_bigram_nll
 FROM scored
 GROUP BY doc_id
@@ -1406,10 +1413,16 @@ def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("doc_id", (-F.log(p)).alias("nll"))
     )
+    # avg(nll) sums irrational doubles, so its low decimals depend on
+    # summation order (registry contract): the avg-derived gate columns round
+    # to 4/2 decimals — the float64 accumulation error (~1e-12 at thousands
+    # of bigrams/doc) is then ~7 orders below the rounding boundary. max(nll)
+    # is order-independent (each nll is computed identically per row), so it
+    # keeps 6 decimals.
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.avg("nll"), 6).alias("mean_nll"),
-        F.round(F.exp(F.avg("nll")), 4).alias("bigram_ppl"),
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+        F.round(F.exp(F.avg("nll")), 2).alias("bigram_ppl"),
         F.round(F.max("nll"), 6).alias("max_bigram_nll"),
     )
 
@@ -1487,7 +1500,7 @@ WITH t AS (
 keyed AS (
     SELECT doc_id, source,
            len(list_distinct(t))::DOUBLE / len(t) AS weight,
-           round(-ln(CAST(CAST(concat('0x', substr(md5('wrs:' || doc_id), 1, 15))
+           round(-ln(CAST(CAST(('0x' || substr(md5('wrs:' || doc_id), 1, 15))
                           AS UBIGINT) AS BIGINT) / 1152921504606846976.0)
                  / (len(list_distinct(t))::DOUBLE / len(t)), 9) AS clock
     FROM t WHERE len(t) > 0

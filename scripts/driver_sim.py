@@ -2,16 +2,27 @@
 
 Builds a VANILLA SparkSession (no engine-side config — the driver owns the
 session), runs entry() as smoke, then every queries() entry at the given sf
-dir and compares against oracle_sql() via DuckDB: row count + sorted column
-names + order-insensitive normalized value multiset.
+dir and compares against oracle_sql() via DuckDB.
+
+The comparison mirrors the driver's PANDAS-based hasher, not Python value
+equality — this distinction has produced three rounds of gate-only failures
+(int-vs-float r1, DECIMAL widths r4, HUGEINT + raw-array columns r5):
+
+- the oracle side is fetched via ``rel.df()`` (pandas), so a DuckDB HUGEINT
+  sum materializes as float64 and stringifies as ``149174.0`` while Spark's
+  bigint gives ``149174`` — a real-gate hash mismatch that ``fetchall()``
+  (Python ints both sides) can never see;
+- rows are canonicalized with ``DataFrame.sort_values`` over every column,
+  which raises ``TypeError: unhashable type: 'list'`` on array cells exactly
+  as the driver's hasher does;
+- cells are compared STRINGIFIED (the driver hashes strings), so int64 vs
+  float64 dtype drift fails even when values are numerically equal.
 
 Usage: python scripts/driver_sim.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import datetime as dt
-import math
 import sys
 import time
 
@@ -21,28 +32,24 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 
-def norm(v):
-    """Type-sensitive normalization mirroring the driver's stringified hash.
+def canon(pdf):
+    """Driver-faithful canonical form: columns sorted by name, rows sorted by
+    every column (raises on unhashable cells, as the driver does), each cell
+    stringified. Returns a list of row tuples of strings."""
+    import pandas as pd
 
-    The driver stringifies values before hashing, so ``-1`` (int) and ``-1.0``
-    (float) hash differently even though Python ``==`` treats them as equal.
-    Tag every scalar with its type name so int-vs-float / bool-vs-int oracle
-    drift fails HERE instead of in the real gate (this exact class of bug
-    slipped through round 1 as lineitem_math_functions).
-    """
-    if v is None:
-        return v
-    if isinstance(v, bool):
-        return ("bool", v)
-    if isinstance(v, float):
-        return ("float", "NaN" if math.isnan(v) else round(v, 9))
-    if isinstance(v, int):
-        return ("int", v)
-    if isinstance(v, dt.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    return v
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+    def cell(v):
+        if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+            return "<NULL>"
+        if isinstance(v, pd.Timestamp):
+            return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
+        return str(v)
+
+    return [tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
 def main() -> int:
@@ -74,34 +81,34 @@ def main() -> int:
     for name, builder in sorted(qs.items()):
         if ONLY and name not in ONLY:
             continue
+        import pandas as pd
+
         t0 = time.time()
         try:
             sdf = builder(spark, SF_DIR)
             s_cols = sorted(sdf.columns)
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # the driver collects Rows then builds a pandas frame from them
+            s_pdf = pd.DataFrame(
+                [tuple(r) for r in sdf.collect()], columns=list(sdf.columns)
+            )
+            s_norm = canon(s_pdf)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: spark raised {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            print(f"[rows-only] {name}: {len(s_norm)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
             d_cols = sorted(rel.columns)
-            d_rows = [tuple(r) for r in rel.fetchall()]
+            # .df(), NOT .fetchall(): HUGEINT/DECIMAL materialize as float64
+            # here exactly as in the driver's pandas fetch
+            d_norm = canon(rel.df())
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: oracle raised {type(exc).__name__}: {exc}")
             continue
-        idx_s = [list(sdf.columns).index(c) for c in s_cols]
-        idx_d = [list(rel.columns).index(c) for c in d_cols]
-        s_norm = sorted(
-            (tuple(norm(r[i]) for i in idx_s) for r in s_rows), key=repr
-        )
-        d_norm = sorted(
-            (tuple(norm(r[i]) for i in idx_d) for r in d_rows), key=repr
-        )
         if s_cols != d_cols:
             failures.append(name)
             print(f"[FAIL] {name}: cols spark={s_cols} duck={d_cols}")

@@ -1,0 +1,68 @@
+"""Exercise the documented broadcast→bucketed crossovers (VERDICT r5 #6).
+
+``pagerank_bipartite`` and ``graph_triangle_count`` ship broadcast-hinted
+plans (the right shape while the rank vector / edge list fits a broadcast)
+with a documented fallback for the 10^8+-node regime. These tests run each
+fallback for real and pin both properties the docstrings claim:
+
+- PARITY: the bucketed shape returns exactly the rows of the broadcast
+  shape (so flipping the flag at scale is purely a physical decision);
+- PLAN: the fallback's physical plan has the promised structure —
+  pagerank's per-round join reads the edge list from a pre-partitioned
+  InMemoryRelation and exchanges only the rank vector; triangle-count's
+  closing join is a ShuffledHashJoin (wedges hashed and probed, never
+  sort-merge-sorted — the sort is what OOM'd at sf0.1).
+"""
+
+from __future__ import annotations
+
+from e_commerce_click_stream_spark.plans.graph import (
+    graph_triangle_count,
+    pagerank_bipartite,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pagerank_bucketed_edges_matches_broadcast(spark):
+    base = _rows(pagerank_bipartite(spark, SF_SMOKE))
+    try:
+        bucketed_df = pagerank_bipartite(spark, SF_SMOKE, bucketed_edges=True)
+        plan = _plan(bucketed_df)
+        assert _rows(bucketed_df) == base
+        tree = plan.split("\n\n")[0]
+        # the audited plan covers the FINAL round (earlier rounds sit behind
+        # the rank checkpoint): the per-round join must be a shuffle-hash
+        # join fed by the cached pre-partitioned edge list (the cached
+        # relation's *build* plan is displayed inside InMemoryTableScan, so
+        # its internal joins/exchanges appear in the text but execute once —
+        # assertions target the live segment only)
+        assert "ShuffledHashJoin" in tree
+        assert "InMemoryTableScan" in tree
+        assert "CartesianProduct" not in tree
+    finally:
+        spark.catalog.clearCache()  # drop the persisted edge list
+
+
+def test_triangle_bucketed_close_matches_broadcast(spark):
+    base = _rows(graph_triangle_count(spark, SF_SMOKE))
+    bucketed_df = graph_triangle_count(spark, SF_SMOKE, bucketed_close=True)
+    plan = _plan(bucketed_df)
+    assert _rows(bucketed_df) == base
+    tree = plan.split("\n\n")[0]
+    # the closing probe is hashed, never sorted (the wedge-generation
+    # self-join above it may legitimately sort-merge — it reads the
+    # checkpointed oriented list twice; only the wedge STREAM must never
+    # be sorted, and a ShuffledHashJoin is exactly that)
+    assert "ShuffledHashJoin" in tree
+    assert "CartesianProduct" not in tree

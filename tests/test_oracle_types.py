@@ -1,0 +1,72 @@
+"""Registry-wide output-REPRESENTATION audit (VERDICT r5 #2).
+
+The driver's correctness gate hashes both result sets through a pandas
+stringifier, so numerically-identical results can still hash-mismatch when
+their *materialized representation* differs between engines. Three rounds
+produced three instances of this class:
+
+- r1 ``lineitem_math_functions``: int vs float stringification;
+- r4 ``lineitem_decimal_money``: DuckDB DECIMAL width vs Spark decimal;
+- r5 ``dedup_savings_report``: DuckDB HUGEINT (sum over BIGINT) fetched by
+  pandas as float64 (``149174.0``) vs Spark bigint (``149174``);
+- r5 ``doc_hashed_tf_vectors``: raw ``array<bigint>`` output column — the
+  pandas hasher dies with ``TypeError: unhashable type: 'list'``.
+
+These tests turn the convention into CI, closing the class:
+
+1. no registered query's Spark output schema contains array/map/struct at
+   the top level (serialize with md5 / concat_ws / to_json instead);
+2. no oracle's final SELECT binds to HUGEINT/UHUGEINT/DECIMAL in DuckDB
+   (cast aggregate sums ``::BIGINT`` / ``::DOUBLE`` explicitly).
+
+DuckDB type probing uses the *bound* relation (``con.sql(...)``), so the
+oracle audit needs no execution; the Spark side reuses the builder's
+analyzed schema at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+# DuckDB types the driver's pandas fetch mangles: HUGEINT/UHUGEINT -> float64
+# (or object), DECIMAL -> width-sensitive stringification.
+_BANNED_DUCK = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_spark_output_schema_is_hashable(spark, name):
+    df = SPECS[name].builder(spark, SF_SMOKE)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, _COMPLEX)
+    ]
+    assert not bad, (
+        f"{name}: output columns {bad} are array/map/struct — the driver's "
+        "pandas hasher cannot hash them; serialize (md5/concat_ws/to_json)"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in SPECS.items() if s.oracle is not None)
+)
+def test_oracle_output_types_are_driver_safe(duck, name):
+    rel = duck.sql(SPECS[name].oracle)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(b in str(t).upper() for b in _BANNED_DUCK)
+    ]
+    assert not bad, (
+        f"{name}: oracle columns {bad} bind to HUGEINT/DECIMAL — pandas "
+        "fetch materializes these unlike Spark's bigint/double; add an "
+        "explicit ::BIGINT / ::DOUBLE cast in the final SELECT"
+    )
