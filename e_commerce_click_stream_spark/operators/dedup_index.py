@@ -1,0 +1,217 @@
+"""Persisted MinHash-LSH band index: build once, probe per ingest batch.
+
+``dedup_incremental_minhash`` (plans/dedup.py) proves the incremental
+verdict semantics but signs BOTH sides in one pass. The production 100 TB
+shape stores the already-indexed corpus once and re-signs only each
+incoming batch:
+
+- **build**: shingle + minhash-sign the index corpus, write two parquet
+  tables under ``index_dir`` — ``bands/`` (doc_id, band, bucket),
+  partitioned by ``band`` so a probe that only needs some bands prunes
+  files, and ``shingles/`` (doc_id, s) for candidate verification. On a
+  cluster both would be bucketed by their join key (``bucket`` resp.
+  ``doc_id``) so repeated probes are exchange-free on the stored side;
+  plain local parquet can't carry bucketing metadata, so the layout is
+  partition-pruned only and the join key note travels in this docstring.
+- **probe**: shingle + sign ONLY the new batch (|batch| band rows, never a
+  corpus re-scan), equi-join its band rows against the stored ``bands/``
+  table plus the batch's own earlier docs (min-id-canonical, same as the
+  one-pass query), then verify candidates by exact jaccard against stored
+  resp. in-batch shingle sets. Output schema and verdict semantics are
+  bit-identical to ``dedup_incremental_minhash`` — pinned by
+  tests/test_dedup_index.py and by the shared DuckDB oracle on the
+  registered ``dedup_incremental_stored`` query.
+
+Per-ingest cost is O(|batch| × bands) probe rows against an index read
+that a real deployment amortizes across batches (and appends to, see
+``append_to_band_index``) — the piece the one-pass query's docstring
+promises and this module delivers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BANDS_SUBDIR = "bands"
+SHINGLES_SUBDIR = "shingles"
+
+
+def minhash_signature(
+    exploded: DataFrame, num_hashes: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, sh_) exploded shingles -> (doc_id, mh0..mh{n-1}).
+
+    One hash-aggregate: each signature component is the min md5 of the
+    seed-prefixed shingle — engine-portable (md5 hex strings order
+    identically everywhere), map-side-combinable (min), no UDF. ``carry``
+    names doc-level columns to ride through the grouping (functionally
+    dependent on doc_id) instead of being re-joined afterwards."""
+    return exploded.groupBy("doc_id", *carry).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh_")))).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def band_buckets(
+    sig: DataFrame, num_bands: int, rows_per_band: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, mh*) signature -> (doc_id, band, bucket) LSH keys.
+
+    The bucket is the md5 of the band's '|'-joined components: uniform,
+    high-cardinality, so the candidate equi-join shuffle distributes
+    evenly at any corpus size."""
+    structs = []
+    for b in range(num_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        concat_cols: list = []
+        for i, c in enumerate(cols):
+            if i:
+                concat_cols.append(F.lit("|"))
+            concat_cols.append(c)
+        structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*concat_cols)).alias("bucket"))
+        )
+    return sig.select(
+        "doc_id", *carry, F.explode(F.array(*structs)).alias("bb")
+    ).select(
+        "doc_id", *carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def sign_docs(
+    docs: DataFrame, num_hashes: int, num_bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, s[array<string> shingles]) -> (bands, shingles) pair.
+
+    ``docs`` must already be materialized (checkpoint/persist) by the
+    caller if referenced from multiple branches — this function fans the
+    relation into the explode->sign path and keeps the shingle sets as-is
+    for verification."""
+    nonempty = docs.filter(F.size("s") > 0)
+    ex = nonempty.select("doc_id", F.explode("s").alias("sh_"))
+    sig = minhash_signature(ex, num_hashes)
+    bands = band_buckets(sig, num_bands, num_hashes // num_bands)
+    return bands, docs.select("doc_id", "s")
+
+
+def build_band_index(
+    index_docs: DataFrame, index_dir: str, num_hashes: int, num_bands: int
+) -> None:
+    """Write the stored index for ``index_docs`` (doc_id, s) under
+    ``index_dir``: bands/ partitioned by band, shingles/ flat."""
+    bands, sh = sign_docs(index_docs, num_hashes, num_bands)
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(index_dir, BANDS_SUBDIR)
+    )
+    sh.write.mode("overwrite").parquet(os.path.join(index_dir, SHINGLES_SUBDIR))
+
+
+def append_to_band_index(
+    new_docs: DataFrame, index_dir: str, num_hashes: int, num_bands: int
+) -> None:
+    """Fold a verdict-ed batch into the store (the post-probe step of a
+    production ingest: novel + canonical docs join the index so the next
+    batch dedups against them). Blind append — callers pass only docs not
+    already present."""
+    bands, sh = sign_docs(new_docs, num_hashes, num_bands)
+    bands.write.mode("append").partitionBy("band").parquet(
+        os.path.join(index_dir, BANDS_SUBDIR)
+    )
+    sh.write.mode("append").parquet(os.path.join(index_dir, SHINGLES_SUBDIR))
+
+
+def probe_band_index(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    all_batch_ids: DataFrame,
+    index_dir: str,
+    num_hashes: int,
+    num_bands: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """One ingest batch against the store.
+
+    ``batch_docs``: (doc_id, s) for the incoming batch (materialized by the
+    caller). ``all_batch_ids``: (doc_id) for EVERY batch doc — including
+    shingle-less ones, which must still receive a 'novel' verdict row.
+
+    Returns (doc_id, verdict, match_doc_id, jaccard) with verdict in
+    {'dup_of_index', 'dup_in_batch', 'novel'}; best match by
+    (jaccard desc, index-before-batch, min doc_id) — the same total order
+    as the one-pass query, so results are bit-identical."""
+    batch_bands, batch_sh = sign_docs(batch_docs, num_hashes, num_bands)
+
+    stored_bands = spark.read.parquet(os.path.join(index_dir, BANDS_SUBDIR))
+    stored_sh = spark.read.parquet(os.path.join(index_dir, SHINGLES_SUBDIR))
+
+    p = batch_bands.alias("p")
+    # candidates against the store: pure equi-join on (band, bucket) — the
+    # stored side streams from parquet pruned to the probed bands
+    m_idx = stored_bands.alias("m")
+    cand_idx = (
+        p.join(
+            m_idx,
+            (F.col("p.band") == F.col("m.band")) & (F.col("p.bucket") == F.col("m.bucket")),
+        )
+        .select(
+            F.col("p.doc_id").alias("probe_id"),
+            F.col("m.doc_id").alias("match_id"),
+            F.lit(False).alias("match_is_new"),
+        )
+    )
+    # candidates within the batch: later doc loses (min-id-canonical)
+    m_bat = batch_bands.alias("m")
+    cand_bat = (
+        p.join(
+            m_bat,
+            (F.col("p.band") == F.col("m.band"))
+            & (F.col("p.bucket") == F.col("m.bucket"))
+            & (F.col("m.doc_id") < F.col("p.doc_id")),
+        )
+        .select(
+            F.col("p.doc_id").alias("probe_id"),
+            F.col("m.doc_id").alias("match_id"),
+            F.lit(True).alias("match_is_new"),
+        )
+    )
+    cand = cand_idx.unionByName(cand_bat).distinct()
+
+    # exact-jaccard verification on candidates only; match shingles come
+    # from the store or the batch according to provenance
+    match_sh = stored_sh.unionByName(batch_sh).select(
+        F.col("doc_id").alias("match_id"), F.col("s").alias("sb")
+    )
+    sa = batch_sh.select(F.col("doc_id").alias("probe_id"), F.col("s").alias("sa"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union_sz = F.size("sa") + F.size("sb") - common
+    scored = (
+        cand.join(sa, "probe_id")
+        .join(match_sh, "match_id")
+        .select(
+            "probe_id",
+            "match_id",
+            "match_is_new",
+            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_is_new").asc(), F.col("match_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return all_batch_ids.join(
+        best, all_batch_ids["doc_id"] == best["probe_id"], "left"
+    ).select(
+        all_batch_ids["doc_id"].alias("doc_id"),
+        F.when(F.col("match_id").isNull(), "novel")
+        .when(F.col("match_is_new"), "dup_in_batch")
+        .otherwise("dup_of_index")
+        .alias("verdict"),
+        F.col("match_id").alias("match_doc_id"),
+        F.col("jaccard"),
+    )

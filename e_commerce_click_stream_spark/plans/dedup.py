@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import spread, table
+from e_commerce_click_stream_spark.operators.dedup_index import (
+    band_buckets,
+    build_band_index,
+    minhash_signature,
+    probe_band_index,
+)
 from e_commerce_click_stream_spark.operators.textops import (
     fingerprint,
     shingles,
@@ -1139,27 +1145,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     nonempty = sh.filter(F.size("s") > 0)
     ex = nonempty.select("doc_id", "is_new", F.explode("s").alias("sh_"))
-    sig = ex.groupBy("doc_id", "is_new").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh_")))).alias(f"mh{s}")
-            for s in range(NUM_HASHES)
-        ]
-    )
-    band_structs = []
-    for b in range(NUM_BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        concat_cols: list = []
-        for i, c in enumerate(cols):
-            if i:
-                concat_cols.append(F.lit("|"))
-            concat_cols.append(c)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*concat_cols)).alias("bucket"))
-        )
-    buckets = sig.select(
-        "doc_id", "is_new", F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        "doc_id", "is_new", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    sig = minhash_signature(ex, NUM_HASHES, carry=("is_new",))
+    buckets = band_buckets(
+        sig, NUM_BANDS, ROWS_PER_BAND, carry=("is_new",)
     ).localCheckpoint(eager=True)
 
     p = buckets.filter("is_new").alias("p")
@@ -1212,4 +1200,45 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("verdict"),
         F.col("match_id").alias("match_doc_id"),
         F.col("jaccard"),
+    )
+
+
+@register("dedup_incremental_stored", oracle=_incremental_minhash_sql(),
+          tags=("dedup", "minhash", "lsh", "incremental", "stored-index"))
+def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index twin of ``dedup_incremental_minhash``: build the
+    band index for the already-indexed corpus to parquet (bands/
+    partitioned by band + shingles/), then probe it with ONLY the
+    incoming batch — two jobs, the way a production ingest actually runs
+    (operators/dedup_index.py). Shares the one-pass query's oracle: the
+    stored path must produce bit-identical verdicts, so a green driver
+    row here proves the store/probe round-trip end to end.
+
+    Scale shape: the index is written once and re-read per batch (on a
+    cluster: bucketed by the join keys, making the stored side of every
+    probe exchange-free); per batch only |batch| docs are shingled and
+    signed. The one-pass twin re-signs the whole corpus every run —
+    this is the shape that amortizes at 100 TB."""
+    import tempfile
+
+    is_new = F.coalesce(
+        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+    )
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", is_new.alias("is_new"), tokens().alias("toks")
+    )
+    sh = docs.select(
+        "doc_id", "is_new", shingles("toks", 3).alias("s")
+    ).localCheckpoint(eager=True)
+
+    index_dir = tempfile.mkdtemp(prefix="band_index_")
+    build_band_index(
+        sh.filter(~F.col("is_new")).select("doc_id", "s"),
+        index_dir, NUM_HASHES, NUM_BANDS,
+    )
+    batch_sh = sh.filter("is_new").select("doc_id", "s")
+    all_batch_ids = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
+    return probe_band_index(
+        spark, batch_sh, all_batch_ids, index_dir,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
     )

@@ -443,3 +443,169 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return j.groupBy("source", "status").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: audience overlap between event types from MERGED
+# k-minimum-values sketches — union/intersection/jaccard distinct estimates
+# without ever shuffling the full user sets together
+
+_KMV_OVERLAP_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events
+    WHERE user_id IS NOT NULL
+),
+hashed AS (
+    SELECT event_type, user_id,
+           CAST(CAST(('0x' || substr(md5('kmv:' || user_id), 1, 15))
+                AS UBIGINT) AS BIGINT) / 1152921504606846976.0 AS frac
+    FROM du
+),
+ranked AS (
+    SELECT event_type, frac,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY frac, user_id) AS rn
+    FROM hashed
+),
+sk AS (
+    SELECT event_type, list(frac ORDER BY frac) AS s
+    FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+),
+counts AS (
+    SELECT event_type, count(*) AS n FROM du GROUP BY event_type
+),
+inter AS (
+    SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_inter
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.s AS ska, b.s AS skb,
+           list_sort(list_distinct(list_concat(a.s, b.s)))[1:{KMV_K}] AS m
+    FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+est AS (
+    SELECT type_a, type_b,
+           CASE WHEN len(m) < {KMV_K} THEN len(m)
+                ELSE CAST(floor(({KMV_K} - 1) / m[len(m)] + 0.5) AS BIGINT)
+           END AS union_est,
+           len(list_intersect(m, list_intersect(ska, skb)))::DOUBLE / len(m)
+               AS rho
+    FROM pairs
+)
+SELECT e.type_a, e.type_b,
+       ca.n + cb.n - coalesce(i.exact_inter, 0) AS exact_union,
+       e.union_est,
+       coalesce(i.exact_inter, 0) AS exact_intersection,
+       CAST(floor(e.rho * e.union_est + 0.5) AS BIGINT) AS intersection_est,
+       floor(e.rho * 10000 + 0.5) / 10000 AS jaccard_est
+FROM est e
+JOIN counts ca ON ca.event_type = e.type_a
+JOIN counts cb ON cb.event_type = e.type_b
+LEFT JOIN inter i ON i.ta = e.type_a AND i.tb = e.type_b
+"""
+
+
+@register("kmv_audience_overlap", oracle=_KMV_OVERLAP_SQL,
+          tags=("sketch", "approx", "cardinality", "set-ops"))
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types, estimated from
+    MERGED k-minimum-values sketches: |A∪B| from the k smallest hash
+    fractions of the union-of-sketches (KMV is closed under union),
+    jaccard from the fraction ρ of the merged sketch present in both
+    input sketches, |A∩B| = ρ·|A∪B| — the theta-sketch set-operation
+    workflow (Beyer et al., "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations", SIGMOD'07) on deterministic md5 hashes so
+    the whole thing value-hash-verifies against DuckDB. Exact union /
+    intersection ride along as self-grading columns.
+
+    Scale shape: each type's sketch is k rows (WindowGroupLimit prunes
+    to ≤k per partition pre-shuffle, as in events_kmv_distinct); the
+    pair stage joins |types|² sketch ROWS (arrays of 64 doubles), never
+    user sets — at 10⁹ users per type the merge still touches 64 values
+    per pair. The exact columns are test-scale self-grading: production
+    drops them and with them the only user-level self-join."""
+    from pyspark.sql import Window
+
+    du = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds sketch, counts, and self-join
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    w = Window.partitionBy("event_type").orderBy("frac", "user_id")
+    ranked = (
+        du.select("event_type", "user_id", frac.alias("frac"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    sk = ranked.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("frac")).alias("s")
+    )
+    counts = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    inter = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.s").alias("ska"),
+        F.col("b.s").alias("skb"),
+        F.slice(F.array_sort(F.array_union("a.s", "b.s")), 1, KMV_K).alias("m"),
+    )
+    kth = F.element_at("m", F.size("m"))
+    union_est = F.when(F.size("m") < KMV_K, F.size("m").cast("bigint")).otherwise(
+        F.floor((KMV_K - 1) / kth + 0.5).cast("bigint")
+    )
+    rho = F.size(F.array_intersect("m", F.array_intersect("ska", "skb"))).cast(
+        "double"
+    ) / F.size("m")
+    est = pairs.select(
+        "type_a", "type_b", union_est.alias("union_est"), rho.alias("rho")
+    )
+    ca = counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        est.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .join(
+            F.broadcast(inter),
+            (F.col("ta") == F.col("type_a")) & (F.col("tb") == F.col("type_b")),
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0))).alias(
+                "exact_union"
+            ),
+            "union_est",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_intersection"),
+            F.floor(F.col("rho") * F.col("union_est") + 0.5)
+            .cast("bigint")
+            .alias("intersection_est"),
+            (F.floor(F.col("rho") * 10000 + 0.5) / 10000).alias("jaccard_est"),
+        )
+    )

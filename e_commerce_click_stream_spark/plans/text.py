@@ -1102,7 +1102,9 @@ vec AS (
 )
 SELECT doc_id,
        n_tokens,
-       array_to_string(list_transform(tfl, c -> c::VARCHAR), ',') AS tf,
+       CASE WHEN n_tokens IS NULL THEN NULL
+            ELSE array_to_string(list_transform(tfl, c -> c::VARCHAR), ',')
+       END AS tf,
        len(list_filter(tfl, c -> c > 0)) AS nnz,
        round(sqrt(list_sum(list_transform(tfl, c -> (c * c)::DOUBLE))), 6) AS l2_norm
 FROM vec
@@ -1141,7 +1143,13 @@ def doc_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "n_tokens",
-        F.array_join(F.transform(F.col("tfl"), lambda c: c.cast("string")), ",").alias("tf"),
+        # NULL-text rows carry a NULL vector on both engines: Spark's
+        # array_join would render the all-NULL fold as '' while DuckDB
+        # yields NULL — gate on n_tokens so the engines agree
+        F.when(
+            F.col("n_tokens").isNotNull(),
+            F.array_join(F.transform(F.col("tfl"), lambda c: c.cast("string")), ","),
+        ).alias("tf"),
         F.expr("cast(size(filter(tfl, c -> c > 0)) AS bigint)").alias("nnz"),
         F.round(
             F.sqrt(

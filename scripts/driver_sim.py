@@ -46,7 +46,16 @@ def canon(pdf):
         if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
             return "<NULL>"
         if isinstance(v, pd.Timestamp):
-            return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
+            # Date-vs-datetime dtype drift is NOT a gate failure: DuckDB DATE
+            # fetched via rel.df() lands as datetime64 while Spark's DateType
+            # stays datetime.date — yet DATE-emitting queries
+            # (daily_active_users, user_retention_cohorts) hash-matched at
+            # the r4 driver gate, so the driver normalizes the two. Mirror
+            # that by collapsing midnight timestamps to their ISO date.
+            v = v.tz_localize(None) if v.tzinfo else v
+            if v == v.normalize():
+                return v.date().isoformat()
+            return v.isoformat()
         return str(v)
 
     return [tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)]
