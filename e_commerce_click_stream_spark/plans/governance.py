@@ -551,10 +551,14 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
     )
+    # |types| rows each; materialized so the a/b self-join and the two
+    # count joins don't re-run the window resp. the count agg per branch
     sk = ranked.groupBy("event_type").agg(
         F.sort_array(F.collect_list("frac")).alias("s")
-    )
-    counts = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    ).localCheckpoint(eager=True)
+    counts = du.groupBy("event_type").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
     inter = (
         du.alias("a")
         .join(
@@ -607,5 +611,127 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("intersection_est"),
             (F.floor(F.col("rho") * 10000 + 0.5) / 10000).alias("jaccard_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout planning: Morton-interleave (user, hour) and chunk the
+# sort order into files; report per-file min-max envelopes on BOTH
+# dimensions vs a plain time-sorted layout — the data-skipping audit behind
+# OPTIMIZE ZORDER-style table maintenance
+
+ZORDER_BITS = 8  # per-dimension bucket bits (256 buckets each)
+ZORDER_FILE_ROWS = 512  # rows per simulated file chunk
+
+
+def _morton_terms(u: str, h: str, div: str) -> str:
+    """Interleaved 2×8-bit Morton code as pure integer arithmetic —
+    ``div`` is the engine's integer-division operator ('DIV' for Spark,
+    '//' for DuckDB); everything else is engine-portable."""
+    terms = []
+    for k in range(ZORDER_BITS):
+        terms.append(f"(({u} {div} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+        terms.append(f"(({h} {div} {1 << k}) % 2) * {1 << (2 * k)}")
+    return " + ".join(terms)
+
+
+def _zorder_sql() -> str:
+    morton = _morton_terms("u", "h", "//")
+    return f"""
+WITH base AS (
+    SELECT event_id,
+           user_id % {1 << ZORDER_BITS} AS u,
+           (epoch_us(ts) // 3600000000) % {1 << ZORDER_BITS} AS h,
+           epoch_us(ts) AS us
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+coded AS (
+    SELECT event_id, u, h, us, {morton} AS z FROM base
+),
+zfiles AS (
+    SELECT u, h,
+           (row_number() OVER (ORDER BY z, event_id) - 1)
+               // {ZORDER_FILE_ROWS} AS file_id
+    FROM coded
+),
+lfiles AS (
+    SELECT u, h,
+           (row_number() OVER (ORDER BY us, event_id) - 1)
+               // {ZORDER_FILE_ROWS} AS file_id
+    FROM coded
+),
+layouts AS (
+    SELECT 'zorder' AS layout, file_id, u, h FROM zfiles
+    UNION ALL
+    SELECT 'linear' AS layout, file_id, u, h FROM lfiles
+)
+SELECT layout, file_id,
+       count(*) AS n_rows,
+       min(u) AS u_min, max(u) AS u_max,
+       max(u) - min(u) + 1 AS u_span,
+       min(h) AS h_min, max(h) AS h_max,
+       max(h) - min(h) + 1 AS h_span
+FROM layouts
+GROUP BY layout, file_id
+"""
+
+
+@register("events_zorder_stats", oracle=_zorder_sql(),
+          tags=("layout", "zorder", "data-skipping"))
+def events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave 8-bit (user, hour)
+    buckets, chunk the resulting sort order into fixed-size files, and
+    emit each file's min-max envelope on BOTH dimensions beside the same
+    stats for a plain time-sorted layout. A z-ordered file covers a small
+    RECTANGLE of (user, hour) space, so file-level min-max statistics
+    prune scans for predicates on EITHER column — the audit a table-
+    maintenance job (Delta/Iceberg OPTIMIZE ZORDER BY) runs to decide
+    whether rewriting pays. Morton coding is plain integer arithmetic,
+    identical in both engines.
+
+    Scale shape: the global sort models the layout job itself (on a
+    cluster: range-partition by z — a terasort, run rarely and amortized
+    across every subsequent pruned scan); the audit output is one row
+    per file, so the agg shuffles file-count rows, not events."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            (F.col("user_id") % (1 << ZORDER_BITS)).alias("u"),
+            ((F.unix_micros("ts") / F.lit(3600000000)).cast("long")
+             % (1 << ZORDER_BITS)).alias("h"),
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    coded = ev.select(
+        "event_id", "u", "h", "us",
+        F.expr(_morton_terms("u", "h", "DIV")).alias("z"),
+    )
+    from pyspark.sql import Window
+
+    zw = Window.orderBy("z", "event_id")
+    lw = Window.orderBy("us", "event_id")
+    zfiles = coded.select(
+        "u", "h",
+        F.floor((F.row_number().over(zw) - 1) / ZORDER_FILE_ROWS).alias("file_id"),
+    ).withColumn("layout", F.lit("zorder"))
+    lfiles = coded.select(
+        "u", "h",
+        F.floor((F.row_number().over(lw) - 1) / ZORDER_FILE_ROWS).alias("file_id"),
+    ).withColumn("layout", F.lit("linear"))
+    return (
+        zfiles.unionByName(lfiles)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            (F.max("u") - F.min("u") + 1).alias("u_span"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+            (F.max("h") - F.min("h") + 1).alias("h_span"),
         )
     )

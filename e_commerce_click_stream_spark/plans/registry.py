@@ -112,6 +112,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_norms",
     # new this round — never driver-verified
     "dedup_incremental_stored",
+    "kmv_audience_overlap",
+    "embedding_jl_projection",
+    "events_zorder_stats",
     # backfill: oldest fixture-current (r3) proofs
     "ann_cosine_topk",
     "ann_ivf_cells",
@@ -119,9 +122,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_connected_components",
     "deterministic_sample",
     "doc_fingerprints",
-    "doc_pii_scrub",
-    "doc_quality_scores",
-    "doc_token_counts",
 )
 
 

@@ -1772,3 +1772,120 @@ def embedding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(usable & ~nonzero, 1)).alias("zero_vectors"),
         F.count(F.when(usable & nonzero, 1)).alias("clean_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: 64 -> 16 dims with a
+# deterministic ±1/√m sign matrix, self-graded by pairwise-distance
+# distortion over the sampled verify set
+
+_JL_M = 16  # target dimensionality
+_JL_SCALE = 0.25  # 1/sqrt(_JL_M)
+
+
+def _jl_sign(j: int, i: int) -> float:
+    """±1 from the first hex char of md5('jl:<j>:<i>') — reproducible in
+    Python (hashlib), Spark, and DuckDB; evaluated ONCE here and inlined
+    as literals on both engines (the 100 TB analogue: a broadcast of the
+    m×d sign matrix, never per-row hashing)."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+
+
+def _jl_project(v) -> "Column":
+    """array<double>[64] -> array<double>[16]: y_j = scale * Σ_i s_ji·x_i,
+    sequential left-fold per dim so both engines accumulate identically."""
+    dims = []
+    for j in range(_JL_M):
+        signs = F.array(*[F.lit(_jl_sign(j, i)) for i in range(64)])
+        dims.append(
+            F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * _JL_SCALE
+        )
+    return F.array(*dims)
+
+
+def _jl_sql() -> str:
+    y_dims = []
+    for j in range(_JL_M):
+        terms = ", ".join(f"v[{i + 1}] * {_jl_sign(j, i)}" for i in range(64))
+        y_dims.append(f"{_JL_SCALE} * list_sum([{terms}])")
+    y = "[" + ",\n               ".join(y_dims) + "]"
+    return f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    WHERE vec_id % 20 = 0
+),
+proj AS (
+    SELECT vec_id, v,
+           {y} AS y
+    FROM n
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           sqrt(list_sum(list_transform(range(1, 65),
+                i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) AS d_orig,
+           sqrt(list_sum(list_transform(range(1, {_JL_M + 1}),
+                k -> (a.y[k] - b.y[k]) * (a.y[k] - b.y[k])))) AS d_proj
+    FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(d_orig, 6) AS dist_orig,
+       round(d_proj, 6) AS dist_proj,
+       CASE WHEN d_orig > 0
+            THEN floor(d_proj / d_orig * 10000 + 0.5) / 10000
+       END AS distortion
+FROM pairs
+"""
+
+
+@register("embedding_jl_projection", oracle=_jl_sql(),
+          tags=("similarity", "dimensionality-reduction", "jl"))
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims (±1/√m sign
+    matrix à la Achlioptas, "Database-friendly random projections",
+    PODS'01), self-graded: every sampled pair's L2 distance before vs
+    after projection, with the distortion ratio the JL lemma bounds.
+    The sign matrix is derived from md5 so Python, Spark, and DuckDB
+    agree bit-for-bit; it is evaluated at plan-build time and inlined
+    as literals — per-row work is 16 fused multiply-add folds, no
+    hashing, no shuffle.
+
+    Scale shape: the projection itself is a zero-shuffle per-row map
+    (the step that makes downstream ANN/clustering 4× cheaper at
+    100 TB); the all-pairs distortion check runs on the deterministic
+    vec_id % 20 sample only — the same sampled-verify convention as
+    embedding_cosine_pairs."""
+    n = (
+        _vecs(spark, sf_dir)
+        .filter(F.col("vec_id") % 20 == 0)
+        .select("vec_id", "v", _jl_project(F.col("v")).alias("y"))
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("y").alias("ya")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("y").alias("yb")
+    )
+    sq = lambda u, w: F.aggregate(  # noqa: E731 — local alias, used twice
+        F.zip_with(u, w, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d_orig = F.sqrt(sq(F.col("va"), F.col("vb")))
+    d_proj = F.sqrt(sq(F.col("ya"), F.col("yb")))
+    return a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(d_orig, 6).alias("dist_orig"),
+        F.round(d_proj, 6).alias("dist_proj"),
+        F.when(d_orig > 0, F.floor(d_proj / d_orig * 10000 + 0.5) / 10000).alias(
+            "distortion"
+        ),
+    )

@@ -815,6 +815,39 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
     },
+    # stored-index probe: the store side streams from parquet through an
+    # equi-join (SMJ/SHJ on (band, bucket) is the at-scale shape — both
+    # sides can be huge); best-match window + final left join; the build
+    # job ran before this plan, so only the probe is audited here
+    "dedup_incremental_stored": {
+        "contains": ["Window", "Scan parquet"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 8,
+    },
+    # sketch set-ops: the |types|-row sketch and count relations are
+    # materialized once (localCheckpoint) and every pair-stage join
+    # broadcasts — the only live shuffle is the exact-intersection
+    # self-grading agg, which production drops
+    "kmv_audience_overlap": {
+        "contains": ["BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
+    # JL projection: zero shuffles end to end — per-row fold projection,
+    # sampled pair check via broadcast; hygiene gate pushed to the scan
+    "embedding_jl_projection": {
+        "contains": ["BroadcastNestedLoopJoin", "PushedFilters: [Is"],
+        "not_contains": ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 0,
+    },
+    # z-order audit: the two global sorts ARE the modeled layout job
+    # (range-partition by z on a cluster); the span agg is partial+final
+    # over file-count rows
+    "events_zorder_stats": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)
