@@ -115,13 +115,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "kmv_audience_overlap",
     "embedding_jl_projection",
     "events_zorder_stats",
+    "ann_hard_negatives",
     # backfill: oldest fixture-current (r3) proofs
     "ann_cosine_topk",
     "ann_ivf_cells",
     "ann_ivf_topk",
     "dedup_connected_components",
     "deterministic_sample",
-    "doc_fingerprints",
 )
 
 

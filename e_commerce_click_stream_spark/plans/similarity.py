@@ -1889,3 +1889,99 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distortion"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: for each query vector, the most-similar CORPUS
+# vectors with a DIFFERENT label — the contrastive-training data prep step
+# (triplet/InfoNCE batches want negatives that are nearly positives)
+
+_HARD_NEG_SQL = f"""
+WITH n AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS neighbor_id, c.label AS neg_label,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+    FROM n q JOIN n c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+pos AS (
+    SELECT query_id, max(cosine) AS pos_best_cosine
+    FROM scored WHERE neg_label = query_label GROUP BY query_id
+),
+negs AS (
+    SELECT query_id, query_label, neighbor_id, neg_label, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored WHERE neg_label != query_label
+)
+SELECT g.query_id, g.query_label, g.neighbor_id, g.neg_label, g.cosine, g.rank,
+       p.pos_best_cosine,
+       CASE WHEN p.pos_best_cosine IS NULL THEN NULL
+            ELSE g.cosine < p.pos_best_cosine END AS is_semi_hard
+FROM negs g LEFT JOIN pos p ON p.query_id = g.query_id
+WHERE g.rank <= {TOP_K}
+"""
+
+
+@register("ann_hard_negatives", oracle=_HARD_NEG_SQL,
+          tags=("similarity", "topk", "contrastive", "training-data"))
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector
+    (vec_id < N_QUERIES), the TOP_K highest-cosine corpus vectors whose
+    label DIFFERS, each tagged semi-hard (Schroff et al., FaceNet,
+    CVPR'15: a negative closer than the best positive is 'hard', one
+    inside the margin band below it 'semi-hard') via the query's best
+    same-label cosine riding along.
+
+    Scale shape: identical to ann_cosine_topk — queries broadcast
+    against the corpus (the corpus never shuffles), per-query top-k via
+    the rank-pushdown window (WindowGroupLimit prunes to ≤k per
+    partition pre-shuffle); the positives branch is a |queries|-row agg
+    broadcast back. At production scale the scored candidates come from
+    the IVF/LSH path instead of the brute-force join — the ranking and
+    semi-hard tagging are unchanged."""
+    n = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "cosine"
+        ),
+    )
+    pos = (
+        scored.filter(F.col("neg_label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("pos_best_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    negs = (
+        scored.filter(F.col("neg_label") != F.col("query_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    return negs.join(F.broadcast(pos), "query_id", "left").select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neg_label",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+        "pos_best_cosine",
+        F.when(
+            F.col("pos_best_cosine").isNotNull(),
+            F.col("cosine") < F.col("pos_best_cosine"),
+        ).alias("is_semi_hard"),
+    )

@@ -840,6 +840,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 0,
     },
+    # hard-negative mining: queries broadcast (corpus never shuffles for
+    # the join), per-query top-k pruned pre-shuffle; the positives
+    # branch re-shuffles only scored candidate rows
+    "ann_hard_negatives": {
+        "contains": ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
     # z-order audit: the two global sorts ARE the modeled layout job
     # (range-partition by z on a cluster); the span agg is partial+final
     # over file-count rows
