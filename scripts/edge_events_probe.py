@@ -73,6 +73,7 @@ BATCH_EVENT_QUERIES = [
     "events_anomaly_zscore", "events_sliding_windows", "user_entropy_profile",
     "hourly_gapfill_locf", "user_interarrival_stats", "user_value_ewma",
     "sql_gateway_hourly_revenue", "key_skew_profile",
+    "kmv_audience_overlap", "events_zorder_stats",
 ]
 
 
