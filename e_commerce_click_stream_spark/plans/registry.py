@@ -116,12 +116,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_jl_projection",
     "events_zorder_stats",
     "ann_hard_negatives",
+    "events_countmin_heavy_hitters",
     # backfill: oldest fixture-current (r3) proofs
     "ann_cosine_topk",
     "ann_ivf_cells",
     "ann_ivf_topk",
     "dedup_connected_components",
-    "deterministic_sample",
 )
 
 

@@ -848,6 +848,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 2,
     },
+    # count-min sketch: one hash agg into depth×width counters
+    # (materialized once — 4 probe joins must read it, not re-derive
+    # it), probes broadcast, exact top-k via TakeOrderedAndProject
+    "events_countmin_heavy_hitters": {
+        "contains": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
     # z-order audit: the two global sorts ARE the modeled layout job
     # (range-partition by z on a cluster); the span agg is partial+final
     # over file-count rows
