@@ -867,3 +867,145 @@ def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         est.alias("cms_estimate"),
         (est - F.col("exact_n")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: mergeable equi-width bins + cumulative walk,
+# graded against the exact percentiles — the third sketch family beside
+# CMS (frequency) and KMV (cardinality)
+
+QSK_BIN_CENTS = 100000  # $1000-wide bins over integer cents
+QSK_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _qsketch_sql() -> str:
+    qrows = " UNION ALL ".join(f"SELECT {q} AS q" for q in QSK_QUANTILES)
+    return f"""
+WITH cents AS (
+    SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+tot AS (SELECT count(*) AS n FROM cents),
+qs AS ({qrows}),
+bins AS (
+    SELECT c // {QSK_BIN_CENTS} AS bin, count(*) AS bin_n
+    FROM cents GROUP BY 1
+),
+bcum AS (
+    SELECT bin, bin_n,
+           sum(bin_n) OVER (ORDER BY bin) AS cum
+    FROM bins
+),
+est AS (
+    SELECT q.q,
+           min(b.bin * {QSK_BIN_CENTS}
+               + (q.q * t.n - (b.cum - b.bin_n)) / b.bin_n * {QSK_BIN_CENTS})
+               AS est_cents
+    FROM qs q, tot t, bcum b
+    WHERE b.cum >= q.q * t.n
+      AND b.bin = (SELECT min(b2.bin) FROM bcum b2, tot t2
+                   WHERE b2.cum >= q.q * t2.n)
+    GROUP BY q.q
+),
+vcum AS (
+    SELECT c, count(*) AS vn,
+           sum(count(*)) OVER (ORDER BY c) AS cum
+    FROM cents GROUP BY c
+),
+exact AS (
+    SELECT q.q, min(v.c) AS exact_cents
+    FROM qs q, tot t, vcum v
+    WHERE v.cum >= ceil(q.q * t.n)
+    GROUP BY q.q
+)
+SELECT e.q AS quantile,
+       floor(x.est_cents / 100.0 * 100 + 0.5) / 100 AS est_price,
+       e.exact_cents / 100.0 AS exact_price,
+       floor(abs(x.est_cents - e.exact_cents) / e.exact_cents * 1000000 + 0.5)
+           / 1000000 AS rel_error
+FROM exact e JOIN est x ON x.q = e.q
+"""
+
+
+@register("lineitem_price_quantile_sketch", oracle=_qsketch_sql(),
+          tags=("sketch", "approx", "quantile"))
+def lineitem_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch over lineitem prices: bin
+    integer cents into $1000 buckets (one mergeable hash agg — counters
+    add across partitions/batches, the property t-digest/KLL trade
+    accuracy for), walk the cumulative histogram, and linearly
+    interpolate p50/p90/p99 inside the crossing bin. The exact
+    percentile (discrete: smallest value with cum ≥ ceil(q·n)) rides
+    along with the relative error — the sketch grades itself the same
+    way the KMV and CMS queries do.
+
+    Scale shape: the sketch branch shuffles ~bins rows (price-range /
+    $1000), never data rows; the exact branch's per-value cumulative
+    walk is test-scale self-grading — production keeps only the
+    histogram."""
+    from pyspark.sql import Window
+
+    cents = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c")
+        )
+    )
+    tot = cents.agg(F.count("*").alias("n"))
+    qs = spark.range(len(QSK_QUANTILES)).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in QSK_QUANTILES]), (F.col("id") + 1).cast("int")
+        ).alias("q")
+    )
+    bins = cents.groupBy((F.col("c") / QSK_BIN_CENTS).cast("bigint").alias("bin")).agg(
+        F.count("*").alias("bin_n")
+    )
+    bcum = bins.withColumn("cum", F.sum("bin_n").over(Window.orderBy("bin")))
+    # quantile probes: 3 rows × ~bins rows — broadcast the probes, keep
+    # only the crossing bin (min bin with cum >= q*n), interpolate
+    qb = (
+        bcum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    wq = Window.partitionBy("q").orderBy("bin")
+    est = (
+        qb.withColumn("rn", F.row_number().over(wq))
+        .filter("rn = 1")
+        .select(
+            "q",
+            (
+                F.col("bin") * QSK_BIN_CENTS
+                + (F.col("q") * F.col("n") - (F.col("cum") - F.col("bin_n")))
+                / F.col("bin_n")
+                * QSK_BIN_CENTS
+            ).alias("est_cents"),
+        )
+    )
+    vcum = (
+        cents.groupBy("c")
+        .agg(F.count("*").alias("vn"))
+        .withColumn("cum", F.sum("vn").over(Window.orderBy("c")))
+    )
+    ex = (
+        vcum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("c").alias("exact_cents"))
+    )
+    return ex.join(F.broadcast(est), "q").select(
+        F.col("q").alias("quantile"),
+        (F.floor(F.col("est_cents") / 100.0 * 100 + 0.5) / 100).alias("est_price"),
+        (F.col("exact_cents") / 100.0).alias("exact_price"),
+        (
+            F.floor(
+                F.abs(F.col("est_cents") - F.col("exact_cents"))
+                / F.col("exact_cents")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("rel_error"),
+    )

@@ -117,10 +117,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_zorder_stats",
     "ann_hard_negatives",
     "events_countmin_heavy_hitters",
+    "lineitem_price_quantile_sketch",
     # backfill: oldest fixture-current (r3) proofs
     "ann_cosine_topk",
     "ann_ivf_cells",
-    "ann_ivf_topk",
     "dedup_connected_components",
 )
 

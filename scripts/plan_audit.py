@@ -856,6 +856,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 2,
     },
+    # quantile sketch: the production path is the ~bins-row histogram
+    # agg + tiny cumulative window; the per-value exact branch (its own
+    # agg + window) is self-grading only — all joins broadcast
+    "lineitem_price_quantile_sketch": {
+        "contains": ["BroadcastHashJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 6,
+    },
     # z-order audit: the two global sorts ARE the modeled layout job
     # (range-partition by z on a cluster); the span agg is partial+final
     # over file-count rows
