@@ -136,9 +136,12 @@ def test_hashed_tf_matches_python_recomputation(spark):
         for t in toks:
             tf[bucket(t)] += 1
         assert r.n_tokens == len(toks)
-        assert list(r.tf) == tf
+        # tf ships as a comma-joined string (registry contract: no raw
+        # arrays in output schemas — the driver's hasher can't hash lists)
+        got_tf = [int(c) for c in r.tf.split(",")]
+        assert got_tf == tf
         assert r.nnz == sum(1 for c in tf if c > 0)
-        assert sum(r.tf) == r.n_tokens
+        assert sum(got_tf) == r.n_tokens
         assert abs(r.l2_norm - round(math.sqrt(sum(c * c for c in tf)), 6)) <= 1e-9
 
 
