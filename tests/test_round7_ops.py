@@ -1,0 +1,93 @@
+"""Invariant tests for the round-7 operators (sketch family, JL
+projection, z-order audit, hard negatives).
+
+Oracle parity is covered by the driver gate and the edge matrices; these
+pin the guarantees the operators' docstrings claim — the properties a
+user relies on even when the estimate is approximate."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from e_commerce_click_stream_spark.plans.governance import CMS_TOP, QSK_BIN_CENTS, QSK_QUANTILES
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from tests.conftest import SF_CORRECT
+
+SPECS = all_specs()
+
+
+def test_countmin_never_underestimates(spark):
+    rows = SPECS["events_countmin_heavy_hitters"].builder(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= CMS_TOP
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n, r
+        assert r.overcount == r.cms_estimate - r.exact_n
+        assert r.overcount >= 0
+
+
+def test_quantile_sketch_within_one_bin(spark):
+    rows = SPECS["lineitem_price_quantile_sketch"].builder(spark, SF_CORRECT).collect()
+    assert sorted(r.quantile for r in rows) == sorted(QSK_QUANTILES)
+    bin_dollars = QSK_BIN_CENTS / 100.0
+    for r in rows:
+        # linear interpolation lands inside the crossing bin, so the
+        # estimate can't be more than one bin width from the exact value
+        assert abs(r.est_price - r.exact_price) <= bin_dollars, r
+        assert r.rel_error >= 0
+
+
+def test_jl_distortion_is_bounded(spark):
+    rows = SPECS["embedding_jl_projection"].builder(spark, SF_CORRECT).collect()
+    ds = [r.distortion for r in rows if r.distortion is not None]
+    assert ds, "no comparable pairs"
+    # m=16: per-pair distortion std ≈ 1/sqrt(2m) ≈ 0.18 — these bounds are
+    # many sigmas wide and would only break on an implementation bug
+    assert all(0.3 <= d <= 3.0 for d in ds)
+    mean = sum(ds) / len(ds)
+    assert 0.75 <= mean <= 1.3, mean
+
+
+def test_hard_negatives_contract(spark):
+    rows = SPECS["ann_hard_negatives"].builder(spark, SF_CORRECT).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.neg_label != r.query_label, r
+        per_q[r.query_id].append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rs:
+            if r.pos_best_cosine is not None:
+                assert r.is_semi_hard == (r.cosine < r.pos_best_cosine)
+            else:
+                assert r.is_semi_hard is None
+
+
+def test_kmv_overlap_sanity(spark):
+    rows = SPECS["kmv_audience_overlap"].builder(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.exact_union >= r.exact_intersection >= 0
+        assert r.intersection_est >= 0
+        # k=64 KMV: relative error ~1/sqrt(k-1) ≈ 13%; 50% is ~4 sigma
+        assert abs(r.union_est - r.exact_union) <= 0.5 * r.exact_union, r
+
+
+def test_zorder_tightens_the_interleaved_dimension(spark):
+    # sf0.01: ~20 files per layout — sf0.001 has only 2 files and the
+    # envelopes tie by chance
+    rows = SPECS["events_zorder_stats"].builder(spark, SF_CORRECT).collect()
+    spans = defaultdict(list)
+    totals = defaultdict(int)
+    for r in rows:
+        spans[r.layout].append(r.u_span)
+        totals[r.layout] += r.n_rows
+    # same rows, different layout
+    assert totals["zorder"] == totals["linear"] > 0
+    mean = {k: sum(v) / len(v) for k, v in spans.items()}
+    # the whole point of z-ordering: user-dimension envelopes shrink vs a
+    # time-sorted layout (sf0.01 measures 52 vs 150)
+    assert mean["zorder"] < mean["linear"]
