@@ -118,9 +118,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_hard_negatives",
     "events_countmin_heavy_hitters",
     "lineitem_price_quantile_sketch",
+    "streaming_kmv_distinct",
     # backfill: oldest fixture-current (r3) proofs
     "ann_cosine_topk",
-    "ann_ivf_cells",
     "dedup_connected_components",
 )
 

@@ -298,3 +298,48 @@ def streaming_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         top_users_stream(read_events_stream(spark, sf_dir)), "complete"
     )
+
+
+_STREAM_KMV_SQL = """
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events
+    WHERE user_id IS NOT NULL
+),
+hashed AS (
+    SELECT event_type,
+           CAST(CAST(('0x' || substr(md5('kmv:' || user_id), 1, 15))
+                AS UBIGINT) AS BIGINT) / 1152921504606846976.0 AS frac,
+           user_id
+    FROM du
+),
+ranked AS (
+    SELECT event_type, frac,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY frac, user_id) AS rn
+    FROM hashed
+)
+SELECT event_type,
+       count(*) AS n_in_sketch,
+       CASE WHEN count(*) < 64 THEN count(*)
+            ELSE CAST(floor(63 / max(CASE WHEN rn = 64 THEN frac END) + 0.5)
+                      AS BIGINT) END AS kmv_estimate
+FROM ranked
+WHERE rn <= 64
+GROUP BY event_type
+"""
+
+
+@register("streaming_kmv_distinct", oracle=_STREAM_KMV_SQL,
+          tags=("A5", "S4", "sketch", "streaming", "incremental"))
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance as a REAL multi-batch stream: the
+    replay is split into 4 micro-batches and a per-event-type KMV sketch
+    is merged into a parquet store per batch (streaming/jobs.py::
+    kmv_sketch_merge_stream). KMV is closed under the merge, so the
+    final store must equal the one-pass batch sketch — which is exactly
+    what this oracle computes, making merge-correctness a value-hash
+    gate, not a property test. The unbounded-stream replacement for
+    exact count-distinct state (A5 × S4)."""
+    from e_commerce_click_stream_spark.streaming.jobs import kmv_sketch_merge_stream
+
+    return kmv_sketch_merge_stream(spark, sf_dir, k=64)

@@ -477,3 +477,98 @@ def top_users_stream(events: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("user_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental sketch maintenance: a KMV distinct sketch merged into a
+# parquet store per micro-batch (A5's approximate distinct × S4's keyed
+# merge — the pattern that replaces count-distinct state on unbounded
+# streams)
+
+KMV_STREAM_CHUNKS = 4
+
+
+def kmv_sketch_merge_stream(
+    spark: SparkSession, sf_dir: str, k: int = 64
+) -> DataFrame:
+    """Replay the events fixture as a MULTI-batch stream (the staged copy
+    is split into KMV_STREAM_CHUNKS part files, maxFilesPerTrigger=1) and
+    maintain a per-event-type k-minimum-values sketch in a parquet store
+    via foreachBatch: each batch's distinct hash fractions are pruned to
+    k per type, unioned with the stored sketch, deduped, re-pruned, and
+    swapped in. KMV is closed under this merge, so the final store equals
+    the sketch a single batch pass would build — the parity the
+    registered oracle gates. Returns the final estimates.
+
+    Scale shape: per batch the store holds ≤ types × k rows; the merge
+    shuffles batch-distinct rows once (WindowGroupLimit prunes to k per
+    partition pre-shuffle) and never re-reads the raw history — the
+    unbounded-stream replacement for exact distinct state."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    stage = tempfile.mkdtemp(prefix="kmv_chunks_")
+    ev.repartition(KMV_STREAM_CHUNKS).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="kmv_store_"), "sketch")
+
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    w = Window.partitionBy("event_type").orderBy("frac")
+
+    def prune(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_mins = prune(
+            batch_df.filter(F.col("user_id").isNotNull())
+            .select("event_type", frac.alias("frac"))
+            .distinct()
+        )
+        if os.path.exists(store):
+            # same-frac rows across batches are the same user: distinct on
+            # (type, frac) is the KMV union; materialize before the swap
+            # (can't overwrite a path that's still being read)
+            merged = prune(
+                sp.read.parquet(store).unionByName(batch_mins).distinct()
+            ).localCheckpoint(eager=True)
+        else:
+            merged = batch_mins
+        merged.write.mode("overwrite").parquet(store)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_kmv_merge_")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sk = spark.read.parquet(store)
+    # kth = the largest retained frac; it is the k-th minimum exactly when
+    # the sketch is full (the estimate branches on that)
+    sk2 = sk.groupBy("event_type").agg(
+        F.count("*").alias("n_in_sketch"), F.max("frac").alias("kth")
+    )
+    est = F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch")).otherwise(
+        F.floor((k - 1) / F.col("kth") + 0.5).cast("bigint")
+    )
+    return sk2.select("event_type", "n_in_sketch", est.alias("kmv_estimate"))

@@ -91,3 +91,20 @@ def test_zorder_tightens_the_interleaved_dimension(spark):
     # the whole point of z-ordering: user-dimension envelopes shrink vs a
     # time-sorted layout (sf0.01 measures 52 vs 150)
     assert mean["zorder"] < mean["linear"]
+
+
+def test_streaming_kmv_equals_batch_sketch(spark):
+    """The foreachBatch-merged store must equal the one-pass batch sketch
+    — KMV closure under union, exercised across 4 real micro-batches."""
+    stream_rows = {
+        r.event_type: (r.n_in_sketch, r.kmv_estimate)
+        for r in SPECS["streaming_kmv_distinct"].builder(spark, SF_CORRECT).collect()
+    }
+    batch_rows = {
+        r.event_type: r.kmv_estimate
+        for r in SPECS["events_kmv_distinct"].builder(spark, SF_CORRECT).collect()
+    }
+    assert stream_rows.keys() == batch_rows.keys()
+    for t, (n, est) in stream_rows.items():
+        assert est == batch_rows[t], t
+        assert n <= 64
