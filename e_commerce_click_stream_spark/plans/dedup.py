@@ -1221,6 +1221,7 @@ def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the shape that amortizes at 100 TB (measured at sf0.1,
     warm session: 3.9 s build+probe vs 8.1 s one-pass — and a real
     deployment pays the build once, not per batch)."""
+    import shutil
     import tempfile
 
     is_new = F.coalesce(
@@ -1240,7 +1241,13 @@ def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch_sh = sh.filter("is_new").select("doc_id", "s")
     all_batch_ids = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
-    return probe_band_index(
+    verdicts = probe_band_index(
         spark, batch_sh, all_batch_ids, index_dir,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
-    )
+    ).localCheckpoint(eager=True)
+    # verdicts are materialized (one row per batch doc) — drop the index
+    # tree instead of leaking a corpus-sized /tmp dir per bench/gate run
+    # (a production deployment KEEPS the index; that retained shape is
+    # exercised by tests/test_dedup_index.py's append-then-probe case)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return verdicts

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import register_views, table
+from e_commerce_click_stream_spark.operators.sketches import kmv_frac, kmv_prune
 from e_commerce_click_stream_spark.plans.registry import register
 
 # one SQL text, two engines — keep it in the ANSI intersection: no ::
@@ -316,14 +317,7 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified in the plan) — as a groupBy it stays a partial+final agg
     # and joins back over group cardinality (broadcast)
     counts = du.groupBy("event_type").agg(F.count("*").alias("exact_distinct"))
-    frac = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(1152921504606846976.0)
-    )
+    frac = kmv_frac(F.col("user_id"))
     hashed = du.select("event_type", "user_id", frac.alias("frac"))
     w = Window.partitionBy("event_type").orderBy("frac", "user_id")
     ranked = hashed.select(
@@ -526,8 +520,6 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     user sets — at 10⁹ users per type the merge still touches 64 values
     per pair. The exact columns are test-scale self-grading: production
     drops them and with them the only user-level self-join."""
-    from pyspark.sql import Window
-
     du = (
         table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -535,21 +527,10 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # feeds sketch, counts, and self-join
     )
-    frac = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(1152921504606846976.0)
-    )
-    w = Window.partitionBy("event_type").orderBy("frac", "user_id")
-    ranked = (
-        du.select("event_type", "user_id", frac.alias("frac"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KMV_K)
+    ranked = kmv_prune(
+        du.select("event_type", "user_id", kmv_frac(F.col("user_id")).alias("frac")),
+        KMV_K,
+        tiebreak="user_id",
     )
     # |types| rows each; materialized so the a/b self-join and the two
     # count joins don't re-run the window resp. the count agg per branch
@@ -918,7 +899,7 @@ exact AS (
     WHERE v.cum >= ceil(q.q * t.n)
     GROUP BY q.q
 )
-SELECT e.q AS quantile,
+SELECT e.q::DOUBLE AS quantile,
        floor(x.est_cents / 100.0 * 100 + 0.5) / 100 AS est_price,
        e.exact_cents / 100.0 AS exact_price,
        floor(abs(x.est_cents - e.exact_cents) / e.exact_cents * 1000000 + 0.5)

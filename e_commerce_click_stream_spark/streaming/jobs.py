@@ -504,7 +504,9 @@ def kmv_sketch_merge_stream(
     shuffles batch-distinct rows once (WindowGroupLimit prunes to k per
     partition pre-shuffle) and never re-reads the raw history — the
     unbounded-stream replacement for exact distinct state."""
-    from pyspark.sql import Window
+    import shutil
+
+    from e_commerce_click_stream_spark.operators.sketches import kmv_frac, kmv_prune
 
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
     stage = tempfile.mkdtemp(prefix="kmv_chunks_")
@@ -514,53 +516,49 @@ def kmv_sketch_merge_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    store = os.path.join(tempfile.mkdtemp(prefix="kmv_store_"), "sketch")
-
-    frac = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(1152921504606846976.0)
-    )
-    w = Window.partitionBy("event_type").orderBy("frac")
-
-    def prune(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .drop("rn")
-        )
+    store_root = tempfile.mkdtemp(prefix="kmv_store_")
+    store = os.path.join(store_root, "sketch")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        batch_mins = prune(
+        batch_mins = kmv_prune(
             batch_df.filter(F.col("user_id").isNotNull())
-            .select("event_type", frac.alias("frac"))
-            .distinct()
+            .select("event_type", kmv_frac(F.col("user_id")).alias("frac"))
+            .distinct(),
+            k,
         )
         if os.path.exists(store):
             # same-frac rows across batches are the same user: distinct on
             # (type, frac) is the KMV union; materialize before the swap
             # (can't overwrite a path that's still being read)
-            merged = prune(
-                sp.read.parquet(store).unionByName(batch_mins).distinct()
+            merged = kmv_prune(
+                sp.read.parquet(store).unionByName(batch_mins).distinct(), k
             ).localCheckpoint(eager=True)
         else:
             merged = batch_mins
         merged.write.mode("overwrite").parquet(store)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_kmv_merge_")
+    # small replay, stateless-per-batch merge: the session default (200 on
+    # a vanilla driver session) spends more time on empty shuffle
+    # partitions than on the merge — clamp as run_to_completion does
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     q = (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            # timed out: stop before reading the store, or the final read
+            # races the still-running stream's next overwrite
+            q.stop()
+            q.awaitTermination(30)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     sk = spark.read.parquet(store)
     # kth = the largest retained frac; it is the k-th minimum exactly when
@@ -571,4 +569,12 @@ def kmv_sketch_merge_stream(
     est = F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch")).otherwise(
         F.floor((k - 1) / F.col("kth") + 0.5).cast("bigint")
     )
-    return sk2.select("event_type", "n_in_sketch", est.alias("kmv_estimate"))
+    out = sk2.select(
+        "event_type", "n_in_sketch", est.alias("kmv_estimate")
+    ).localCheckpoint(eager=True)
+    # result is materialized (≤ types rows) — the staged replay, store,
+    # and checkpoint are dead weight now; don't leak fixture-sized /tmp
+    # trees on every bench/gate invocation
+    for path in (stage, store_root, ckpt):
+        shutil.rmtree(path, ignore_errors=True)
+    return out

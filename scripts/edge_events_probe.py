@@ -57,6 +57,7 @@ STREAMING_EVENT_QUERIES = [
     "streaming_session_windows", "streaming_stateful_sessions",
     "streaming_click_attribution", "streaming_exactly_once_dedup",
     "streaming_sliding_windows", "streaming_top_users",
+    "streaming_kmv_distinct",
 ]
 
 BATCH_EVENT_QUERIES = [
