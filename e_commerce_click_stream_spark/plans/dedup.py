@@ -1221,7 +1221,8 @@ def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the shape that amortizes at 100 TB (measured at sf0.1,
     warm session: 3.9 s build+probe vs 8.1 s one-pass — and a real
     deployment pays the build once, not per batch)."""
-    import shutil
+    import hashlib
+    import os
     import tempfile
 
     is_new = F.coalesce(
@@ -1234,20 +1235,19 @@ def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "is_new", shingles("toks", 3).alias("s")
     ).localCheckpoint(eager=True)
 
-    index_dir = tempfile.mkdtemp(prefix="band_index_")
+    # deterministic per-fixture location, overwritten in place: repeated
+    # gate/bench invocations reuse ONE directory instead of leaking a new
+    # corpus-sized tree per run (single-writer assumption — the driver,
+    # bench, and tests all run queries sequentially)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"band_index_{tag}")
     build_band_index(
         sh.filter(~F.col("is_new")).select("doc_id", "s"),
         index_dir, NUM_HASHES, NUM_BANDS,
     )
     batch_sh = sh.filter("is_new").select("doc_id", "s")
     all_batch_ids = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
-    verdicts = probe_band_index(
+    return probe_band_index(
         spark, batch_sh, all_batch_ids, index_dir,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
-    ).localCheckpoint(eager=True)
-    # verdicts are materialized (one row per batch doc) — drop the index
-    # tree instead of leaking a corpus-sized /tmp dir per bench/gate run
-    # (a production deployment KEEPS the index; that retained shape is
-    # exercised by tests/test_dedup_index.py's append-then-probe case)
-    shutil.rmtree(index_dir, ignore_errors=True)
-    return verdicts
+    )

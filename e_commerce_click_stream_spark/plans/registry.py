@@ -119,8 +119,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_countmin_heavy_hitters",
     "lineitem_price_quantile_sketch",
     "streaming_kmv_distinct",
+    "ann_ivf_stored",
     # backfill: oldest fixture-current (r3) proofs
-    "ann_cosine_topk",
     "dedup_connected_components",
 )
 

@@ -1985,3 +1985,85 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cosine") < F.col("pos_best_cosine"),
         ).alias("is_semi_hard"),
     )
+
+
+@register("ann_ivf_stored", oracle=_IVF_TOPK_SQL,
+          tags=("similarity", "ivf", "topk", "stored-index"))
+def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index twin of ``ann_ivf_topk`` (mirroring
+    ``dedup_incremental_stored``): the build job writes the IVF layout to
+    parquet — assignments partitioned BY CELL plus the centroid table —
+    and the probe job answers queries from the store alone. Because the
+    store is partitioned by cell and the probe joins on the partition
+    column against a broadcast probe list, Catalyst inserts a dynamic
+    partition-pruning filter: each query physically scans ~nprobe/ncells
+    of the corpus files — the on-disk IVF promise, executed. Shares the
+    one-pass oracle, so identical top-k results are value-hash-gated.
+
+    Scale shape: the build is the one-pass assignment (broadcast
+    centroids + argmax) paid once; each probe reads only the probed cells'
+    partitions and ranks within them. The store is the production
+    artifact a vector database calls the IVF index."""
+    import hashlib
+    import os
+    import tempfile
+
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "v", "nrm")
+        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
+    )
+
+    # deterministic per-fixture location, overwritten in place (same
+    # single-writer reuse convention as dedup_incremental_stored)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(
+        index_dir + "/assignments"
+    )
+    cent.write.mode("overwrite").parquet(index_dir + "/centroids")
+
+    # probe job: everything below reads the STORE, not the corpus scan
+    stored_cent = spark.read.parquet(index_dir + "/centroids")
+    stored_assign = spark.read.parquet(index_dir + "/assignments")
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
+    probes = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .crossJoin(F.broadcast(stored_cent))
+        .select(
+            "query_id", "qv", "qn", "cent_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6)
+            .alias("psim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        stored_assign.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )

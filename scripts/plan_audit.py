@@ -856,6 +856,16 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 2,
     },
+    # stored IVF probe: the assignments store is partitioned by cell and
+    # the probe joins on the partition column against a broadcast probe
+    # list — Catalyst MUST insert a dynamic-partition-pruning filter
+    # (each query scans ~nprobe/ncells of the store's files), and the
+    # per-query top-k prunes pre-shuffle
+    "ann_ivf_stored": {
+        "contains": ["dynamicpruning", "BroadcastHashJoin", "WindowGroupLimit", "Scan parquet"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
     # quantile sketch: the production path is the ~bins-row histogram
     # agg + tiny cumulative window; the per-value exact branch (its own
     # agg + window) is self-grading only — all joins broadcast
