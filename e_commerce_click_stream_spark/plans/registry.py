@@ -65,8 +65,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # their r5 proof no longer covers the code. Slots 10-40 = the 31
     # deferred queries whose only green rows predate the post-r2 fixture
     # regeneration (all driver_sim-green on current fixtures, per the r5
-    # verdict's own spot-check). The tail takes this round's new stored-
-    # index query, then backfills with the oldest (r3) proofs.
+    # verdict's own spot-check). The tail is this round's ten new
+    # operators — they fill the window exactly; no backfill slots left.
     # fixed r5 reds — must re-earn green
     "dedup_savings_report",
     "doc_hashed_tf_vectors",
@@ -120,8 +120,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "lineitem_price_quantile_sketch",
     "streaming_kmv_distinct",
     "ann_ivf_stored",
-    # backfill: oldest fixture-current (r3) proofs
-    "dedup_connected_components",
+    "streaming_user_ewma",
 )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from e_commerce_click_stream_spark.operators.sessionize import sessionize_sql
+from e_commerce_click_stream_spark.plans.behavior import _EWMA_SQL
 from e_commerce_click_stream_spark.plans.registry import register
 from e_commerce_click_stream_spark.streaming.jobs import (
     dashboard_metrics_stream,
@@ -343,3 +344,19 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e_commerce_click_stream_spark.streaming.jobs import kmv_sketch_merge_stream
 
     return kmv_sketch_merge_stream(spark, sf_dir, k=64)
+
+
+@register("streaming_user_ewma", oracle=_EWMA_SQL,
+          tags=("A10", "S4", "timeseries", "streaming", "incremental"))
+def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA maintained incrementally across a 4-micro-batch
+    replay: the bounded decay tail (last-16 by recency) is closed under
+    union — a top-k-by-recency sketch — so the foreachBatch merge
+    converges to the exact batch answer even though the replay's batches
+    are NOT time-ordered (streaming/jobs.py::ewma_tail_merge_stream).
+    Shares the batch ``user_value_ewma`` oracle: merge correctness is a
+    value-hash gate. The recurrence never replays history — state is
+    users × (16 rows + a counter)."""
+    from e_commerce_click_stream_spark.streaming.jobs import ewma_tail_merge_stream
+
+    return ewma_tail_merge_stream(spark, sf_dir)

@@ -488,6 +488,49 @@ def top_users_stream(events: DataFrame, k: int = 10) -> DataFrame:
 KMV_STREAM_CHUNKS = 4
 
 
+def _chunked_replay(spark: SparkSession, df: DataFrame, chunks: int):
+    """Stage ``df`` as ``chunks`` part files and return (stream, paths):
+    a file-source stream with maxFilesPerTrigger=1 — a genuine
+    multi-micro-batch replay (the chunks are round-robin splits, NOT
+    time-ordered, so merge logic downstream must be order-insensitive —
+    which is exactly what mergeable-state formulations guarantee) — plus
+    the scratch paths the caller removes when done."""
+    stage = tempfile.mkdtemp(prefix="replay_chunks_")
+    df.repartition(chunks).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return stream, stage
+
+
+def _run_foreach_batch(stream: DataFrame, merge, timeout_s: int = 300) -> str:
+    """Run a foreachBatch merge loop to completion with the same
+    stop-on-timeout watchdog and shuffle clamp as run_to_completion;
+    returns the checkpoint dir for caller cleanup."""
+    spark = stream.sparkSession
+    ckpt = tempfile.mkdtemp(prefix="ckpt_merge_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            # timed out: stop before the caller reads the store, or the
+            # read races the still-running stream's next overwrite
+            q.stop()
+            q.awaitTermination(30)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ckpt
+
+
 def kmv_sketch_merge_stream(
     spark: SparkSession, sf_dir: str, k: int = 64
 ) -> DataFrame:
@@ -509,13 +552,7 @@ def kmv_sketch_merge_stream(
     from e_commerce_click_stream_spark.operators.sketches import kmv_frac, kmv_prune
 
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
-    stage = tempfile.mkdtemp(prefix="kmv_chunks_")
-    ev.repartition(KMV_STREAM_CHUNKS).write.mode("overwrite").parquet(stage)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
+    stream, stage = _chunked_replay(spark, ev, KMV_STREAM_CHUNKS)
     store_root = tempfile.mkdtemp(prefix="kmv_store_")
     store = os.path.join(store_root, "sketch")
 
@@ -538,27 +575,7 @@ def kmv_sketch_merge_stream(
             merged = batch_mins
         merged.write.mode("overwrite").parquet(store)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_kmv_merge_")
-    # small replay, stateless-per-batch merge: the session default (200 on
-    # a vanilla driver session) spends more time on empty shuffle
-    # partitions than on the merge — clamp as run_to_completion does
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            # timed out: stop before reading the store, or the final read
-            # races the still-running stream's next overwrite
-            q.stop()
-            q.awaitTermination(30)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    ckpt = _run_foreach_batch(stream, merge)
 
     sk = spark.read.parquet(store)
     # kth = the largest retained frac; it is the k-th minimum exactly when
@@ -575,6 +592,116 @@ def kmv_sketch_merge_stream(
     # result is materialized (≤ types rows) — the staged replay, store,
     # and checkpoint are dead weight now; don't leak fixture-sized /tmp
     # trees on every bench/gate invocation
+    for path in (stage, store_root, ckpt):
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# incremental EWMA state: the bounded decay tail is a per-user
+# top-16-by-recency — mergeable exactly like a top-k sketch, so the state
+# survives out-of-order micro-batches without replaying history
+
+EWMA_TAIL = 16  # must match plans/behavior.py::EWMA_FRAME
+
+
+def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain per-user EWMA state across a multi-batch replay: the
+    state is each user's EWMA_TAIL most-recent (ts, event_id, value)
+    rows plus an additive event count — the last-k-by-recency tail is
+    closed under union (keep the k most recent of old ∪ batch), so the
+    merge is order-insensitive and the replay's round-robin (NOT
+    time-ordered) batches still converge to the exact batch answer. The
+    final fold applies the same bounded-frame adjust=True EWMA as the
+    batch ``user_value_ewma``, whose oracle this stream shares.
+
+    Scale shape: state is users × (k rows + 1 counter) regardless of
+    history length; each batch shuffles only its own rows once
+    (WindowGroupLimit prunes to k per partition pre-shuffle) — the
+    recurrence y_i = a·x_i + (1-a)·y_{i-1} never needs the full
+    history replayed."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    stream, stage = _chunked_replay(
+        spark, ev.filter(F.col("ts").isNotNull()), KMV_STREAM_CHUNKS
+    )
+    store_root = tempfile.mkdtemp(prefix="ewma_store_")
+    tail_store = os.path.join(store_root, "tail")
+    count_store = os.path.join(store_root, "counts")
+
+    recency = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def keep_tail(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(recency))
+            .filter(F.col("__rn") <= EWMA_TAIL)
+            .drop("__rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_tail = keep_tail(batch_df)
+        batch_counts = batch_df.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        if os.path.exists(tail_store):
+            merged_tail = keep_tail(
+                sp.read.parquet(tail_store).unionByName(batch_tail)
+            ).localCheckpoint(eager=True)
+            old = sp.read.parquet(count_store).withColumnRenamed("n_events", "n_old")
+            merged_counts = (
+                old.join(batch_counts, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("n_old", F.lit(0)) + F.coalesce("n_events", F.lit(0))
+                    ).alias("n_events"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged_tail, merged_counts = batch_tail, batch_counts
+        merged_tail.write.mode("overwrite").parquet(tail_store)
+        merged_counts.write.mode("overwrite").parquet(count_store)
+
+    ckpt = _run_foreach_batch(stream, merge)
+
+    # final fold over the stored tail — the identical expression family as
+    # the batch user_value_ewma (sequential weighted sum + adjust norm)
+    from e_commerce_click_stream_spark.plans.behavior import EWMA_ALPHA
+
+    decay = 1 - EWMA_ALPHA
+    tail = spark.read.parquet(tail_store)
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rows = (
+        tail.withColumn(
+            "vals", F.collect_list(F.coalesce("value", F.lit(0.0))).over(frame)
+        )
+        .withColumn("rn", F.row_number().over(recency))
+        .filter("rn = 1")
+    )
+    weighted = F.expr(
+        f"aggregate(transform(vals, (x, i) -> x * pow({decay}, size(vals) - 1 - i)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = (1 - F.pow(F.lit(decay), F.size("vals"))) / EWMA_ALPHA
+    counts = spark.read.parquet(count_store)
+    # null-safe: the NULL-user group is a real group in the batch twin
+    # (window partition, no join) and must survive the count attach here
+    out = (
+        rows.join(
+            F.broadcast(counts.withColumnRenamed("user_id", "cuser")),
+            rows["user_id"].eqNullSafe(F.col("cuser")),
+        )
+        .select(
+            rows["user_id"].alias("user_id"),
+            "n_events",
+            F.round(weighted / norm, 6).alias("ewma_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
     for path in (stage, store_root, ckpt):
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -57,7 +57,7 @@ STREAMING_EVENT_QUERIES = [
     "streaming_session_windows", "streaming_stateful_sessions",
     "streaming_click_attribution", "streaming_exactly_once_dedup",
     "streaming_sliding_windows", "streaming_top_users",
-    "streaming_kmv_distinct",
+    "streaming_kmv_distinct", "streaming_user_ewma",
 ]
 
 BATCH_EVENT_QUERIES = [
