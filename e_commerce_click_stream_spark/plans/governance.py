@@ -990,3 +990,118 @@ def lineitem_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
             / 1000000
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality drift between corpus versions: the monitoring twin of
+# corpus_snapshot_diff — not WHAT changed but whether the distribution
+# a filter pipeline was tuned on still holds
+
+_QDRIFT_SQL = """
+WITH scored AS (
+    SELECT doc_id, source, n_chars,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                THEN CAST(floor(10000.0
+                     * len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                     / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                ELSE 0 END AS uq
+    FROM documents WHERE text IS NOT NULL
+),
+v1 AS (
+    SELECT source, count(*) AS n, sum(n_chars) AS chars, sum(uq) AS uqs
+    FROM scored
+    WHERE CAST(CAST(('0x' || substr(md5('v1:' || doc_id), 1, 8))
+               AS UBIGINT) AS BIGINT) % 10 < 9
+    GROUP BY source
+),
+v2 AS (
+    SELECT source, count(*) AS n, sum(n_chars) AS chars,
+           sum(CASE WHEN CAST(CAST(('0x' || substr(md5('mut:' || doc_id), 1, 8))
+                         AS UBIGINT) AS BIGINT) % 20 = 0
+                    THEN uq // 2 ELSE uq END) AS uqs
+    FROM scored
+    WHERE CAST(CAST(('0x' || substr(md5('v2:' || doc_id), 1, 8))
+               AS UBIGINT) AS BIGINT) % 10 < 9
+    GROUP BY source
+)
+SELECT coalesce(v1.source, v2.source) AS source,
+       coalesce(v1.n, 0) AS n_v1,
+       coalesce(v2.n, 0) AS n_v2,
+       floor(v1.chars * 100.0 / v1.n + 0.5) / 100 AS mean_chars_v1,
+       floor(v2.chars * 100.0 / v2.n + 0.5) / 100 AS mean_chars_v2,
+       floor(v1.uqs * 1.0 / v1.n + 0.5) / 10000 AS mean_uq_v1,
+       floor(v2.uqs * 1.0 / v2.n + 0.5) / 10000 AS mean_uq_v2,
+       floor(v2.uqs * 1.0 / v2.n + 0.5) / 10000
+           - floor(v1.uqs * 1.0 / v1.n + 0.5) / 10000 AS uq_drift
+FROM v1 FULL OUTER JOIN v2 ON v1.source = v2.source
+"""
+
+
+@register("corpus_quality_drift", oracle=_QDRIFT_SQL,
+          tags=("governance", "drift", "monitoring"))
+def corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift between two corpus versions — the check a
+    recurring-crawl pipeline runs so a filter threshold tuned on last
+    month's distribution isn't silently filtering this month's: document
+    count, mean length, and mean unique-token ratio per source in v1 vs
+    v2, with the ratio drift. Versions are the same deterministic splits
+    as corpus_snapshot_diff; v2's mutated slice halves its unique ratio
+    (modeling boilerplate injection) so the drift column is non-trivially
+    exercised. All means are exact integer sums divided once
+    (registry summation-order contract).
+
+    Scale shape: one scan per version reduced to |sources| aggregate
+    rows (partial+final agg), full-outer joined on source — never a
+    doc-level join."""
+    from e_commerce_click_stream_spark.operators.textops import tokens
+
+    t = tokens()
+    uq = F.when(
+        F.size(t) > 0,
+        F.floor(10000.0 * F.size(F.array_distinct(t)) / F.size(t)).cast("bigint"),
+    ).otherwise(F.lit(0))
+    scored = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "n_chars", uq.alias("uq"))
+    )
+
+    def split(tag: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{tag}:"), F.col("doc_id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long") % 10 < 9
+        )
+
+    mut = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mut:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 20 == 0
+    )
+    v1 = scored.filter(split("v1")).groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("uq").alias("uqs"),
+    )
+    v2 = scored.filter(split("v2")).groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(mut, F.floor(F.col("uq") / 2).cast("bigint")).otherwise(F.col("uq"))).alias("uqs"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    mean2 = lambda s, n: F.floor(s * 100.0 / n + 0.5) / 100  # noqa: E731
+    mean4 = lambda s, n: F.floor(s * 1.0 / n + 0.5) / 10000  # noqa: E731
+    return a.join(b, F.col("a.source") == F.col("b.source"), "full_outer").select(
+        F.coalesce("a.source", "b.source").alias("source"),
+        F.coalesce("a.n", F.lit(0)).alias("n_v1"),
+        F.coalesce("b.n", F.lit(0)).alias("n_v2"),
+        mean2(F.col("a.chars"), F.col("a.n")).alias("mean_chars_v1"),
+        mean2(F.col("b.chars"), F.col("b.n")).alias("mean_chars_v2"),
+        mean4(F.col("a.uqs"), F.col("a.n")).alias("mean_uq_v1"),
+        mean4(F.col("b.uqs"), F.col("b.n")).alias("mean_uq_v2"),
+        (
+            mean4(F.col("b.uqs"), F.col("b.n")) - mean4(F.col("a.uqs"), F.col("a.n"))
+        ).alias("uq_drift"),
+    )

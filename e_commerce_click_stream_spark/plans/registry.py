@@ -108,7 +108,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_exact",
     "dedup_exact_stats",
     "dedup_simhash",
-    "dedup_simhash_groups",
+    # (dedup_simhash_groups deferred one round: its mechanism twin
+    # dedup_simhash holds a slot and both are driver_sim-green on
+    # current fixtures — displaced by corpus_quality_drift)
     "embedding_norms",
     # new this round — never driver-verified
     "dedup_incremental_stored",
@@ -121,6 +123,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_kmv_distinct",
     "ann_ivf_stored",
     "streaming_user_ewma",
+    "corpus_quality_drift",
 )
 
 
