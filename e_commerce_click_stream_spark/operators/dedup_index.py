@@ -146,8 +146,16 @@ def probe_band_index(
     as the one-pass query, so results are bit-identical."""
     batch_bands, batch_sh = sign_docs(batch_docs, num_hashes, num_bands)
 
-    stored_bands = spark.read.parquet(os.path.join(index_dir, BANDS_SUBDIR))
-    stored_sh = spark.read.parquet(os.path.join(index_dir, SHINGLES_SUBDIR))
+    # explicit schemas (from the batch twin relations): an EMPTY index —
+    # zero docs on the store side — writes no parquet part files, and a
+    # schema-less read of that directory raises instead of returning an
+    # empty relation; at 100 TB empty partition ranges are routine
+    stored_bands = spark.read.schema(batch_bands.schema).parquet(
+        os.path.join(index_dir, BANDS_SUBDIR)
+    )
+    stored_sh = spark.read.schema(batch_sh.schema).parquet(
+        os.path.join(index_dir, SHINGLES_SUBDIR)
+    )
 
     p = batch_bands.alias("p")
     # candidates against the store: pure equi-join on (band, bucket) — the

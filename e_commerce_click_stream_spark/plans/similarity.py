@@ -2028,9 +2028,14 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent.write.mode("overwrite").parquet(index_dir + "/centroids")
 
-    # probe job: everything below reads the STORE, not the corpus scan
-    stored_cent = spark.read.parquet(index_dir + "/centroids")
-    stored_assign = spark.read.parquet(index_dir + "/assignments")
+    # probe job: everything below reads the STORE, not the corpus scan.
+    # Explicit schemas (from the build twins): an empty corpus writes no
+    # part files and a schema-less read of the store raises instead of
+    # returning an empty relation
+    stored_cent = spark.read.schema(cent.schema).parquet(index_dir + "/centroids")
+    stored_assign = spark.read.schema(assign.schema).parquet(
+        index_dir + "/assignments"
+    )
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
     probes = (
         n.filter(F.col("vec_id") < N_QUERIES)

@@ -62,6 +62,20 @@ REPRESENTATIVE = (
     "graph_triangle_count",
     "embedding_quality_gate",
     "corpus_snapshot_diff",
+    # round-7 families: stored band index, KMV set ops, Count-Min,
+    # quantile sketch, JL projection, hard negatives, z-order layout,
+    # stored IVF probe, streaming sketch/EWMA merges, drift monitor
+    "dedup_incremental_stored",
+    "kmv_audience_overlap",
+    "events_countmin_heavy_hitters",
+    "lineitem_price_quantile_sketch",
+    "embedding_jl_projection",
+    "ann_hard_negatives",
+    "events_zorder_stats",
+    "ann_ivf_stored",
+    "streaming_kmv_distinct",
+    "streaming_user_ewma",
+    "corpus_quality_drift",
 )
 
 
