@@ -106,7 +106,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "parts_above_avg_price",
     "nation_set_ops",
     "dedup_exact",
-    "dedup_exact_stats",
+    # (dedup_exact_stats deferred one round like dedup_simhash_groups:
+    # twin dedup_exact holds a slot — displaced by the coreset sampler)
     "dedup_simhash",
     # (dedup_simhash_groups deferred one round: its mechanism twin
     # dedup_simhash holds a slot and both are driver_sim-green on
@@ -124,6 +125,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_ivf_stored",
     "streaming_user_ewma",
     "corpus_quality_drift",
+    "embedding_coreset_kcenter",
 )
 
 

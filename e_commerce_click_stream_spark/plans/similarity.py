@@ -2072,3 +2072,128 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Coreset selection: greedy k-center (farthest-point / Gonzalez) — the
+# diversity-sampling primitive behind coreset-based data selection
+
+COR_K = 8
+
+
+def _kcenter_sql() -> str:
+    def rd(x: str, c: str) -> str:
+        return (f"round(sqrt(list_sum(list_transform(range(1, 65), "
+                f"i -> ({x}.v[i] - {c}.cv[i]) * ({x}.v[i] - {c}.cv[i])))), 6)")
+
+    ctes = ["""n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+)""",
+        """c0 AS (
+    SELECT vec_id, v AS cv, CAST(0.0 AS DOUBLE) AS dist
+    FROM n ORDER BY vec_id LIMIT 1
+)""",
+        f"""d1 AS (
+    SELECT n.vec_id, n.v, {rd('n', 'c0')} AS mind FROM n, c0
+)""",
+    ]
+    for i in range(1, COR_K):
+        ctes.append(f"""c{i} AS (
+    SELECT vec_id, v AS cv, mind AS dist
+    FROM d{i} ORDER BY mind DESC, vec_id LIMIT 1
+)""")
+        if i < COR_K - 1:
+            ctes.append(f"""d{i + 1} AS (
+    SELECT s.vec_id, s.v, least(s.mind, {rd('s', f'c{i}')}) AS mind
+    FROM d{i} s, c{i}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS sel_rank, vec_id, dist FROM c{i}" for i in range(COR_K)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register("embedding_coreset_kcenter", oracle=_kcenter_sql(),
+          tags=("similarity", "coreset", "sampling", "iterative"))
+def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point): seed with the
+    lowest vec_id, then COR_K-1 times pick the vector farthest from the
+    chosen set (max of the running min-distance, min-id tiebreak) — the
+    2-approximation to k-center that diversity-based data selection
+    (Sener & Savarese, "Active Learning for CNNs: A Core-Set Approach",
+    ICLR'18) is built on. Emits each center with its selection rank and
+    the coverage distance at selection — a decreasing sequence that IS
+    the coreset's radius profile.
+
+    Scale shape: each round is one broadcast of the single new center
+    against the corpus (update the running min-distance in place — never
+    re-scan the chosen set) + a 1-row argmax; rounds are checkpointed so
+    round k's plan doesn't re-derive rounds 1..k-1 (the same
+    linear-not-quadratic discipline as the k-means/PageRank loops).
+    Distances round to 6 before the min-fold so both engines walk an
+    identical selection path."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v")
+
+    def rdist(vcol, ccol):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(vcol, ccol, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+
+    seed = (
+        n.agg(F.min(F.struct("vec_id", "v")).alias("c"))
+        .select(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.v").alias("cv"),
+            F.lit(0.0).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chosen = [seed]
+    state = (
+        n.crossJoin(F.broadcast(seed.select("cv")))
+        .select("vec_id", "v", rdist(F.col("v"), F.col("cv")).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(1, COR_K):
+        nxt = (
+            state.agg(
+                F.max(
+                    F.struct(
+                        F.col("mind"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("v").alias("cv"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                (-F.col("m.nid")).alias("vec_id"),
+                F.col("m.cv").alias("cv"),
+                F.col("m.mind").alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        chosen.append(nxt)
+        state = (
+            state.crossJoin(F.broadcast(nxt.select("cv")))
+            .select(
+                "vec_id",
+                "v",
+                F.least("mind", rdist(F.col("v"), F.col("cv"))).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = None
+    for i, c in enumerate(chosen):
+        row = c.select(
+            F.lit(i + 1).alias("sel_rank"), "vec_id", F.col("dist")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
