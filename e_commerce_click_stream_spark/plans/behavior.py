@@ -697,6 +697,22 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.3
 EWMA_FRAME = 16  # rows in the decay frame (current row + 15 preceding)
 
+
+def ewma_fold_exprs(vals_col: str = "vals"):
+    """(weighted, norm) for the bounded-frame adjust=True EWMA fold over a
+    time-ordered value array column: ONE definition shared by the batch
+    query and its streaming twin (streaming/jobs.py), whose value-hash
+    parity depends on the two folds staying bit-identical. Spark's
+    transform lambda index is 0-based, DuckDB's is 1-based - the weight
+    exponents account for it (size-1-i vs size-i)."""
+    decay = 1 - EWMA_ALPHA
+    weighted = F.expr(
+        f"aggregate(transform({vals_col}, (x, i) -> x * pow({decay}, "
+        f"size({vals_col}) - 1 - i)), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = (1 - F.pow(F.lit(decay), F.size(vals_col))) / EWMA_ALPHA
+    return weighted, norm
+
 _EWMA_SQL = f"""
 WITH framed AS (
     -- coalesce(value, 0): Spark's collect_list DROPS NULL elements while
@@ -743,13 +759,8 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based — the weight exponents account for it (size-1-i vs size-i)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-(EWMA_FRAME - 1), Window.currentRow)
-    decay = 1 - EWMA_ALPHA
     vals = F.collect_list(F.coalesce(F.col("value"), F.lit(0.0))).over(frame)
-    weighted = F.expr(
-        f"aggregate(transform(vals, (x, i) -> x * pow({decay}, size(vals) - 1 - i)), "
-        f"cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    norm = (1 - F.pow(F.lit(decay), F.size("vals"))) / EWMA_ALPHA
+    weighted, norm = ewma_fold_exprs("vals")
     return (
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())

@@ -1064,6 +1064,9 @@ def corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", "source", "n_chars", uq.alias("uq"))
+        # dominant cost (regex tokenize + distinct) feeds BOTH version
+        # branches: materialize so it runs once, not twice
+        .localCheckpoint(eager=True)
     )
 
     def split(tag: str):

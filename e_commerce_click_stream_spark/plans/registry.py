@@ -65,8 +65,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # their r5 proof no longer covers the code. Slots 10-40 = the 31
     # deferred queries whose only green rows predate the post-r2 fixture
     # regeneration (all driver_sim-green on current fixtures, per the r5
-    # verdict's own spot-check). The tail is this round's ten new
-    # operators — they fill the window exactly; no backfill slots left.
+    # verdict's own spot-check; 29 of the 31 retained — dedup_simhash_groups
+    # and dedup_exact_stats defer one round, each with its mechanism twin
+    # windowed and sim-green on current fixtures). The tail is this
+    # round's 12 new operators — they fill the window exactly.
     # fixed r5 reds — must re-earn green
     "dedup_savings_report",
     "doc_hashed_tf_vectors",

@@ -2196,4 +2196,8 @@ def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(i + 1).alias("sel_rank"), "vec_id", F.col("dist")
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    # empty/fully-gated corpus: the global aggs above still emit one row
+    # each with NULL vec_id, but the oracle's LIMIT-1 CTEs emit nothing;
+    # drop the placeholders so both engines agree and the empty-input
+    # contract holds
+    return out.filter(F.col("vec_id").isNotNull())

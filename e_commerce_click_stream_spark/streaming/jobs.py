@@ -508,26 +508,37 @@ def _chunked_replay(spark: SparkSession, df: DataFrame, chunks: int):
 def _run_foreach_batch(stream: DataFrame, merge, timeout_s: int = 300) -> str:
     """Run a foreachBatch merge loop to completion with the same
     stop-on-timeout watchdog and shuffle clamp as run_to_completion;
-    returns the checkpoint dir for caller cleanup."""
+    returns the checkpoint dir for caller cleanup. Raises on timeout —
+    a partially merged store must never flow into results as if it
+    drained."""
     spark = stream.sparkSession
     ckpt = tempfile.mkdtemp(prefix="ckpt_merge_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = None
+    finished = False
     try:
-        q.awaitTermination(timeout_s)
+        # clamp inside the try: a start-time failure must not leave the
+        # session's shuffle parallelism stuck at 32
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_s)
     finally:
-        if q.isActive:
+        if q is not None and q.isActive:
             # timed out: stop before the caller reads the store, or the
             # read races the still-running stream's next overwrite
             q.stop()
             q.awaitTermination(30)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not finished:
+        raise RuntimeError(
+            f"foreachBatch merge did not drain within {timeout_s}s — "
+            "refusing to read a partially merged store"
+        )
     return ckpt
 
 
@@ -555,6 +566,7 @@ def kmv_sketch_merge_stream(
     stream, stage = _chunked_replay(spark, ev, KMV_STREAM_CHUNKS)
     store_root = tempfile.mkdtemp(prefix="kmv_store_")
     store = os.path.join(store_root, "sketch")
+    ckpt = None
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -575,26 +587,26 @@ def kmv_sketch_merge_stream(
             merged = batch_mins
         merged.write.mode("overwrite").parquet(store)
 
-    ckpt = _run_foreach_batch(stream, merge)
-
-    sk = spark.read.parquet(store)
-    # kth = the largest retained frac; it is the k-th minimum exactly when
-    # the sketch is full (the estimate branches on that)
-    sk2 = sk.groupBy("event_type").agg(
-        F.count("*").alias("n_in_sketch"), F.max("frac").alias("kth")
-    )
-    est = F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch")).otherwise(
-        F.floor((k - 1) / F.col("kth") + 0.5).cast("bigint")
-    )
-    out = sk2.select(
-        "event_type", "n_in_sketch", est.alias("kmv_estimate")
-    ).localCheckpoint(eager=True)
-    # result is materialized (≤ types rows) — the staged replay, store,
-    # and checkpoint are dead weight now; don't leak fixture-sized /tmp
-    # trees on every bench/gate invocation
-    for path in (stage, store_root, ckpt):
-        shutil.rmtree(path, ignore_errors=True)
-    return out
+    try:
+        ckpt = _run_foreach_batch(stream, merge)
+        sk = spark.read.parquet(store)
+        # kth = the largest retained frac; it is the k-th minimum exactly
+        # when the sketch is full (the estimate branches on that)
+        sk2 = sk.groupBy("event_type").agg(
+            F.count("*").alias("n_in_sketch"), F.max("frac").alias("kth")
+        )
+        est = F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch")).otherwise(
+            F.floor((k - 1) / F.col("kth") + 0.5).cast("bigint")
+        )
+        # result is materialized (≤ types rows), so the scratch trees can go
+        return sk2.select(
+            "event_type", "n_in_sketch", est.alias("kmv_estimate")
+        ).localCheckpoint(eager=True)
+    finally:
+        # success or failure — an exception must not leak /tmp trees either
+        for path in (stage, store_root, ckpt):
+            if path:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -602,7 +614,6 @@ def kmv_sketch_merge_stream(
 # top-16-by-recency — mergeable exactly like a top-k sketch, so the state
 # survives out-of-order micro-batches without replaying history
 
-EWMA_TAIL = 16  # must match plans/behavior.py::EWMA_FRAME
 
 
 def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +635,13 @@ def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    # shared with the batch twin: the frame length AND the fold expressions
+    # come from plans/behavior.py so the two can never drift apart
+    from e_commerce_click_stream_spark.plans.behavior import (
+        EWMA_FRAME,
+        ewma_fold_exprs,
+    )
+
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     stream, stage = _chunked_replay(
         spark, ev.filter(F.col("ts").isNotNull()), KMV_STREAM_CHUNKS
@@ -631,13 +649,14 @@ def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_root = tempfile.mkdtemp(prefix="ewma_store_")
     tail_store = os.path.join(store_root, "tail")
     count_store = os.path.join(store_root, "counts")
+    ckpt = None
 
     recency = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
 
     def keep_tail(df: DataFrame) -> DataFrame:
         return (
             df.withColumn("__rn", F.row_number().over(recency))
-            .filter(F.col("__rn") <= EWMA_TAIL)
+            .filter(F.col("__rn") <= EWMA_FRAME)
             .drop("__rn")
         )
 
@@ -649,11 +668,20 @@ def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged_tail = keep_tail(
                 sp.read.parquet(tail_store).unionByName(batch_tail)
             ).localCheckpoint(eager=True)
-            old = sp.read.parquet(count_store).withColumnRenamed("n_events", "n_old")
+            old = sp.read.parquet(count_store).select(
+                F.col("user_id").alias("ouser"), F.col("n_events").alias("n_old")
+            )
+            # NULL-safe merge key: NULL-user events scattered across
+            # batches must accumulate into ONE count row, not one partial
+            # row per batch (a plain equi-join never matches NULL==NULL)
             merged_counts = (
-                old.join(batch_counts, "user_id", "full_outer")
+                old.join(
+                    batch_counts,
+                    old["ouser"].eqNullSafe(batch_counts["user_id"]),
+                    "full_outer",
+                )
                 .select(
-                    "user_id",
+                    F.coalesce(batch_counts["user_id"], old["ouser"]).alias("user_id"),
                     (
                         F.coalesce("n_old", F.lit(0)) + F.coalesce("n_events", F.lit(0))
                     ).alias("n_events"),
@@ -665,43 +693,41 @@ def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged_tail.write.mode("overwrite").parquet(tail_store)
         merged_counts.write.mode("overwrite").parquet(count_store)
 
-    ckpt = _run_foreach_batch(stream, merge)
+    try:
+        ckpt = _run_foreach_batch(stream, merge)
 
-    # final fold over the stored tail — the identical expression family as
-    # the batch user_value_ewma (sequential weighted sum + adjust norm)
-    from e_commerce_click_stream_spark.plans.behavior import EWMA_ALPHA
-
-    decay = 1 - EWMA_ALPHA
-    tail = spark.read.parquet(tail_store)
-    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    frame = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    rows = (
-        tail.withColumn(
-            "vals", F.collect_list(F.coalesce("value", F.lit(0.0))).over(frame)
+        # final fold over the stored tail: the batch twin's expressions
+        tail = spark.read.parquet(tail_store)
+        ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        frame = ordered.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        .withColumn("rn", F.row_number().over(recency))
-        .filter("rn = 1")
-    )
-    weighted = F.expr(
-        f"aggregate(transform(vals, (x, i) -> x * pow({decay}, size(vals) - 1 - i)), "
-        f"cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    norm = (1 - F.pow(F.lit(decay), F.size("vals"))) / EWMA_ALPHA
-    counts = spark.read.parquet(count_store)
-    # null-safe: the NULL-user group is a real group in the batch twin
-    # (window partition, no join) and must survive the count attach here
-    out = (
-        rows.join(
-            F.broadcast(counts.withColumnRenamed("user_id", "cuser")),
-            rows["user_id"].eqNullSafe(F.col("cuser")),
+        rows = (
+            tail.withColumn(
+                "vals", F.collect_list(F.coalesce("value", F.lit(0.0))).over(frame)
+            )
+            .withColumn("rn", F.row_number().over(recency))
+            .filter("rn = 1")
         )
-        .select(
-            rows["user_id"].alias("user_id"),
-            "n_events",
-            F.round(weighted / norm, 6).alias("ewma_value"),
+        weighted, norm = ewma_fold_exprs("vals")
+        counts = spark.read.parquet(count_store)
+        # null-safe: the NULL-user group is a real group in the batch twin
+        # (window partition, no join) and must survive the count attach
+        return (
+            rows.join(
+                F.broadcast(counts.withColumnRenamed("user_id", "cuser")),
+                rows["user_id"].eqNullSafe(F.col("cuser")),
+            )
+            .select(
+                rows["user_id"].alias("user_id"),
+                "n_events",
+                F.round(weighted / norm, 6).alias("ewma_value"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    for path in (stage, store_root, ckpt):
-        shutil.rmtree(path, ignore_errors=True)
-    return out
+    finally:
+        # success or failure, the scratch trees go — an exception must not
+        # leak fixture-sized /tmp directories either
+        for path in (stage, store_root, ckpt):
+            if path:
+                shutil.rmtree(path, ignore_errors=True)

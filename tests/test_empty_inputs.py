@@ -76,6 +76,7 @@ REPRESENTATIVE = (
     "streaming_kmv_distinct",
     "streaming_user_ewma",
     "corpus_quality_drift",
+    "embedding_coreset_kcenter",
 )
 
 

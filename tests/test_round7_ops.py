@@ -108,3 +108,42 @@ def test_streaming_kmv_equals_batch_sketch(spark):
     for t, (n, est) in stream_rows.items():
         assert est == batch_rows[t], t
         assert n <= 64
+
+
+def test_streaming_ewma_null_user_counts_merge_across_batches(spark, tmp_path):
+    """NULL-user events scattered over micro-batches must accumulate into
+    ONE count row (NULL-safe merge key), matching the batch twin exactly —
+    the fixture's single NULL-user row can't exercise this, so build a
+    feed where the round-robin chunking necessarily splits them."""
+    import datetime as dt
+
+    from e_commerce_click_stream_spark.io import TABLES, table
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+    for i in range(24):
+        # 12 NULL-user events interleaved with two real users
+        user = None if i % 2 == 0 else (100 if i % 4 == 1 else 200)
+        rows.append((i, base + dt.timedelta(minutes=i), user, "click", float(i), None))
+    out = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+    for name in TABLES:
+        if name != "events":
+            table(spark, "/root/testdata/sf0.001", name).limit(0).write.parquet(
+                f"{out}/{name}.parquet"
+            )
+
+    got = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in SPECS["streaming_user_ewma"].builder(spark, out).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in SPECS["user_value_ewma"].builder(spark, out).collect()
+    }
+    assert got == want
+    assert None in want and want[None][0] == 12
