@@ -131,6 +131,17 @@ _VERIFY_FIRST: tuple[str, ...] = (
 )
 
 
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these deferred-stale queries are the first to benefit; if not, they
+# cost nothing (both hold ever-green rows and have mechanism twins
+# inside the window).
+_VERIFY_NEXT: tuple[str, ...] = (
+    "dedup_exact_stats",
+    "dedup_simhash_groups",
+)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
@@ -179,5 +190,6 @@ def all_specs() -> dict[str, QuerySpec]:
             if exc.name != mod:  # genuine missing dependency inside the module
                 raise
     ordered = {n: _REGISTRY[n] for n in _VERIFY_FIRST if n in _REGISTRY}
+    ordered.update((n, _REGISTRY[n]) for n in _VERIFY_NEXT if n in _REGISTRY)
     ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
     return ordered
