@@ -139,6 +139,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
 _VERIFY_NEXT: tuple[str, ...] = (
     "dedup_exact_stats",
     "dedup_simhash_groups",
+    # changed late in r7 (negative-domain guards on sqrt/ln, found by the
+    # new lineitem edge matrix) — sim-green at sf0.01/0.1 on the new code
+    "lineitem_math_functions",
 )
 
 

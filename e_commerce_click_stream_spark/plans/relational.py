@@ -645,8 +645,10 @@ SELECT l_orderkey,
        round(abs(l_discount - 0.05), 6) AS disc_dev,
        ceil(l_quantity)::DOUBLE AS qty_ceil,
        floor(l_quantity)::DOUBLE AS qty_floor,
-       round(sqrt(l_extendedprice), 6) AS price_sqrt,
-       round(ln(l_extendedprice + 1), 6) AS price_ln,
+       CASE WHEN l_extendedprice >= 0
+            THEN round(sqrt(l_extendedprice), 6) END AS price_sqrt,
+       CASE WHEN l_extendedprice + 1 > 0
+            THEN round(ln(l_extendedprice + 1), 6) END AS price_ln,
        round(exp(l_discount), 6) AS disc_exp,
        round(pow(1 + l_tax, 2), 6) AS tax_sq,
        greatest(l_tax, l_discount) AS rate_max,
@@ -669,8 +671,15 @@ def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
         F.ceil("l_quantity").cast("double").alias("qty_ceil"),
         F.floor("l_quantity").cast("double").alias("qty_floor"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        # negative-domain guards: DuckDB sqrt/ln RAISE where Spark yields
+        # NaN/NULL — refund rows (negative amounts) are routine fact data
+        F.when(
+            F.col("l_extendedprice") >= 0, F.round(F.sqrt("l_extendedprice"), 6)
+        ).alias("price_sqrt"),
+        F.when(
+            F.col("l_extendedprice") + 1 > 0,
+            F.round(F.log(F.col("l_extendedprice") + 1), 6),
+        ).alias("price_ln"),
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
         F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
         F.greatest("l_tax", "l_discount").alias("rate_max"),
