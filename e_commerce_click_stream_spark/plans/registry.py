@@ -140,7 +140,11 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "dedup_exact_stats",
     "dedup_simhash_groups",
     # changed late in r7 (negative-domain guards on sqrt/ln, found by the
-    # new lineitem edge matrix) — sim-green at sf0.01/0.1 on the new code
+    # new lineitem edge matrix). Outside the full window because the
+    # change is a no-op on the driver fixtures (no negative prices exist
+    # there, verified), so the evergreen row still proves fixture
+    # behavior; the guarded path is pinned by the edge matrix, and the
+    # new code is sim-green at sf0.01 AND sf0.1
     "lineitem_math_functions",
 )
 

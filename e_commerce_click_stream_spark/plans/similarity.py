@@ -2089,6 +2089,7 @@ def _kcenter_sql() -> str:
     ctes = ["""n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v
     FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+    WHERE vec_id IS NOT NULL
 )""",
         """c0 AS (
     SELECT vec_id, v AS cv, CAST(0.0 AS DOUBLE) AS dist
@@ -2133,7 +2134,11 @@ def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-not-quadratic discipline as the k-means/PageRank loops).
     Distances round to 6 before the min-fold so both engines walk an
     identical selection path."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v")
+    # NULL vec_id would diverge the seed pick (Spark min(struct) sorts
+    # NULL fields first; the oracle's ORDER BY defaults NULLS LAST) —
+    # an id-less vector can't be selected or cited anyway, so both
+    # sides drop it explicitly
+    n = _vecs(spark, sf_dir).filter(F.col("vec_id").isNotNull()).select("vec_id", "v")
 
     def rdist(vcol, ccol):
         return F.round(

@@ -511,11 +511,14 @@ def _run_foreach_batch(stream: DataFrame, merge, timeout_s: int = 300) -> str:
     returns the checkpoint dir for caller cleanup. Raises on timeout —
     a partially merged store must never flow into results as if it
     drained."""
+    import shutil
+
     spark = stream.sparkSession
     ckpt = tempfile.mkdtemp(prefix="ckpt_merge_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     q = None
     finished = False
+    ok = False
     try:
         # clamp inside the try: a start-time failure must not leave the
         # session's shuffle parallelism stuck at 32
@@ -527,6 +530,7 @@ def _run_foreach_batch(stream: DataFrame, merge, timeout_s: int = 300) -> str:
             .start()
         )
         finished = q.awaitTermination(timeout_s)
+        ok = finished
     finally:
         if q is not None and q.isActive:
             # timed out: stop before the caller reads the store, or the
@@ -534,6 +538,10 @@ def _run_foreach_batch(stream: DataFrame, merge, timeout_s: int = 300) -> str:
             q.stop()
             q.awaitTermination(30)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not ok:
+            # the caller only learns ckpt from the success return — on any
+            # failure it must be removed HERE or it leaks
+            shutil.rmtree(ckpt, ignore_errors=True)
     if not finished:
         raise RuntimeError(
             f"foreachBatch merge did not drain within {timeout_s}s — "
@@ -618,7 +626,7 @@ def kmv_sketch_merge_stream(
 
 def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain per-user EWMA state across a multi-batch replay: the
-    state is each user's EWMA_TAIL most-recent (ts, event_id, value)
+    state is each user's EWMA_FRAME most-recent (ts, event_id, value)
     rows plus an additive event count — the last-k-by-recency tail is
     closed under union (keep the k most recent of old ∪ batch), so the
     merge is order-insensitive and the replay's round-robin (NOT

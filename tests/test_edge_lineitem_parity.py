@@ -8,6 +8,7 @@ discounts/dates, zero and negative amounts, exact-midpoint cent values
 from __future__ import annotations
 
 import datetime as dt
+import math
 import os
 import re
 import tempfile
@@ -98,7 +99,9 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, float):
-        return ("f", round(v, 9))
+        # NaN keys break Counter equality (identity-hashed) even when both
+        # engines agree — same normalization as the sibling matrices
+        return ("f", "NaN" if math.isnan(v) else round(v, 9))
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, dt.datetime):

@@ -80,3 +80,20 @@ def test_evergreen_names_still_registered():
     specs = all_specs()
     dangling = [n for n in _evergreen() if n not in specs]
     assert not dangling, f"evergreen.json names not registered: {dangling}"
+
+
+def test_verify_next_names_registered_and_positioned():
+    """_VERIFY_NEXT (the post-window overflow preference) gets the same
+    hygiene as _VERIFY_FIRST: every name registered, no duplicates, no
+    overlap with the window list, and the names actually occupy the
+    positions immediately after the window."""
+    from e_commerce_click_stream_spark.plans.registry import _VERIFY_NEXT
+
+    specs = all_specs()
+    missing = [n for n in _VERIFY_NEXT if n not in specs]
+    assert not missing, f"_VERIFY_NEXT names not registered: {missing}"
+    assert len(set(_VERIFY_NEXT)) == len(_VERIFY_NEXT)
+    assert not set(_VERIFY_NEXT) & set(_VERIFY_FIRST)
+    names = list(specs)
+    start = len(_VERIFY_FIRST)
+    assert tuple(names[start : start + len(_VERIFY_NEXT)]) == _VERIFY_NEXT
