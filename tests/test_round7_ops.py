@@ -147,3 +147,34 @@ def test_streaming_ewma_null_user_counts_merge_across_batches(spark, tmp_path):
     }
     assert got == want
     assert None in want and want[None][0] == 12
+
+
+def test_morton_code_matches_python_interleave(spark):
+    """The z-order expression (pure integer arithmetic, engine-portable)
+    must equal bit interleaving recomputed in Python for every (u, h)
+    bucket pair in a random-but-deterministic sample."""
+    from e_commerce_click_stream_spark.plans.governance import (
+        ZORDER_BITS,
+        _morton_terms,
+    )
+    from pyspark.sql import functions as F
+
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)] + [
+        (0, 0), (255, 255), (0, 255), (255, 0), (1, 2)
+    ]
+    df = spark.createDataFrame(pairs, "u long, h long").withColumn(
+        "z", F.expr(_morton_terms("u", "h", "DIV"))
+    )
+
+    def interleave(u: int, h: int) -> int:
+        z = 0
+        for k in range(ZORDER_BITS):
+            z |= ((u >> k) & 1) << (2 * k + 1)
+            z |= ((h >> k) & 1) << (2 * k)
+        return z
+
+    for r in df.collect():
+        assert r.z == interleave(r.u, r.h), (r.u, r.h)
