@@ -116,7 +116,16 @@ def _sessionize_group(
                 views + (etype == "view"),
                 clicks + (etype == "click"),
                 purchases + (etype == "purchase"),
-                amount + (float(value) if etype == "purchase" else 0.0),
+                # NULL-value purchases contribute 0, matching SQL sum()
+                # semantics (NaN would otherwise poison the whole session's
+                # amount — but only on the close-by-later-event path, since
+                # an open session's state rides as typed NULL-free columns)
+                amount
+                + (
+                    float(value)
+                    if etype == "purchase" and not pd.isna(value)
+                    else 0.0
+                ),
             )
     if acc is not None:
         state.update(acc)  # open session lives on — T3 unbounded-state parity

@@ -50,6 +50,16 @@ EDGE_EVENTS = [
     (15, ts(16), 300, "click", 0.0, '{"k": 1, "x": "y"}'),  # extra key
     (16, ts(2), 100, "click", 0.0, '{"k": 12}'),  # exact ts tie with id 3
     (17, None, 300, "click", 0.0, '{"k": 13}'),  # NULL ts
+    # year/week boundary: ISO week 1 of the NEXT year (weekly seasonality,
+    # date_trunc/extract parity at the wrap)
+    (18, dt.datetime(2024, 12, 31, 23, 59, 59), 100, "purchase", 49.995, '{"k": 14}'),
+    (19, dt.datetime(2025, 1, 1, 0, 0, 0), 100, "view", 0.0, '{"k": 15}'),
+    # negative purchase value (refund) — sums, EWMA, z-scores must agree
+    (20, ts(20), 200, "purchase", -75.25, '{"k": 16}'),
+    # non-ASCII event type (falls outside the known enum on both engines)
+    (21, ts(21), 300, "クリック", 0.0, '{"k": 17}'),
+    # epoch-adjacent timestamp (extreme hour bucket arithmetic)
+    (22, dt.datetime(1970, 1, 1, 0, 0, 1), 200, "click", 0.0, '{"k": 18}'),
 ]
 
 STREAMING_EVENT_QUERIES = [
