@@ -159,12 +159,18 @@ def probe_band_index(
 
     p = batch_bands.alias("p")
     # candidates against the store: pure equi-join on (band, bucket) — the
-    # stored side streams from parquet pruned to the probed bands
+    # stored side streams from parquet pruned to the probed bands. The
+    # doc_id inequality makes at-least-once replays safe by construction:
+    # a batch doc already folded into the store via append_to_band_index
+    # must not self-match at jaccard 1.0 and report itself dup_of_index
+    # (a no-op when the id spaces are disjoint).
     m_idx = stored_bands.alias("m")
     cand_idx = (
         p.join(
             m_idx,
-            (F.col("p.band") == F.col("m.band")) & (F.col("p.bucket") == F.col("m.bucket")),
+            (F.col("p.band") == F.col("m.band"))
+            & (F.col("p.bucket") == F.col("m.bucket"))
+            & (F.col("m.doc_id") != F.col("p.doc_id")),
         )
         .select(
             F.col("p.doc_id").alias("probe_id"),

@@ -618,12 +618,18 @@ def _morton_terms(u: str, h: str, div: str) -> str:
 
 
 def _zorder_sql() -> str:
+    # non-negative modulus on both engines (((x % m) + m) % m here, pmod in
+    # the builder): both engines' % follows the dividend's sign, so a
+    # negative user_id or pre-1970 ts would otherwise emit negative,
+    # non-interleaved Morton codes. Quotients are exact integer division
+    # (// resp. div), truncating toward zero in both engines.
+    m = 1 << ZORDER_BITS
     morton = _morton_terms("u", "h", "//")
     return f"""
 WITH base AS (
     SELECT event_id,
-           user_id % {1 << ZORDER_BITS} AS u,
-           (epoch_us(ts) // 3600000000) % {1 << ZORDER_BITS} AS h,
+           ((user_id % {m}) + {m}) % {m} AS u,
+           (((epoch_us(ts) // 3600000000) % {m}) + {m}) % {m} AS h,
            epoch_us(ts) AS us
     FROM events
     WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -676,14 +682,20 @@ def events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster: range-partition by z — a terasort, run rarely and amortized
     across every subsequent pruned scan); the audit output is one row
     per file, so the agg shuffles file-count rows, not events."""
+    # pmod (not %) so negative user_ids / pre-epoch timestamps still land
+    # in [0, 256) — % follows the dividend's sign in both engines and a
+    # negative bucket would poison the Morton interleave; the hour quotient
+    # is exact integer `div` (truncating, same as DuckDB //), not a
+    # double-division round-trip
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             "event_id",
-            (F.col("user_id") % (1 << ZORDER_BITS)).alias("u"),
-            ((F.unix_micros("ts") / F.lit(3600000000)).cast("long")
-             % (1 << ZORDER_BITS)).alias("h"),
+            F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)).alias("u"),
+            F.pmod(
+                F.expr("unix_micros(ts) div 3600000000"), F.lit(1 << ZORDER_BITS)
+            ).alias("h"),
             F.unix_micros("ts").alias("us"),
         )
     )

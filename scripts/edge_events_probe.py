@@ -60,6 +60,12 @@ EDGE_EVENTS = [
     (21, ts(21), 300, "クリック", 0.0, '{"k": 17}'),
     # epoch-adjacent timestamp (extreme hour bucket arithmetic)
     (22, dt.datetime(1970, 1, 1, 0, 0, 1), 200, "click", 0.0, '{"k": 18}'),
+    # negative user_id (r8): % follows the dividend's sign in both engines,
+    # so modulo bucketing (zorder u, md5 salts, skew shards) must pmod
+    (23, ts(22), -5, "click", 0.0, '{"k": 19}'),
+    # pre-epoch ts (r8): negative epoch_us — hour-bucket quotients and
+    # moduli go negative; zorder h must stay in [0, 256)
+    (24, dt.datetime(1969, 12, 31, 22, 59, 0), 100, "click", 0.0, '{"k": 20}'),
 ]
 
 STREAMING_EVENT_QUERIES = [

@@ -130,3 +130,39 @@ def test_append_then_probe_sees_new_index_docs(spark, shingled, tmp_path):
         first_half.select(F.col("doc_id").alias("match_doc_id")), "match_doc_id"
     ).filter("verdict = 'dup_in_batch'")
     assert wrong.count() == 0
+
+
+def test_replayed_batch_never_self_matches(spark, shingled, tmp_path):
+    """At-least-once replay safety: probing a batch already folded into the
+    store must not report a doc as dup_of_index OF ITSELF at jaccard 1.0 —
+    the probe-side join excludes equal doc_ids by construction."""
+    index_dir = str(tmp_path / "idx")
+    build_band_index(
+        shingled.filter(~F.col("is_new")).select("doc_id", "s"),
+        index_dir, NUM_HASHES, NUM_BANDS,
+    )
+    batch = shingled.filter("is_new").select("doc_id", "s").localCheckpoint(eager=True)
+    baseline = probe_band_index(
+        spark, batch, batch.select("doc_id"), index_dir,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+    ).localCheckpoint(eager=True)
+
+    # simulate the retry: the batch was appended, then the probe re-runs
+    append_to_band_index(batch, index_dir, NUM_HASHES, NUM_BANDS)
+    replay = probe_band_index(
+        spark, batch, batch.select("doc_id"), index_dir,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+    ).localCheckpoint(eager=True)
+
+    assert replay.filter("doc_id = match_doc_id").count() == 0
+    # a doc that had a match keeps one at least as good — the store now
+    # also holds the replayed batch, which can only ADD candidates (e.g.
+    # the reverse of an in-batch pair, visible store-side regardless of id
+    # order), never remove the baseline's best match
+    had = baseline.filter("match_doc_id IS NOT NULL").select(
+        "doc_id", F.col("jaccard").alias("base_j")
+    )
+    worse = had.join(replay, "doc_id").filter(
+        "match_doc_id IS NULL OR jaccard < base_j"
+    )
+    assert worse.count() == 0
