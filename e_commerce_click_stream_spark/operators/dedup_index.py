@@ -5,16 +5,20 @@ verdict semantics but signs BOTH sides in one pass. The production 100 TB
 shape stores the already-indexed corpus once and re-signs only each
 incoming batch:
 
-- **build**: shingle + minhash-sign the index corpus, write two parquet
-  tables under ``index_dir`` — ``bands/`` (doc_id, band, bucket),
-  partitioned by ``band`` so a probe that only needs some bands prunes
-  files, and ``shingles/`` (doc_id, s) for candidate verification. On a
-  cluster both would be bucketed by their join key (``bucket`` resp.
-  ``doc_id``) so repeated probes are exchange-free on the stored side;
-  plain local parquet can't carry bucketing metadata, so the layout is
-  partition-pruned only and the join key note travels in this docstring.
+- **build**: shingle + minhash-sign the index corpus, persist two tables.
+  The primary layout (``build_band_index_tables``) is catalog-backed via
+  ``bucketBy(...).sortBy(...).saveAsTable()``: ``<prefix>_bands``
+  (doc_id, band, bucket) partitioned by ``band`` AND hash-bucketed+sorted
+  on ``bucket`` — exactly the probe join key, since the band id is seeded
+  into the bucket hash (see ``band_buckets``) — and ``<prefix>_shingles``
+  (doc_id, s) bucketed+sorted on ``doc_id``. A probe's candidate
+  equi-join against the bucketed store therefore needs NO Exchange on the
+  stored side (only the small batch shuffles into the bucket layout),
+  pinned in tests/test_bucketing.py. ``build_band_index`` keeps the plain
+  parquet layout (partition-pruned by band, no bucket metadata — parquet
+  directories can't carry it) as the documented non-warehouse fallback.
 - **probe**: shingle + sign ONLY the new batch (|batch| band rows, never a
-  corpus re-scan), equi-join its band rows against the stored ``bands/``
+  corpus re-scan), equi-join its band rows against the stored bands
   table plus the batch's own earlier docs (min-id-canonical, same as the
   one-pass query), then verify candidates by exact jaccard against stored
   resp. in-batch shingle sets. Output schema and verdict semantics are
@@ -24,8 +28,12 @@ incoming batch:
 
 Per-ingest cost is O(|batch| × bands) probe rows against an index read
 that a real deployment amortizes across batches (and appends to, see
-``append_to_band_index``) — the piece the one-pass query's docstring
-promises and this module delivers.
+``append_to_band_index`` / ``append_to_band_index_tables``) — the piece
+the one-pass query's docstring promises and this module delivers.
+
+Concurrent-writer safety: callers that overwrite a shared store location
+take ``operators.storelock.acquire_build_lock`` first (fail-fast, not
+silent racing) and downgrade to a shared lock for the probe's lazy reads.
 """
 
 from __future__ import annotations
@@ -37,6 +45,10 @@ from pyspark.sql import functions as F
 
 BANDS_SUBDIR = "bands"
 SHINGLES_SUBDIR = "shingles"
+# bucket count for the catalog-backed layout: buckets cap the probe-side
+# shuffle's partition count, so keep it modest at test scale (a cluster
+# deployment sizes this to corpus_bytes / target_file_size)
+NUM_STORE_BUCKETS = 8
 
 
 def minhash_signature(
@@ -62,13 +74,21 @@ def band_buckets(
 ) -> DataFrame:
     """(doc_id, mh*) signature -> (doc_id, band, bucket) LSH keys.
 
-    The bucket is the md5 of the band's '|'-joined components: uniform,
-    high-cardinality, so the candidate equi-join shuffle distributes
-    evenly at any corpus size."""
+    The bucket is the md5 of the band id + the band's '|'-joined
+    components: uniform, high-cardinality, so the candidate equi-join
+    shuffle distributes evenly at any corpus size. Seeding with the band
+    id makes the bucket string alone a complete LSH key (two bands with
+    identical signature slices can never collide), so every candidate
+    join is a SINGLE-column equi-join on ``bucket`` — which is what lets
+    the stored index be hash-bucketed on exactly the join key and probed
+    with no Exchange on the stored side (subset-key co-partitioning is
+    not a thing Spark will plan; one key, one bucket spec, zero shuffle).
+    The ``band`` column still rides along for partition pruning and
+    layout audits."""
     structs = []
     for b in range(num_bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        concat_cols: list = []
+        concat_cols: list = [F.lit(f"{b}|")]
         for i, c in enumerate(cols):
             if i:
                 concat_cols.append(F.lit("|"))
@@ -125,6 +145,76 @@ def append_to_band_index(
     sh.write.mode("append").parquet(os.path.join(index_dir, SHINGLES_SUBDIR))
 
 
+def band_table_names(prefix: str) -> tuple[str, str]:
+    """Catalog table names for a table-backed store."""
+    return f"{prefix}_bands", f"{prefix}_shingles"
+
+
+def build_band_index_tables(
+    index_docs: DataFrame,
+    prefix: str,
+    num_hashes: int,
+    num_bands: int,
+    num_buckets: int = NUM_STORE_BUCKETS,
+    location: str | None = None,
+) -> None:
+    """Write the PRIMARY (catalog-backed, bucketed) store layout:
+    ``<prefix>_bands`` partitioned by band + bucketed/sorted on the probe
+    join key ``bucket``; ``<prefix>_shingles`` bucketed/sorted on
+    ``doc_id``. ``location`` makes them external tables rooted there
+    (keeps index data out of the session's warehouse dir)."""
+    bands, sh = sign_docs(index_docs, num_hashes, num_bands)
+    bands_t, shingles_t = band_table_names(prefix)
+    w = (
+        bands.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("band")
+        .bucketBy(num_buckets, "bucket")
+        .sortBy("bucket")
+    )
+    if location:
+        w = w.option("path", os.path.join(location, BANDS_SUBDIR))
+    w.saveAsTable(bands_t)
+    ws = (
+        sh.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "doc_id")
+        .sortBy("doc_id")
+    )
+    if location:
+        ws = ws.option("path", os.path.join(location, SHINGLES_SUBDIR))
+    ws.saveAsTable(shingles_t)
+
+
+def append_to_band_index_tables(
+    new_docs: DataFrame,
+    prefix: str,
+    num_hashes: int,
+    num_bands: int,
+    num_buckets: int = NUM_STORE_BUCKETS,
+) -> None:
+    """Table-backed twin of ``append_to_band_index``: fold a verdict-ed
+    batch into the bucketed store (the writer spec must restate the
+    table's partition/bucket layout — Spark validates it matches)."""
+    bands, sh = sign_docs(new_docs, num_hashes, num_bands)
+    bands_t, shingles_t = band_table_names(prefix)
+    (
+        bands.write.mode("append")
+        .format("parquet")
+        .partitionBy("band")
+        .bucketBy(num_buckets, "bucket")
+        .sortBy("bucket")
+        .saveAsTable(bands_t)
+    )
+    (
+        sh.write.mode("append")
+        .format("parquet")
+        .bucketBy(num_buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(shingles_t)
+    )
+
+
 def probe_band_index(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -134,7 +224,7 @@ def probe_band_index(
     num_bands: int,
     jaccard_threshold: float,
 ) -> DataFrame:
-    """One ingest batch against the store.
+    """One ingest batch against the parquet-directory (fallback) store.
 
     ``batch_docs``: (doc_id, s) for the incoming batch (materialized by the
     caller). ``all_batch_ids``: (doc_id) for EVERY batch doc — including
@@ -156,20 +246,61 @@ def probe_band_index(
     stored_sh = spark.read.schema(batch_sh.schema).parquet(
         os.path.join(index_dir, SHINGLES_SUBDIR)
     )
+    return _probe_against(
+        batch_bands, batch_sh, stored_bands, stored_sh, all_batch_ids,
+        jaccard_threshold,
+    )
 
+
+def probe_band_index_tables(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    all_batch_ids: DataFrame,
+    prefix: str,
+    num_hashes: int,
+    num_bands: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """One ingest batch against the bucketed catalog store — same contract
+    as ``probe_band_index``, but the stored side of the candidate join is
+    scanned in its bucket layout: no Exchange on the store, only the
+    |batch|-sized probe side shuffles (pinned in tests/test_bucketing.py).
+    A catalog table also keeps its schema when empty, so the zero-doc
+    store needs no explicit-schema workaround."""
+    batch_bands, batch_sh = sign_docs(batch_docs, num_hashes, num_bands)
+    bands_t, shingles_t = band_table_names(prefix)
+    # partition columns come last in a table scan's order — reproject to
+    # the probe's expected column order
+    stored_bands = spark.table(bands_t).select("doc_id", "band", "bucket")
+    stored_sh = spark.table(shingles_t).select("doc_id", "s")
+    return _probe_against(
+        batch_bands, batch_sh, stored_bands, stored_sh, all_batch_ids,
+        jaccard_threshold,
+    )
+
+
+def _probe_against(
+    batch_bands: DataFrame,
+    batch_sh: DataFrame,
+    stored_bands: DataFrame,
+    stored_sh: DataFrame,
+    all_batch_ids: DataFrame,
+    jaccard_threshold: float,
+) -> DataFrame:
     p = batch_bands.alias("p")
-    # candidates against the store: pure equi-join on (band, bucket) — the
-    # stored side streams from parquet pruned to the probed bands. The
-    # doc_id inequality makes at-least-once replays safe by construction:
-    # a batch doc already folded into the store via append_to_band_index
-    # must not self-match at jaccard 1.0 and report itself dup_of_index
-    # (a no-op when the id spaces are disjoint).
+    # candidates against the store: single-key equi-join on the
+    # band-seeded bucket (see band_buckets — the seed makes the bucket a
+    # complete LSH key, so no band column in the join and the stored
+    # side's bucket-spec covers the key exactly). The doc_id inequality
+    # makes at-least-once replays safe by construction: a batch doc
+    # already folded into the store via append_to_band_index must not
+    # self-match at jaccard 1.0 and report itself dup_of_index (a no-op
+    # when the id spaces are disjoint).
     m_idx = stored_bands.alias("m")
     cand_idx = (
         p.join(
             m_idx,
-            (F.col("p.band") == F.col("m.band"))
-            & (F.col("p.bucket") == F.col("m.bucket"))
+            (F.col("p.bucket") == F.col("m.bucket"))
             & (F.col("m.doc_id") != F.col("p.doc_id")),
         )
         .select(
@@ -183,8 +314,7 @@ def probe_band_index(
     cand_bat = (
         p.join(
             m_bat,
-            (F.col("p.band") == F.col("m.band"))
-            & (F.col("p.bucket") == F.col("m.bucket"))
+            (F.col("p.bucket") == F.col("m.bucket"))
             & (F.col("m.doc_id") < F.col("p.doc_id")),
         )
         .select(

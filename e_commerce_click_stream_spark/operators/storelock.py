@@ -1,0 +1,76 @@
+"""Cross-process single-writer locks for persisted index stores.
+
+The stored band index (operators/dedup_index.py) and the stored IVF index
+(plans/similarity.py) live at deterministic per-fixture paths, overwritten
+in place so repeated gate/bench invocations reuse one directory instead of
+leaking a corpus-sized tree per run. That single-writer convention used to
+be a comment; two concurrent runs on the same fixture (pytest-xdist, a
+bench alongside a gate) could race overwrite-vs-probe-read and return
+wrong results or reader errors. These helpers make the second writer FAIL
+FAST instead:
+
+- ``acquire_build_lock(store_root)`` takes an exclusive ``flock`` on
+  ``<store_root>.lock`` (non-blocking — raises with a clear message if any
+  other process holds the store);
+- after the build completes, ``downgrade_to_shared(store_root)``
+  atomically converts it to a shared lock, which this process keeps for
+  its lifetime: lazy probe reads of the store stay protected (a would-be
+  writer in another process still fails fast), while a later build in the
+  SAME process re-upgrades its own lock without contention.
+
+``flock`` locks die with the process, so a crashed run never leaves a
+stale lock behind (the lock file itself is inert once unlocked).
+"""
+
+from __future__ import annotations
+
+import fcntl
+import os
+
+# path -> open fd; module-level so sequential builds in one process reuse
+# (and can upgrade/downgrade) their own lock instead of fighting it
+_HELD: dict[str, int] = {}
+
+
+def _fd(store_root: str) -> int:
+    path = store_root.rstrip("/") + ".lock"
+    fd = _HELD.get(path)
+    if fd is None:
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        _HELD[path] = fd
+    return fd
+
+
+def acquire_build_lock(store_root: str) -> None:
+    """Exclusive, non-blocking. Raises RuntimeError if another process is
+    building or reading the store at ``store_root``."""
+    fd = _fd(store_root)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError as exc:
+        raise RuntimeError(
+            f"index store {store_root!r} is locked by another process "
+            f"(concurrent build/probe on the same fixture); re-run after it "
+            f"finishes or point the runs at different stores"
+        ) from exc
+    os.pwrite(fd, str(os.getpid()).encode(), 0)
+
+
+def downgrade_to_shared(store_root: str) -> None:
+    """Convert this process's exclusive build lock to a shared read lock
+    (kept until process exit) so lazy probe reads stay protected."""
+    fcntl.flock(_fd(store_root), fcntl.LOCK_SH)
+
+
+def acquire_read_lock(store_root: str) -> None:
+    """Shared, non-blocking: a reader that did NOT build the store this
+    process-lifetime still blocks concurrent overwriters (and fails fast
+    if one is mid-build right now)."""
+    fd = _fd(store_root)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
+    except BlockingIOError as exc:
+        raise RuntimeError(
+            f"index store {store_root!r} is being rebuilt by another "
+            f"process; re-run after the build finishes"
+        ) from exc

@@ -26,8 +26,10 @@ from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.dedup_index import (
     band_buckets,
     build_band_index,
+    build_band_index_tables,
     minhash_signature,
     probe_band_index,
+    probe_band_index_tables,
 )
 from e_commerce_click_stream_spark.operators.textops import (
     fingerprint,
@@ -155,7 +157,12 @@ def _minhash_sql() -> str:
         cols = " || '|' || ".join(
             f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
         )
-        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh")
+        # band-seeded bucket: the bucket string alone is the complete LSH
+        # key (operators/dedup_index.py band_buckets), so candidate joins
+        # are single-column
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5('{b}|' || {cols}) AS bucket FROM mh"
+        )
     bands = "\n    UNION ALL\n    ".join(band_rows)
     return f"""
 WITH {_SHINGLED_CTE},
@@ -173,7 +180,7 @@ buckets AS (
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
 scored AS (
     SELECT c.doc_a, c.doc_b,
@@ -212,7 +219,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(NUM_BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         sep = F.lit("|")
-        concat_cols: list = []
+        # band-seeded bucket (operators/dedup_index.py band_buckets): the
+        # bucket alone is the full LSH key, so the self-join below is a
+        # single-column equi-join
+        concat_cols: list = [F.lit(f"{b}|")]
         for i, c in enumerate(cols):
             if i:
                 concat_cols.append(sep)
@@ -229,8 +239,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -1046,7 +1055,10 @@ def _incremental_minhash_sql() -> str:
         cols = " || '|' || ".join(
             f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
         )
-        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh")
+        # band-seeded bucket — single-column LSH key, see _minhash_sql
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5('{b}|' || {cols}) AS bucket FROM mh"
+        )
     bands = "\n    UNION ALL\n    ".join(band_rows)
     return f"""
 WITH toks AS (
@@ -1082,7 +1094,7 @@ fb AS (
 cand AS (
     SELECT DISTINCT p.doc_id AS probe_id, m.doc_id AS match_id, m.is_new AS match_is_new
     FROM fb p JOIN fb m
-      ON p.band = m.band AND p.bucket = m.bucket
+      ON p.bucket = m.bucket
      AND p.is_new
      AND (NOT m.is_new OR m.doc_id < p.doc_id)
 ),
@@ -1155,8 +1167,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         p.join(
             m,
-            (F.col("p.band") == F.col("m.band"))
-            & (F.col("p.bucket") == F.col("m.bucket"))
+            (F.col("p.bucket") == F.col("m.bucket"))
             & (~F.col("m.is_new") | (F.col("m.doc_id") < F.col("p.doc_id"))),
         )
         .select(
@@ -1207,23 +1218,52 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           tags=("dedup", "minhash", "lsh", "incremental", "stored-index"))
 def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored-index twin of ``dedup_incremental_minhash``: build the
-    band index for the already-indexed corpus to parquet (bands/
-    partitioned by band + shingles/), then probe it with ONLY the
-    incoming batch — two jobs, the way a production ingest actually runs
-    (operators/dedup_index.py). Shares the one-pass query's oracle: the
-    stored path must produce bit-identical verdicts, so a green driver
-    row here proves the store/probe round-trip end to end.
+    band index for the already-indexed corpus as CATALOG TABLES —
+    ``bands`` partitioned by band and hash-bucketed+sorted on the probe
+    join key ``bucket``, ``shingles`` bucketed on ``doc_id`` — then probe
+    with ONLY the incoming batch: two jobs, the way a production ingest
+    actually runs (operators/dedup_index.py). Shares the one-pass query's
+    oracle: the stored path must produce bit-identical verdicts, so a
+    green driver row here proves the store/probe round-trip end to end.
 
-    Scale shape: the index is written once and re-read per batch (on a
-    cluster: bucketed by the join keys, making the stored side of every
-    probe exchange-free); per batch only |batch| docs are shingled and
-    signed. The one-pass twin re-signs the whole corpus every run —
-    this is the shape that amortizes at 100 TB (measured at sf0.1,
-    warm session: 3.9 s build+probe vs 8.1 s one-pass — and a real
-    deployment pays the build once, not per batch)."""
+    Scale shape: the index is written once and re-read per batch; because
+    it is bucketed on exactly the single-column join key, the stored side
+    of every probe is EXCHANGE-FREE — only the |batch|-sized probe side
+    shuffles (plan-pinned in tests/test_bucketing.py; the plain-parquet
+    fallback layout is partition-pruned only). Per batch only |batch|
+    docs are shingled and signed; the one-pass twin re-signs the whole
+    corpus every run — this is the shape that amortizes at 100 TB
+    (probe-only cost tracked separately in bench.py as
+    dedup_stored_probe_only)."""
+    index_dir, prefix = _band_store_location(sf_dir)
+    sh, batch_sh, all_batch_ids = _band_store_build(spark, sf_dir, index_dir, prefix)
+    return probe_band_index_tables(
+        spark, batch_sh, all_batch_ids, prefix,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+    )
+
+
+def _band_store_location(sf_dir: str) -> tuple[str, str]:
+    """Deterministic per-fixture store root + catalog-table prefix:
+    repeated gate/bench invocations reuse ONE location instead of leaking
+    a corpus-sized tree per run."""
     import hashlib
     import os
     import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"band_index_{tag}"), f"bidx_{tag}"
+
+
+def _band_store_build(spark, sf_dir, index_dir, prefix):
+    """Shingle the corpus and (re)build the bucketed band-index tables
+    under an exclusive build lock (fail-fast if another process holds the
+    store — see operators/storelock.py), downgraded to shared for the
+    probe's lazy reads. Returns (all shingled, batch shingled, batch ids)."""
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
 
     is_new = F.coalesce(
         F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
@@ -1235,19 +1275,52 @@ def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "is_new", shingles("toks", 3).alias("s")
     ).localCheckpoint(eager=True)
 
-    # deterministic per-fixture location, overwritten in place: repeated
-    # gate/bench invocations reuse ONE directory instead of leaking a new
-    # corpus-sized tree per run (single-writer assumption — the driver,
-    # bench, and tests all run queries sequentially)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"band_index_{tag}")
-    build_band_index(
+    acquire_build_lock(index_dir)
+    build_band_index_tables(
         sh.filter(~F.col("is_new")).select("doc_id", "s"),
-        index_dir, NUM_HASHES, NUM_BANDS,
+        prefix, NUM_HASHES, NUM_BANDS, location=index_dir,
     )
+    downgrade_to_shared(index_dir)
     batch_sh = sh.filter("is_new").select("doc_id", "s")
     all_batch_ids = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
-    return probe_band_index(
-        spark, batch_sh, all_batch_ids, index_dir,
+    return sh, batch_sh, all_batch_ids
+
+
+@register("dedup_stored_probe_only", oracle=_incremental_minhash_sql(), headline=True,
+          tags=("dedup", "minhash", "lsh", "incremental", "stored-index", "bench"))
+def dedup_stored_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARM-STORE half of ``dedup_incremental_stored``: reuse the
+    persisted band index if this session already built it (build only on
+    a cold start), shingle+sign NOTHING but the incoming batch, and
+    probe. This is the number a production user actually pays per ingest
+    batch — the build is amortized across every batch — so it is benched
+    as its own headline line (VERDICT r7 #6). Shares the one-pass oracle:
+    the warm-store path must still produce bit-identical verdicts.
+
+    Scale shape: per batch, |batch| docs tokenized/shingled/signed (the
+    corpus is NEVER re-read), one bucket-layout-preserving equi-join per
+    candidate stage (no Exchange on the stored side), candidates-only
+    exact verification."""
+    from e_commerce_click_stream_spark.operators.storelock import acquire_read_lock
+
+    index_dir, prefix = _band_store_location(sf_dir)
+    if not spark.catalog.tableExists(f"{prefix}_bands"):
+        # cold start (fresh session): pay the build once, outside any
+        # timed steady-state iteration
+        _band_store_build(spark, sf_dir, index_dir, prefix)
+    else:
+        acquire_read_lock(index_dir)
+    is_new = F.coalesce(
+        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+    )
+    batch = table(spark, sf_dir, "documents").filter(is_new)
+    batch_sh = (
+        spread(batch)
+        .select("doc_id", tokens().alias("toks"))
+        .select("doc_id", shingles("toks", 3).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    return probe_band_index_tables(
+        spark, batch_sh, batch.select("doc_id"), prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
     )

@@ -2003,39 +2003,128 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the build is the one-pass assignment (broadcast
     centroids + argmax) paid once; each probe reads only the probed cells'
     partitions and ranks within them. The store is the production
-    artifact a vector database calls the IVF index."""
+    artifact a vector database calls the IVF index (appended per ingest
+    via ``ann_ivf_append``; rebalance signal via
+    ``ivf_cell_balance_audit``)."""
+    prefix = _ivf_store_build(spark, sf_dir)
+    stored_cent, stored_assign = _ivf_store_read(spark, prefix)
+    return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
+
+
+_IVF_BUCKETS = 8  # vec_id bucket count inside each cell partition
+
+
+def _ivf_store_location(sf_dir: str) -> tuple[str, str]:
+    """Deterministic per-fixture store root + catalog-table prefix
+    (same reuse convention as the band index)."""
     import hashlib
     import os
     import tempfile
 
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}"), f"ivf_{tag}"
+
+
+def _ivf_assignments(n: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per vector: broadcast centroids + argmax —
+    vectors never shuffle for the assignment."""
     sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
-    assign = (
+    return (
         n.crossJoin(F.broadcast(cent))
         .groupBy("vec_id", "v", "nrm")
         .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
     )
 
-    # deterministic per-fixture location, overwritten in place (same
-    # single-writer reuse convention as dedup_incremental_stored)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
-    assign.write.mode("overwrite").partitionBy("cell").parquet(
-        index_dir + "/assignments"
-    )
-    cent.write.mode("overwrite").parquet(index_dir + "/centroids")
 
-    # probe job: everything below reads the STORE, not the corpus scan.
-    # Explicit schemas (from the build twins): an empty corpus writes no
-    # part files and a schema-less read of the store raises instead of
-    # returning an empty relation
-    stored_cent = spark.read.schema(cent.schema).parquet(index_dir + "/centroids")
-    stored_assign = spark.read.schema(assign.schema).parquet(
-        index_dir + "/assignments"
+def _ivf_store_build(
+    spark: SparkSession, sf_dir: str, corpus_filter: "F.Column | None" = None
+) -> str:
+    """(Re)build the stored IVF index as catalog tables under the build
+    lock: ``<prefix>_assign`` partitioned BY CELL (probe-side dynamic
+    partition pruning) and hash-bucketed+sorted on ``vec_id`` (the
+    maintenance join key — append dedup / id lookups are exchange-free on
+    the stored side), plus the tiny ``<prefix>_cent`` centroid table.
+    ``corpus_filter`` restricts which vectors are indexed (the append
+    path folds the rest in later). Returns the table prefix."""
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
     )
+
+    index_dir, prefix = _ivf_store_location(sf_dir)
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    corpus = n.filter(corpus_filter) if corpus_filter is not None else n
+    assign = _ivf_assignments(corpus, cent)
+
+    import os
+
+    acquire_build_lock(index_dir)
+    (
+        assign.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("cell")
+        .bucketBy(_IVF_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .option("path", os.path.join(index_dir, "assignments"))
+        .saveAsTable(f"{prefix}_assign")
+    )
+    (
+        cent.write.mode("overwrite")
+        .format("parquet")
+        .option("path", os.path.join(index_dir, "centroids"))
+        .saveAsTable(f"{prefix}_cent")
+    )
+    downgrade_to_shared(index_dir)
+    return prefix
+
+
+def _ivf_store_append(spark: SparkSession, sf_dir: str, prefix: str,
+                      arrivals_filter: "F.Column") -> None:
+    """Production vector ingest: assign ONLY the arriving vectors against
+    the STORED centroids (no corpus re-scan) and append them to their
+    cells — the writer restates the table's partition/bucket spec, which
+    Spark validates against the catalog. Upgrades this process's store
+    lock to exclusive for the write (fails fast against a concurrent
+    holder), then downgrades back for the probe's lazy reads."""
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
+
+    index_dir, _ = _ivf_store_location(sf_dir)
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    stored_cent, _ = _ivf_store_read(spark, prefix)
+    assign = _ivf_assignments(n.filter(arrivals_filter), stored_cent)
+    acquire_build_lock(index_dir)
+    (
+        assign.write.mode("append")
+        .format("parquet")
+        .partitionBy("cell")
+        .bucketBy(_IVF_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable(f"{prefix}_assign")
+    )
+    downgrade_to_shared(index_dir)
+
+
+def _ivf_store_read(spark: SparkSession, prefix: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) from the catalog store — partition column
+    reprojected back into the probe's expected order; a catalog table
+    keeps its schema when empty, so no explicit-schema workaround."""
+    stored_cent = spark.table(f"{prefix}_cent").select("cent_id", "cv", "cnrm")
+    stored_assign = spark.table(f"{prefix}_assign").select(
+        "vec_id", "v", "nrm", "cell"
+    )
+    return stored_cent, stored_assign
+
+
+def _ivf_probe_stored(
+    spark: SparkSession, sf_dir: str, stored_cent: DataFrame, stored_assign: DataFrame
+) -> DataFrame:
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
     probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
     probes = (
         n.filter(F.col("vec_id") < N_QUERIES)
@@ -2071,6 +2160,85 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
         )
+    )
+
+
+def _ivf_arrivals() -> "F.Column":
+    """Every 4th vector plays the arriving ingest batch for the append
+    path (built lazily — Column construction needs an active session)."""
+    return (F.col("vec_id") % 4) == 3
+
+
+@register("ann_ivf_append", oracle=_IVF_TOPK_SQL,
+          tags=("similarity", "ivf", "stored-index", "incremental"))
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF store maintenance — the vector-side production ingest
+    (mirroring ``append_to_band_index``, precedent: the reference's keyed
+    upsert S4, /root/reference/processor/streaming_processor.py:197-274):
+    build the store WITHOUT every 4th vector, then fold those arrivals in
+    by assigning them against the STORED centroids (no corpus re-scan)
+    and appending to their cell partitions. The probe then runs against
+    the appended store and shares ``ann_ivf_topk``'s oracle — a green
+    driver row proves append-then-probe ≡ from-scratch build, because
+    cell assignment depends only on the (stable) centroid table.
+
+    Scale shape: per ingest batch the work is |batch| × ncentroids
+    broadcast scoring + an append of |batch| rows into existing cell
+    partitions; the bucketed-by-vec_id layout keeps id-keyed maintenance
+    joins exchange-free on the stored side."""
+    prefix = _ivf_store_build(spark, sf_dir, corpus_filter=~_ivf_arrivals())
+    _ivf_store_append(spark, sf_dir, prefix, _ivf_arrivals())
+    stored_cent, stored_assign = _ivf_store_read(spark, prefix)
+    return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
+
+
+_CELL_BALANCE_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+),
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+    SELECT n.vec_id,
+           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                              - c.cent_id * 1e-12) AS cell
+    FROM n, cent c
+    GROUP BY n.vec_id
+)
+SELECT cell, count(*) AS n_vecs,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 4) AS pct_of_corpus,
+       round(count(*)::DOUBLE * {N_CENTROIDS} / sum(count(*)) OVER (), 4)
+           AS balance_ratio
+FROM assign GROUP BY cell
+"""
+
+
+@register("ivf_cell_balance_audit", oracle=_CELL_BALANCE_SQL,
+          tags=("similarity", "ivf", "stored-index", "governance"))
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy audit over the STORED IVF assignments — the signal
+    that triggers re-clustering: per cell, its row count, share of the
+    corpus, and balance ratio vs the ideal corpus/ncentroids occupancy
+    (ratio ≫ 1 = a hot cell every probe pays to scan, ratio ≪ 1 = wasted
+    codebook capacity). The Spark side reads the persisted store, the
+    oracle re-derives assignments from scratch — so a green row ALSO
+    re-validates the stored artifact's contents, not just this agg.
+
+    Scale shape: one partial+final count per cell (ncells rows out of the
+    agg) + a grand-total window over ncells rows — nothing scales with
+    corpus size except the store scan, which reads only (vec_id, cell)."""
+    prefix = _ivf_store_build(spark, sf_dir)
+    _, stored_assign = _ivf_store_read(spark, prefix)
+    per_cell = stored_assign.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    return per_cell.select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs") / total, 4).alias("pct_of_corpus"),
+        F.round(F.col("n_vecs") * N_CENTROIDS / total, 4).alias("balance_ratio"),
     )
 
 

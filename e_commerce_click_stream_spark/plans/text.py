@@ -810,7 +810,7 @@ scored AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       round(avg(nll), 6) AS mean_nll,
+       round(avg(nll), 4) AS mean_nll,
        round(exp(avg(nll)), 4) AS unigram_ppl,
        round(max(nll), 6) AS max_token_nll
 FROM scored
@@ -840,7 +840,10 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg("nll"), 6).alias("mean_nll"),
+        # 4 decimals, not 6: round(avg(<double>), >4) flips its last
+        # decimal between engines once groups grow (summation order) —
+        # same fix as the bigram twin (ADVICE r6 / VERDICT r7 #4)
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
         F.round(F.exp(F.avg("nll")), 4).alias("unigram_ppl"),
         F.round(F.max("nll"), 6).alias("max_token_nll"),
     )

@@ -32,33 +32,43 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 
-def canon(pdf):
+def canon(pdf, date_cols=frozenset()):
     """Driver-faithful canonical form: columns sorted by name, rows sorted by
     every column (raises on unhashable cells, as the driver does), each cell
-    stringified. Returns a list of row tuples of strings."""
+    stringified. Returns a list of row tuples of strings.
+
+    ``date_cols`` names the columns that are DATE-typed in the EMITTING
+    engine (DuckDB description dtype resp. Spark schema DateType). Only
+    those collapse midnight timestamps to a bare ISO date: DuckDB DATE
+    fetched via rel.df() lands as datetime64 while Spark's DateType stays
+    datetime.date — yet DATE-emitting queries (daily_active_users,
+    user_retention_cohorts) hash-matched at the r4 driver gate, so the
+    driver normalizes that pair. Collapsing EVERY midnight timestamp would
+    go further and hide a genuine DATE-vs-TIMESTAMP column-type divergence
+    between engines, which the r4 evidence does not cover — a TIMESTAMP
+    column keeps its midnight values distinct ('...T00:00:00') so such
+    drift still fails here."""
     import pandas as pd
 
     pdf = pdf[sorted(pdf.columns)]
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    cols = list(pdf.columns)
 
-    def cell(v):
+    def cell(v, is_date):
         if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
             return "<NULL>"
         if isinstance(v, pd.Timestamp):
-            # Date-vs-datetime dtype drift is NOT a gate failure: DuckDB DATE
-            # fetched via rel.df() lands as datetime64 while Spark's DateType
-            # stays datetime.date — yet DATE-emitting queries
-            # (daily_active_users, user_retention_cohorts) hash-matched at
-            # the r4 driver gate, so the driver normalizes the two. Mirror
-            # that by collapsing midnight timestamps to their ISO date.
             v = v.tz_localize(None) if v.tzinfo else v
-            if v == v.normalize():
+            if is_date and v == v.normalize():
                 return v.date().isoformat()
             return v.isoformat()
         return str(v)
 
-    return [tuple(cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    return [
+        tuple(cell(v, c in date_cols) for c, v in zip(cols, row))
+        for row in pdf.itertuples(index=False)
+    ]
 
 
 def main() -> int:
@@ -100,7 +110,12 @@ def main() -> int:
             s_pdf = pd.DataFrame(
                 [tuple(r) for r in sdf.collect()], columns=list(sdf.columns)
             )
-            s_norm = canon(s_pdf)
+            from pyspark.sql.types import DateType
+
+            s_dates = frozenset(
+                f.name for f in sdf.schema.fields if isinstance(f.dataType, DateType)
+            )
+            s_norm = canon(s_pdf, s_dates)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: spark raised {type(exc).__name__}: {exc}")
@@ -111,9 +126,12 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = sorted(rel.columns)
+            d_dates = frozenset(
+                c for c, t in zip(rel.columns, rel.types) if str(t) == "DATE"
+            )
             # .df(), NOT .fetchall(): HUGEINT/DECIMAL materialize as float64
             # here exactly as in the driver's pandas fetch
-            d_norm = canon(rel.df())
+            d_norm = canon(rel.df(), d_dates)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"[FAIL] {name}: oracle raised {type(exc).__name__}: {exc}")

@@ -815,14 +815,41 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
     },
-    # stored-index probe: the store side streams from parquet through an
-    # equi-join (SMJ/SHJ on (band, bucket) is the at-scale shape — both
-    # sides can be huge); best-match window + final left join; the build
-    # job ran before this plan, so only the probe is audited here
+    # stored-index probe: the store side streams from the BUCKETED
+    # catalog tables (bands bucketed on the single-column join key, so at
+    # scale the stored side never exchanges — pinned with broadcast
+    # disabled in tests/test_bucketing.py; here the small batch broadcast
+    # path is fine); best-match window + final left join; the build job
+    # ran before this plan, so only the probe is audited here
     "dedup_incremental_stored": {
-        "contains": ["Window", "Scan parquet"],
+        "contains": ["Window", "Scan parquet spark_catalog.default.bidx_"],
         "not_contains": ["CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
+    },
+    # warm-store probe (the per-ingest-batch marginal cost): same probe
+    # contract as dedup_incremental_stored, but NOTHING in the plan may
+    # re-derive the corpus — only the batch filter + the catalog store
+    "dedup_stored_probe_only": {
+        "contains": ["Window", "Scan parquet spark_catalog.default.bidx_"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 8,
+    },
+    # append-then-probe: identical probe contract to ann_ivf_stored —
+    # dynamic partition pruning against the (appended) cell partitions
+    "ann_ivf_append": {
+        "contains": ["dynamicpruning", "BroadcastHashJoin", "WindowGroupLimit",
+                     "Scan parquet spark_catalog.default.ivf_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
+    # cell-balance audit: one partial+final count over the store's
+    # (vec_id, cell) columns + a grand-total window over ncells rows;
+    # ReadSchema must NOT drag the vector column through the agg
+    "ivf_cell_balance_audit": {
+        "contains": ["HashAggregate", "Window",
+                     "Scan parquet spark_catalog.default.ivf_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 2,
     },
     # sketch set-ops: the |types|-row sketch and count relations are
     # materialized once (localCheckpoint) and every pair-stage join

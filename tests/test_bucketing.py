@@ -60,6 +60,93 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     assert bucketed_n == plain_n
 
 
+@pytest.fixture(scope="module")
+def band_store(spark, tmp_path_factory):
+    """Bucketed band-index store over the smoke corpus (the registered
+    dedup_incremental_stored layout, but at a test-owned location)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        band_table_names,
+        build_band_index_tables,
+        sign_docs,
+    )
+    from e_commerce_click_stream_spark.operators.textops import shingles, tokens
+    from e_commerce_click_stream_spark.plans.dedup import (
+        NEW_SRC_MIN,
+        NUM_BANDS,
+        NUM_HASHES,
+    )
+
+    is_new = F.coalesce(
+        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+    )
+    sh = (
+        table(spark, SF_SMOKE, "documents")
+        .select("doc_id", is_new.alias("is_new"), tokens().alias("toks"))
+        .select("doc_id", "is_new", shingles("toks", 3).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    prefix = "t_bandstore"
+    build_band_index_tables(
+        sh.filter(~F.col("is_new")).select("doc_id", "s"),
+        prefix, NUM_HASHES, NUM_BANDS,
+        location=str(tmp_path_factory.mktemp("band_store")),
+    )
+    batch_bands, _ = sign_docs(
+        sh.filter("is_new").select("doc_id", "s"), NUM_HASHES, NUM_BANDS
+    )
+    yield prefix, batch_bands.localCheckpoint(eager=True)
+    for t in band_table_names(prefix):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_band_store_probe_has_no_exchange_on_stored_side(spark, band_store):
+    """VERDICT r7 #2: the stored side of the probe's candidate equi-join
+    must come straight out of its bucket layout — the ONLY shuffle in the
+    join is the |batch|-sized probe side, even when broadcast is off."""
+    from pyspark.sql import functions as F
+
+    prefix, batch_bands = band_store
+    stored = spark.table(f"{prefix}_bands").select("doc_id", "band", "bucket")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = batch_bands.alias("p")
+        m = stored.alias("m")
+        cand = p.join(
+            m,
+            (F.col("p.bucket") == F.col("m.bucket"))
+            & (F.col("m.doc_id") != F.col("p.doc_id")),
+        )
+        plan = formatted_plan(cand)
+        assert count_shuffles(plan) == 1, plan.split("\n\n")[0]
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_band_store_shingle_scan_is_bucketed_on_doc_id(spark, band_store):
+    """The shingle-verification side: joining candidates by doc_id against
+    the bucketed shingle table leaves the stored scan exchange-free too."""
+    prefix, batch_bands = band_store
+    sh = spark.table(f"{prefix}_shingles")
+    # NOT .distinct(): a pre-shuffled probe side (e.g. 32 partitions from
+    # a distinct) out-partitions the 8-bucket store and Spark re-shuffles
+    # the STORE to match — the production probe feeds candidate ids
+    # straight in, so the store's bucket layout carries the join
+    ids = batch_bands.select("doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(sh.join(ids, "doc_id"))
+        assert count_shuffles(plan) == 1, plan.split("\n\n")[0]  # ids side only
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_join_scan_engages_bucketing(spark, bucketed_tables):
     # a bare scan reports "Bucketed: false (disabled by query planner)" —
     # bucketing only engages when an operator requires the distribution,

@@ -132,6 +132,79 @@ def test_append_then_probe_sees_new_index_docs(spark, shingled, tmp_path):
     assert wrong.count() == 0
 
 
+def test_table_store_probe_matches_parquet_store(spark, shingled, tmp_path):
+    """The bucketed catalog-table layout and the plain-parquet fallback
+    are the same index: identical probe verdicts."""
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        band_table_names,
+        build_band_index_tables,
+        probe_band_index_tables,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    idx_docs = shingled.filter(~F.col("is_new")).select("doc_id", "s")
+    build_band_index(idx_docs, index_dir, NUM_HASHES, NUM_BANDS)
+    prefix = "t_parity_store"
+    build_band_index_tables(
+        idx_docs, prefix, NUM_HASHES, NUM_BANDS, location=str(tmp_path / "tidx")
+    )
+    try:
+        batch = shingled.filter("is_new").select("doc_id", "s").localCheckpoint(eager=True)
+        via_parquet = probe_band_index(
+            spark, batch, batch.select("doc_id"), index_dir,
+            NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+        )
+        via_tables = probe_band_index_tables(
+            spark, batch, batch.select("doc_id"), prefix,
+            NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+        )
+        assert via_tables.columns == via_parquet.columns
+        assert _rows(via_tables) == _rows(via_parquet)
+    finally:
+        for t in band_table_names(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_table_store_append_matches_scratch_build(spark, shingled, tmp_path):
+    """append_to_band_index_tables folds a batch into the bucketed store;
+    probing it must equal probing a from-scratch build over the union."""
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        append_to_band_index_tables,
+        band_table_names,
+        build_band_index_tables,
+        probe_band_index_tables,
+    )
+
+    idx_docs = shingled.filter(~F.col("is_new")).select("doc_id", "s")
+    batch = shingled.filter("is_new").select("doc_id", "s").localCheckpoint(eager=True)
+    med = batch.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    first_half = batch.filter(F.col("doc_id") <= med)
+    second_half = batch.filter(F.col("doc_id") > med).localCheckpoint(eager=True)
+
+    appended, scratch = "t_app_store", "t_scr_store"
+    build_band_index_tables(
+        idx_docs, appended, NUM_HASHES, NUM_BANDS, location=str(tmp_path / "app")
+    )
+    append_to_band_index_tables(first_half, appended, NUM_HASHES, NUM_BANDS)
+    build_band_index_tables(
+        idx_docs.unionByName(first_half), scratch, NUM_HASHES, NUM_BANDS,
+        location=str(tmp_path / "scr"),
+    )
+    try:
+        probes = [
+            probe_band_index_tables(
+                spark, second_half, second_half.select("doc_id"), p,
+                NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+            )
+            for p in (appended, scratch)
+        ]
+        assert _rows(probes[0]) == _rows(probes[1])
+    finally:
+        for p in (appended, scratch):
+            for t in band_table_names(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_replayed_batch_never_self_matches(spark, shingled, tmp_path):
     """At-least-once replay safety: probing a batch already folded into the
     store must not report a doc as dup_of_index OF ITSELF at jaccard 1.0 —

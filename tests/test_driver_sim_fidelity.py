@@ -50,3 +50,20 @@ def test_array_cell_raises_like_the_driver_hasher():
     pdf = pd.DataFrame({"doc_id": [1, 2], "tf": [[1, 0], [0, 2]]})
     with pytest.raises(TypeError, match="unhashable"):
         canon(pdf)
+
+
+def test_midnight_collapse_is_restricted_to_date_columns():
+    """The r4 gate evidence covers DATE-vs-DATE normalization only; a
+    midnight value in a genuine TIMESTAMP column must keep its time part
+    so DATE-vs-TIMESTAMP column-type drift between engines still fails."""
+    import datetime as dt
+
+    ts = pd.Timestamp("2024-03-01 00:00:00")
+    pdf = pd.DataFrame({"d": [ts], "t": [ts]})
+    assert canon(pdf, date_cols=frozenset({"d"})) == [
+        ("2024-03-01", "2024-03-01T00:00:00")
+    ]
+    # Spark's DateType arrives as datetime.date (object dtype) and matches
+    # the collapsed DuckDB DATE without needing the date_cols mark
+    spark_side = pd.DataFrame({"d": [dt.date(2024, 3, 1)]})
+    assert canon(spark_side) == [("2024-03-01",)]

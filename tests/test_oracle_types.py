@@ -55,6 +55,45 @@ def test_spark_output_schema_is_hashable(spark, name):
     )
 
 
+# round(avg(<double>), k) with k > 4 is summation-order-dependent: the
+# last decimal flips between engines once groups grow (observed at sf0.1
+# in dedup_cross_source_contamination / hourly_gapfill_locf /
+# parts_above_avg_price; doc_bigram_nll fixed by ADVICE r6, doc_unigram_nll
+# by VERDICT r7 #4). Allowlist: averages of SMALL-magnitude values where
+# 6 decimals is provably slack — |x| ≤ ~1 and n ≤ ~1e6 bounds the
+# engine-order summation drift at ~n·eps·|x| ≈ 1e-10, four orders under
+# the 5e-7 rounding tolerance. Anything new trips the audit.
+_ROUND_AVG_ALLOWED = {
+    "q1_pricing_summary",        # avg(l_discount), values in [0, 0.1]
+    "embedding_kmeans_iter",     # avg(v[d]), unit-norm components
+    "embedding_cluster_quality", # avg(v[d]), unit-norm components
+    "embedding_dim_stats",       # avg(x), unit-norm components
+}
+
+_ROUND_AVG = __import__("re").compile(
+    r"round\(\s*avg\((?:[^()]|\([^()]*\))*\)\s*,\s*(\d+)\s*\)",
+    __import__("re").IGNORECASE,
+)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in SPECS.items() if s.oracle is not None)
+)
+def test_no_high_precision_round_of_avg(name):
+    if name in _ROUND_AVG_ALLOWED:
+        pytest.skip("documented small-magnitude exception")
+    bad = [
+        m.group(0)
+        for m in _ROUND_AVG.finditer(SPECS[name].oracle)
+        if int(m.group(1)) > 4
+    ]
+    assert not bad, (
+        f"{name}: {bad} — round(avg(<double>), >4) flips its last decimal "
+        "between engines on big groups; round to <=4, integer-scale the "
+        "mean (exact sum + one division), or justify an allowlist entry"
+    )
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n, s in SPECS.items() if s.oracle is not None)
 )
