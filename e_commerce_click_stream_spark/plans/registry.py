@@ -54,98 +54,90 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r7 rotation (VERDICT r5 #1/#3). Round 6 was cut short before the
-    # driver gate ran, so CORRECTNESS_r05 is still the latest proof and the
-    # r5 verdict's rotation plan lands here instead. Slots 1-2 = the two r5
-    # red rows, both driver-hasher representation failures fixed in the r6
-    # snapshot (::BIGINT sums in _savings_sql; tf serialized to a string).
-    # Slots 3-9 = queries whose code or oracle changed in that snapshot
-    # (substring-to-end batch flag; '||' not concat() hash prefixes;
-    # 4/2-decimal bigram rounding; pagerank/triangle crossover plumbing) —
-    # their r5 proof no longer covers the code. Slots 10-40 = the 31
-    # deferred queries whose only green rows predate the post-r2 fixture
-    # regeneration (all driver_sim-green on current fixtures, per the r5
-    # verdict's own spot-check; 29 of the 31 retained — dedup_simhash_groups
-    # and dedup_exact_stats defer one round, each with its mechanism twin
-    # windowed and sim-green on current fixtures). The tail is this
-    # round's 12 new operators — they fill the window exactly.
-    # fixed r5 reds — must re-earn green
-    "dedup_savings_report",
-    "doc_hashed_tf_vectors",
-    # changed in the r6 snapshot — proof no longer covers the code
+    # r8 rotation (VERDICT r7 #1). Slots 1-3 = the last stale-proof debt:
+    # dedup_exact_stats / dedup_simhash_groups sat at window positions
+    # 51-52 in r7 (the driver stopped at 50) and lineitem_math_functions
+    # changed late in r7 (negative-domain guards, a no-op on the driver
+    # fixtures) — all three driver_sim-green on current fixtures. Slots
+    # 4-12 = queries whose code or oracle changed this round: the
+    # band-seeded LSH bucket (single-column candidate joins, shared by
+    # every query composing _minhash_sql), the pmod zorder buckets, and
+    # the 4-decimal unigram rounding. Slots 13-19 = this round's new /
+    # restructured operators: the bucketed catalog-table stores, the IVF
+    # append + cell-balance audit, the warm-store probe bench twin, and
+    # the PII scrub pair. Slots 20-50 = refresh rotation: the oldest
+    # fixture-current proofs (round 3) re-earn current rows; the 8
+    # remaining r3-proof queries overflow to _VERIFY_NEXT.
+    # last stale-proof debt — deferred from the r7 window
+    "dedup_exact_stats",
+    "dedup_simhash_groups",
+    "lineitem_math_functions",
+    # changed this round — proof no longer covers the code
+    "dedup_minhash_lsh",
+    "corpus_clean_pipeline",
+    "dedup_connected_components",
+    "dedup_lsh_vs_exact_eval",
+    "dedup_cross_source_contamination",
+    "train_eval_split_leakage",
     "dedup_incremental_minhash",
-    "training_shard_manifest",
-    "quality_weighted_sample",
-    "weighted_reservoir_sample",
-    "doc_bigram_nll",
-    "pagerank_bipartite",
-    "graph_triangle_count",
-    # stale proof: green only on pre-regeneration (r1/r2) fixtures
-    "events_enriched",
-    "recent_events_window",
-    "events_asof_orders",
-    "purchase_attribution_window",
-    "skew_salted_event_counts",
-    "customer_order_gaps",
-    "customer_order_stats",
-    "customer_revenue_quartiles",
-    "customers_without_orders",
-    "orders_with_returns",
-    "orders_monthly_trend",
-    "orders_status_pivot",
-    "order_date_functions",
-    "order_price_dispersion",
-    "order_value_percentiles",
-    "running_customer_revenue",
-    "top_orders_per_customer",
-    "q6_forecast_revenue",
-    "q12_priority_shipping",
-    "q18_large_volume_customers",
-    "lineitem_cube",
-    "lineitem_grouping_sets",
-    "part_type_rollup",
-    "part_string_functions",
-    "parts_above_avg_price",
-    "nation_set_ops",
-    "dedup_exact",
-    # (dedup_exact_stats deferred one round like dedup_simhash_groups:
-    # twin dedup_exact holds a slot — displaced by the coreset sampler)
-    "dedup_simhash",
-    # (dedup_simhash_groups deferred one round: its mechanism twin
-    # dedup_simhash holds a slot and both are driver_sim-green on
-    # current fixtures — displaced by corpus_quality_drift)
-    "embedding_norms",
-    # new this round — never driver-verified
-    "dedup_incremental_stored",
-    "kmv_audience_overlap",
-    "embedding_jl_projection",
     "events_zorder_stats",
-    "ann_hard_negatives",
-    "events_countmin_heavy_hitters",
-    "lineitem_price_quantile_sketch",
-    "streaming_kmv_distinct",
+    "doc_unigram_nll",
+    # new / restructured this round — never driver-verified in this form
+    "dedup_incremental_stored",
+    "dedup_stored_probe_only",
     "ann_ivf_stored",
-    "streaming_user_ewma",
-    "corpus_quality_drift",
-    "embedding_coreset_kcenter",
+    "ann_ivf_append",
+    "ivf_cell_balance_audit",
+    "pii_detection_report",
+    "pii_redacted_docs",
+    # refresh rotation: oldest (r3) fixture-current proofs re-earn rows
+    "ann_cosine_topk",
+    "ann_ivf_cells",
+    "ann_ivf_topk",
+    "corpus_source_stats",
+    "dedup_levenshtein_sample",
+    "deterministic_sample",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_token_counts",
+    "embedding_cosine_pairs",
+    "events_json_deadletter",
+    "multimodal_decode_meta",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "stratified_sample",
+    "streaming_dashboard_metrics",
+    "streaming_stateful_sessions",
+    "token_array_functions",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_count_distribution",
 )
 
 
 # Overflow preference: emitted immediately AFTER the verify window. The
 # driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these deferred-stale queries are the first to benefit; if not, they
-# cost nothing (both hold ever-green rows and have mechanism twins
-# inside the window).
+# these r3-proof refreshes benefit first; if not, they cost nothing
+# (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    "dedup_exact_stats",
-    "dedup_simhash_groups",
-    # changed late in r7 (negative-domain guards on sqrt/ln, found by the
-    # new lineitem edge matrix). Outside the full window because the
-    # change is a no-op on the driver fixtures (no negative prices exist
-    # there, verified), so the evergreen row still proves fixture
-    # behavior; the guarded path is pinned by the edge matrix, and the
-    # new code is sim-green at sf0.01 AND sf0.1
-    "lineitem_math_functions",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 )
 
 

@@ -1575,3 +1575,144 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clock",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex detection report + redacting rewrite — the standard
+# pre-training privacy stage (the pattern family the C4 / Dolma / RedPajama
+# cleanup recipes apply before anything else touches the text). Unlike the
+# early ``doc_pii_scrub`` demo above (which SEEDS synthetic markers and
+# emits only fingerprints), these run on the corpus as-is: the report is
+# the per-source intake-review artifact, the rewrite emits the full
+# redacted text (hash-gated byte-for-byte), and IPv4 detection + staged
+# ordering prevent octets double-counting as phone digits.
+
+# One dialect-safe pattern set (Java regex on the Spark side, RE2 in
+# DuckDB): character classes, bounded repeats, non-capturing groups and \b
+# only — no backreferences or lookaround (RE2 has neither), identical
+# leftmost-first alternation semantics in both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = (
+    r"(?:(?:\+?\d{1,2}[-. ])?(?:\(\d{3}\)[-. ]?|\d{3}[-. ]))?\d{3}[-. ]\d{4}"
+)
+
+# Staged scrubbing order is part of the contract: emails first, then IPs,
+# then phones — phone counting/redaction runs on IP-redacted text so the
+# dotted digit runs inside an IP can never double-count as a phone.
+_PII_CTE = f"""
+staged AS (
+    SELECT doc_id, source, text,
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM documents
+),
+staged2 AS (
+    SELECT doc_id, source, text, t1,
+           regexp_replace(t1, '{PII_IP_RE}', '<IP>', 'g') AS t2
+    FROM staged
+),
+scrubbed AS (
+    SELECT doc_id, source,
+           coalesce(len(regexp_extract_all(text, '{PII_EMAIL_RE}', 0)), 0)
+               AS n_email,
+           coalesce(len(regexp_extract_all(t1, '{PII_IP_RE}', 0)), 0) AS n_ip,
+           coalesce(len(regexp_extract_all(t2, '{PII_PHONE_RE}', 0)), 0)
+               AS n_phone,
+           regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM staged2
+)"""
+
+_PII_REPORT_SQL = f"""
+WITH {_PII_CTE}
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END)::BIGINT AS email_docs,
+       sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END)::BIGINT AS ip_docs,
+       sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END)::BIGINT AS phone_docs,
+       sum(n_email)::BIGINT AS email_hits,
+       sum(n_ip)::BIGINT AS ip_hits,
+       sum(n_phone)::BIGINT AS phone_hits,
+       round(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS pii_doc_rate
+FROM scrubbed
+GROUP BY source
+"""
+
+
+def _pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_email, n_ip, n_phone, clean_text) — the Spark
+    twin of the staged CTE above: three chained regexp_replace
+    projections, zero shuffles, counts taken at the same stage as the
+    oracle so IP octets never count as phones."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
+    staged = docs.withColumn("t1", t1).withColumn(
+        "t2", F.regexp_replace(F.col("t1"), PII_IP_RE, "<IP>")
+    )
+
+    def n_hits(col: str, pat: str) -> F.Column:
+        return F.coalesce(
+            F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))),
+            F.lit(0),
+        ).cast("long")
+
+    return staged.select(
+        "doc_id",
+        "source",
+        n_hits("text", PII_EMAIL_RE).alias("n_email"),
+        n_hits("t1", PII_IP_RE).alias("n_ip"),
+        n_hits("t2", PII_PHONE_RE).alias("n_phone"),
+        F.regexp_replace(F.col("t2"), PII_PHONE_RE, "<PHONE>").alias("clean_text"),
+    )
+
+
+@register("pii_detection_report", oracle=_PII_REPORT_SQL,
+          tags=("text", "pii", "governance", "quality"))
+def pii_detection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure report: how many documents (and total
+    hits) contain email / IPv4 / phone patterns, plus the per-source PII
+    document rate — the go/no-go signal a corpus intake review reads
+    before licensing a source for training. Detection runs on the staged
+    text (emails, then IPs, then phones) so the counts are exactly the
+    redactions ``pii_redacted_docs`` would apply.
+
+    Scale shape: pure per-row regex projections (JVM codegen, no UDF) into
+    ONE partial+final agg keyed by source — shuffle rows = sources, not
+    documents; NULL text contributes zero hits on both engines."""
+    sc = _pii_scrubbed(spark, sf_dir)
+    pii_doc = (F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0).cast("int")
+    return sc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("int")).alias("email_docs"),
+        F.sum((F.col("n_ip") > 0).cast("int")).alias("ip_docs"),
+        F.sum((F.col("n_phone") > 0).cast("int")).alias("phone_docs"),
+        F.sum("n_email").alias("email_hits"),
+        F.sum("n_ip").alias("ip_hits"),
+        F.sum("n_phone").alias("phone_hits"),
+        F.round(F.sum(pii_doc) * 1.0 / F.count("*"), 4).alias("pii_doc_rate"),
+    )
+
+
+_PII_REDACT_SQL = f"""
+WITH {_PII_CTE}
+SELECT doc_id, n_email, n_ip, n_phone, clean_text
+FROM scrubbed
+"""
+
+
+@register("pii_redacted_docs", oracle=_PII_REDACT_SQL,
+          tags=("text", "pii", "rewrite"))
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacting rewrite (same rewrite shape as ``doc_passage_dedup``):
+    every document re-emitted with emails → <EMAIL>, IPv4s → <IP>, then
+    phones → <PHONE> (staged in that order so IP octets can't be eaten as
+    phone digits), alongside the per-stage hit counts. Clean documents
+    pass through byte-identical — the gate hashes the full rewritten
+    text, so unicode/whitespace preservation is value-verified, and NULL
+    text stays NULL on both engines.
+
+    Scale shape: three chained regexp_replace projections — zero
+    shuffles, no UDF, trivially partition-parallel at any corpus size."""
+    return _pii_scrubbed(spark, sf_dir).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
+    )

@@ -51,6 +51,13 @@ EDGE_TEXTS = [
     (10, "the quick brown fox jumps over the lazy dog", "en", "src19"),
     (11, "alpha beta gamma delta epsilon zeta eta theta", "de", "src3"),
     (12, "contact me at bob@example.com or 555-1234 now", "en", "src4"),
+    # PII scrub adversaries (r8): multiple emails per doc, email against
+    # unicode, IPv4 vs dotted-phone disambiguation, phone format zoo,
+    # pattern at string start/end
+    (13, "a@b.co c@d.org café@bistro.fr end@eol.io", "en", "src5"),
+    (14, "server 192.168.1.10 and 10.0.0.1 dial 555.123.4567", "en", "src5"),
+    (15, "+1 (555) 123-4567 or 555-123-4567 or 555 123 4567", "en", "src6"),
+    (16, "192.168.1.10 starts and ends with ip 8.8.8.8", "en", "src6"),
 ]
 
 
