@@ -82,8 +82,13 @@ def streaming_dashboard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sessions that close (end + 30 min gap) before the final watermark
 # (max ts - 10 min delay) — exactly the set append mode emits.
+#
+# Epoch floor: Spark initializes the event-time watermark at epoch 0, so a
+# pre-epoch event (ts < 1970-01-01) is "late" even in the very first
+# micro-batch and append-mode stateful operators drop it unconditionally.
+# The oracle must sessionize only the events the stream actually sees.
 _STREAM_SESSIONS_SQL = f"""
-WITH sessionized AS ({sessionize_sql()}),
+WITH sessionized AS ({sessionize_sql(source="(SELECT * FROM events WHERE ts >= TIMESTAMP '1970-01-01')")}),
 sess AS (
     SELECT user_id,
            min(ts) AS session_start,
@@ -195,9 +200,14 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# every event exactly once — the union doubles each, the dedup restores
+# every event exactly once — the union doubles each, the dedup restores.
+# Epoch floor: Spark's event-time watermark starts at epoch 0, so
+# dropDuplicatesWithinWatermark drops pre-epoch rows as late even in the
+# first micro-batch; NULL-ts rows are NOT late (no event time) and pass
+# through the dedup, so the oracle keeps them.
 _STREAM_DEDUP_SQL = """
 SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ts IS NULL OR ts >= TIMESTAMP '1970-01-01'
 """
 
 
