@@ -13,10 +13,13 @@ FAST instead:
   ``<store_root>.lock`` (non-blocking — raises with a clear message if any
   other process holds the store);
 - after the build completes, ``downgrade_to_shared(store_root)``
-  atomically converts it to a shared lock, which this process keeps for
-  its lifetime: lazy probe reads of the store stay protected (a would-be
+  converts it to a shared lock, which this process keeps for its
+  lifetime: lazy probe reads of the store stay protected (a would-be
   writer in another process still fails fast), while a later build in the
-  SAME process re-upgrades its own lock without contention.
+  SAME process re-upgrades its own lock without contention. flock(2)
+  documents lock conversion as NON-atomic (release, then re-acquire), so
+  the conversion itself is non-blocking and fails fast if another writer
+  wins the gap — the overwrite-vs-read race this module exists to stop.
 
 ``flock`` locks die with the process, so a crashed run never leaves a
 stale lock behind (the lock file itself is inert once unlocked).
@@ -53,13 +56,27 @@ def acquire_build_lock(store_root: str) -> None:
             f"(concurrent build/probe on the same fixture); re-run after it "
             f"finishes or point the runs at different stores"
         ) from exc
-    os.pwrite(fd, str(os.getpid()).encode(), 0)
+    os.ftruncate(fd, 0)  # a shorter pid over a longer stale one must not
+    os.pwrite(fd, str(os.getpid()).encode(), 0)  # read back concatenated
 
 
 def downgrade_to_shared(store_root: str) -> None:
     """Convert this process's exclusive build lock to a shared read lock
-    (kept until process exit) so lazy probe reads stay protected."""
-    fcntl.flock(_fd(store_root), fcntl.LOCK_SH)
+    (kept until process exit) so lazy probe reads stay protected.
+
+    flock conversion is non-atomic: the kernel releases the exclusive
+    lock before granting the shared one, so another writer can take EX in
+    the gap. Non-blocking + fail fast, matching acquire_*: a blocking
+    LOCK_SH here would wait out the interloping build and then lazily
+    read a store that was overwritten after this process built it."""
+    try:
+        fcntl.flock(_fd(store_root), fcntl.LOCK_SH | fcntl.LOCK_NB)
+    except BlockingIOError as exc:
+        raise RuntimeError(
+            f"index store {store_root!r} was grabbed by another writer "
+            f"while downgrading the build lock; the store contents no "
+            f"longer match this process's build — re-run"
+        ) from exc
 
 
 def acquire_read_lock(store_root: str) -> None:

@@ -69,3 +69,21 @@ def test_same_process_can_rebuild_and_crashed_holder_releases(tmp_path):
     assert r.returncode == 1
     acquire_build_lock(root)
     downgrade_to_shared(root)
+
+
+def test_pid_stamp_truncates_stale_longer_pid(tmp_path):
+    # '99' written over a stale '12345' must read back '99', not '99345'
+    # (ADVICE r8: pwrite at offset 0 without truncate corrupts the stamp)
+    import os
+
+    from e_commerce_click_stream_spark.operators import storelock
+
+    root = str(tmp_path / "store")
+    lock_path = root + ".lock"
+    acquire_build_lock(root)
+    fd = storelock._HELD[lock_path]
+    os.ftruncate(fd, 0)
+    os.pwrite(fd, b"1234567890", 0)  # fake a stale longer stamp
+    acquire_build_lock(root)  # same-process re-acquire rewrites the stamp
+    with open(lock_path) as fh:
+        assert fh.read() == str(os.getpid())
