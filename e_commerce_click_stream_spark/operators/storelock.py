@@ -35,6 +35,16 @@ import os
 _HELD: dict[str, int] = {}
 
 
+def store_namespace() -> str:
+    """Suffix appended to every persisted-store path and catalog-table
+    prefix. Default empty (shared per-fixture stores). A PASSIVE consumer
+    that must never contend with a concurrent gate's stores — plan_audit's
+    EXPLAIN triggers real builds — sets ``SPARK_GRAFT_STORE_NS`` to get a
+    private namespace instead of fail-fasting on the shared lock."""
+    ns = os.environ.get("SPARK_GRAFT_STORE_NS", "")
+    return f"_{ns}" if ns else ""
+
+
 def _fd(store_root: str) -> int:
     path = store_root.rstrip("/") + ".lock"
     fd = _HELD.get(path)

@@ -1251,7 +1251,10 @@ def _band_store_location(sf_dir: str) -> tuple[str, str]:
     import os
     import tempfile
 
+    from e_commerce_click_stream_spark.operators.storelock import store_namespace
+
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag += store_namespace()
     return os.path.join(tempfile.gettempdir(), f"band_index_{tag}"), f"bidx_{tag}"
 
 
