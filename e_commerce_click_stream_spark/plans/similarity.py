@@ -2166,6 +2166,34 @@ def _ivf_probe_stored(
     )
 
 
+@register("ann_ivf_probe_only", oracle=_IVF_TOPK_SQL, headline=True,
+          tags=("similarity", "ivf", "topk", "stored-index", "bench"))
+def ann_ivf_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARM-STORE half of ``ann_ivf_stored`` (mirroring
+    ``dedup_stored_probe_only``, VERDICT r8 #6): reuse the persisted IVF
+    catalog tables if this session already built them (build only on a
+    cold start) and time just the probe — the marginal per-query cost a
+    100 TB vector store is judged by, benched as its own headline line.
+    Shares the one-pass oracle: the warm path must return bit-identical
+    top-k.
+
+    Scale shape: per query batch, |queries| × ncentroids broadcast
+    scoring picks the probe cells, DPP restricts the store scan to
+    ~nprobe/ncells of its files, and WindowGroupLimit prunes per-query
+    candidates pre-shuffle; the corpus is never re-assigned."""
+    from e_commerce_click_stream_spark.operators.storelock import acquire_read_lock
+
+    index_dir, prefix = _ivf_store_location(sf_dir)
+    if not spark.catalog.tableExists(f"{prefix}_assign"):
+        # cold start (fresh session): pay the build once, outside any
+        # timed steady-state iteration
+        _ivf_store_build(spark, sf_dir)
+    else:
+        acquire_read_lock(index_dir)
+    stored_cent, stored_assign = _ivf_store_read(spark, prefix)
+    return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
+
+
 def _ivf_arrivals() -> "F.Column":
     """Every 4th vector plays the arriving ingest batch for the append
     path (built lazily — Column construction needs an active session)."""

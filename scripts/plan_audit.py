@@ -893,6 +893,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 3,
     },
+    # warm-store probe: identical probe contract to ann_ivf_stored — the
+    # marginal per-query cost must keep the DPP cell pruning and the
+    # pre-shuffle per-query top-k
+    "ann_ivf_probe_only": {
+        "contains": ["dynamicpruning", "BroadcastHashJoin", "WindowGroupLimit", "Scan parquet"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
     # quantile sketch: the production path is the ~bins-row histogram
     # agg + tiny cumulative window; the per-value exact branch (its own
     # agg + window) is self-grading only — all joins broadcast
