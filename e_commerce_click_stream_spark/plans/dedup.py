@@ -1285,7 +1285,9 @@ def _band_store_build(spark, sf_dir, index_dir, prefix):
     )
     downgrade_to_shared(index_dir)
     batch_sh = sh.filter("is_new").select("doc_id", "s")
-    all_batch_ids = table(spark, sf_dir, "documents").filter(is_new).select("doc_id")
+    # id list from the checkpointed shingle relation (row-preserving
+    # projections upstream), not a second documents scan
+    all_batch_ids = sh.filter("is_new").select("doc_id")
     return sh, batch_sh, all_batch_ids
 
 
@@ -1323,7 +1325,9 @@ def dedup_stored_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles("toks", 3).alias("s"))
         .localCheckpoint(eager=True)
     )
+    # id list from the checkpoint (row-preserving projections upstream),
+    # not a second documents scan per probe batch
     return probe_band_index_tables(
-        spark, batch_sh, batch.select("doc_id"), prefix,
+        spark, batch_sh, batch_sh.select("doc_id"), prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
     )
