@@ -1078,6 +1078,217 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact substring-span dedup (the Lee et al. 2022 "ExactSubstr" class):
+# find maximal runs of tokens whose every SPAN_GRAM-token window repeats
+# verbatim elsewhere in the corpus, then REWRITE documents with those runs
+# removed. doc_winnowing_fingerprints detects shared content; this one
+# locates the exact repeated spans and cleans them. The suffix-array
+# formulation of the paper is replaced by a distributed anchor-coverage
+# one: a repeated span of length m >= K has all of its m-K+1 K-gram
+# anchors duplicated, so the span set equals the interval-merge of the
+# duplicated anchors — no suffix array, no doc×doc pairs. Because every
+# anchor occurrence joins only its OWN hash row (fan-out exactly 1), a
+# boilerplate "hub" span shared by a million documents costs one counter
+# bump per occurrence, never a candidate explosion — the bounded-anchor
+# property holds by construction rather than by a cap.
+
+SPAN_GRAM = 8  # tokens per anchor; a repeated run must be >= this long
+
+# Merged intervals of duplicated K-gram anchor starts. All intervals have
+# the same length K, so anchor starts sorted per doc merge exactly when
+# the gap to the previous start is < K (the sessionize gaps-and-islands
+# shape) — prev_end is monotone, no running max needed.
+_SPAN_ISLANDS_CTE = f"""
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id, s.p AS pos, s.fp AS fp
+    FROM (
+        SELECT doc_id,
+               unnest([{{'p': i,
+                         'fp': md5(array_to_string(t[i:i + {SPAN_GRAM - 1}], ' '))}}
+                       for i in range(1, len(t) - {SPAN_GRAM - 2})]) AS s
+        FROM toks WHERE len(t) >= {SPAN_GRAM})
+),
+dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) > 1),
+dstarts AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (fp)),
+islands AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         < {SPAN_GRAM} THEN 0 ELSE 1 END AS brk
+        FROM dstarts)
+),
+spans AS (
+    SELECT doc_id, island,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + {SPAN_GRAM - 1})::BIGINT AS span_end,
+           count(*)::BIGINT AS n_anchors
+    FROM islands GROUP BY doc_id, island
+)
+"""
+
+_SUBSTRING_SPANS_SQL = f"""
+WITH {_SPAN_ISLANDS_CTE}
+SELECT s.doc_id, s.span_start, s.span_end,
+       (s.span_end - s.span_start + 1)::BIGINT AS span_tokens,
+       s.n_anchors,
+       md5(array_to_string(t[s.span_start:s.span_end], ' ')) AS span_fp
+FROM spans s JOIN toks USING (doc_id)
+"""
+
+_SUBSTRING_REWRITE_SQL = f"""
+WITH {_SPAN_ISLANDS_CTE},
+per_doc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_spans,
+           sum(span_end - span_start + 1)::BIGINT AS dup_tokens,
+           list({{'s': span_start, 'e': span_end}}) AS ivs
+    FROM spans GROUP BY doc_id
+),
+rewritten AS (
+    SELECT tk.doc_id,
+           len(tk.t)::BIGINT AS n_tokens,
+           coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(array_to_string(
+               [tk.t[j] for j in range(1, len(tk.t) + 1)
+                if len(list_filter(coalesce(p.ivs, []),
+                                   iv -> iv.s <= j AND j <= iv.e)) = 0],
+               ' '), '') AS cleaned  -- fully-covered doc: empty, not NULL
+               -- (array_to_string([]) is NULL in DuckDB, '' in concat_ws)
+    FROM toks tk LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, n_tokens, dup_tokens, n_spans,
+       length(cleaned)::BIGINT AS kept_chars,
+       md5(cleaned) AS cleaned_fp
+FROM rewritten
+"""
+
+
+def _dup_anchor_spans(spark: SparkSession, sf_dir: str):
+    """(tokenized docs, merged duplicated-anchor spans) shared by the two
+    substring-dedup queries."""
+    docs = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens().alias("t"))
+    )
+    gram = F.expr(
+        f"transform(sequence(1, size(t) - {SPAN_GRAM - 1}),"
+        f" i -> struct(i AS p, md5(concat_ws(' ', slice(t, i, {SPAN_GRAM}))) AS fp))"
+    )
+    grams = (
+        docs.filter(F.size("t") >= SPAN_GRAM)
+        .select("doc_id", F.explode(gram).alias("g"))
+        .select("doc_id", F.col("g.p").alias("pos"), F.col("g.fp").alias("fp"))
+    )
+    dup = grams.groupBy("fp").agg(F.count("*").alias("cnt")).filter("cnt > 1")
+    dstarts = grams.join(dup.select("fp"), "fp").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) < SPAN_GRAM, 0).otherwise(1)
+    island = F.sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        dstarts.withColumn("brk", brk)
+        .withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + SPAN_GRAM - 1).cast("long").alias("span_end"),
+            F.count("*").alias("n_anchors"),
+        )
+    )
+    return docs, spans
+
+
+@register("dedup_exact_substring_spans", oracle=_SUBSTRING_SPANS_SQL,
+          tags=("text", "dedup", "substring", "spans"))
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locate every maximal corpus-repeated token span (>= SPAN_GRAM
+    tokens): per span its doc, token range, anchor count, and the md5 of
+    the exact repeated text. Overlapping repeats chain into ONE span via
+    the interval merge (two anchors < K apart cannot break the run).
+
+    Scale shape: |tokens| anchor rows, one md5-uniform hash agg for the
+    duplicate test, one fan-out-1 join back, one doc-keyed window + agg —
+    every shuffle is key-local, nothing is quadratic in docs sharing a
+    span (reference has no sub-document operator; this extends
+    doc_winnowing_fingerprints per SURVEY §2 LLM-pipeline scope)."""
+    docs, spans = _dup_anchor_spans(spark, sf_dir)
+    span_text = F.expr(
+        "concat_ws(' ', slice(t, int(span_start), int(span_end - span_start + 1)))"
+    )
+    return spans.join(docs, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_anchors",
+        F.md5(span_text).alias("span_fp"),
+    )
+
+
+@register("doc_exact_substring_rewrite", oracle=_SUBSTRING_REWRITE_SQL,
+          tags=("text", "dedup", "substring", "rewrite"))
+def doc_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-redacted rewrite (same rewrite shape as ``doc_passage_dedup``):
+    drop every token inside a corpus-repeated span and reassemble the
+    survivors in order — the ExactSubstr cleaning step, hash-gated
+    byte-for-byte via the cleaned text's fingerprint. Docs with no
+    repeated span pass through verbatim (modulo whitespace
+    normalization, as everywhere in this family).
+
+    Scale shape: the span list per doc is collected AFTER interval
+    merging (bounded by doc length / K, not by corpus size), and the
+    rewrite is a zero-shuffle array projection per doc against its own
+    merged spans."""
+    docs, spans = _dup_anchor_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+        F.collect_list(F.struct("span_start", "span_end")).alias("ivs"),
+    )
+    covered = (
+        "filter(transform(t, (x, j) -> struct(x AS tok, j + 1 AS p)),"
+        " s -> NOT exists(ivs_c, iv -> iv.span_start <= s.p AND s.p <= iv.span_end))"
+    )
+    cleaned = F.expr(f"concat_ws(' ', transform({covered}, s -> s.tok))")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "ivs_c",
+            F.coalesce(
+                F.col("ivs"),
+                F.expr(
+                    "cast(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            cleaned.alias("cleaned"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            "n_spans",
+            F.length("cleaned").cast("long").alias("kept_chars"),
+            F.md5("cleaned").alias("cleaned_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # feature hashing (hashing-trick TF vectors): fixed-width featurization with
 # NO vocabulary pass — the streaming-friendly alternative to tfidf_top_terms
 

@@ -917,6 +917,25 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 3,
     },
+    # substring-span dedup: anchor-frequency agg (partial+final on
+    # md5-uniform fps), fan-out-1 join back (broadcast at audit SF), one
+    # doc-keyed window; the island agg reuses the window's partitioning
+    # (doc_id subset) — no extra exchange between Window and the span
+    # HashAggregate. The two RoundRobin spreads are local-fixture no-ops
+    # on a pre-split cluster scan.
+    "dedup_exact_substring_spans": {
+        "contains": ["HashAggregate", "Window", "BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 5,
+    },
+    # span-redacted rewrite: same anchor/island pipeline + a per-doc
+    # left join whose probe side is the doc scan — the rewrite itself is
+    # a zero-shuffle array projection
+    "doc_exact_substring_rewrite": {
+        "contains": ["HashAggregate", "Window", "BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 5,
+    },
     # PII report: chained regexp projections + ONE partial+final agg to
     # sources-rows; a future regex "improvement" must not smuggle in a
     # Python UDF (the whole point is JVM-side regexp_* at 100 TB)

@@ -58,6 +58,17 @@ EDGE_TEXTS = [
     (14, "server 192.168.1.10 and 10.0.0.1 dial 555.123.4567", "en", "src5"),
     (15, "+1 (555) 123-4567 or 555-123-4567 or 555 123 4567", "en", "src6"),
     (16, "192.168.1.10 starts and ends with ip 8.8.8.8", "en", "src6"),
+    # substring-span dedup adversaries (r9): a multibyte 8+-token span
+    # repeated across two docs; intra-doc tandem repetition whose
+    # overlapping anchors must chain into ONE maximal span; two distinct
+    # repeated spans in one doc (separate islands, gap >= SPAN_GRAM);
+    # a doc that is one whole repeated span (empty rewrite)
+    (17, "héllo wörld 中文 δοκιμή køb niño żółć tokyo osaka kyoto", "fr", "src7"),
+    (18, "prefix héllo wörld 中文 δοκιμή køb niño żółć tokyo osaka kyoto suffix", "fr", "src7"),
+    (19, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4", "en", "src8"),
+    (20, "s1 s2 s3 s4 s5 s6 s7 s8 gap1 gap2 u1 u2 u3 u4 u5 u6 u7 u8 tail", "en", "src8"),
+    (21, "lead s1 s2 s3 s4 s5 s6 s7 s8 mid1 u1 u2 u3 u4 u5 u6 u7 u8", "en", "src9"),
+    (22, "héllo wörld 中文 δοκιμή køb niño żółć tokyo osaka kyoto", "de", "src9"),
 ]
 
 

@@ -1,0 +1,111 @@
+"""Invariant tests for the round-9 operator: exact substring-span dedup
+(dedup_exact_substring_spans / doc_exact_substring_rewrite).
+
+Oracle parity is covered by the driver gate and the documents edge
+matrix; these pin the SEMANTIC guarantees of the anchor-coverage
+construction on a corpus built to exercise each one: maximal-span
+merging of overlapping anchors, cross-doc span identity, island
+separation at gap >= SPAN_GRAM, and the fully-covered empty rewrite."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pytest
+
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from e_commerce_click_stream_spark.plans.text import SPAN_GRAM
+
+SPECS = all_specs()
+
+_REPEAT = "héllo wörld 中文 δοκιμή køb niño żółć tokyo osaka kyoto"  # 10 toks
+_DOCS = [
+    (17, _REPEAT),
+    (18, f"prefix {_REPEAT} suffix"),
+    # tandem repeat: overlapping duplicated anchors must chain into ONE
+    # maximal span covering all 20 tokens
+    (19, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4"),
+    # two distinct repeated runs, anchor starts 1 and 11 (gap >= K):
+    # separate islands, mid tokens survive the rewrite
+    (20, "s1 s2 s3 s4 s5 s6 s7 s8 gap1 gap2 u1 u2 u3 u4 u5 u6 u7 u8 tail"),
+    (21, "lead s1 s2 s3 s4 s5 s6 s7 s8 mid1 u1 u2 u3 u4 u5 u6 u7 u8"),
+    (22, _REPEAT),
+    # below the anchor length and unique: contributes nothing, passes
+    # through the rewrite verbatim
+    (23, "short unique doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def span_dir(spark):
+    out = tempfile.mkdtemp(prefix="span_corpus_")
+    rows = [(i, t, "en", f"src{i}", len(t)) for i, t in _DOCS]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_spans_are_maximal_and_shared(spark, span_dir):
+    rows = SPECS["dedup_exact_substring_spans"].builder(spark, span_dir).collect()
+    spans = {(r.doc_id, r.span_start, r.span_end): r for r in rows}
+    assert len(spans) == len(rows), "one row per maximal span"
+
+    # cross-doc identity: the multibyte 10-token repeat is one span in
+    # each of docs 17/18/22, same fingerprint, correct offsets
+    fp = _md5(_REPEAT)
+    assert spans[(17, 1, 10)].span_fp == fp
+    assert spans[(18, 2, 11)].span_fp == fp
+    assert spans[(22, 1, 10)].span_fp == fp
+    # an m-token repeat carries m - SPAN_GRAM + 1 anchors
+    assert spans[(17, 1, 10)].n_anchors == 10 - SPAN_GRAM + 1
+
+    # tandem repeat: ONE maximal span covering the whole 20-token doc
+    doc19 = [r for r in rows if r.doc_id == 19]
+    assert len(doc19) == 1 and (doc19[0].span_start, doc19[0].span_end) == (1, 20)
+    assert doc19[0].span_tokens == 20
+
+    # distinct runs >= K apart stay separate islands
+    doc20 = sorted((r.span_start, r.span_end) for r in rows if r.doc_id == 20)
+    assert doc20 == [(1, 8), (11, 18)]
+    # and match their twins in doc 21 by content
+    fps20 = {spans[(20, 1, 8)].span_fp, spans[(20, 11, 18)].span_fp}
+    fps21 = {r.span_fp for r in rows if r.doc_id == 21}
+    assert fps20 == fps21
+
+    # sub-anchor doc contributes no span
+    assert not [r for r in rows if r.doc_id == 23]
+
+
+def test_rewrite_redacts_exactly_the_spans(spark, span_dir):
+    rows = {
+        r.doc_id: r
+        for r in SPECS["doc_exact_substring_rewrite"].builder(spark, span_dir).collect()
+    }
+    assert set(rows) == {d for d, _ in _DOCS}
+
+    # fully-covered docs: empty rewrite, not NULL
+    empty_fp = _md5("")
+    for d in (17, 19, 22):
+        assert rows[d].kept_chars == 0 and rows[d].cleaned_fp == empty_fp
+
+    # embedded span: survivors rejoin with single spaces
+    assert rows[18].cleaned_fp == _md5("prefix suffix")
+    assert rows[18].dup_tokens == 10 and rows[18].n_spans == 1
+
+    # two islands: the gap tokens survive
+    assert rows[20].cleaned_fp == _md5("gap1 gap2 tail")
+    assert rows[20].n_spans == 2 and rows[20].dup_tokens == 16
+    assert rows[21].cleaned_fp == _md5("lead mid1")
+
+    # untouched doc passes through verbatim
+    assert rows[23].cleaned_fp == _md5("short unique doc")
+    assert rows[23].dup_tokens == 0 and rows[23].n_spans == 0
