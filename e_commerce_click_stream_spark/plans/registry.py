@@ -54,82 +54,28 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r8 rotation (VERDICT r7 #1). Slots 1-3 = the last stale-proof debt:
-    # dedup_exact_stats / dedup_simhash_groups sat at window positions
-    # 51-52 in r7 (the driver stopped at 50) and lineitem_math_functions
-    # changed late in r7 (negative-domain guards, a no-op on the driver
-    # fixtures) — all three driver_sim-green on current fixtures. Slots
-    # 4-12 = queries whose code or oracle changed this round: the
-    # band-seeded LSH bucket (single-column candidate joins, shared by
-    # every query composing _minhash_sql), the pmod zorder buckets, and
-    # the 4-decimal unigram rounding. Slots 13-19 = this round's new /
-    # restructured operators: the bucketed catalog-table stores, the IVF
-    # append + cell-balance audit, the warm-store probe bench twin, and
-    # the PII scrub pair. Slots 20-50 = refresh rotation: the oldest
-    # fixture-current proofs (round 3) re-earn current rows; the 8
-    # remaining r3-proof queries overflow to _VERIFY_NEXT.
-    # last stale-proof debt — deferred from the r7 window
-    "dedup_exact_stats",
-    "dedup_simhash_groups",
-    "lineitem_math_functions",
-    # changed this round — proof no longer covers the code
-    "dedup_minhash_lsh",
-    "corpus_clean_pipeline",
-    "dedup_connected_components",
-    "dedup_lsh_vs_exact_eval",
-    "dedup_cross_source_contamination",
-    "train_eval_split_leakage",
-    "dedup_incremental_minhash",
-    "events_zorder_stats",
-    "doc_unigram_nll",
-    # new / restructured this round — never driver-verified in this form
+    # r9 window. Slots 1-8 = new or changed this round: the two
+    # streaming twins whose oracles gained the epoch-0 initial-watermark
+    # floor (oracle change invalidates their r4 proof),
+    # dedup_savings_report (ADVICE r8: its oracle composes the
+    # band-seeded _minhash_sql that changed in r8 but it sat outside the
+    # r8 window), the substring-span pair and the IVF warm-store probe
+    # (new r9), and the two stored-band probes whose batch-id derivation
+    # changed r9. Slots 9-16 = the 8 r3-proof TPC-H queries that
+    # overflowed the r8 window (the driver stopped at 50). Slots 17-50 =
+    # refresh rotation: the oldest remaining (r4) proofs re-earn current
+    # rows, heavy/changed-adjacent first (streaming twins, LSH/PQ/tfidf/
+    # retention); the 8 leftover r4 queries overflow to _VERIFY_NEXT.
+    # oracle or code changed this round — prior proof no longer covers
+    "streaming_session_windows",
+    "streaming_exactly_once_dedup",
+    "dedup_savings_report",
+    "dedup_exact_substring_spans",
+    "doc_exact_substring_rewrite",
+    "ann_ivf_probe_only",
     "dedup_incremental_stored",
     "dedup_stored_probe_only",
-    "ann_ivf_stored",
-    "ann_ivf_append",
-    "ivf_cell_balance_audit",
-    "pii_detection_report",
-    "pii_redacted_docs",
-    # refresh rotation: oldest (r3) fixture-current proofs re-earn rows
-    "ann_cosine_topk",
-    "ann_ivf_cells",
-    "ann_ivf_topk",
-    "corpus_source_stats",
-    "dedup_levenshtein_sample",
-    "deterministic_sample",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "doc_token_counts",
-    "embedding_cosine_pairs",
-    "events_json_deadletter",
-    "multimodal_decode_meta",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "stratified_sample",
-    "streaming_dashboard_metrics",
-    "streaming_stateful_sessions",
-    "token_array_functions",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these r3-proof refreshes benefit first; if not, they cost nothing
-# (every one holds a fixture-current ever-green row).
-_VERIFY_NEXT: tuple[str, ...] = (
+    # r3-proof TPC-H overflow from the r8 window
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_diversity",
@@ -138,6 +84,57 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "q20_promo_part_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    # refresh rotation: oldest (r4) fixture-current proofs re-earn rows
+    "streaming_click_attribution",
+    "streaming_hourly_metrics",
+    "streaming_segment_enrichment",
+    "streaming_sliding_windows",
+    "embedding_neardup_lsh",
+    "ann_ivf_pq_topk",
+    "tfidf_top_terms",
+    "user_retention_cohorts",
+    "ann_lsh_buckets",
+    "ann_recall_eval",
+    "brand_basket_affinity",
+    "corpus_mix_plan",
+    "corpus_vocabulary",
+    "customer_ltv_cohorts",
+    "customer_pareto_abc",
+    "daily_active_users",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_hamming",
+    "doc_gram_contamination",
+    "doc_winnowing_fingerprints",
+    "dq_constraint_report",
+    "embedding_cluster_quality",
+    "embedding_lsh_recall_eval",
+    "embedding_pq_encode",
+    "embedding_sq8_error",
+    "event_type_markov",
+    "events_anomaly_zscore",
+    "events_rollup_hypertable",
+    "events_sliding_windows",
+    "funnel_conversion",
+    "hourly_gapfill_locf",
+    "key_skew_profile",
+    "multimodal_shard_pack",
+)
+
+
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these r4-proof refreshes benefit first; if not, they cost nothing
+# (every one holds a fixture-current ever-green row).
+_VERIFY_NEXT: tuple[str, ...] = (
+    "nation_coverage_full_outer",
+    "orders_backlog_over_time",
+    "session_cart_contents",
+    "session_metrics",
+    "sql_gateway_hourly_revenue",
+    "user_entropy_profile",
+    "user_interarrival_stats",
+    "user_value_ewma",
 )
 
 
