@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BANDS_SUBDIR = "bands"
@@ -344,10 +344,30 @@ def _probe_against(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("jaccard").desc(), F.col("match_is_new").asc(), F.col("match_id").asc()
+    # top-1 per probe via min_by on the composite order key — a
+    # partial+final agg (map-side combine shrinks candidates before the
+    # shuffle) instead of a full sort window; same deterministic total
+    # order (jaccard desc, index-before-batch, min match_id); jaccard is
+    # >= threshold > 0 so the negation is sign-safe
+    best = (
+        scored.groupBy("probe_id")
+        .agg(
+            F.min_by(
+                F.struct("match_id", "match_is_new", "jaccard"),
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("match_is_new").alias("mn"),
+                    F.col("match_id").alias("mi"),
+                ),
+            ).alias("b")
+        )
+        .select(
+            "probe_id",
+            F.col("b.match_id").alias("match_id"),
+            F.col("b.match_is_new").alias("match_is_new"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
     )
-    best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     return all_batch_ids.join(
         best, all_batch_ids["doc_id"] == best["probe_id"], "left"
     ).select(

@@ -1192,10 +1192,28 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("jaccard").desc(), F.col("match_is_new").asc(), F.col("match_id").asc()
+    # top-1 per probe via min_by (partial+final agg, map-side combine) —
+    # same shape and deterministic order as the stored-index probe
+    # (operators/dedup_index.py _probe_against)
+    best = (
+        scored.groupBy("probe_id")
+        .agg(
+            F.min_by(
+                F.struct("match_id", "match_is_new", "jaccard"),
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("match_is_new").alias("mn"),
+                    F.col("match_id").alias("mi"),
+                ),
+            ).alias("b")
+        )
+        .select(
+            "probe_id",
+            F.col("b.match_id").alias("match_id"),
+            F.col("b.match_is_new").alias("match_is_new"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
     )
-    best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     new_docs = table(spark, sf_dir, "documents").filter(
         F.coalesce(
             F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)

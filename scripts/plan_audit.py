@@ -655,7 +655,7 @@ EXPECTATIONS: dict[str, dict] = {
     # incremental dedup: banded equi-joins only (probe×store, verify,
     # final left join) — candidate generation must never nested-loop
     "dedup_incremental_minhash": {
-        "contains": ["Window"],
+        "contains": ["HashAggregate"],  # top-1 = min_by partial+final agg (r9), not a sort window
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "max_exchanges": 12,
     },
@@ -822,7 +822,7 @@ EXPECTATIONS: dict[str, dict] = {
     # path is fine); best-match window + final left join; the build job
     # ran before this plan, so only the probe is audited here
     "dedup_incremental_stored": {
-        "contains": ["Window", "Scan parquet spark_catalog.default.bidx_"],
+        "contains": ["HashAggregate", "Scan parquet spark_catalog.default.bidx_"],
         "not_contains": ["CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
     },
@@ -830,7 +830,7 @@ EXPECTATIONS: dict[str, dict] = {
     # contract as dedup_incremental_stored, but NOTHING in the plan may
     # re-derive the corpus — only the batch filter + the catalog store
     "dedup_stored_probe_only": {
-        "contains": ["Window", "Scan parquet spark_catalog.default.bidx_"],
+        "contains": ["HashAggregate", "Scan parquet spark_catalog.default.bidx_"],
         "not_contains": ["CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
     },

@@ -117,3 +117,42 @@ def test_processing_time_trigger_matches_available_now(spark):
     assert sorted(map(tuple, pt.select(cols).collect())) == sorted(
         map(tuple, an.select(cols).collect())
     )
+
+
+def test_initial_watermark_drops_pre_epoch_rows(spark, tmp_path):
+    """Pins the Spark behavior behind the r8 edge-parity reds: the
+    event-time watermark initializes at EPOCH 0, so a pre-epoch row is
+    "late" even in the very FIRST micro-batch and append-mode stateful
+    operators (dropDuplicatesWithinWatermark here) drop it silently.
+    The streaming oracles mirror this floor (plans/streaming_parity.py);
+    if a Spark upgrade ever changes the initial-watermark semantics,
+    this test flags the oracles for re-derivation."""
+    src = str(tmp_path / "src")
+    rows = [
+        ("pre", "1969-12-31 22:59:00"),
+        ("post", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pre_epoch_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k for r in spark.sql("SELECT k FROM pre_epoch_probe").collect()}
+    assert got == {"post"}, (
+        "initial-watermark semantics changed — re-derive the epoch floor "
+        f"in the streaming oracles (got {got})"
+    )
