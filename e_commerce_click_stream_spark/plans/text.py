@@ -655,6 +655,193 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("vocab_rank") <= VOCAB_TOP)
 
 
+# ---------------------------------------------------------------------------
+# vocabulary-size calibration: token coverage / OOV rate at each candidate
+# vocab size — the readout that picks a tokenizer's vocabulary budget
+# (coverage saturates; the knee is the budget)
+
+OOV_SIZES = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+_OOV_CURVE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT tok, count(*) AS term_freq FROM toks GROUP BY tok),
+ranked AS (
+    SELECT term_freq,
+           row_number() OVER (ORDER BY term_freq DESC, tok) AS r,
+           sum(term_freq) OVER (ORDER BY term_freq DESC, tok
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(term_freq) OVER () AS total,
+           count(*) OVER () AS n_types
+    FROM stats
+)
+SELECT s.vocab_size,
+       least(s.vocab_size, r.n_types)::BIGINT AS n_types_in_vocab,
+       r.cum::BIGINT AS covered_tokens,
+       round(r.cum::DOUBLE / r.total, 6) AS coverage_share,
+       round(1.0 - r.cum::DOUBLE / r.total, 6) AS oov_rate
+FROM (SELECT unnest([{", ".join(str(s) for s in OOV_SIZES)}]) AS vocab_size) s
+JOIN ranked r ON r.r = least(s.vocab_size, r.n_types)
+"""
+
+
+@register("vocab_oov_curve", oracle=_OOV_CURVE_SQL, tags=("text", "vocabulary", "calibration"))
+def vocab_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage and OOV rate at each candidate vocabulary size: rank
+    the full vocabulary by frequency (corpus_vocabulary's order), take the
+    running coverage, and read it off at each grid size — what fraction
+    of all token OCCURRENCES a top-N vocab explains, and the OOV mass a
+    model at that budget eats.
+
+    Scale shape: one md5-uniform token agg (partial absorbs stopwords
+    map-side), then every window runs over VOCABULARY cardinality — never
+    corpus cardinality — and the grid lookup is an equi-join of a 7-row
+    literal against the ranked vocab. Nothing here scales with corpus
+    size except the one token agg."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(tokens()).alias("tok"))
+    )
+    stats = toks.groupBy("tok").agg(F.count("*").alias("term_freq"))
+    ord_w = Window.orderBy(F.desc("term_freq"), F.asc("tok"))
+    ranked = stats.select(
+        "term_freq",
+        F.row_number().over(ord_w).alias("r"),
+        F.sum("term_freq")
+        .over(ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("term_freq").over(Window.partitionBy()).alias("total"),
+        F.count("*").over(Window.partitionBy()).alias("n_types"),
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in OOV_SIZES], "vocab_size int"
+    ).select(F.col("vocab_size").cast("long").alias("vocab_size"))
+    return (
+        F.broadcast(sizes)
+        .join(ranked, F.col("r") == F.least(F.col("vocab_size"), F.col("n_types")))
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size"), F.col("n_types"))
+            .cast("long")
+            .alias("n_types_in_vocab"),
+            F.col("cum").cast("long").alias("covered_tokens"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage_share"
+            ),
+            F.round(1.0 - F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-filter calibration: docs/tokens retained at each candidate
+# threshold over the uniqueness score — run BEFORE committing a corpus to
+# a filter cut (doc_quality_scores emits the per-doc features; this sweeps
+# the operating curve)
+
+QUALITY_THRESHOLDS = tuple(round(0.05 * i, 2) for i in range(21))  # 0.00..1.00
+
+_QUALITY_SWEEP_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+feat AS (
+    SELECT doc_id, len(t) AS n_tokens,
+           round(len(list_distinct(t))::DOUBLE / len(t), 6) AS unique_ratio
+    FROM scored
+),
+hist AS (
+    SELECT unique_ratio, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+    FROM feat GROUP BY unique_ratio
+),
+tot AS (SELECT sum(n_docs) AS all_docs, sum(n_tokens) AS all_tokens FROM hist)
+SELECT g.threshold,
+       coalesce(sum(h.n_docs) FILTER (WHERE h.unique_ratio >= g.threshold), 0)::BIGINT
+           AS docs_retained,
+       round(coalesce(sum(h.n_docs) FILTER (WHERE h.unique_ratio >= g.threshold), 0)::DOUBLE
+             / any_value(t.all_docs), 6) AS docs_share,
+       coalesce(sum(h.n_tokens) FILTER (WHERE h.unique_ratio >= g.threshold), 0)::BIGINT
+           AS tokens_retained,
+       round(coalesce(sum(h.n_tokens) FILTER (WHERE h.unique_ratio >= g.threshold), 0)::DOUBLE
+             / any_value(t.all_tokens), 6) AS tokens_share
+FROM (SELECT unnest([{", ".join(f"{t:.2f}" for t in QUALITY_THRESHOLDS)}])::DOUBLE
+          AS threshold) g  -- ::DOUBLE: bare 0.05 literals are DECIMAL(3,2)
+CROSS JOIN hist h CROSS JOIN tot t
+GROUP BY g.threshold
+"""
+
+
+@register("quality_threshold_sweep", oracle=_QUALITY_SWEEP_SQL,
+          tags=("text", "quality", "calibration"))
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating curve of the uniqueness quality gate: for each candidate
+    threshold, how many documents and how many TOKENS survive the cut,
+    absolute and as corpus shares — the calibration a pipeline runs
+    before hard-coding a filter constant (cutting 2% of docs that carry
+    20% of tokens is a different decision than the doc count suggests).
+
+    Scale shape: per-doc scoring is a zero-shuffle array projection; the
+    sweep aggregates a SCORE HISTOGRAM (≤ 10^6 + 1 distinct 6-decimal
+    ratios, bounded regardless of corpus size), so the threshold grid
+    joins against the histogram, never against documents."""
+    feat = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens().alias("t"))
+        .select(
+            F.size("t").alias("n_tokens"),
+            F.round(
+                F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
+            ).alias("unique_ratio"),
+        )
+    )
+    # grand totals as a window over the bounded histogram — NOT a second
+    # aggregation branch, which would re-scan the corpus
+    hist = (
+        feat.groupBy("unique_ratio")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .withColumn("all_docs", F.sum("n_docs").over(Window.partitionBy()))
+        .withColumn("all_tokens", F.sum("n_tokens").over(Window.partitionBy()))
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in QUALITY_THRESHOLDS], "threshold double"
+    )
+    kept = F.col("unique_ratio") >= F.col("threshold")
+    return (
+        hist.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum(F.when(kept, F.col("n_docs"))), F.lit(0))
+            .cast("long")
+            .alias("docs_retained"),
+            F.round(
+                F.coalesce(F.sum(F.when(kept, F.col("n_docs"))), F.lit(0)).cast(
+                    "double"
+                )
+                / F.first("all_docs"),
+                6,
+            ).alias("docs_share"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_retained"),
+            F.round(
+                F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)).cast(
+                    "double"
+                )
+                / F.first("all_tokens"),
+                6,
+            ).alias("tokens_share"),
+        )
+    )
+
+
 TFIDF_TOP = 3
 
 _TFIDF_SQL = f"""

@@ -936,6 +936,23 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 5,
     },
+    # OOV curve: one corpus-scale token agg; every window runs over
+    # vocabulary cardinality; the 7-row size grid broadcasts (BNLJ —
+    # the least() join key spans both sides, and the build side is the
+    # literal grid, never the vocab)
+    "vocab_oov_curve": {
+        "contains": ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
+    # threshold sweep: ONE corpus scan (totals are a window over the
+    # bounded score histogram, never a second aggregation branch); the
+    # grid attaches via broadcast nested-loop over histogram-sized input
+    "quality_threshold_sweep": {
+        "contains": ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
     # PII report: chained regexp projections + ONE partial+final agg to
     # sources-rows; a future regex "improvement" must not smuggle in a
     # Python UDF (the whole point is JVM-side regexp_* at 100 TB)
