@@ -1475,6 +1475,55 @@ def doc_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_CLUSTERS_SQL = f"""
+WITH {_SPAN_ISLANDS_CTE},
+sp AS (
+    SELECT s.doc_id,
+           (s.span_end - s.span_start + 1)::BIGINT AS span_tokens,
+           md5(array_to_string(t[s.span_start:s.span_end], ' ')) AS span_fp
+    FROM spans s JOIN toks USING (doc_id)
+)
+SELECT span_fp,
+       any_value(span_tokens) AS span_tokens,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences,
+       (any_value(span_tokens) * count(*))::BIGINT AS dup_tokens_total
+FROM sp GROUP BY span_fp
+"""
+
+
+@register("substring_span_clusters", oracle=_SPAN_CLUSTERS_SQL,
+          tags=("text", "dedup", "substring", "governance"))
+def substring_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the maximal repeated spans by exact content — the
+    boilerplate leaderboard: for each distinct span text, how many docs
+    carry it, how many times it occurs, and the total token mass it
+    duplicates. The governance readout that tells a pipeline WHAT the
+    repeated content is (header/footer/license block) before
+    doc_exact_substring_rewrite strips it. Spans whose merged extent is
+    unique at full length still appear with n_occurrences = 1 (partial
+    overlaps — the anchors repeat, the maximal extent doesn't; identical
+    text always yields identical span_tokens, so any_value is exact).
+
+    Scale shape: the span relation is bounded by corpus tokens / K; the
+    cluster agg keys on md5(span text) — uniform, partial+final."""
+    docs, spans = _dup_anchor_spans(spark, sf_dir)
+    span_text = F.expr(
+        "concat_ws(' ', slice(t, int(span_start), int(span_end - span_start + 1)))"
+    )
+    sp = spans.join(docs, "doc_id").select(
+        "doc_id",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        F.md5(span_text).alias("span_fp"),
+    )
+    return sp.groupBy("span_fp").agg(
+        F.any_value("span_tokens").alias("span_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+        (F.any_value("span_tokens") * F.count("*")).alias("dup_tokens_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # feature hashing (hashing-trick TF vectors): fixed-width featurization with
 # NO vocabulary pass — the streaming-friendly alternative to tfidf_top_terms

@@ -936,6 +936,15 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 5,
     },
+    # span-cluster leaderboard: same anchor/island pipeline, then one
+    # md5-uniform cluster agg — nothing pairwise (7 = 2 local-fixture
+    # spreads + anchor agg + island window + span join + the two-phase
+    # distinct-doc count)
+    "substring_span_clusters": {
+        "contains": ["HashAggregate", "Window", "BroadcastHashJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 7,
+    },
     # OOV curve: one corpus-scale token agg; every window runs over
     # vocabulary cardinality; the 7-row size grid broadcasts (BNLJ —
     # the least() join key spans both sides, and the build side is the

@@ -77,6 +77,16 @@ REPRESENTATIVE = (
     "streaming_user_ewma",
     "corpus_quality_drift",
     "embedding_coreset_kcenter",
+    # round-8/9 families: PII scrub, IVF maintenance, warm-store probes,
+    # substring-span dedup, calibration curves
+    "pii_detection_report",
+    "ann_ivf_append",
+    "ann_ivf_probe_only",
+    "dedup_stored_probe_only",
+    "dedup_exact_substring_spans",
+    "doc_exact_substring_rewrite",
+    "vocab_oov_curve",
+    "quality_threshold_sweep",
 )
 
 
