@@ -279,6 +279,38 @@ def probe_band_index_tables(
     )
 
 
+def best_match_per_probe(scored: DataFrame) -> DataFrame:
+    """Top-1 verdict per probe doc over (probe_id, match_id, match_is_new,
+    jaccard) candidate rows — shared by the stored-index probes and the
+    one-pass incremental twin so their shared oracle can never
+    desynchronize.
+
+    min_by on the composite order key is a partial+final agg (map-side
+    combine shrinks candidates before the shuffle) instead of a full sort
+    window; same deterministic total order (jaccard desc,
+    index-before-batch, min match_id); jaccard is >= threshold > 0 so the
+    negation is sign-safe."""
+    return (
+        scored.groupBy("probe_id")
+        .agg(
+            F.min_by(
+                F.struct("match_id", "match_is_new", "jaccard"),
+                F.struct(
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("match_is_new").alias("mn"),
+                    F.col("match_id").alias("mi"),
+                ),
+            ).alias("b")
+        )
+        .select(
+            "probe_id",
+            F.col("b.match_id").alias("match_id"),
+            F.col("b.match_is_new").alias("match_is_new"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )
+
+
 def _probe_against(
     batch_bands: DataFrame,
     batch_sh: DataFrame,
@@ -344,30 +376,7 @@ def _probe_against(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    # top-1 per probe via min_by on the composite order key — a
-    # partial+final agg (map-side combine shrinks candidates before the
-    # shuffle) instead of a full sort window; same deterministic total
-    # order (jaccard desc, index-before-batch, min match_id); jaccard is
-    # >= threshold > 0 so the negation is sign-safe
-    best = (
-        scored.groupBy("probe_id")
-        .agg(
-            F.min_by(
-                F.struct("match_id", "match_is_new", "jaccard"),
-                F.struct(
-                    (-F.col("jaccard")).alias("nj"),
-                    F.col("match_is_new").alias("mn"),
-                    F.col("match_id").alias("mi"),
-                ),
-            ).alias("b")
-        )
-        .select(
-            "probe_id",
-            F.col("b.match_id").alias("match_id"),
-            F.col("b.match_is_new").alias("match_is_new"),
-            F.col("b.jaccard").alias("jaccard"),
-        )
-    )
+    best = best_match_per_probe(scored)
     return all_batch_ids.join(
         best, all_batch_ids["doc_id"] == best["probe_id"], "left"
     ).select(

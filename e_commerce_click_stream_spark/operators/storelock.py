@@ -35,6 +35,25 @@ import os
 _HELD: dict[str, int] = {}
 
 
+def store_location(kind: str, sf_dir: str) -> tuple[str, str]:
+    """Deterministic per-fixture store root + catalog-table prefix for a
+    persisted index family (``kind`` in {"band", "ivf"}): repeated
+    gate/bench invocations reuse ONE location instead of leaking a
+    corpus-sized tree per run; ``SPARK_GRAFT_STORE_NS`` (below) isolates
+    passive consumers. One definition for every store family so path
+    and namespace semantics can't drift between them."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag += store_namespace()
+    prefix = {"band": "bidx", "ivf": "ivf"}[kind]
+    return (
+        os.path.join(tempfile.gettempdir(), f"{kind}_index_{tag}"),
+        f"{prefix}_{tag}",
+    )
+
+
 def store_namespace() -> str:
     """Suffix appended to every persisted-store path and catalog-table
     prefix. Default empty (shared per-fixture stores). A PASSIVE consumer
@@ -79,9 +98,18 @@ def downgrade_to_shared(store_root: str) -> None:
     the gap. Non-blocking + fail fast, matching acquire_*: a blocking
     LOCK_SH here would wait out the interloping build and then lazily
     read a store that was overwritten after this process built it."""
+    path = store_root.rstrip("/") + ".lock"
+    fd = _fd(store_root)
     try:
-        fcntl.flock(_fd(store_root), fcntl.LOCK_SH | fcntl.LOCK_NB)
+        fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
     except BlockingIOError as exc:
+        # the EX lock is already gone (conversion released it before the
+        # SH attempt); drop the half-held state entirely — closing the fd
+        # releases any residual claim and clears the stale pid stamp, so
+        # a caller that swallows this error can't later read-lock a store
+        # this process no longer owns via its cached fd
+        _HELD.pop(path, None)
+        os.close(fd)
         raise RuntimeError(
             f"index store {store_root!r} was grabbed by another writer "
             f"while downgrading the build lock; the store contents no "

@@ -1192,28 +1192,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    # top-1 per probe via min_by (partial+final agg, map-side combine) —
-    # same shape and deterministic order as the stored-index probe
-    # (operators/dedup_index.py _probe_against)
-    best = (
-        scored.groupBy("probe_id")
-        .agg(
-            F.min_by(
-                F.struct("match_id", "match_is_new", "jaccard"),
-                F.struct(
-                    (-F.col("jaccard")).alias("nj"),
-                    F.col("match_is_new").alias("mn"),
-                    F.col("match_id").alias("mi"),
-                ),
-            ).alias("b")
-        )
-        .select(
-            "probe_id",
-            F.col("b.match_id").alias("match_id"),
-            F.col("b.match_is_new").alias("match_is_new"),
-            F.col("b.jaccard").alias("jaccard"),
-        )
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        best_match_per_probe,
     )
+
+    best = best_match_per_probe(scored)
     new_docs = table(spark, sf_dir, "documents").filter(
         F.coalesce(
             F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
@@ -1262,18 +1245,11 @@ def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_store_location(sf_dir: str) -> tuple[str, str]:
-    """Deterministic per-fixture store root + catalog-table prefix:
-    repeated gate/bench invocations reuse ONE location instead of leaking
-    a corpus-sized tree per run."""
-    import hashlib
-    import os
-    import tempfile
+    """Deterministic per-fixture band-store root + catalog-table prefix
+    (shared definition: operators/storelock.py store_location)."""
+    from e_commerce_click_stream_spark.operators.storelock import store_location
 
-    from e_commerce_click_stream_spark.operators.storelock import store_namespace
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    tag += store_namespace()
-    return os.path.join(tempfile.gettempdir(), f"band_index_{tag}"), f"bidx_{tag}"
+    return store_location("band", sf_dir)
 
 
 def _band_store_build(spark, sf_dir, index_dir, prefix):

@@ -54,19 +54,20 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-11 = new or changed this round: the two
+    # r9 window. Slots 1-12 = new or changed this round: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
     # band-seeded _minhash_sql that changed in r8 but it sat outside the
     # r8 window), the substring-span pair, the IVF warm-store probe, the
-    # two stored-band probes whose batch-id derivation + top-1 agg
-    # changed r9, and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 12-19 = the 8 r3-proof TPC-H queries
+    # THREE probes whose batch-id derivation and/or top-1 agg changed
+    # r9 (both stored-band paths and the one-pass twin share the min_by
+    # rewrite), and the two calibration curves plus the span-cluster
+    # leaderboard (new r9). Slots 13-20 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 20-50 = refresh rotation: the oldest
+    # Slots 21-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 11 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 12 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
@@ -77,6 +78,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_ivf_probe_only",
     "dedup_incremental_stored",
     "dedup_stored_probe_only",
+    "dedup_incremental_minhash",
     "vocab_oov_curve",
     "quality_threshold_sweep",
     "substring_span_clusters",
@@ -120,7 +122,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_anomaly_zscore",
     "events_rollup_hypertable",
     "events_sliding_windows",
-    "funnel_conversion",
 )
 
 
@@ -129,6 +130,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
+    "funnel_conversion",
     "hourly_gapfill_locf",
     "key_skew_profile",
     "multimodal_shard_pack",

@@ -2015,17 +2015,11 @@ _IVF_BUCKETS = 8  # vec_id bucket count inside each cell partition
 
 
 def _ivf_store_location(sf_dir: str) -> tuple[str, str]:
-    """Deterministic per-fixture store root + catalog-table prefix
-    (same reuse convention as the band index)."""
-    import hashlib
-    import os
-    import tempfile
+    """Deterministic per-fixture IVF-store root + catalog-table prefix
+    (shared definition: operators/storelock.py store_location)."""
+    from e_commerce_click_stream_spark.operators.storelock import store_location
 
-    from e_commerce_click_stream_spark.operators.storelock import store_namespace
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    tag += store_namespace()
-    return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}"), f"ivf_{tag}"
+    return store_location("ivf", sf_dir)
 
 
 def _ivf_assignments(n: DataFrame, cent: DataFrame) -> DataFrame:

@@ -1358,12 +1358,16 @@ FROM rewritten
 
 
 def _dup_anchor_spans(spark: SparkSession, sf_dir: str):
-    """(tokenized docs, merged duplicated-anchor spans) shared by the two
-    substring-dedup queries."""
+    """(tokenized docs, merged duplicated-anchor spans) shared by the
+    substring-dedup queries. The tokenized relation feeds BOTH the
+    anchor/island branch and each query's final span-text / rewrite
+    join, so it is materialized once (the sign_docs convention) — the
+    corpus is scanned and split-tokenized exactly once per query."""
     docs = (
         spread(table(spark, sf_dir, "documents"))
         .filter(F.col("text").isNotNull())
         .select("doc_id", tokens().alias("t"))
+        .localCheckpoint(eager=True)
     )
     gram = F.expr(
         f"transform(sequence(1, size(t) - {SPAN_GRAM - 1}),"

@@ -654,9 +654,12 @@ EXPECTATIONS: dict[str, dict] = {
     },
     # incremental dedup: banded equi-joins only (probe×store, verify,
     # final left join) — candidate generation must never nested-loop
+    # top-1 = min_by partial+final SortAggregate (r9; struct-buffer aggs
+    # can't use HashAggregateExec) — "Window" in not_contains is the real
+    # pin: a revert to the row_number sort window must fail the audit
     "dedup_incremental_minhash": {
-        "contains": ["HashAggregate"],  # top-1 = min_by partial+final agg (r9), not a sort window
-        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "contains": ["SortAggregate"],
+        "not_contains": ["Window", "CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "max_exchanges": 12,
     },
     # KMV sketch: rank window MUST prune (WindowGroupLimit before the
@@ -822,16 +825,16 @@ EXPECTATIONS: dict[str, dict] = {
     # path is fine); best-match window + final left join; the build job
     # ran before this plan, so only the probe is audited here
     "dedup_incremental_stored": {
-        "contains": ["HashAggregate", "Scan parquet spark_catalog.default.bidx_"],
-        "not_contains": ["CartesianProduct", "BatchEvalPython"],
+        "contains": ["SortAggregate", "Scan parquet spark_catalog.default.bidx_"],
+        "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
     },
     # warm-store probe (the per-ingest-batch marginal cost): same probe
     # contract as dedup_incremental_stored, but NOTHING in the plan may
     # re-derive the corpus — only the batch filter + the catalog store
     "dedup_stored_probe_only": {
-        "contains": ["HashAggregate", "Scan parquet spark_catalog.default.bidx_"],
-        "not_contains": ["CartesianProduct", "BatchEvalPython"],
+        "contains": ["SortAggregate", "Scan parquet spark_catalog.default.bidx_"],
+        "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 8,
     },
     # append-then-probe: identical probe contract to ann_ivf_stored —

@@ -82,9 +82,11 @@ REPRESENTATIVE = (
     "pii_detection_report",
     "ann_ivf_append",
     "ann_ivf_probe_only",
+    "ivf_cell_balance_audit",
     "dedup_stored_probe_only",
     "dedup_exact_substring_spans",
     "doc_exact_substring_rewrite",
+    "substring_span_clusters",
     "vocab_oov_curve",
     "quality_threshold_sweep",
 )

@@ -150,7 +150,13 @@ def test_initial_watermark_drops_pre_epoch_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        # awaitTermination returns False on timeout rather than raising —
+        # a hung query must fail HERE, not as a misleading empty-table
+        # assertion below
+        assert q.awaitTermination(120), "replay did not finish in 120s"
+    finally:
+        q.stop()
     got = {r.k for r in spark.sql("SELECT k FROM pre_epoch_probe").collect()}
     assert got == {"post"}, (
         "initial-watermark semantics changed — re-derive the epoch floor "
