@@ -1426,7 +1426,7 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("doc_exact_substring_rewrite", oracle=_SUBSTRING_REWRITE_SQL,
-          tags=("text", "dedup", "substring", "rewrite"))
+          headline=True, tags=("text", "dedup", "substring", "rewrite"))
 def doc_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-redacted rewrite (same rewrite shape as ``doc_passage_dedup``):
     drop every token inside a corpus-repeated span and reassemble the
