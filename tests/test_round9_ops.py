@@ -109,3 +109,87 @@ def test_rewrite_redacts_exactly_the_spans(spark, span_dir):
     # untouched doc passes through verbatim
     assert rows[23].cleaned_fp == _md5("short unique doc")
     assert rows[23].dup_tokens == 0 and rows[23].n_spans == 0
+
+
+# ---------------------------------------------------------------------------
+# property: the anchor-coverage construction equals the brute-force
+# definition — a token position is redacted iff SOME corpus-repeated
+# K-window covers it — for ANY corpus, not just the fixtures
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny alphabet + short docs force overlapping / tandem / cross-doc
+# repeats far denser than natural text
+_corpora = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=30),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _brute_force(docs):
+    """(covered positions, merged spans) per doc, straight from the
+    definition: window w of SPAN_GRAM tokens is duplicated iff its text
+    occurs >1 time corpus-wide; position j is covered iff inside any
+    duplicated window."""
+    k = SPAN_GRAM
+    win = Counter(
+        tuple(t[i : i + k]) for t in docs for i in range(len(t) - k + 1)
+    )
+    covered = {}
+    for d, t in enumerate(docs):
+        cov = set()
+        for i in range(len(t) - k + 1):
+            if win[tuple(t[i : i + k])] > 1:
+                cov.update(range(i, i + k))
+        covered[d] = cov
+    return covered
+
+
+@settings(**_SETTINGS)
+@given(_corpora)
+def test_anchor_coverage_equals_brute_force(spark, corpora):
+    import os
+    import tempfile
+
+    docs = [(d, " ".join(t)) for d, t in enumerate(corpora)]
+    out = tempfile.mkdtemp(prefix="span_prop_")
+    spark.createDataFrame(
+        [(d, txt, "en", f"src{d}", len(txt)) for d, txt in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    expect = _brute_force(corpora)
+
+    rows = SPECS["doc_exact_substring_rewrite"].builder(spark, out).collect()
+    got_kept = {
+        r.doc_id: r for r in rows
+    }
+    for d, t in enumerate(corpora):
+        cov = expect[d]
+        kept = [tok for j, tok in enumerate(t) if j not in cov]
+        r = got_kept[d]
+        assert r.n_tokens == len(t)
+        assert r.dup_tokens == len(cov), (d, t, sorted(cov))
+        import hashlib
+
+        assert r.cleaned_fp == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+    spans = SPECS["dedup_exact_substring_spans"].builder(spark, out).collect()
+    got_spans = {}
+    for r in spans:
+        got_spans.setdefault(r.doc_id, set()).update(
+            range(r.span_start - 1, r.span_end)  # 1-based inclusive -> 0-based
+        )
+    for d in range(len(corpora)):
+        assert got_spans.get(d, set()) == expect[d], (d, corpora[d])
