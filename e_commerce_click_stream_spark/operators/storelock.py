@@ -105,9 +105,11 @@ def downgrade_to_shared(store_root: str) -> None:
     except BlockingIOError as exc:
         # the EX lock is already gone (conversion released it before the
         # SH attempt); drop the half-held state entirely — closing the fd
-        # releases any residual claim and clears the stale pid stamp, so
-        # a caller that swallows this error can't later read-lock a store
-        # this process no longer owns via its cached fd
+        # releases any residual claim and evicts the cached handle, so a
+        # caller that swallows this error can't later read-lock a store
+        # this process no longer owns via its cached fd. The pid stamp is
+        # NOT touched: the winning writer has already stamped its own pid
+        # (truncating here would erase the CURRENT holder's stamp).
         _HELD.pop(path, None)
         os.close(fd)
         raise RuntimeError(

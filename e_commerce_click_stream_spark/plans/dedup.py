@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.dedup_index import (
     band_buckets,
+    best_match_per_probe,
     build_band_index,
     build_band_index_tables,
     minhash_signature,
@@ -1192,10 +1193,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    from e_commerce_click_stream_spark.operators.dedup_index import (
-        best_match_per_probe,
-    )
-
     best = best_match_per_probe(scored)
     new_docs = table(spark, sf_dir, "documents").filter(
         F.coalesce(

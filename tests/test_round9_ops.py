@@ -127,13 +127,28 @@ _SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-# tiny alphabet + short docs force overlapping / tandem / cross-doc
-# repeats far denser than natural text
-_corpora = st.lists(
-    st.lists(st.sampled_from("abcde"), min_size=1, max_size=30),
-    min_size=2,
-    max_size=8,
-)
+# Purely random draws over a 5-letter alphabet repeat an 8-gram in only
+# ~11% of corpora — most examples would exercise nothing but the trivial
+# pass-through. The composite PLANTS a shared >= K fragment into two
+# (possibly equal) docs at random offsets, so every example contains
+# real repeated spans (cross-doc or tandem), while the random remainder
+# keeps negative cases and partial overlaps in play.
+_tok = st.sampled_from("abcde")
+
+
+@st.composite
+def _corpora(draw):
+    docs = draw(
+        st.lists(
+            st.lists(_tok, min_size=1, max_size=30), min_size=2, max_size=6
+        )
+    )
+    frag = draw(st.lists(_tok, min_size=SPAN_GRAM, max_size=SPAN_GRAM + 4))
+    for _ in range(2):
+        d = draw(st.integers(0, len(docs) - 1))
+        off = draw(st.integers(0, len(docs[d])))
+        docs[d] = docs[d][:off] + frag + docs[d][off:]
+    return docs
 
 
 def _brute_force(docs):
@@ -156,7 +171,7 @@ def _brute_force(docs):
 
 
 @settings(**_SETTINGS)
-@given(_corpora)
+@given(_corpora())
 def test_anchor_coverage_equals_brute_force(spark, corpora):
     import os
     import tempfile
