@@ -54,7 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-12 = new or changed this round: the two
+    # r9 window. Slots 1-4 = brand-new in the r9 continuation session
+    # (no prior proof). Slots 5-16 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -63,13 +64,20 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 13-20 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 17-24 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 21-50 = refresh rotation: the oldest
+    # Slots 25-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 12 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 16 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # oracle or code changed this round — prior proof no longer covers
+    # (slots 1-4: BRAND-NEW in the r9 continuation session — script
+    # profile, eval decontamination, linear quality scorer, cosine range
+    # search; they have no prior proof at all)
+    "doc_script_profile",
+    "eval_gram_decontamination",
+    "doc_quality_linear_score",
+    "ann_range_search",
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
     "dedup_savings_report",
@@ -118,10 +126,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_lsh_recall_eval",
     "embedding_pq_encode",
     "embedding_sq8_error",
-    "event_type_markov",
-    "events_anomaly_zscore",
-    "events_rollup_hypertable",
-    "events_sliding_windows",
 )
 
 
@@ -130,6 +134,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
+    # r4-proof refreshes displaced from the 50-slot window by the four
+    # brand-new r9-continuation queries (new queries outrank refreshes)
+    "event_type_markov",
+    "events_anomaly_zscore",
+    "events_rollup_hypertable",
+    "events_sliding_windows",
     "funnel_conversion",
     "hourly_gapfill_locf",
     "key_skew_profile",

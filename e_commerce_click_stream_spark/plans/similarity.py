@@ -2399,3 +2399,64 @@ def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop the placeholders so both engines agree and the empty-input
     # contract holds
     return out.filter(F.col("vec_id").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Cosine RANGE search: all corpus vectors within a similarity radius of
+# each query — the epsilon-ball complement of ann_cosine_topk (fixed-k).
+# Retrieval pipelines use range queries for near-dup candidate pull and
+# "everything at least this related" joins, where k is unknowable a
+# priori. The threshold applies to the ROUNDED cosine so the boundary is
+# engine-exact (same discipline as ann_cosine_topk's rounded ranking).
+
+RANGE_TAU = 0.25
+
+_RANGE_SEARCH_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+    FROM n q JOIN n c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cosine,
+       count(*) OVER (PARTITION BY query_id) AS n_in_range
+FROM scored WHERE cosine >= {RANGE_TAU}
+"""
+
+
+@register("ann_range_search", oracle=_RANGE_SEARCH_SQL,
+          tags=("similarity", "range"))
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine range search for the query vectors (vec_id <
+    10): every neighbor with rounded cosine >= RANGE_TAU, plus the
+    per-query result count (the statistic that tells a caller whether the
+    radius is too loose before it materializes a huge candidate set).
+
+    Scale shape: queries broadcast against the corpus scan (corpus never
+    shuffles — same shape as ann_cosine_topk), the radius filter prunes
+    before the only shuffle (the per-query count window over the small
+    in-range result). The IVF store (ann_ivf_stored) supplies the
+    partition-pruned variant when the corpus is indexed; this is the
+    exact baseline it approximates."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        scored.filter(F.col("cosine") >= RANGE_TAU)
+        .withColumn("n_in_range", F.count("*").over(w))
+    )

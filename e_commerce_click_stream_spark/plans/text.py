@@ -2167,3 +2167,323 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pii_scrubbed(spark, sf_dir).select(
         "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script / character-class profile: the charset-mix readout every
+# multilingual corpus pipeline computes before language-ID can be trusted
+# (fasttext lid mislabels transliterated text; a script histogram is the
+# cheap prior). Classes are EXPLICIT codepoint ranges, not \p{Script=...}
+# property names, because Java (Spark) and RE2 (DuckDB) bind property
+# names to different Unicode versions — literal ranges are engine-exact.
+
+_SCRIPT_CLASSES = (
+    # (name, regex character class — identical syntax in Java and RE2)
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("cjk", r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]"),
+    ("digit", r"[0-9]"),
+)
+# explicit whitespace class: Java's \s includes \x0B where RE2's does not
+_SPACE_CLASS = r"[ \t\n\r\f]"
+
+
+def _script_count_duck(cls: str) -> str:
+    return f"length(text) - length(regexp_replace(text, '{cls}', '', 'g'))"
+
+
+_SCRIPT_NONSPACE_DUCK = (
+    f"length(regexp_replace(text, '{_SPACE_CLASS}', '', 'g'))"
+)
+
+_SCRIPT_OTHER_DUCK = (
+    _SCRIPT_NONSPACE_DUCK
+    + "".join(f" - ({_script_count_duck(cls)})" for _, cls in _SCRIPT_CLASSES)
+)
+
+_SCRIPT_DOMINANT_DUCK = (
+    "CASE WHEN nonspace_chars > 0 THEN (list_min(["
+    + ", ".join(
+        f"{{'c': -{name}_chars, 'k': '{name}'}}" for name, _ in _SCRIPT_CLASSES
+    )
+    + ", {'c': -other_chars, 'k': 'other'}])).k END"
+)
+
+_SCRIPT_PROFILE_SQL = f"""
+WITH counts AS (
+    SELECT doc_id, lang,
+           length(text) AS total_chars,
+           {_SCRIPT_NONSPACE_DUCK} AS nonspace_chars,
+           {", ".join(f"{_script_count_duck(cls)} AS {name}_chars" for name, cls in _SCRIPT_CLASSES)},
+           {_SCRIPT_OTHER_DUCK} AS other_chars,
+           NOT regexp_matches(text, '[^\\x00-\\x7F]') AS ascii_only
+    FROM documents
+)
+SELECT doc_id, lang, total_chars, nonspace_chars,
+       {", ".join(f"{name}_chars" for name, _ in _SCRIPT_CLASSES)},
+       other_chars,
+       CASE WHEN nonspace_chars > 0
+            THEN round(latin_chars::DOUBLE / nonspace_chars, 6) END AS latin_frac,
+       {_SCRIPT_DOMINANT_DUCK} AS dominant_script,
+       ascii_only
+FROM counts
+"""
+
+
+@register("doc_script_profile", oracle=_SCRIPT_PROFILE_SQL,
+          tags=("text", "langid", "unicode"))
+def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class histogram over explicit Unicode
+    codepoint ranges (Latin incl. Latin-1/Extended-A/B, Greek, Cyrillic,
+    kana+CJK-unified, ASCII digits), plus whitespace/other counts, the
+    Latin fraction of non-space text, the dominant script (max count,
+    alphabetical tiebreak via a min over (-count, name) structs —
+    Spark least() / DuckDB list_min(), identical lexicographic struct
+    comparison in both engines), and an ascii_only
+    flag. NULL text yields NULL counts; docs with no non-space text get a
+    NULL dominant script rather than an arbitrary all-zero tiebreak.
+
+    Scale shape: pure zero-shuffle projection — each class count is one
+    regexp_replace + two length() calls inside whole-stage codegen; no
+    join, no agg, no UDF, trivially partition-parallel at 100 TB."""
+    def cnt(cls: str) -> F.Column:
+        return F.length("text") - F.length(F.regexp_replace("text", cls, ""))
+
+    counts = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("total_chars"),
+        cnt(_SPACE_CLASS).alias("_sp"),
+        *[cnt(cls).alias(f"{name}_chars") for name, cls in _SCRIPT_CLASSES],
+        (~F.col("text").rlike(r"[^\x00-\x7F]")).alias("ascii_only"),
+    )
+    nonspace = (F.col("total_chars") - F.col("_sp")).alias("nonspace_chars")
+    class_cols = [F.col(f"{name}_chars") for name, _ in _SCRIPT_CLASSES]
+    other = F.col("total_chars") - F.col("_sp")
+    for c in class_cols:
+        other = other - c
+    counts = counts.select(
+        "doc_id", "lang", "total_chars", nonspace,
+        *[f"{name}_chars" for name, _ in _SCRIPT_CLASSES],
+        other.alias("other_chars"), "ascii_only",
+    )
+    dominant = F.when(
+        F.col("nonspace_chars") > 0,
+        F.least(
+            *[
+                F.struct((-F.col(f"{name}_chars")).alias("c"), F.lit(name).alias("k"))
+                for name, _ in _SCRIPT_CLASSES
+            ],
+            F.struct((-F.col("other_chars")).alias("c"), F.lit("other").alias("k")),
+        )["k"],
+    )
+    return counts.select(
+        "doc_id", "lang", "total_chars", "nonspace_chars",
+        *[f"{name}_chars" for name, _ in _SCRIPT_CLASSES],
+        "other_chars",
+        F.when(
+            F.col("nonspace_chars") > 0,
+            F.round(F.col("latin_chars").cast("double") / F.col("nonspace_chars"), 6),
+        ).alias("latin_frac"),
+        dominant.alias("dominant_script"),
+        "ascii_only",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train-vs-eval n-gram decontamination: the GPT-3/PaLM-style benchmark
+# hygiene pass. Documents get the same deterministic md5-bucket split the
+# leakage audit uses (train_eval_split_leakage, plans/dedup.py), the EVAL
+# side's rolling 8-gram fingerprints form the contamination set, and every
+# TRAIN document reports how many of its gram instances collide — the
+# per-document evidence behind a drop/keep decontamination decision.
+# Distinct from doc_gram_contamination (intra-corpus duplication, no
+# split) and from train_eval_split_leakage (MinHash near-dup pairs at
+# document granularity; this is exact overlap at gram granularity).
+
+_DECONTAM_SQL = f"""
+WITH docs AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS t,
+           CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 10 < 2
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, split,
+           unnest([md5(array_to_string(t[i:i + {GRAM_N - 1}], ' '))
+                   for i in range(1, len(t) - {GRAM_N - 2})]) AS gh
+    FROM docs
+),
+eg AS (SELECT DISTINCT gh FROM grams WHERE split = 'eval'),
+hits AS (
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN eg.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS eval_hit_grams
+    FROM grams g LEFT JOIN eg ON g.gh = eg.gh
+    WHERE g.split = 'train'
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.eval_hit_grams, 0)::BIGINT AS eval_hit_grams,
+       CASE WHEN h.n_grams > 0
+            THEN round(h.eval_hit_grams::DOUBLE / h.n_grams, 6) END
+           AS eval_hit_frac,
+       coalesce(h.eval_hit_grams, 0) > 0 AS contaminated
+FROM docs d LEFT JOIN hits h USING (doc_id)
+WHERE d.split = 'train'
+"""
+
+
+@register("eval_gram_decontamination", oracle=_DECONTAM_SQL,
+          tags=("text", "dedup", "contamination", "leakage"))
+def eval_gram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-document eval-set contamination report: rolling 8-gram
+    md5 fingerprints (same gram machinery as doc_gram_contamination)
+    joined against the distinct gram set of the deterministic eval split
+    (same md5-bucket split as train_eval_split_leakage — reproducible
+    across engines, runs, and partitionings). Every train doc appears,
+    including sub-8-token docs with zero grams (kept, vacuously clean);
+    ``contaminated`` marks docs a decontamination pass would drop.
+
+    Scale shape: explode to (doc, gram-md5), distinct the eval side
+    (hash-agg on uniform md5 keys), one equi-join on gh with fan-out
+    exactly 1 per train gram instance (eg is distinct), re-agg by doc,
+    then a left join back to the train doc list so gramless docs
+    surface. The eval gram set is a small fraction of the corpus (20%
+    of docs) and at production eval-suite sizes is broadcastable; no
+    pair explosion at any corpus size."""
+    split_of = F.when(
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10 < 2,
+        "eval",
+    ).otherwise("train")
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens().alias("t"), split_of.alias("split")
+    )
+    gram_fp = F.when(
+        F.size("t") >= GRAM_N,
+        F.expr(
+            f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
+            f" i -> md5(concat_ws(' ', slice(t, i, {GRAM_N}))))"
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = docs.select("doc_id", "split", F.explode(gram_fp).alias("gh"))
+    eg = grams.filter(F.col("split") == "eval").select("gh").distinct()
+    hits = (
+        grams.filter(F.col("split") == "train")
+        .join(eg.withColumn("_hit", F.lit(1)), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+                "eval_hit_grams"
+            ),
+        )
+    )
+    train_docs = docs.filter(F.col("split") == "train").select("doc_id")
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("eval_hit_grams", F.lit(0)).alias("eval_hit_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("eval_hit_grams").cast("double") / F.col("n_grams"), 6),
+        ).alias("eval_hit_frac"),
+        (F.coalesce("eval_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: the "fasttext quality classifier" stage of
+# a pretraining pipeline (CCNet / GPT-3 Common Crawl filtering) expressed
+# as a broadcast-free linear model over hashing-trick features. The
+# weights here are a deterministic md5-derived STUB (the container has no
+# model artifacts); a real deployment swaps `weight-of-bucket` for a map
+# literal / broadcast join against trained coefficients — the plan shape
+# (zero-shuffle projection) is identical.
+
+# integer weight(b) in [-100, 100] from the md5 of the seeded bucket id —
+# the ascii-of-hex-char trick (operators/textops.py module contract).
+# The PER-DOC SCORE IS KEPT AS AN EXACT INTEGER SUM: two earlier variants
+# that emitted the rounded mean weight failed the gate on round-tie noise
+# (the mean is a small-integer rational, so it lands on EXACT decimal
+# halves where Spark's BigDecimal HALF_UP and DuckDB's float-path round()
+# disagree by one ulp). Integers hash exactly; only the sigmoid — a
+# transcendental that can never sit on a decimal half — is rounded.
+_W_DUCK = (
+    "(ascii(substr(md5('w:' || b::VARCHAR), 1, 1)) * 101"
+    " + ascii(substr(md5('w:' || b::VARCHAR), 2, 1))) % 201 - 100"
+)
+
+_LINEAR_SCORE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+           len(t) AS n_tokens,
+           list_sum(list_transform(
+               list_transform(t, x -> {_BUCKET_DUCK}),
+               b -> {_W_DUCK}))::BIGINT AS weight_sum
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       weight_sum,
+       round(1.0 / (1.0 + exp(-(weight_sum / (100.0 * n_tokens)))), 6) AS prob,
+       weight_sum >= 0 AS keep
+FROM scored
+"""
+
+
+@register("doc_quality_linear_score", oracle=_LINEAR_SCORE_SQL,
+          tags=("text", "quality", "features", "model"))
+def doc_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring over hashed-TF features: each
+    token hashes into the doc_hashed_tf_vectors bucket space and picks up
+    a deterministic md5-derived INTEGER weight in [-100, 100]; the doc's
+    weight sum is the raw margin, squashed through a sigmoid (scaled by
+    100 x n_tokens, i.e. the mean weight in [-1, 1]) into a keep
+    probability. The margin stays an exact integer — the decision
+    boundary (weight_sum >= 0) and the hash-gated value are immune to
+    float accumulation and round-tie drift; only the transcendental
+    sigmoid is rounded. NULL text yields NULL sum/prob/keep.
+
+    Scale shape: pure zero-shuffle projection — two md5 calls per token
+    inside whole-stage codegen, no vocabulary fit pass, no join, no UDF;
+    swap-in of trained weights keeps the plan shape (a 2^k-entry map
+    literal or broadcast) at any corpus size."""
+    def _bucket(x):  # same formula as _BUCKET_DUCK
+        h = F.md5(x)
+        return (
+            F.ascii(F.substring(h, 1, 1)) * 101 + F.ascii(F.substring(h, 2, 1))
+        ) % HASH_DIM
+
+    def _weight(b):  # same formula as _W_DUCK
+        h = F.md5(F.concat(F.lit("w:"), b.cast("string")))
+        return (
+            F.ascii(F.substring(h, 1, 1)) * 101 + F.ascii(F.substring(h, 2, 1))
+        ) % 201 - 100
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens().alias("t")
+    )
+    wts = F.transform(F.transform(F.col("t"), _bucket), _weight)
+    wsum = F.aggregate(wts, F.lit(0), lambda acc, v: acc + v).cast("long")
+    scored = docs.select(
+        "doc_id", "lang", F.size("t").cast("long").alias("n_tokens"),
+        wsum.alias("weight_sum"),
+    )
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "weight_sum",
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("weight_sum") / (100.0 * F.col("n_tokens"))))),
+            6,
+        ).alias("prob"),
+        (F.col("weight_sum") >= 0).alias("keep"),
+    )

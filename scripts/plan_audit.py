@@ -980,6 +980,36 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "Join", "HashAggregate", "BatchEvalPython"],
         "max_exchanges": 0,
     },
+    # script histogram: every class count is regexp_replace+length inside
+    # one codegen'd projection — zero shuffles, no UDF, ever
+    "doc_script_profile": {
+        "contains": ["Project", "Scan parquet"],
+        "not_contains": ["Exchange", "Join", "HashAggregate", "BatchEvalPython"],
+        "max_exchanges": 0,
+    },
+    # linear scorer: two md5 calls per token in a zero-shuffle projection;
+    # a trained-weights swap-in must stay a projection/broadcast, not a UDF
+    "doc_quality_linear_score": {
+        "contains": ["Project", "Scan parquet"],
+        "not_contains": ["Exchange", "Join", "HashAggregate", "BatchEvalPython"],
+        "max_exchanges": 0,
+    },
+    # decontamination: gram explode -> eval-side distinct -> ONE
+    # fan-out-1 equi-join -> per-doc agg -> left join back; no pair
+    # explosion (the gram join key is the distinct eval set)
+    "eval_gram_decontamination": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
+        "max_exchanges": 6,
+    },
+    # cosine range search: queries broadcast against the corpus scan
+    # (inequality join -> BNLJ over a broadcast the size of N_QUERIES),
+    # radius filter BEFORE the one per-query count-window shuffle
+    "ann_range_search": {
+        "contains": ["BroadcastNestedLoopJoin", "Window"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 1,
+    },
 }
 
 _EXCHANGE = re.compile(r"^\s*(?::|\+)?-?\s*\+?-?\s*Exchange\b", re.MULTILINE)

@@ -69,6 +69,15 @@ EDGE_TEXTS = [
     (20, "s1 s2 s3 s4 s5 s6 s7 s8 gap1 gap2 u1 u2 u3 u4 u5 u6 u7 u8 tail", "en", "src8"),
     (21, "lead s1 s2 s3 s4 s5 s6 s7 s8 mid1 u1 u2 u3 u4 u5 u6 u7 u8", "en", "src9"),
     (22, "héllo wörld 中文 δοκιμή køb niño żółć tokyo osaka kyoto", "de", "src9"),
+    # script-profile adversaries (r9b): dominant-script ties (equal latin
+    # and cyrillic counts -> alphabetical winner), a digits-only doc, a
+    # Cyrillic-dominant doc, kana vs CJK-unified in one doc, and a
+    # symbols-only doc where every class is 0 but "other" wins
+    (23, "пример текста на русском языке для проверки", "ru", "src10"),
+    (24, "abc где 123", "ru", "src10"),
+    (25, "42 7 999 2026", "en", "src11"),
+    (26, "ひらがな カタカナ 漢字 テスト", "ja", "src11"),
+    (27, "~~~ !!! ??? +++ ===", "en", "src12"),
 ]
 
 
