@@ -1176,7 +1176,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.doc_id").alias("match_id"),
             F.col("m.is_new").alias("match_is_new"),
         )
-        .distinct()
+        # no .distinct(): duplicates from multi-band collisions are
+        # invisible to the terminal min_by (see _probe_against,
+        # operators/dedup_index.py — same trade, one fewer shuffle)
     )
     sa = sh.select(F.col("doc_id").alias("probe_id"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("match_id"), F.col("s").alias("sb"))

@@ -660,7 +660,9 @@ EXPECTATIONS: dict[str, dict] = {
     "dedup_incremental_minhash": {
         "contains": ["SortAggregate"],
         "not_contains": ["Window", "CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
-        "max_exchanges": 12,
+        # tightened after the candidate-distinct removal (min_by is
+        # duplicate-invariant; the dedupe shuffle was pure overhead)
+        "max_exchanges": 3,
     },
     # KMV sketch: rank window MUST prune (WindowGroupLimit before the
     # shuffle — the mergeable-sketch property); exact-count branch joins
@@ -827,7 +829,7 @@ EXPECTATIONS: dict[str, dict] = {
     "dedup_incremental_stored": {
         "contains": ["SortAggregate", "Scan parquet spark_catalog.default.bidx_"],
         "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
-        "max_exchanges": 8,
+        "max_exchanges": 6,  # tightened: candidate distinct removed
     },
     # warm-store probe (the per-ingest-batch marginal cost): same probe
     # contract as dedup_incremental_stored, but NOTHING in the plan may
@@ -835,7 +837,7 @@ EXPECTATIONS: dict[str, dict] = {
     "dedup_stored_probe_only": {
         "contains": ["SortAggregate", "Scan parquet spark_catalog.default.bidx_"],
         "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
-        "max_exchanges": 8,
+        "max_exchanges": 6,  # tightened: candidate distinct removed
     },
     # append-then-probe: identical probe contract to ann_ivf_stored —
     # dynamic partition pruning against the (appended) cell partitions
