@@ -1048,3 +1048,78 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((n_a > 0) & (n_b > 0), F.round(rate_b - rate_a, 6)).alias("abs_lift"),
         z.alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral-sequence export: the training-dataset builder for sequence
+# models (session2vec / next-event prediction) — each user's time-ordered
+# event-type string, capped at a fixed context length
+
+SEQ_MAX = 32  # context cap: row_number prunes before any list builds
+
+_SEQUENCES_SQL = f"""
+WITH placed AS (
+    SELECT user_id,
+           coalesce(event_type, 'null') AS et,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, coalesce(event_id, -9223372036854775807),
+                          coalesce(event_type, ''))
+)
+SELECT user_id,
+       max(n_events)::BIGINT AS n_events,
+       least(max(n_events), {SEQ_MAX})::BIGINT AS seq_len,
+       string_agg(et, '>' ORDER BY rn) AS sequence,
+       md5(string_agg(et, '>' ORDER BY rn)) AS seq_fp
+FROM placed
+WHERE rn <= {SEQ_MAX}
+GROUP BY user_id
+"""
+
+
+@register("user_event_sequences", oracle=_SEQUENCES_SQL,
+          tags=("behavior", "sequence", "export", "window"))
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequence export (first SEQ_MAX events),
+    with total event count, effective sequence length, the '>'-joined
+    sequence string, and its md5 — the deterministic behavioral-sequence
+    dataset a next-event model trains on. Ordering is total on every
+    engine: (ts, event_id, event_type) with NULL id/type coalesced INSIDE
+    the sort key (Spark orders NULLS FIRST, DuckDB NULLS LAST — a raw
+    NULL key would silently permute ties), NULL event_type rendered as a
+    'null' token, and rows with NULL user_id or NULL ts (unplaceable)
+    excluded outright on both sides.
+
+    Scale shape: one hash shuffle on user_id serves both window passes
+    AND the final per-user aggregate (same partitioning, Catalyst adds no
+    second exchange); the rn <= SEQ_MAX prune bounds the collected list
+    at 32 structs per user BEFORE any array builds, so a hot user costs
+    O(events) window work but never an unbounded collect."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    k_id = F.coalesce(F.col("event_id"), F.lit(-9223372036854775807))
+    k_ty = F.coalesce(F.col("event_type"), F.lit(""))
+    w = Window.partitionBy("user_id").orderBy("ts", k_id, k_ty)
+    wc = Window.partitionBy("user_id")
+    placed = ev.select(
+        "user_id",
+        F.coalesce(F.col("event_type"), F.lit("null")).alias("et"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_events"),
+    ).filter(F.col("rn") <= SEQ_MAX)
+    seq = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "et"))), lambda s: s["et"]
+        ),
+    )
+    return placed.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.least(F.max("n_events"), F.lit(SEQ_MAX)).cast("long").alias("seq_len"),
+        seq.alias("sequence"),
+        F.md5(seq).alias("seq_fp"),
+    )

@@ -1120,3 +1120,104 @@ def corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             mean4(F.col("b.uqs"), F.col("b.n")) - mean4(F.col("a.uqs"), F.col("a.n"))
         ).alias("uq_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR / right-to-be-forgotten: the erasure-propagation audit a pipeline
+# runs BEFORE executing a delete — how many rows in every table an
+# erasure request touches, including the second-hop cascade (lineitems of
+# deleted orders) that a naive per-table delete orphans
+
+_ERASE_PRED = "ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) % 10 = 3"
+
+_ERASURE_SQL = f"""
+WITH erased AS (
+    SELECT c_custkey FROM customer WHERE {_ERASE_PRED}
+)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT c_custkey FROM erased))
+           AS rows_affected,
+       (SELECT count(*) FROM customer) AS total_rows
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erased)),
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM erased))),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'events',
+       (SELECT count(*) FROM events WHERE user_id IN (SELECT c_custkey FROM erased)),
+       (SELECT count(*) FROM events)
+"""
+
+_ERASURE_WRAP = f"""
+SELECT table_name, rows_affected, total_rows,
+       round(CAST(rows_affected AS DOUBLE) / total_rows, 6) AS affected_frac
+FROM ({_ERASURE_SQL}) t
+"""
+
+
+@register("user_erasure_audit", oracle=_ERASURE_WRAP,
+          tags=("governance", "gdpr", "semi-join"))
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-propagation audit for a deterministic ~10% erasure cohort
+    (md5-bucket of c_custkey — reproducible across engines and runs, like
+    every sampling op here): per table, the row count a compliant delete
+    removes and its fraction, following the FK cascade customer -> orders
+    -> lineitem plus the events stream keyed by user_id. NULL keys can
+    never match the cohort (semi-join semantics on both engines).
+
+    Scale shape: the erasure cohort is a broadcast-sized key list (a
+    delete request batch); every count is a broadcast LEFT SEMI join on
+    the fact side — no fact table ever shuffles — and the two-hop
+    lineitem cascade broadcasts the affected order KEYS, not the orders
+    table. Four single-row aggregates unioned; at 100 TB each leg is one
+    scan with a broadcast filter, the same plan a Delta/Iceberg DELETE
+    compiles to before it rewrites files."""
+    # same md5-bucket predicate as _ERASE_PRED (Column form: Spark's SQL
+    # dialect spells the cast STRING, not VARCHAR)
+    erase_pred = (
+        F.ascii(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)) % 10 == 3
+    )
+    erased = table(spark, sf_dir, "customer").filter(erase_pred).select("c_custkey")
+
+    def leg(name: str, df: DataFrame, key: str) -> DataFrame:
+        hit = df.join(
+            F.broadcast(erased), df[key] == erased["c_custkey"], "left_semi"
+        )
+        return hit.agg(F.count("*").alias("rows_affected")).crossJoin(
+            df.agg(F.count("*").alias("total_rows"))
+        ).select(F.lit(name).alias("table_name"), "rows_affected", "total_rows")
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    erased_orders = orders.join(
+        F.broadcast(erased), orders["o_custkey"] == erased["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    li_hit = li.join(
+        F.broadcast(erased_orders), li["l_orderkey"] == erased_orders["o_orderkey"],
+        "left_semi",
+    )
+    li_leg = li_hit.agg(F.count("*").alias("rows_affected")).crossJoin(
+        li.agg(F.count("*").alias("total_rows"))
+    ).select(F.lit("lineitem").alias("table_name"), "rows_affected", "total_rows")
+
+    out = (
+        leg("customer", cust, "c_custkey")
+        .unionByName(leg("orders", orders, "o_custkey"))
+        .unionByName(li_leg)
+        .unionByName(leg("events", ev, "user_id"))
+    )
+    return out.select(
+        "table_name", "rows_affected", "total_rows",
+        F.round(F.col("rows_affected").cast("double") / F.col("total_rows"), 6).alias(
+            "affected_frac"
+        ),
+    )

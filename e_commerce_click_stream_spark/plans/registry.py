@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-4 = brand-new in the r9 continuation session
-    # (no prior proof). Slots 5-16 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-6 = brand-new in the r9 continuation session
+    # (no prior proof). Slots 7-18 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,20 +64,20 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 17-24 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 19-26 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 25-50 = refresh rotation: the oldest
+    # Slots 27-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 16 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 18 leftover
     # r4 queries overflow to _VERIFY_NEXT.
-    # oracle or code changed this round — prior proof no longer covers
-    # (slots 1-4: BRAND-NEW in the r9 continuation session — script
-    # profile, eval decontamination, linear quality scorer, cosine range
-    # search; they have no prior proof at all)
+    # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
     "eval_gram_decontamination",
     "doc_quality_linear_score",
     "ann_range_search",
+    "user_event_sequences",
+    "user_erasure_audit",
+    # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
     "dedup_savings_report",
@@ -124,8 +124,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dq_constraint_report",
     "embedding_cluster_quality",
     "embedding_lsh_recall_eval",
-    "embedding_pq_encode",
-    "embedding_sq8_error",
 )
 
 
@@ -134,8 +132,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the four
+    # r4-proof refreshes displaced from the 50-slot window by the six
     # brand-new r9-continuation queries (new queries outrank refreshes)
+    "embedding_pq_encode",
+    "embedding_sq8_error",
     "event_type_markov",
     "events_anomaly_zscore",
     "events_rollup_hypertable",

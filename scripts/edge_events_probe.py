@@ -91,7 +91,7 @@ BATCH_EVENT_QUERIES = [
     "hourly_gapfill_locf", "user_interarrival_stats", "user_value_ewma",
     "sql_gateway_hourly_revenue", "key_skew_profile",
     "kmv_audience_overlap", "events_zorder_stats",
-    "events_countmin_heavy_hitters",
+    "events_countmin_heavy_hitters", "user_event_sequences",
 ]
 
 

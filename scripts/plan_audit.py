@@ -1004,6 +1004,22 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "max_exchanges": 6,
     },
+    # behavioral-sequence export: ONE user_id shuffle serves both window
+    # passes and the final per-user agg; the rn<=cap prune bounds every
+    # collected list before array builds
+    "user_event_sequences": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 1,
+    },
+    # erasure audit: every leg is a broadcast LEFT SEMI on the fact side
+    # (facts never shuffle for the cohort), single-row aggs unioned; the
+    # only Exchanges feed the four single-row final aggregates
+    "user_erasure_audit": {
+        "contains": ["BroadcastHashJoin", "LeftSemi"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 9,
+    },
     # cosine range search: queries broadcast against the corpus scan
     # (inequality join -> BNLJ over a broadcast the size of N_QUERIES),
     # radius filter BEFORE the one per-query count-window shuffle

@@ -1,5 +1,6 @@
 """Invariant tests for the r9-continuation operators: doc_script_profile,
-eval_gram_decontamination, doc_quality_linear_score, ann_range_search.
+eval_gram_decontamination, doc_quality_linear_score, ann_range_search,
+user_erasure_audit, user_event_sequences.
 
 Oracle parity is covered by the driver gate and the documents edge
 matrix; these pin SEMANTIC guarantees on corpora built to exercise each:
@@ -202,3 +203,79 @@ def test_range_search_inclusive_boundary(spark):
     assert got[(0, 20)].cosine == pytest.approx(RANGE_TAU)
     assert got[(0, 21)].cosine == 1.0
     assert got[(0, 20)].n_in_range == 2 and got[(0, 21)].n_in_range == 2
+
+
+# ---------------------------------------------------------------------- #
+# user_erasure_audit
+
+
+def test_erasure_audit_cascade_invariants(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = {r.table_name: r for r in SPECS["user_erasure_audit"].builder(spark, sf).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for r in rows.values():
+        assert 0 <= r.rows_affected <= r.total_rows
+        assert r.affected_frac == round(r.rows_affected / r.total_rows, 6)
+    # the md5 bucket predicate selects a non-degenerate cohort (~10%)
+    c = rows["customer"]
+    assert 0 < c.rows_affected < c.total_rows
+    # cascade consistency against a direct recomputation
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    direct = con.execute(
+        """
+        SELECT count(*) FROM lineitem WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) % 10 = 3))
+        """
+    ).fetchone()[0]
+    con.close()
+    assert rows["lineitem"].rows_affected == direct
+
+
+# ---------------------------------------------------------------------- #
+# user_event_sequences
+
+
+def test_event_sequences_ordering_and_cap(spark):
+    import tempfile as _tmp
+    from e_commerce_click_stream_spark.plans.behavior import SEQ_MAX
+
+    base = None  # events-only corpus
+    out = _tmp.mkdtemp(prefix="r9b_seq_")
+    rows = []
+    # user 1: 40 events, ts ascending -> capped at SEQ_MAX
+    for i in range(40):
+        rows.append((i, f"2024-01-01 00:00:{i:02d}", 1, f"e{i}", None, None))
+    # user 2: a ts tie broken by event_id, a NULL event_type token
+    rows += [
+        (100, "2024-01-01 00:00:00", 2, "b", None, None),
+        (101, "2024-01-01 00:00:00", 2, None, None, None),
+        (99, "2024-01-01 00:00:00", 2, "a", None, None),
+    ]
+    # user 3: NULL ts -> excluded entirely
+    rows.append((200, None, 3, "x", None, None))
+    import os as _os
+
+    spark.createDataFrame(
+        [(i, ts, u, et, v, p) for i, ts, u, et, v, p in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(out, "events.parquet"))
+
+    res = {r.user_id: r for r in SPECS["user_event_sequences"].builder(spark, out).collect()}
+    assert set(res) == {1, 2}, "NULL-ts-only user is excluded"
+    r1 = res[1]
+    assert (r1.n_events, r1.seq_len) == (40, SEQ_MAX)
+    assert r1.sequence == ">".join(f"e{i}" for i in range(SEQ_MAX))
+    r2 = res[2]
+    # tie on ts resolved by event_id: 99(a) < 100(b) < 101(null token)
+    assert r2.sequence == "a>b>null"
+    assert r2.n_events == 3 and r2.seq_len == 3
