@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-6 = brand-new in the r9 continuation session
-    # (no prior proof). Slots 7-18 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-7 = brand-new in the r9 continuation session
+    # (no prior proof). Slots 8-19 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,11 +64,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 19-26 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 20-27 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 27-50 = refresh rotation: the oldest
+    # Slots 28-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 18 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 19 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
@@ -77,6 +77,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_range_search",
     "user_event_sequences",
     "user_erasure_audit",
+    "ann_ivf_range_search",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -123,7 +124,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_winnowing_fingerprints",
     "dq_constraint_report",
     "embedding_cluster_quality",
-    "embedding_lsh_recall_eval",
 )
 
 
@@ -132,8 +132,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the six
+    # r4-proof refreshes displaced from the 50-slot window by the seven
     # brand-new r9-continuation queries (new queries outrank refreshes)
+    "embedding_lsh_recall_eval",
     "embedding_pq_encode",
     "embedding_sq8_error",
     "event_type_markov",

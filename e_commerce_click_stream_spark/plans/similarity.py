@@ -2460,3 +2460,96 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("cosine") >= RANGE_TAU)
         .withColumn("n_in_range", F.count("*").over(w))
     )
+
+
+_IVF_RANGE_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+),
+cent AS (
+    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+    SELECT n.vec_id, n.v, n.nrm,
+           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                              - c.cent_id * 1e-12) AS cell
+    FROM n, cent c
+    GROUP BY n.vec_id, n.v, n.nrm
+),
+probes AS (
+    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
+                        c.cent_id) AS probe_rank
+    FROM n q, cent c
+    WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, a.v) / (q.nrm * a.nrm), 6) AS cosine
+    FROM (SELECT query_id, cell FROM probes WHERE probe_rank <= {N_PROBE}) p
+    JOIN assign a ON a.cell = p.cell
+    JOIN n q ON q.vec_id = p.query_id
+    WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       count(*) OVER (PARTITION BY query_id) AS n_in_range
+FROM scored WHERE cosine >= {RANGE_TAU}
+"""
+
+
+@register("ann_ivf_range_search", oracle=_IVF_RANGE_SQL,
+          tags=("similarity", "ivf", "range"))
+def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-accelerated twin of ``ann_range_search``: each query
+    range-scans only its 3 nearest cells instead of the whole corpus —
+    the scale path for epsilon-ball retrieval (a neighbor in an unprobed
+    cell is missed, the recall trade every IVF index makes; compare the
+    two queries' n_in_range for the observed recall). Same inclusive
+    ROUNDED-cosine radius as the exact baseline.
+
+    Scale shape: identical probe plumbing to ann_ivf_topk — broadcast
+    centroids, equi-join on cell (at 100 TB the stored cell-partitioned
+    assignment makes this a DPP-pruned scan of ~nprobe/ncells of the
+    corpus, see ann_ivf_stored), radius filter prunes before the only
+    shuffle (the per-query count window)."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "v", "nrm")
+        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
+    probes = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "qn", "cent_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias("psim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        scored.filter(F.col("cosine") >= RANGE_TAU)
+        .withColumn("n_in_range", F.count("*").over(w))
+    )

@@ -1004,6 +1004,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "max_exchanges": 6,
     },
+    # IVF range search: same probe plumbing as ann_ivf_topk (broadcast
+    # centroids + probes, cell equi-join), radius filter before the one
+    # count-window shuffle; never a corpus-wide pair scan
+    "ann_ivf_range_search": {
+        "contains": ["Window", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
     # behavioral-sequence export: ONE user_id shuffle serves both window
     # passes and the final per-user agg; the rn<=cap prune bounds every
     # collected list before array builds

@@ -279,3 +279,25 @@ def test_event_sequences_ordering_and_cap(spark):
     # tie on ts resolved by event_id: 99(a) < 100(b) < 101(null token)
     assert r2.sequence == "a>b>null"
     assert r2.n_events == 3 and r2.seq_len == 3
+
+
+# ---------------------------------------------------------------------- #
+# ann_ivf_range_search
+
+
+def test_ivf_range_is_subset_of_exact_range(spark):
+    """Every IVF-range hit must appear in the exact range result with the
+    SAME cosine (the index may miss neighbors in unprobed cells — lower
+    recall — but can never invent or re-score one)."""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in SPECS["ann_range_search"].builder(spark, sf).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in SPECS["ann_ivf_range_search"].builder(spark, sf).collect()
+    }
+    assert ivf, "probed cells produce a non-degenerate result"
+    assert set(ivf) <= set(exact)
+    assert all(exact[k] == v for k, v in ivf.items())
