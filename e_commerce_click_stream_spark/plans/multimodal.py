@@ -187,3 +187,75 @@ def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_bytes") / float(SHARD_BYTE_BUDGET), 4).alias("fill_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text<->embedding pair assembly: the contrastive-pairs dataset builder
+# (CLIP-style) — align the caption table with the vector table by id,
+# quality-gate BOTH modalities, and emit the join the trainer consumes
+
+_PAIRS_GATE_SQL = (
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 "
+    "AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 "
+    "AND len(list_filter(embedding, x -> x <> 0)) > 0"
+)
+
+_TEXT_EMB_PAIRS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source, lang,
+           string_split_regex(trim(text), '\\s+') AS t,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS caption_fp
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+e AS (
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm
+    FROM ({_PAIRS_GATE_SQL}) g
+)
+SELECT d.doc_id, d.source, d.lang,
+       len(d.t) AS n_tokens, d.caption_fp, e.label, e.l2_norm
+FROM d JOIN e ON e.vec_id = d.doc_id
+WHERE len(d.t) >= 3
+"""
+
+
+@register("multimodal_text_embedding_pairs", oracle=_TEXT_EMB_PAIRS_SQL,
+          tags=("multimodal", "contrastive", "join"))
+def multimodal_text_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair assembly: captions (documents) joined to
+    their embedding rows by id, with BOTH modalities quality-gated first —
+    text must be non-empty with >= 3 tokens, vectors pass the standard
+    hygiene gate (non-NULL, full 64 dims, no NULL elements, non-zero).
+    Emits the caption fingerprint (normalized-text md5, the dedup key a
+    CLIP pipeline dedups pairs on), token count, class label, and vector
+    norm — the manifest row a contrastive trainer consumes.
+
+    Scale shape: both gates are zero-shuffle scan filters (each side
+    shrinks BEFORE the join); the join is a single-key equi-join on the
+    id — at 100 TB both tables live bucketed/sorted on that id (the
+    operators/dedup_index.py catalog-table discipline) and the join is
+    exchange-free. No vectors ride through the output — only the norm."""
+    from e_commerce_click_stream_spark.operators.textops import (
+        fingerprint,
+        tokens,
+    )
+    from e_commerce_click_stream_spark.plans.similarity import _norm, _vecs
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id", "source", "lang",
+            F.size(tokens()).cast("long").alias("n_tokens"),
+            fingerprint().alias("caption_fp"),
+        )
+        .filter(F.col("n_tokens") >= 3)
+    )
+    e = _vecs(spark, sf_dir).select(
+        "vec_id", "label", F.round(_norm(F.col("v")), 6).alias("l2_norm")
+    )
+    return d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id", "source", "lang", "n_tokens", "caption_fp", "label", "l2_norm"
+    )

@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-7 = brand-new in the r9 continuation session
-    # (no prior proof). Slots 8-19 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-9 = brand-new in the r9 continuation session
+    # (no prior proof). Slots 10-21 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,11 +64,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 20-27 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 22-29 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 28-50 = refresh rotation: the oldest
+    # Slots 30-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 19 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 21 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
@@ -78,6 +78,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "user_event_sequences",
     "user_erasure_audit",
     "ann_ivf_range_search",
+    "neardup_threshold_curve",
+    "multimodal_text_embedding_pairs",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -122,8 +124,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_simhash_hamming",
     "doc_gram_contamination",
     "doc_winnowing_fingerprints",
-    "dq_constraint_report",
-    "embedding_cluster_quality",
 )
 
 
@@ -132,8 +132,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the seven
+    # r4-proof refreshes displaced from the 50-slot window by the nine
     # brand-new r9-continuation queries (new queries outrank refreshes)
+    "dq_constraint_report",
+    "embedding_cluster_quality",
     "embedding_lsh_recall_eval",
     "embedding_pq_encode",
     "embedding_sq8_error",

@@ -2553,3 +2553,73 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("cosine") >= RANGE_TAU)
         .withColumn("n_in_range", F.count("*").over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup threshold calibration: how aggressive is a given cosine cutoff?
+# The vector-side twin of quality_threshold_sweep — pairs and distinct
+# documents implicated at each candidate threshold, from ONE pass over the
+# verified LSH pair relation
+
+NEARDUP_THR_GRID = (30, 40, 50, 60, 70, 80, 90)  # integer percents: no
+# decimal literals in the grid (DuckDB types bare 0.30 as DECIMAL(3,2),
+# which the driver hasher stringifies differently from Spark's double)
+
+_NEARDUP_CURVE_SQL = f"""
+WITH grid AS (
+    SELECT unnest([{", ".join(str(t) for t in NEARDUP_THR_GRID)}]) AS thr_pct
+),
+hits AS (
+    SELECT g.thr_pct, p.vec_a, p.vec_b
+    FROM ({_NEARDUP_LSH_SQL}) p
+    JOIN grid g ON p.cosine >= g.thr_pct / 100.0
+),
+u AS (SELECT thr_pct, unnest([vec_a, vec_b]) AS d FROM hits),
+agg AS (
+    SELECT thr_pct,
+           CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+           count(DISTINCT d) AS n_docs
+    FROM u GROUP BY thr_pct
+)
+SELECT g.thr_pct,
+       coalesce(a.n_pairs, 0) AS n_pairs,
+       coalesce(a.n_docs, 0) AS n_docs
+FROM grid g LEFT JOIN agg a ON a.thr_pct = g.thr_pct
+"""
+
+
+@register("neardup_threshold_curve", oracle=_NEARDUP_CURVE_SQL,
+          tags=("similarity", "near-dup", "calibration"))
+def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-volume curve over the near-dup cosine threshold: for each
+    grid cutoff, how many verified LSH pairs survive and how many distinct
+    vectors they implicate — the readout that calibrates the dedup
+    aggressiveness knob BEFORE a 100 TB pass commits to one (the vector
+    twin of quality_threshold_sweep; thresholds ride as integer percents
+    so no bare decimal literal can type-drift between engines, and a
+    cutoff that kills every pair still reports a zero row).
+
+    Scale shape: reuses the verified pair relation (bounded by band-bucket
+    occupancy, not n²), broadcast-joins the 7-row grid, explodes each pair
+    into its two endpoint ids, and aggregates the (threshold) grain in one
+    shuffle. Pair volume × |grid| × 2 rows total — never a corpus scan."""
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in NEARDUP_THR_GRID])).alias("thr_pct")
+    )
+    pairs = embedding_neardup_lsh(spark, sf_dir).select("vec_a", "vec_b", "cosine")
+    hits = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("cosine") >= F.col("thr_pct") / 100.0
+    )
+    u = hits.select("thr_pct", F.explode(F.array("vec_a", "vec_b")).alias("d"))
+    agg = u.groupBy("thr_pct").agg(
+        (F.count("*") / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("d").alias("n_docs"),
+    )
+    # LEFT join from the grid AFTER aggregation (the agg side is |grid|
+    # rows, so the outer join broadcasts): a cutoff that kills every pair
+    # still reports its zero row — that IS the calibration signal
+    return grid.join(F.broadcast(agg), "thr_pct", "left").select(
+        "thr_pct",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+    )

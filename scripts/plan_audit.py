@@ -1004,6 +1004,21 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "max_exchanges": 6,
     },
+    # threshold curve: verified pair relation x broadcast 7-row grid,
+    # endpoint explode, ONE grid-grain agg (the countDistinct expands it
+    # to two passes); never a corpus scan
+    "neardup_threshold_curve": {
+        "contains": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 8,
+    },
+    # contrastive pairs: both modality gates are scan filters BEFORE the
+    # single-key id equi-join; no vector arrays in the output
+    "multimodal_text_embedding_pairs": {
+        "contains": ["Join", "PushedFilters: [Is"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython", "Generate"],
+        "max_exchanges": 3,
+    },
     # IVF range search: same probe plumbing as ann_ivf_topk (broadcast
     # centroids + probes, cell equi-join), radius filter before the one
     # count-window shuffle; never a corpus-wide pair scan
