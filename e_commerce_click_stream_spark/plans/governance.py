@@ -1185,35 +1185,31 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     erased = table(spark, sf_dir, "customer").filter(erase_pred).select("c_custkey")
 
-    def leg(name: str, df: DataFrame, key: str) -> DataFrame:
-        hit = df.join(
-            F.broadcast(erased), df[key] == erased["c_custkey"], "left_semi"
-        )
-        return hit.agg(F.count("*").alias("rows_affected")).crossJoin(
-            df.agg(F.count("*").alias("total_rows"))
+    def leg(name: str, hit_df: DataFrame, total_df: DataFrame) -> DataFrame:
+        return hit_df.agg(F.count("*").alias("rows_affected")).crossJoin(
+            total_df.agg(F.count("*").alias("total_rows"))
         ).select(F.lit(name).alias("table_name"), "rows_affected", "total_rows")
+
+    def semi(df: DataFrame, key: str, cohort: DataFrame, ckey: str) -> DataFrame:
+        return df.join(F.broadcast(cohort), df[key] == cohort[ckey], "left_semi")
 
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     ev = table(spark, sf_dir, "events")
 
-    erased_orders = orders.join(
-        F.broadcast(erased), orders["o_custkey"] == erased["c_custkey"], "left_semi"
-    ).select("o_orderkey")
-    li_hit = li.join(
-        F.broadcast(erased_orders), li["l_orderkey"] == erased_orders["o_orderkey"],
-        "left_semi",
-    )
-    li_leg = li_hit.agg(F.count("*").alias("rows_affected")).crossJoin(
-        li.agg(F.count("*").alias("total_rows"))
-    ).select(F.lit("lineitem").alias("table_name"), "rows_affected", "total_rows")
-
+    # customer's affected rows ARE the cohort (c_custkey is the filter key
+    # and the table's unique key) — no semi-join needed on that leg
+    erased_orders = semi(orders, "o_custkey", erased, "c_custkey")
     out = (
-        leg("customer", cust, "c_custkey")
-        .unionByName(leg("orders", orders, "o_custkey"))
-        .unionByName(li_leg)
-        .unionByName(leg("events", ev, "user_id"))
+        leg("customer", erased, cust)
+        .unionByName(leg("orders", erased_orders, orders))
+        .unionByName(leg(
+            "lineitem",
+            semi(li, "l_orderkey", erased_orders.select("o_orderkey"), "o_orderkey"),
+            li,
+        ))
+        .unionByName(leg("events", semi(ev, "user_id", erased, "c_custkey"), ev))
     )
     return out.select(
         "table_name", "rows_affected", "total_rows",

@@ -401,23 +401,103 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-style coarse quantization: the third ANN scale path
 
 N_CENTROIDS = 8  # vec_id < 8 double as the coarse codebook
+N_PROBE = 3  # cells probed per query
 
-_IVF_SQL = f"""
-WITH n AS (
+
+# Shared IVF plumbing — builder side. Four scratch-built IVF queries
+# (cells / topk / pq / range, plus their recall evals via composition)
+# need the same assign-and-probe mechanics; any tie-break or ranking fix
+# lands HERE once, mirrored once in the SQL fragments below. `carry_vec`
+# widens the assign groupBy to haul (v, nrm) through for downstream
+# exact scoring (topk/range); cells/PQ keep the narrow (vec_id)-only
+# aggregate so the shuffle never carries 64-double payloads it won't read.
+
+def _ivf_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(normalized corpus, broadcast-sized centroid codebook)."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    return n, cent
+
+
+def _ivf_assign(n: DataFrame, cent: DataFrame, carry_vec: bool) -> DataFrame:
+    """Nearest-centroid cell per vector (rounded cosine, low-id tiebreak)."""
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    keys = ("vec_id", "v", "nrm") if carry_vec else ("vec_id",)
+    return (
+        n.crossJoin(F.broadcast(cent))
+        .groupBy(*keys)
+        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
+    )
+
+
+def _ivf_probes(n: DataFrame, cent: DataFrame, carry_query_vec: bool) -> DataFrame:
+    """Top-N_PROBE nearest cells per query vector, optionally hauling the
+    query vector/norm along for downstream exact scoring."""
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
+    qcols = ["qv", "qn"] if carry_query_vec else []
+    return (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            *qcols,
+            "cent_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias(
+                "psim"
+            ),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", *qcols, F.col("cent_id").alias("cell"))
+    )
+
+
+# Shared IVF plumbing — oracle side. The composed SQL is byte-identical
+# to the strings the fragments replaced, so proofs keyed on oracle text
+# are unaffected. `_IVF_ASSIGN_WIDE_CTE` mirrors carry_vec=True.
+
+_IVF_N_CENT_CTE = f"""n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
     FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 cent AS (
     SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
-),
-assign AS (
+)"""
+
+_IVF_ASSIGN_WIDE_CTE = """assign AS (
+    SELECT n.vec_id, n.v, n.nrm,
+           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
+                              - c.cent_id * 1e-12) AS cell
+    FROM n, cent c
+    GROUP BY n.vec_id, n.v, n.nrm
+)"""
+
+_IVF_ASSIGN_NARROW_CTE = """assign AS (
     SELECT n.vec_id,
            arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
                               - c.cent_id * 1e-12) AS cell
     FROM n, cent c
     GROUP BY n.vec_id
-)
+)"""
+
+_IVF_PROBES_CTE = f"""probes AS (
+    SELECT q.vec_id AS query_id, c.cent_id AS cell,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
+                        c.cent_id) AS probe_rank
+    FROM n q, cent c
+    WHERE q.vec_id < {N_QUERIES}
+)"""
+
+
+_IVF_SQL = f"""
+WITH {_IVF_N_CENT_CTE},
+{_IVF_ASSIGN_NARROW_CTE}
 SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
 FROM assign GROUP BY cell
 """
@@ -432,16 +512,8 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is one broadcast join + argmax, partitionable by cell for
     downstream probing. Ties on rounded similarity break toward the lower
     centroid id in both engines."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
-    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
-    assign = (
-        n.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
-    )
+    n, cent = _ivf_corpus(spark, sf_dir)
+    assign = _ivf_assign(n, cent, carry_vec=False)
     return assign.groupBy("cell").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
@@ -468,34 +540,10 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # End-to-end IVF-flat search: assign -> probe -> rank (completes the ANN
 # story: ann_cosine_topk is the exact baseline, ann_ivf_topk the scale path)
 
-N_PROBE = 3  # cells probed per query
-
-
 _IVF_TOPK_SQL = f"""
-WITH n AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
-),
-cent AS (
-    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
-),
-assign AS (
-    SELECT n.vec_id, n.v, n.nrm,
-           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
-                              - c.cent_id * 1e-12) AS cell
-    FROM n, cent c
-    GROUP BY n.vec_id, n.v, n.nrm
-),
-probes AS (
-    SELECT q.vec_id AS query_id, c.cent_id AS cell,
-           row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
-                        c.cent_id) AS probe_rank
-    FROM n q, cent c
-    WHERE q.vec_id < {N_QUERIES}
-),
+WITH {_IVF_N_CENT_CTE},
+{_IVF_ASSIGN_WIDE_CTE},
+{_IVF_PROBES_CTE},
 cand AS (
     SELECT p.query_id, a.vec_id AS neighbor_id, a.v, a.nrm
     FROM (SELECT query_id, cell FROM probes WHERE probe_rank <= {N_PROBE}) p
@@ -525,36 +573,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a probe is a partition-pruned scan of ~nprobe/ncells of the corpus,
     and the per-query candidate set joins on cell (equi-join, no full
     cross). Deterministic: rounded cosines, id tiebreaks everywhere."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
-    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
-
-    assign = (
-        n.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id", "v", "nrm")
-        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
-    )
-
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
-    probes = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qv",
-            "qn",
-            "cent_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias(
-                "psim"
-            ),
-        )
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= N_PROBE)
-        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
-    )
+    n, cent = _ivf_corpus(spark, sf_dir)
+    assign = _ivf_assign(n, cent, carry_vec=True)
+    probes = _ivf_probes(n, cent, carry_query_vec=True)
 
     scored = (
         assign.join(F.broadcast(probes), on="cell")
@@ -874,30 +895,9 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the codebook (ADC, Jégou et al. 2011) without touching raw vectors.
 
 _IVF_PQ_SQL = f"""
-WITH n AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
-),
-cent AS (
-    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
-),
-assign AS (
-    SELECT n.vec_id,
-           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
-                              - c.cent_id * 1e-12) AS cell
-    FROM n, cent c
-    GROUP BY n.vec_id
-),
-probes AS (
-    SELECT q.vec_id AS query_id, c.cent_id AS cell,
-           row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
-                        c.cent_id) AS probe_rank
-    FROM n q, cent c
-    WHERE q.vec_id < {N_QUERIES}
-),
+WITH {_IVF_N_CENT_CTE},
+{_IVF_ASSIGN_NARROW_CTE},
+{_IVF_PROBES_CTE},
 sub AS (
     SELECT vec_id, s.range AS sub_id,
            v[(s.range * {PQ_D} + 1):(s.range * {PQ_D} + {PQ_D})] AS sv
@@ -951,30 +951,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a broadcast codebook and broadcast query slices, then one
     hash agg folds them back. Deterministic via rounded distances and id
     tiebreaks at every argmin/rank."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
-    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
-    assign = (
-        n.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
-    probes = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "cent_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias("psim"),
-        )
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= N_PROBE)
-        .select("query_id", F.col("cent_id").alias("cell"))
-    )
+    n, cent = _ivf_corpus(spark, sf_dir)
+    assign = _ivf_assign(n, cent, carry_vec=False)
+    probes = _ivf_probes(n, cent, carry_query_vec=False)
     sub = n.select(
         "vec_id",
         F.expr(
@@ -2463,30 +2442,9 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_RANGE_SQL = f"""
-WITH n AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
-),
-cent AS (
-    SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_CENTROIDS}
-),
-assign AS (
-    SELECT n.vec_id, n.v, n.nrm,
-           arg_max(c.cent_id, round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6)
-                              - c.cent_id * 1e-12) AS cell
-    FROM n, cent c
-    GROUP BY n.vec_id, n.v, n.nrm
-),
-probes AS (
-    SELECT q.vec_id AS query_id, c.cent_id AS cell,
-           row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round(list_dot_product(q.v, c.cv) / (q.nrm * c.cnrm), 6) DESC,
-                        c.cent_id) AS probe_rank
-    FROM n q, cent c
-    WHERE q.vec_id < {N_QUERIES}
-),
+WITH {_IVF_N_CENT_CTE},
+{_IVF_ASSIGN_WIDE_CTE},
+{_IVF_PROBES_CTE},
 scored AS (
     SELECT p.query_id, a.vec_id AS neighbor_id,
            round(list_dot_product(q.v, a.v) / (q.nrm * a.nrm), 6) AS cosine
@@ -2516,29 +2474,9 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment makes this a DPP-pruned scan of ~nprobe/ncells of the
     corpus, see ann_ivf_stored), radius filter prunes before the only
     shuffle (the per-query count window)."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
-    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
-    assign = (
-        n.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id", "v", "nrm")
-        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
-    probes = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "query_id", "qv", "qn", "cent_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias("psim"),
-        )
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= N_PROBE)
-        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
-    )
+    n, cent = _ivf_corpus(spark, sf_dir)
+    assign = _ivf_assign(n, cent, carry_vec=True)
+    probes = _ivf_probes(n, cent, carry_query_vec=True)
     scored = (
         assign.join(F.broadcast(probes), on="cell")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -2179,7 +2179,10 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCRIPT_CLASSES = (
     # (name, regex character class — identical syntax in Java and RE2)
-    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    # Latin-1 letters minus U+00D7 (×) / U+00F7 (÷): those are
+    # Script=Common math symbols, not Latin letters, and would inflate
+    # latin_chars (and can flip dominant_script) for measurement-heavy text.
+    ("latin", r"[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]"),
     ("greek", r"[\x{0370}-\x{03FF}]"),
     ("cyrillic", r"[\x{0400}-\x{04FF}]"),
     ("cjk", r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]"),
@@ -2370,7 +2373,13 @@ def eval_gram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> md5(concat_ws(' ', slice(t, i, {GRAM_N}))))"
         ),
     ).otherwise(F.expr("array()"))
-    grams = docs.select("doc_id", "split", F.explode(gram_fp).alias("gh"))
+    # grams feeds BOTH the eval-side distinct and the train-side join;
+    # checkpoint it once so the scan + tokenize + per-gram md5 stage is
+    # not recomputed per branch (same shared-stage pattern as the
+    # dedup_incremental_minhash shingle checkpoint in plans/dedup.py).
+    grams = docs.select(
+        "doc_id", "split", F.explode(gram_fp).alias("gh")
+    ).localCheckpoint(eager=True)
     eg = grams.filter(F.col("split") == "eval").select("gh").distinct()
     hits = (
         grams.filter(F.col("split") == "train")

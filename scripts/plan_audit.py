@@ -998,9 +998,12 @@ EXPECTATIONS: dict[str, dict] = {
     },
     # decontamination: gram explode -> eval-side distinct -> ONE
     # fan-out-1 equi-join -> per-doc agg -> left join back; no pair
-    # explosion (the gram join key is the distinct eval set)
+    # explosion (the gram join key is the distinct eval set). The
+    # tokenize+explode+md5 gram stage is localCheckpoint'd (it feeds both
+    # the eval-distinct and the train join), so the visible plan reads
+    # the checkpointed RDD instead of a Generate node.
     "eval_gram_decontamination": {
-        "contains": ["Generate", "HashAggregate"],
+        "contains": ["Scan ExistingRDD", "HashAggregate"],
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         "max_exchanges": 6,
     },
