@@ -80,6 +80,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_ivf_range_search",
     "neardup_threshold_curve",
     "multimodal_text_embedding_pairs",
+    "doc_gopher_quality_flags",
+    "corpus_token_budget_plan",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -93,6 +95,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "vocab_oov_curve",
     "quality_threshold_sweep",
     "substring_span_clusters",
+    # builders refactored onto the shared _ivf_assign/_ivf_probes helpers
+    # (oracle text byte-identical; plans re-proven at 3 SFs pre-commit)
+    "ann_ivf_topk",
+    "ann_ivf_cells",
     # r3-proof TPC-H overflow from the r8 window
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -120,10 +126,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_pareto_abc",
     "daily_active_users",
     "dedup_containment",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_hamming",
-    "doc_gram_contamination",
-    "doc_winnowing_fingerprints",
 )
 
 
@@ -132,8 +134,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the nine
-    # brand-new r9-continuation queries (new queries outrank refreshes)
+    # r4-proof refreshes displaced from the 50-slot window by the eleven
+    # brand-new r9-continuation queries and the two IVF-refactor re-proofs
+    # (new/changed queries outrank refreshes)
+    "dedup_ngram_jaccard",
+    "dedup_simhash_hamming",
+    "doc_gram_contamination",
+    "doc_winnowing_fingerprints",
     "dq_constraint_report",
     "embedding_cluster_quality",
     "embedding_lsh_recall_eval",

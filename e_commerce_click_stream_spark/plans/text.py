@@ -2496,3 +2496,261 @@ def doc_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prob"),
         (F.col("weight_sum") >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The canonical Gopher quality-rule battery (Rae et al. 2021, table A1):
+# the published rule set most pretraining pipelines start from, applied
+# per document. Complements doc_quality_scores (generic features) and
+# doc_repetition_stats (repetition half of the Gopher rules): this is the
+# structural half — word-count bounds, mean word length, symbol-to-word
+# ratio, bullet/ellipsis line fractions, alphabetic-word fraction, and
+# the required-stopword rule — each as its own flag so a tuner can see
+# WHICH rule kills a document, plus the conjunction gate.
+
+# the eight required words from the paper's "stop word" rule
+_GOPHER_REQ_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_REQ_SQL = ", ".join(f"'{w}'" for w in _GOPHER_REQ_WORDS)
+
+# line-level regexes with EXPLICIT whitespace classes (Java \s includes
+# \x0B where RE2's does not — module convention, see _SPACE_CLASS)
+_BULLET_RE = r"^[ \t]*[-*•]"
+_ELLIPSIS_RE = r"(\.\.\.|…)[ \t\r]*$"
+
+_GOPHER_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS t,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(t) AS n_words,
+           list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+               AS mean_wlen,
+           (length(text) - length(replace(text, '#', ''))
+            + (length(text) - length(replace(text, '...', ''))) // 3
+            + length(text) - length(replace(text, '…', '')))::DOUBLE / len(t)
+               AS sym_ratio,
+           len(list_filter(lines, l -> regexp_matches(l, '{_BULLET_RE}')))::DOUBLE
+               / len(lines) AS bullet_frac,
+           len(list_filter(lines, l -> regexp_matches(l, '{_ELLIPSIS_RE}')))::DOUBLE
+               / len(lines) AS ellipsis_frac,
+           len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / len(t) AS alpha_frac,
+           len(list_filter([{_GOPHER_REQ_SQL}],
+                           w -> list_contains(t, w)))::BIGINT AS req_sw_hits
+    FROM toks
+)
+SELECT doc_id, n_words,
+       round(mean_wlen, 4) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_word_ratio,
+       round(bullet_frac, 6) AS bullet_line_frac,
+       round(ellipsis_frac, 6) AS ellipsis_line_frac,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       req_sw_hits AS req_stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS words_in_range,
+       (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS mean_len_ok,
+       (sym_ratio <= 0.1) AS symbol_ok,
+       (bullet_frac <= 0.9) AS bullet_ok,
+       (ellipsis_frac <= 0.3) AS ellipsis_ok,
+       (alpha_frac >= 0.8) AS alpha_ok,
+       (req_sw_hits >= 2) AS stopword_ok,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND req_sw_hits >= 2) AS passes_gopher
+FROM m
+"""
+
+
+@register("doc_gopher_quality_flags", oracle=_GOPHER_SQL,
+          tags=("text", "quality", "gopher"))
+def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher structural quality rules (Rae et al. 2021):
+    word-count bounds [50, 100k], mean word length in [3, 10], symbol-
+    to-word ratio ('#', '...', '…') <= 0.1, bullet-started lines <= 90%,
+    ellipsis-ended lines <= 30%, words-with-an-alphabetic-char >= 80%,
+    and at least two of the paper's eight required English stopwords —
+    one flag per rule plus the conjunction, so threshold tuning can see
+    the marginal kill rate of each rule (the repetition half of the
+    battery lives in doc_repetition_stats). NULL text propagates NULL
+    metrics and a NULL gate (Spark 3+ size(NULL)=NULL semantics match
+    the oracle); flags compare UNROUNDED doubles identically on both
+    engines, with '...' counted before the lone-'…' pass the same
+    non-overlapping left-to-right way via replace().
+
+    Scale shape: pure zero-shuffle projection — token and line arrays
+    stay inside one codegen stage, no join, no agg, no UDF; trivially
+    partition-parallel at 100 TB."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens().alias("t"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    n = F.size("t")
+    nl = F.size("lines")
+    tok_chars = F.aggregate(
+        F.expr("transform(t, x -> length(x))"), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wlen = tok_chars.cast("double") / n
+    hash_hits = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    dots_hits = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    uell_hits = F.length("text") - F.length(F.expr("replace(text, '…', '')"))
+    sym_ratio = (hash_hits + F.floor(dots_hits) + uell_hits).cast("double") / n
+    # regexes go through Column.rlike (NOT F.expr) so Spark's SQL string
+    # literal unescaping can't eat the backslashes in '\.\.\.'
+    bullet_frac = (
+        F.size(F.filter("lines", lambda l: l.rlike(_BULLET_RE))).cast("double") / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter("lines", lambda l: l.rlike(_ELLIPSIS_RE))).cast("double") / nl
+    )
+    alpha_frac = (
+        F.size(F.filter("t", lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    req_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _GOPHER_REQ_WORDS]),
+            lambda w: F.array_contains("t", w),
+        )
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        sym_ratio.alias("sym_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        req_hits.alias("req_sw_hits"),
+    )
+    words_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    mean_ok = (F.col("mean_wlen") >= 3.0) & (F.col("mean_wlen") <= 10.0)
+    sym_ok = F.col("sym_ratio") <= 0.1
+    bullet_ok = F.col("bullet_frac") <= 0.9
+    ell_ok = F.col("ellipsis_frac") <= 0.3
+    alpha_ok = F.col("alpha_frac") >= 0.8
+    sw_ok = F.col("req_sw_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_wlen", 4).alias("mean_word_len"),
+        F.round("sym_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_frac", 6).alias("alpha_word_frac"),
+        F.col("req_sw_hits").alias("req_stopword_hits"),
+        words_ok.alias("words_in_range"),
+        mean_ok.alias("mean_len_ok"),
+        sym_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ell_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        sw_ok.alias("stopword_ok"),
+        (
+            words_ok & mean_ok & sym_ok & bullet_ok & ell_ok & alpha_ok & sw_ok
+        ).alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixing plan: the data-constrained-scaling readout (how many
+# epochs of each source a target token budget implies, and what can't be
+# met under a max-repeat cap — Muennighoff et al. 2023 found ~4 epochs of
+# repetition roughly as good as fresh data, diminishing hard beyond).
+# Completes the mixing story: corpus_mix_plan balances DOCUMENT counts,
+# this one plans TOKENS against a budget with a repeat ceiling.
+
+BUDGET_TOKEN_MULT = 2  # budget = 2x the corpus's total whitespace tokens
+MAX_REPEAT_EPOCHS = 4  # repeat ceiling per source
+
+_TOKEN_BUDGET_SQL = f"""
+WITH per_src AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0)::BIGINT
+               AS tokens_available
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT sum(tokens_available)::DOUBLE AS total_tokens,
+           count(*)::DOUBLE AS n_sources
+    FROM per_src
+)
+SELECT source, n_docs, tokens_available,
+       round(tokens_available / total_tokens, 6) AS token_share,
+       CAST(floor(total_tokens * {BUDGET_TOKEN_MULT} / n_sources) AS BIGINT)
+           AS target_tokens,
+       CASE WHEN tokens_available > 0
+            THEN round(floor(total_tokens * {BUDGET_TOKEN_MULT} / n_sources)
+                       / tokens_available, 6) END AS repeat_factor,
+       least(tokens_available * {MAX_REPEAT_EPOCHS},
+             CAST(floor(total_tokens * {BUDGET_TOKEN_MULT} / n_sources) AS BIGINT))
+           AS planned_tokens,
+       greatest(0, CAST(floor(total_tokens * {BUDGET_TOKEN_MULT} / n_sources) AS BIGINT)
+                   - tokens_available * {MAX_REPEAT_EPOCHS}) AS unmet_tokens,
+       (tokens_available * {MAX_REPEAT_EPOCHS}
+        >= CAST(floor(total_tokens * {BUDGET_TOKEN_MULT} / n_sources) AS BIGINT))
+           AS fully_satisfiable
+FROM per_src, tot
+"""
+
+
+@register("corpus_token_budget_plan", oracle=_TOKEN_BUDGET_SQL,
+          tags=("sampling", "governance", "mixing"))
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-share token-budget plan per source: for a budget of
+    BUDGET_TOKEN_MULT x the corpus's total whitespace tokens, each source
+    owes budget/n_sources tokens; report the repeat factor (epochs) that
+    implies, the planned tokens under a MAX_REPEAT_EPOCHS ceiling, and
+    the unmet remainder a data-constrained run must source elsewhere.
+    All boundary math is integer (target floor'd once to BIGINT, planned
+    = min(4*available, target) as int min) so there is no float-product
+    roundoff at epoch boundaries in either engine; a source whose docs
+    are all NULL-text coalesces to 0 available tokens and surfaces its
+    full target as unmet rather than NULLing out.
+
+    Scale shape: one groupBy(source) shuffle over (source, token-count)
+    pairs — the per-doc token count is computed in the scan projection;
+    the corpus-wide totals ride in as a broadcast 1-row aggregate (same
+    shape as corpus_mix_plan), so no single-partition window."""
+    per_src = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.size(tokens()).alias("doc_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("doc_tokens"), F.lit(0)).cast("long").alias(
+                "tokens_available"
+            ),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("tokens_available").cast("double").alias("total_tokens"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    target = F.floor(
+        F.col("total_tokens") * BUDGET_TOKEN_MULT / F.col("n_sources")
+    ).cast("bigint")
+    capped = F.col("tokens_available") * MAX_REPEAT_EPOCHS
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens_available",
+        F.round(F.col("tokens_available") / F.col("total_tokens"), 6).alias(
+            "token_share"
+        ),
+        target.alias("target_tokens"),
+        F.when(
+            F.col("tokens_available") > 0,
+            F.round(target.cast("double") / F.col("tokens_available"), 6),
+        ).alias("repeat_factor"),
+        F.least(capped, target).alias("planned_tokens"),
+        F.greatest(F.lit(0).cast("bigint"), target - capped).alias("unmet_tokens"),
+        (capped >= target).alias("fully_satisfiable"),
+    )

@@ -500,6 +500,21 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "Window"],
         "max_exchanges": 3,
     },
+    # token-budget twin of corpus_mix_plan: same groupBy(source) + 1-row
+    # broadcast totals shape; per-doc token counts stay in the scan
+    # projection, never a Window or Python hop
+    "corpus_token_budget_plan": {
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "Window", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
+    # Gopher rule battery: pure zero-shuffle projection — token/line
+    # arrays live inside one codegen stage
+    "doc_gopher_quality_flags": {
+        "contains": ["Scan parquet"],
+        "not_contains": ["Exchange", "BatchEvalPython", "Window", "SortMergeJoin"],
+        "max_exchanges": 0,
+    },
     # banded sign-LSH bucket emission: signature is computed against a
     # broadcast 1-row planes array (BNLJ) and the bands explode in place
     # (Generate) — the ONLY exchange is the ≤N_PLANES-row collect that

@@ -78,6 +78,17 @@ EDGE_TEXTS = [
     (25, "42 7 999 2026", "en", "src11"),
     (26, "ひらがな カタカナ 漢字 テスト", "ja", "src11"),
     (27, "~~~ !!! ??? +++ ===", "en", "src12"),
+    # script-profile math symbols (r9c): U+00D7/U+00F7 are Script=Common,
+    # NOT Latin — a measurement-notation doc must not read latin-dominant
+    (28, "3×4 ÷ 2 × 9 = 54", "en", "src13"),
+    (29, "× ÷ × ÷", "en", "src13"),
+    # gopher-rule adversaries (r9c): bullet-heavy lines, ellipsis-ending
+    # lines (both '...' and '…'), '#'-symbol soup, a no-alpha token doc
+    (30, "- item one\n- item two\n- item three\n* item four", "en", "src14"),
+    (31, "first thought...\nsecond thought…\nthird line stays", "en", "src14"),
+    (32, "## heading # tag # tag2 #### wall", "en", "src15"),
+    (33, "12 34 56 78 90 11 22", "en", "src15"),
+    (34, "the words be to of and that have with extra filler", "en", "src16"),
 ]
 
 
