@@ -177,3 +177,45 @@ def extract_features(docs_with_payload: DataFrame, n_features: int = 8) -> DataF
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         feature_batches(n_features), schema=FEATURES_SCHEMA
     )
+
+
+PHASH_BITS = 16  # fake-decode stand-in; a production pHash is 64-bit
+
+
+def phash_batches():
+    """mapInPandas function: binary payloads in, a 16-bit aHash-style
+    content fingerprint out. The 'decode' is the UTF-8 payload's codepoint
+    sequence (the deterministic stand-in for pixel luma — same contract as
+    ``_fake_decode``); the hash itself is the REAL aHash construction:
+    split the signal into 16 contiguous blocks, bit i set iff block i's
+    mean exceeds the global mean (computed cross-multiplied in exact
+    integer arithmetic so the oracle's SQL reproduces it bit-for-bit)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                cps = [ord(c) for c in bytes(p).decode("utf-8")]
+                k = (len(cps) + PHASH_BITS - 1) // PHASH_BITS
+                total = sum(cps)
+                h = 0
+                for i in range(PHASH_BITS):
+                    if PHASH_BITS * sum(cps[i * k : i * k + k]) > total:
+                        h |= 1 << i
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return fn
+
+
+def content_phash(docs_with_payload: DataFrame) -> DataFrame:
+    """(doc_id, phash) via Arrow-batched mapInPandas — partition-local,
+    no shuffle; the perceptual-hash front half of a media near-dup pass."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        phash_batches(), schema="doc_id bigint, phash bigint"
+    )

@@ -259,3 +259,106 @@ def multimodal_text_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     return d.join(e, d["doc_id"] == e["vec_id"]).select(
         "doc_id", "source", "lang", "n_tokens", "caption_fp", "label", "l2_norm"
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup over the binary payload path: the image/media
+# dedup stage (pHash/aHash + hamming radius) — completes the multimodal
+# story: decode -> fingerprint -> banded near-dup join. The fingerprint
+# rides through the REAL Arrow/mapInPandas plumbing; the 'luma signal' is
+# the fake decode's codepoint sequence, so DuckDB reproduces the whole
+# hash in SQL and the Python hop is oracle-checked bit-for-bit.
+
+PHASH_HAMMING_T = 1  # near-dup radius; 2 bands of 8 bits => pigeonhole-exact
+
+
+_PHASH_NEARDUP_SQL = """
+WITH cps AS (
+    SELECT doc_id,
+           [unicode(c) FOR c IN string_split(coalesce(text, ''), '') IF c <> ''] AS cp
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           list_sum(list_transform(range(16), i ->
+               CASE WHEN 16 * coalesce(list_sum(cp[(i * k + 1):(i * k + k)]), 0)
+                         > coalesce(list_sum(cp), 0)
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS phash
+    FROM (SELECT doc_id, cp, (len(cp) + 15) // 16 AS k FROM cps)
+),
+bands AS (
+    SELECT doc_id, phash, 0 AS band, phash & 255 AS key FROM h
+    UNION ALL
+    SELECT doc_id, phash, 1 AS band, phash >> 8 AS key FROM h
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash AS phash_a, b.phash AS phash_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, phash_a, phash_b,
+       bit_count(xor(phash_a, phash_b))::BIGINT AS hamming
+FROM pairs
+WHERE bit_count(xor(phash_a, phash_b)) <= 1
+"""
+
+
+@register("multimodal_phash_neardup", oracle=_PHASH_NEARDUP_SQL,
+          tags=("multimodal", "pandas-udf", "near-dup"))
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-duplicate pairs by perceptual hash: every payload gets a
+    16-bit aHash (16 contiguous blocks of the decoded signal, bit = block
+    mean above global mean, exact integer cross-multiplication) through
+    the Arrow/mapInPandas hop, then pairs within hamming radius 1 are
+    found by pigeonhole banding — 2 bands of 8 bits, so any pair within
+    the radius shares at least one full band and candidate generation is
+    a single-column equi-join per band, never all-pairs. DISTINCT folds
+    pairs caught by both bands; the hamming verify runs on candidates
+    only (bit_count over xor, JVM-side). A production deployment swaps
+    the fake decode for real pixels and widens to a 64-bit hash with 4+
+    bands plus the hot-bucket cap dedup_simhash_groups uses; every plan
+    property here (Arrow batch hop, band equi-join, candidate-only
+    verify) carries over unchanged.
+
+    Scale shape: the Python hop is partition-local (no shuffle feeds it);
+    banding doubles rows THEN shuffles on (band, key); the self-join is
+    an equi-join whose per-bucket fan-out is bounded by band-bucket
+    occupancy; hamming filter prunes before the distinct."""
+    from e_commerce_click_stream_spark.operators.multimodal import content_phash
+
+    h = content_phash(
+        with_binary_payload(spread(table(spark, sf_dir, "documents")))
+    )
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("phash").bitwiseAND(F.lit(255)).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright("phash", 8).alias("key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("phash_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("phash_b"), "band", "key"
+    )
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "phash_a", "phash_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))).cast("long")
+    return pairs.select(
+        "doc_a", "doc_b", "phash_a", "phash_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_HAMMING_T)

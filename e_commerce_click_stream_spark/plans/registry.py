@@ -82,6 +82,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "multimodal_text_embedding_pairs",
     "doc_gopher_quality_flags",
     "corpus_token_budget_plan",
+    "multimodal_phash_neardup",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -125,7 +126,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_ltv_cohorts",
     "customer_pareto_abc",
     "daily_active_users",
-    "dedup_containment",
 )
 
 
@@ -137,6 +137,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     # r4-proof refreshes displaced from the 50-slot window by the eleven
     # brand-new r9-continuation queries and the two IVF-refactor re-proofs
     # (new/changed queries outrank refreshes)
+    "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_simhash_hamming",
     "doc_gram_contamination",

@@ -810,6 +810,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "Join"],
         "max_exchanges": 1,
     },
+    # phash near-dup: ONE partition-local Arrow hop feeding a banded
+    # single-column equi-join (never all-pairs/NLJ); hamming verify and
+    # distinct run on band candidates only
+    "multimodal_phash_neardup": {
+        "contains": ["MapInPandas", "HashAggregate"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 6,
+    },
     # triangle counting: degree-ordered wedge + closing equi-joins only;
     # checkpointed edge list truncates the audited plan to the final
     # segment — the co-purchase self-join is audited via basket affinity
