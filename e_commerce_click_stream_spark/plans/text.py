@@ -2539,8 +2539,10 @@ m AS (
                / len(lines) AS ellipsis_frac,
            len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
                / len(t) AS alpha_frac,
-           len(list_filter([{_GOPHER_REQ_SQL}],
-                           w -> list_contains(t, w)))::BIGINT AS req_sw_hits
+           CASE WHEN t IS NOT NULL
+                THEN len(list_filter([{_GOPHER_REQ_SQL}],
+                                     w -> list_contains(t, w)))::BIGINT
+           END AS req_sw_hits
     FROM toks
 )
 SELECT doc_id, n_words,
@@ -2612,12 +2614,17 @@ def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_frac = (
         F.size(F.filter("t", lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n
     )
-    req_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _GOPHER_REQ_WORDS]),
-            lambda w: F.array_contains("t", w),
-        )
-    ).cast("long")
+    # NULL text must propagate a NULL hit count (filter over the constant
+    # word array would silently drop NULL containment checks -> 0)
+    req_hits = F.when(
+        F.col("t").isNotNull(),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in _GOPHER_REQ_WORDS]),
+                lambda w: F.array_contains("t", w),
+            )
+        ).cast("long"),
+    )
     m = docs.select(
         "doc_id",
         n.cast("long").alias("n_words"),

@@ -1,0 +1,188 @@
+"""Invariant tests for the r9c operators: doc_gopher_quality_flags,
+corpus_token_budget_plan, multimodal_phash_neardup.
+
+Oracle parity is covered by the driver gate and the documents edge
+matrix; these pin SEMANTIC guarantees on corpora built to exercise each:
+per-rule Gopher flag outcomes on constructed rule-violating docs, the
+planned+unmet==target budget identity, and the pigeonhole COMPLETENESS
+of the 2x8-bit phash banding against a brute-force all-pairs sweep over
+the same hashes (banding may never lose an in-radius pair)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from e_commerce_click_stream_spark.plans.multimodal import PHASH_HAMMING_T
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from e_commerce_click_stream_spark.plans.text import (
+    BUDGET_TOKEN_MULT,
+    MAX_REPEAT_EPOCHS,
+)
+
+SPECS = all_specs()
+
+
+def _write_docs(spark, rows):
+    out = tempfile.mkdtemp(prefix="r9c_corpus_")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t) if t else 0) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------- #
+# doc_gopher_quality_flags — each rule violated in isolation
+
+
+_GOOD_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then it must have "
+    "walked on with all of that calm because nothing about the field was "
+    "going to change before dusk while birds kept moving south over the "
+    "river and the warm light held steady along every quiet fence line"
+)  # 51 words, all alpha, plenty of required stopwords, no symbols
+
+
+def test_gopher_rules_flag_independently(spark):
+    rows = [
+        (1, _GOOD_TEXT, "en", "s"),
+        # bullet wall: every line starts with a bullet
+        (2, "- a b c\n- d e f\n* g h i", "en", "s"),
+        # ellipsis wall: both ASCII '...' and U+2026 endings count
+        (3, "first...\nsecond…\nthird...", "en", "s"),
+        # symbol soup: '#' to-word ratio far above 0.1
+        (4, "# # # # word", "en", "s"),
+        # numerals only: alpha-word fraction 0
+        (5, "11 22 33 44 55", "en", "s"),
+        # one required stopword only -> stopword_ok False
+        (6, "the spark engine runs quickly tonight", "en", "s"),
+    ]
+    sf = _write_docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in SPECS["doc_gopher_quality_flags"].builder(spark, sf).collect()
+    }
+    good = out[1]
+    assert good["passes_gopher"] is True
+    assert good["n_words"] == 51 and good["words_in_range"] is True
+    assert good["req_stopword_hits"] >= 2
+
+    assert out[2]["bullet_line_frac"] == 1.0 and out[2]["bullet_ok"] is False
+    assert out[3]["ellipsis_line_frac"] == 1.0 and out[3]["ellipsis_ok"] is False
+    assert out[4]["symbol_word_ratio"] == 0.8 and out[4]["symbol_ok"] is False
+    assert out[5]["alpha_word_frac"] == 0.0 and out[5]["alpha_ok"] is False
+    assert out[6]["req_stopword_hits"] == 1 and out[6]["stopword_ok"] is False
+    # every constructed violator fails the conjunction
+    for i in (2, 3, 4, 5, 6):
+        assert out[i]["passes_gopher"] is False
+
+
+def test_gopher_null_text_propagates_null_gate(spark):
+    sf = _write_docs(spark, [(1, None, "en", "s"), (2, _GOOD_TEXT, "en", "s")])
+    out = {
+        r["doc_id"]: r
+        for r in SPECS["doc_gopher_quality_flags"].builder(spark, sf).collect()
+    }
+    assert out[1]["n_words"] is None
+    assert out[1]["passes_gopher"] is None
+    assert out[2]["passes_gopher"] is True
+
+
+def test_gopher_ellipsis_requires_line_end(spark):
+    # '...' mid-line is a symbol hit but NOT an ellipsis-ended line
+    sf = _write_docs(spark, [(1, "wait... no more\nplain tail", "en", "s")])
+    row = SPECS["doc_gopher_quality_flags"].builder(spark, sf).collect()[0]
+    assert row["ellipsis_line_frac"] == 0.0
+    assert row["symbol_word_ratio"] > 0.0
+
+
+# ---------------------------------------------------------------------- #
+# corpus_token_budget_plan — budget identities
+
+
+def test_token_budget_identities(spark):
+    rows = [
+        (1, "a b c d e", "en", "big"),
+        (2, "f g h i j k l m n o p q", "en", "big"),
+        (3, "tiny", "en", "small"),
+        (4, None, "en", "nulls"),  # all-NULL source -> 0 tokens, full deficit
+    ]
+    sf = _write_docs(spark, rows)
+    out = {r["source"]: r for r in SPECS["corpus_token_budget_plan"].builder(spark, sf).collect()}
+    total = sum(r["tokens_available"] for r in out.values())
+    target = int(total * BUDGET_TOKEN_MULT / len(out))
+    for r in out.values():
+        assert r["target_tokens"] == target
+        # planned + unmet always reassembles the target exactly
+        assert r["planned_tokens"] + r["unmet_tokens"] == target
+        assert r["planned_tokens"] <= r["tokens_available"] * MAX_REPEAT_EPOCHS
+        assert r["fully_satisfiable"] == (r["unmet_tokens"] == 0)
+    assert out["nulls"]["tokens_available"] == 0
+    assert out["nulls"]["repeat_factor"] is None
+    assert out["nulls"]["unmet_tokens"] == target
+    assert out["big"]["tokens_available"] == 17
+
+
+# ---------------------------------------------------------------------- #
+# multimodal_phash_neardup — banding completeness vs brute force
+
+
+def _phash(text: str) -> int:
+    cps = [ord(c) for c in text]
+    k = (len(cps) + 15) // 16
+    total = sum(cps)
+    h = 0
+    for i in range(16):
+        if 16 * sum(cps[i * k : i * k + k]) > total:
+            h |= 1 << i
+    return h
+
+
+def test_phash_banding_is_pigeonhole_complete(spark):
+    # PLANTED near-identical docs (byte-identical, and single-char edits
+    # that keep most blocks' means unchanged) among unrelated filler —
+    # random-only corpora rarely produce in-radius pairs at this size
+    base = "the cat sat on the mat and watched the rain fall all day long"
+    rows = [
+        (1, base, "en", "s"),
+        (2, base, "en", "s"),  # exact dup -> hamming 0
+        (3, base + " x", "en", "s"),
+        (4, "completely different text about spark shuffle partitions", "en", "s"),
+        (5, "zzz yyy xxx www vvv uuu", "en", "s"),
+        (6, base.replace("cat", "car"), "en", "s"),
+    ]
+    sf = _write_docs(spark, rows)
+    hashes = {i: _phash(t) for i, t, _, _ in rows}
+    expected = {
+        (a, b)
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= PHASH_HAMMING_T
+    }
+    assert (1, 2) in expected  # the planted exact dup is in radius
+    got_rows = SPECS["multimodal_phash_neardup"].builder(spark, sf).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == expected
+    for r in got_rows:
+        assert r["phash_a"] == hashes[r["doc_a"]]
+        assert r["phash_b"] == hashes[r["doc_b"]]
+        assert r["hamming"] == bin(hashes[r["doc_a"]] ^ hashes[r["doc_b"]]).count("1")
+
+
+def test_phash_empty_and_null_payloads_hash_zero(spark):
+    sf = _write_docs(spark, [(1, None, "en", "s"), (2, "", "en", "s"), (3, "words", "en", "s")])
+    from e_commerce_click_stream_spark.io import table
+    from e_commerce_click_stream_spark.operators.multimodal import (
+        content_phash,
+        with_binary_payload,
+    )
+
+    out = {
+        r["doc_id"]: r["phash"]
+        for r in content_phash(with_binary_payload(table(spark, sf, "documents"))).collect()
+    }
+    assert out[1] == 0 and out[2] == 0  # NULL and empty payloads agree
+    assert out[3] == _phash("words")
