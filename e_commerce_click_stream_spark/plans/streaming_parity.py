@@ -370,3 +370,42 @@ def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e_commerce_click_stream_spark.streaming.jobs import ewma_tail_merge_stream
 
     return ewma_tail_merge_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus ingest: the documents table replayed through the file
+# source with the SAME scrub transform the batch pipeline uses — the
+# "clean on arrival" hygiene stage of a training-data ingest. Stateless,
+# so append mode needs no watermark and the emitted set must equal the
+# batch scrub byte-for-byte (full redacted text is hash-gated). The
+# oracle IS the batch rewrite's oracle — one pattern set, no copy to
+# desynchronize.
+
+from e_commerce_click_stream_spark.plans.text import _PII_REDACT_SQL
+
+
+@register("streaming_pii_scrub", oracle=_PII_REDACT_SQL,
+          tags=("S2", "T4", "streaming", "pii", "rewrite"))
+def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction ON ARRIVAL: the documents fixture replayed as a file
+    stream, scrubbed by the exact batch transform (plans/text.py::
+    pii_scrub_df — email -> IP -> phone staging preserved), appended to a
+    parquet sink and read back. Stateless, so append mode needs no
+    watermark, no late-data semantics apply, and the emitted rows are the
+    batch scrub byte-for-byte regardless of micro-batch boundaries — the
+    hygiene stage every streaming corpus ingest runs before anything
+    stateful sees raw text.
+
+    Scale shape: zero-shuffle per-batch projections; sink throughput is
+    the only bound, identical to the batch plan per partition."""
+    from e_commerce_click_stream_spark.plans.text import pii_scrub_df
+    from e_commerce_click_stream_spark.streaming.jobs import (
+        read_documents_stream,
+        run_to_completion,
+    )
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "source", "text")
+    scrubbed = pii_scrub_df(stream).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
+    )
+    return run_to_completion(scrubbed, "append")

@@ -2092,10 +2092,18 @@ GROUP BY source
 
 def _pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_email, n_ip, n_phone, clean_text) — the Spark
-    twin of the staged CTE above: three chained regexp_replace
+    twin of the staged CTE above, over the batch documents table."""
+    return pii_scrub_df(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+
+def pii_scrub_df(docs: DataFrame) -> DataFrame:
+    """The scrub transform itself: three chained regexp_replace
     projections, zero shuffles, counts taken at the same stage as the
-    oracle so IP octets never count as phones."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    oracle so IP octets never count as phones. Takes any (doc_id, source,
+    text) DataFrame — batch table or structured stream (stateless, so it
+    composes with append mode unchanged)."""
     t1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
     staged = docs.withColumn("t1", t1).withColumn(
         "t2", F.regexp_replace(F.col("t1"), PII_IP_RE, "<IP>")

@@ -90,6 +90,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the documents fixture (finite replay):
+    the streaming corpus-ingest entry point. No event-time column — the
+    documents stream feeds STATELESS hygiene stages (scrub, fingerprint,
+    quality flags) that run in append mode without a watermark."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    stage_dir = stage_file_as_dir(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stage_dir)
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
