@@ -2769,3 +2769,148 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(0).cast("bigint"), target - capped).alias("unmet_tokens"),
         (capped >= target).alias("fully_satisfiable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge TRAINING: bpe_merge_pairs above ranks the first
+# iteration's candidates; this op runs the actual training loop — pick the
+# most frequent adjacent symbol pair, merge it everywhere (leftmost
+# non-overlapping, the published BPE semantics), recount, repeat. The
+# symbol sequences are encoded as '|'-wrapped strings ('|a||b||c|') so the
+# merge application is ONE sequential replace('|a||b|' -> '|ab|') — both
+# engines' replace() scans leftmost and continues AFTER the replacement,
+# which is exactly BPE's non-overlapping merge rule ('aaa' merges once).
+
+BPE_TRAIN_ITERS = 4
+
+
+def _bpe_train_sql(n_iters: int) -> str:
+    ctes = [
+        """w0 AS (
+    SELECT w, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) >= 2 AND NOT contains(w, '|')
+    GROUP BY w
+),
+v0 AS (
+    SELECT n,
+           '|' || array_to_string([c FOR c IN string_split(w, '') IF c <> ''],
+                                  '||') || '|' AS s
+    FROM w0
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(f"""p{t} AS (
+    SELECT pr.a AS lhs, pr.b AS rhs, sum(n)::BIGINT AS pair_count
+    FROM (SELECT n,
+                 unnest([{{'a': a[i], 'b': a[i+1]}} for i in range(1, len(a))]) AS pr
+          FROM (SELECT n, string_split(substr(s, 2, length(s) - 2), '||') AS a
+                FROM v{t - 1}))
+    GROUP BY pr.a, pr.b
+),
+t{t} AS (
+    SELECT lhs, rhs, pair_count FROM p{t}
+    ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+v{t} AS (
+    SELECT n, replace(s, '|' || t.lhs || '||' || t.rhs || '|',
+                         '|' || t.lhs || t.rhs || '|') AS s
+    FROM v{t - 1}, t{t} t
+)""")
+        # (v{t} is a 1-row cross join against the winning pair — broadcast)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iter, lhs, rhs, lhs || rhs AS merged, pair_count FROM t{t}"
+        for t in range(1, n_iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+_BPE_TRAIN_SQL = _bpe_train_sql(BPE_TRAIN_ITERS)
+
+
+@register("bpe_train_merges", oracle=_BPE_TRAIN_SQL,
+          tags=("text", "tokenizer", "bpe", "iterative"))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training loop itself, 4 rounds: count adjacent symbol-pair
+    frequencies over the word-frequency table, pick the argmax (count
+    desc, then lexicographic — binary string order in both engines),
+    apply the merge to every word via one sequential wrapped-string
+    replace (leftmost non-overlapping = the published BPE merge rule),
+    recount. Emits the learned merge table (iter, lhs, rhs, merged,
+    pair_count) — the artifact a tokenizer ships. Words containing the
+    '|' sentinel are excluded from training (deterministic, mirrored in
+    the oracle); a vocabulary whose words all collapse to single symbols
+    stops emitting rows rather than erroring (the pair explode guards
+    size >= 2 — Spark's sequence(1, 0) raises where DuckDB's range is
+    empty).
+
+    Scale shape: the classic distributed BPE trainer — training state is
+    the WORD-FREQUENCY table (bounded by unique words, not corpus size;
+    one shuffle to build), each round is one pair-explode + hash agg, a
+    1-row winner broadcast into the merge projection, and a checkpoint
+    so round plans stay flat. Corpus text is scanned exactly once."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter((F.length("w") >= 2) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = words.select(
+        "n",
+        F.concat(
+            F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for t in range(1, BPE_TRAIN_ITERS + 1):
+        arr = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|")
+        pairs = (
+            vocab.select("n", arr.alias("a"))
+            .filter(F.size("a") >= 2)  # sequence(1, 0) raises on 1-symbol words
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> struct(element_at(a, i) AS lhs,"
+                        "             element_at(a, i + 1) AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint(eager=True)  # reused by the merge AND the output row
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top.select("lhs", "rhs")))
+            .select(
+                "n",
+                F.expr(
+                    "replace(s, concat('|', lhs, '||', rhs, '|'),"
+                    "           concat('|', lhs, rhs, '|'))"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(t).alias("iter"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "pair_count",
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -508,6 +508,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "Window", "BatchEvalPython"],
         "max_exchanges": 3,
     },
+    # BPE trainer: the output unions the four checkpointed 1-row winners,
+    # so the audited plan is flat projections over ExistingRDD scans —
+    # the per-round pair aggs ran at checkpoint time; nothing Python
+    "bpe_train_merges": {
+        "contains": ["Union", "Scan ExistingRDD"],
+        "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
+        "max_exchanges": 0,
+    },
     # Gopher rule battery: pure zero-shuffle projection — token/line
     # arrays live inside one codegen stage
     "doc_gopher_quality_flags": {

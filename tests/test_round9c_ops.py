@@ -186,3 +186,77 @@ def test_phash_empty_and_null_payloads_hash_zero(spark):
     }
     assert out[1] == 0 and out[2] == 0  # NULL and empty payloads agree
     assert out[3] == _phash("words")
+
+
+# ---------------------------------------------------------------------- #
+# bpe_train_merges — published BPE merge semantics, hand-checkable
+
+
+def _bpe_reference(word_counts, iters):
+    """Tiny reference BPE trainer (leftmost non-overlapping merges)."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    out = []
+    for t in range(1, iters + 1):
+        counts = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((t, lhs, rhs, lhs + rhs, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    merged.append(lhs + rhs)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + n
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_overlap_rule_and_exhaustion(spark):
+    # 'aaaa' x2: iter1 merges (a,a) NON-overlapping -> (aa, aa); iter2
+    # merges (aa, aa) -> the whole word; iter3+ find no pairs and emit
+    # nothing (exhaustion, not an error)
+    sf = _write_docs(spark, [(1, "aaaa aaaa", "en", "s")])
+    rows = sorted(
+        SPECS["bpe_train_merges"].builder(spark, sf).collect(),
+        key=lambda r: r["iter"],
+    )
+    assert [(r["iter"], r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in rows] == [
+        (1, "a", "a", "aa", 6),  # 3 overlapping pairs per word x 2 words
+        (2, "aa", "aa", "aaaa", 2),
+    ]
+
+
+def test_bpe_matches_reference_on_mixed_corpus(spark):
+    rows = [
+        (1, "low lower lowest low low", "en", "s"),
+        (2, "new newer newest new", "en", "s"),
+        (3, "Mixed CASE lower", "en", "s"),  # lowercased before training
+        (4, "a b c", "en", "s"),  # single-char words excluded (len < 2)
+        (5, "bad|pipe word", "en", "s"),  # '|' words excluded from training
+    ]
+    sf = _write_docs(spark, rows)
+    wc = {}
+    for _, t, _, _ in rows:
+        for w in t.lower().split():
+            if len(w) >= 2 and "|" not in w:
+                wc[w] = wc.get(w, 0) + 1
+    expected = _bpe_reference(wc, 4)
+    got = sorted(
+        (
+            (r["iter"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in SPECS["bpe_train_merges"].builder(spark, sf).collect()
+        ),
+    )
+    assert got == sorted(expected)
