@@ -2784,7 +2784,9 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ITERS = 4
 
 
-def _bpe_train_sql(n_iters: int) -> str:
+def _bpe_train_ctes(n_iters: int) -> str:
+    """The WITH-body of the training loop (w0/v0, then p{t}/t{t}/v{t} per
+    round) — shared by the merge-table oracle and the apply-path oracle."""
     ctes = [
         """w0 AS (
     SELECT w, count(*)::BIGINT AS n
@@ -2819,14 +2821,18 @@ v{t} AS (
     FROM v{t - 1}, t{t} t
 )""")
         # (v{t} is a 1-row cross join against the winning pair — broadcast)
-    selects = "\nUNION ALL\n".join(
+    return ",\n".join(ctes)
+
+
+_BPE_TRAIN_SQL = (
+    "WITH "
+    + _bpe_train_ctes(BPE_TRAIN_ITERS)
+    + "\n"
+    + "\nUNION ALL\n".join(
         f"SELECT {t} AS iter, lhs, rhs, lhs || rhs AS merged, pair_count FROM t{t}"
-        for t in range(1, n_iters + 1)
+        for t in range(1, BPE_TRAIN_ITERS + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
-
-
-_BPE_TRAIN_SQL = _bpe_train_sql(BPE_TRAIN_ITERS)
+)
 
 
 @register("bpe_train_merges", oracle=_BPE_TRAIN_SQL,
@@ -2850,6 +2856,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle to build), each round is one pair-explode + hash agg, a
     1-row winner broadcast into the merge projection, and a checkpoint
     so round plans stay flat. Corpus text is scanned exactly once."""
+    merges = _bpe_learned_merges(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Run the training loop; one checkpointed 1-row winner DataFrame
+    (iter, lhs, rhs, merged, pair_count) per round — shared by the merge
+    table output (bpe_train_merges) and the apply path (bpe_segment_docs)."""
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -2910,7 +2927,117 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count",
             )
         )
-    out = merges[0]
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer APPLICATION: segment every document with the merges the trainer
+# just learned — the inference half of the tokenizer story, and the readout
+# (compression ratio) a tokenizer is actually judged by.
+
+
+def _bpe_segment_sql(n_iters: int) -> str:
+    def pat(t: int) -> tuple[str, str]:
+        l, r = f"coalesce(m.l{t}, '')", f"coalesce(m.r{t}, '')"
+        return (f"'|' || {l} || '||' || {r} || '|'", f"'|' || {l} || {r} || '|'")
+
+    applied = "s"
+    for t in range(1, n_iters + 1):
+        search, repl = pat(t)
+        applied = f"replace({applied}, {search}, {repl})"
+    m_cols = ", ".join(
+        f"(SELECT lhs FROM t{t}) AS l{t}, (SELECT rhs FROM t{t}) AS r{t}"
+        for t in range(1, n_iters + 1)
+    )
+    syms = "(length(s2) - length(replace(s2, '||', ''))) // 2 + 1"
+    return f"""WITH {_bpe_train_ctes(n_iters)},
+m AS (SELECT {m_cols}),
+wd AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) >= 2 AND NOT contains(w, '|')
+),
+seg AS (
+    SELECT doc_id, length(w)::BIGINT AS chars, {applied} AS s2
+    FROM (SELECT doc_id, length(w) AS _n, w,
+                 '|' || array_to_string([c FOR c IN string_split(w, '') IF c <> ''],
+                                        '||') || '|' AS s
+          FROM wd), m
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(chars)::BIGINT AS chars_total,
+       sum({syms})::BIGINT AS syms_total,
+       round(sum(chars)::DOUBLE / sum({syms}), 6) AS compression_ratio
+FROM seg
+GROUP BY doc_id
+"""
+
+
+_BPE_SEGMENT_SQL = _bpe_segment_sql(BPE_TRAIN_ITERS)
+
+
+@register("bpe_segment_docs", oracle=_BPE_SEGMENT_SQL,
+          tags=("text", "tokenizer", "bpe"))
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to every document (train ->
+    apply, the full tokenizer loop): each word is re-segmented by
+    replaying the 4 merges IN TRAINING ORDER (the same sequential
+    wrapped-string replace the trainer used, so segmentation is exactly
+    the trained tokenizer's), then per document: word count, character
+    total, post-merge symbol total, and the chars-per-symbol compression
+    ratio — the metric a tokenizer is graded by. Rounds the trainer
+    never filled (exhausted vocabulary) coalesce to a four-pipe pattern
+    that cannot occur in wrapped strings, i.e. a no-op replace, on both
+    engines.
+
+    Scale shape: the learned merges pivot into ONE broadcast row
+    (conditional agg over the 4 winner rows); segmentation is then a
+    zero-shuffle projection over the exploded words and one groupBy(doc)
+    re-agg — tokenizer inference at corpus scale with no Python and no
+    per-row dictionary lookups."""
+    merges = _bpe_learned_merges(spark, sf_dir)
+    mtab = merges[0]
     for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+        mtab = mtab.unionByName(m)
+    onerow = mtab.agg(
+        *[
+            F.max(F.when(F.col("iter") == t, F.col(c))).alias(f"{c[0]}{t}")
+            for t in range(1, BPE_TRAIN_ITERS + 1)
+            for c in ("lhs", "rhs")
+        ]
+    )
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter((F.length("w") >= 2) & (~F.col("w").contains("|")))
+    )
+    seg = words.select(
+        "doc_id",
+        F.length("w").cast("long").alias("chars"),
+        F.concat(
+            F.lit("|"), F.array_join(F.split("w", ""), "||"), F.lit("|")
+        ).alias("s"),
+    ).crossJoin(F.broadcast(onerow))
+    applied = "s"
+    for t in range(1, BPE_TRAIN_ITERS + 1):
+        l, r = f"coalesce(l{t}, '')", f"coalesce(r{t}, '')"
+        applied = (
+            f"replace({applied}, concat('|', {l}, '||', {r}, '|'),"
+            f" concat('|', {l}, {r}, '|'))"
+        )
+    seg = seg.select("doc_id", "chars", F.expr(applied).alias("s2"))
+    syms = F.expr("(length(s2) - length(replace(s2, '||', ''))) div 2 + 1")
+    return seg.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("chars").alias("chars_total"),
+        F.sum(syms).alias("syms_total"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum(syms), 6
+        ).alias("compression_ratio"),
+    )

@@ -516,6 +516,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
         "max_exchanges": 0,
     },
+    # tokenizer apply: learned winners pivot to ONE broadcast row (BNLJ
+    # attach), segmentation is a projection over the exploded words, one
+    # groupBy(doc) re-agg; no Python, no sort joins
+    "bpe_segment_docs": {
+        "contains": ["HashAggregate", "BroadcastNestedLoopJoin", "Generate"],
+        "not_contains": ["BatchEvalPython", "SortMergeJoin", "CartesianProduct"],
+        "max_exchanges": 3,
+    },
     # Gopher rule battery: pure zero-shuffle projection — token/line
     # arrays live inside one codegen stage
     "doc_gopher_quality_flags": {

@@ -260,3 +260,46 @@ def test_bpe_matches_reference_on_mixed_corpus(spark):
         ),
     )
     assert got == sorted(expected)
+
+
+def test_bpe_segmentation_matches_reference_apply(spark):
+    rows = [
+        (1, "low lower lowest low low", "en", "s"),
+        (2, "new newer newest new", "en", "s"),
+    ]
+    sf = _write_docs(spark, rows)
+    wc = {}
+    for _, t, _, _ in rows:
+        for w in t.lower().split():
+            if len(w) >= 2 and "|" not in w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = [(l, r) for _, l, r, _, _ in _bpe_reference(wc, 4)]
+
+    def apply_merges(word):
+        syms = list(word)
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: r
+        for r in SPECS["bpe_segment_docs"].builder(spark, sf).collect()
+    }
+    for doc_id, text, _, _ in rows:
+        words = [w for w in text.lower().split() if len(w) >= 2 and "|" not in w]
+        chars = sum(len(w) for w in words)
+        syms = sum(len(apply_merges(w)) for w in words)
+        r = got[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["chars_total"] == chars
+        assert r["syms_total"] == syms
+        assert r["compression_ratio"] == round(chars / syms, 6)
+        assert r["syms_total"] < r["chars_total"]  # merges actually fired
