@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-15 = brand-new in the r9 continuation sessions
-    # (no prior proof). Slots 16-27 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-16 = brand-new in the r9 continuation sessions
+    # (no prior proof). Slots 17-28 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,12 +64,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 28-29 = the IVF builders refactored
-    # onto shared helpers. Slots 30-37 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 29-30 = the IVF builders refactored
+    # onto shared helpers. Slots 31-38 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 38-50 = refresh rotation: the oldest
+    # Slots 39-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 29 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 30 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
@@ -87,6 +87,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_pii_scrub",
     "bpe_train_merges",
     "bpe_segment_docs",
+    "embedding_truncation_recall",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -126,7 +127,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_recall_eval",
     "brand_basket_affinity",
     "corpus_mix_plan",
-    "corpus_vocabulary",
 )
 
 
@@ -135,9 +135,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the fifteen
+    # r4-proof refreshes displaced from the 50-slot window by the sixteen
     # brand-new r9-continuation queries and the two IVF-refactor re-proofs
     # (new/changed queries outrank refreshes)
+    "corpus_vocabulary",
     "customer_ltv_cohorts",
     "customer_pareto_abc",
     "daily_active_users",

@@ -2561,3 +2561,144 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncation eval: how much retrieval quality survives if
+# only the first k dimensions are stored/searched (MRL embeddings ship
+# exactly this trade; the curve below is the evidence for choosing k).
+
+TRUNC_DIMS = (8, 16, 32)
+
+
+def _trunc_recall_sql() -> str:
+    gate = (
+        "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+        "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 "
+        "AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 "
+        "AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    )
+    parts = [f"""n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM ({gate}) embeddings
+),
+base AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+    WHERE rank <= {TOP_K}
+),
+qids AS (SELECT DISTINCT query_id FROM base)"""]
+    for k in TRUNC_DIMS:
+        parts.append(f"""tn{k} AS (
+    SELECT vec_id, v[1:{k}] AS tv,
+           sqrt(list_sum(list_transform(v[1:{k}], x -> x * x))) AS tnrm
+    FROM n
+    WHERE sqrt(list_sum(list_transform(v[1:{k}], x -> x * x))) > 0
+),
+tp{k} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.tv, c.tv) / (q.tnrm * c.tnrm), 6) DESC,
+                            c.vec_id) AS rank
+        FROM tn{k} q JOIN tn{k} c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+    WHERE rank <= {TOP_K}
+),
+h{k} AS (
+    SELECT b.query_id, count(*)::BIGINT AS n_hits
+    FROM base b JOIN tp{k} t
+      ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS trunc_dim, q.query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) / {TOP_K}.0 AS recall
+FROM qids q LEFT JOIN h{k} h USING (query_id)"""
+        for k in TRUNC_DIMS
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+_TRUNC_RECALL_SQL = _trunc_recall_sql()
+
+
+@register("embedding_truncation_recall", oracle=_TRUNC_RECALL_SQL,
+          tags=("similarity", "matryoshka", "evaluation"))
+def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of truncated-dimension retrieval vs the full-64-dim exact
+    top-5, per query and truncation width (8/16/32 leading dims) — the
+    Matryoshka curve that justifies storing/searching a prefix of each
+    vector (8x-2x memory/IO savings) at a measured recall cost. Vectors
+    whose TRUNCATED prefix is all-zero are excluded from that width's
+    search (no direction: the cosine denominator would raise/NULL-diverge
+    between engines); a query with no surviving truncated pairs reports
+    recall 0 rather than dropping out.
+
+    Scale shape: one hygiene-gated scan feeds the baseline and every
+    truncation width; each width is the standard broadcast-queries
+    brute-force ranking over PREFIX slices (cheaper per candidate by
+    64/k), and recall is a semi-equi-join + per-query count. The full-dim
+    baseline pairs are checkpointed once and reused by all widths."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    base = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    qids = base.select("query_id").distinct()
+
+    parts = []
+    for k in TRUNC_DIMS:
+        tv = F.slice(F.col("v"), 1, k)
+        tn = (
+            n.select("vec_id", tv.alias("tv"), _norm(tv).alias("tnrm"))
+            .filter(F.col("tnrm") > 0)
+        )
+        tq = tn.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("tv").alias("qv"),
+            F.col("tnrm").alias("qn"),
+        )
+        scored = tn.join(F.broadcast(tq), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tnrm")), 6).alias(
+                "cosine"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        pairs = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        # both sides are <= N_QUERIES * TOP_K rows — broadcast explicitly
+        # (at EXPLAIN time the post-window sizes are unknown and the
+        # planner would otherwise pick a sort-merge join)
+        hits = (
+            base.join(F.broadcast(pairs), ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        parts.append(
+            qids.join(F.broadcast(hits), "query_id", "left").select(
+                F.lit(k).alias("trunc_dim"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)) / float(TOP_K)).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -826,6 +826,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "Join"],
         "max_exchanges": 1,
     },
+    # truncation recall: checkpointed full-dim baseline + per-width
+    # broadcast brute-force rankings over prefix slices; recall via
+    # semi-join + count — never a sort-merge pair join
+    "embedding_truncation_recall": {
+        "contains": ["BroadcastNestedLoopJoin", "Window", "Scan ExistingRDD"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 16,
+    },
     # phash near-dup: ONE partition-local Arrow hop feeding a banded
     # single-column equi-join (never all-pairs/NLJ); hamming verify and
     # distinct run on band candidates only
