@@ -1217,3 +1217,77 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "affected_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: the re-identification-risk readout a privacy review
+# runs BEFORE a dataset ships — group the population by its
+# quasi-identifiers (here: nation x market segment x account-balance
+# band, the classic "not directly identifying but jointly narrowing"
+# columns) and report the group-size distribution. Rows in groups of
+# size < K are re-identifiable by linking; the k-anonymity level of the
+# release is the smallest group size. Complements user_erasure_audit
+# (delete propagation) and the PII scrub (direct identifiers).
+
+K_ANON_THRESHOLD = 5
+
+_K_ANON_SQL = f"""
+WITH qi AS (
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+    FROM customer
+),
+grp AS (
+    SELECT c_nationkey, c_mktsegment, bal_band, count(*)::BIGINT AS group_size
+    FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+),
+tot AS (SELECT sum(group_size)::DOUBLE AS total_rows FROM grp)
+SELECT group_size,
+       count(*)::BIGINT AS n_groups,
+       (group_size * count(*))::BIGINT AS n_rows,
+       round(group_size * count(*) / total_rows, 6) AS row_share,
+       group_size < {K_ANON_THRESHOLD} AS at_risk
+FROM grp, tot
+GROUP BY group_size, total_rows
+"""
+
+
+@register("k_anonymity_audit", oracle=_K_ANON_SQL,
+          tags=("governance", "privacy", "k-anonymity"))
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size distribution over the quasi-identifier tuple
+    (nation, market segment, $1000 account-balance band): per observed
+    group size, how many groups and rows sit there, the row share, and
+    whether that size class is below the k=K_ANON_THRESHOLD
+    re-identification threshold. The release's k-anonymity level is the smallest emitted
+    group_size; the at_risk rows are what a suppression/generalization
+    pass must fix.
+
+    Scale shape: one groupBy over the quasi-identifier tuple (the only
+    corpus-sized shuffle), then a groupBy over the tiny group-size
+    domain with the 1-row total attached as a broadcast — no window
+    over the full table, no self-join."""
+    qi = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("group_size")
+    )
+    tot = grp.agg(F.sum("group_size").cast("double").alias("total_rows"))
+    return (
+        grp.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_rows"),
+            F.round(
+                F.col("group_size") * F.col("n_groups") / F.col("total_rows"), 6
+            ).alias("row_share"),
+            (F.col("group_size") < K_ANON_THRESHOLD).alias("at_risk"),
+        )
+    )

@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-16 = brand-new in the r9 continuation sessions
-    # (no prior proof). Slots 17-28 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-18 = brand-new in the r9 continuation sessions
+    # (no prior proof). Slots 19-30 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,12 +64,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 29-30 = the IVF builders refactored
-    # onto shared helpers. Slots 31-38 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 31-32 = the IVF builders refactored
+    # onto shared helpers. Slots 33-40 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 39-50 = refresh rotation: the oldest
+    # Slots 41-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 30 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 32 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
@@ -88,6 +88,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_segment_docs",
     "embedding_truncation_recall",
+    "k_anonymity_audit",
+    "streaming_quality_gate",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -125,8 +127,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "user_retention_cohorts",
     "ann_lsh_buckets",
     "ann_recall_eval",
-    "brand_basket_affinity",
-    "corpus_mix_plan",
 )
 
 
@@ -135,9 +135,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the sixteen
+    # r4-proof refreshes displaced from the 50-slot window by the eighteen
     # brand-new r9-continuation queries and the two IVF-refactor re-proofs
     # (new/changed queries outrank refreshes)
+    "brand_basket_affinity",
+    "corpus_mix_plan",
     "corpus_vocabulary",
     "customer_ltv_cohorts",
     "customer_pareto_abc",

@@ -409,3 +409,34 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
     )
     return run_to_completion(scrubbed, "append")
+
+
+# The quality-gate twin: same corpus-ingest replay, the full Gopher rule
+# battery computed on arrival. With the scrub above, this is the standard
+# two-stage streaming hygiene front (redact, then flag/filter) — both
+# stateless, both sharing their batch oracles.
+
+from e_commerce_click_stream_spark.plans.text import _GOPHER_SQL
+
+
+@register("streaming_quality_gate", oracle=_GOPHER_SQL,
+          tags=("S2", "T4", "streaming", "quality", "gopher"))
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality flags ON ARRIVAL: the documents stream through the
+    exact batch rule battery (plans/text.py::gopher_flags_df), append
+    sink, read back — per-rule flags plus the conjunction gate for every
+    arriving document, equal to the batch readout regardless of
+    micro-batch boundaries (stateless projection, no watermark). A real
+    ingest filters on ``passes_gopher`` here; emitting the flags keeps
+    the query's output hash-gated on every rule's value.
+
+    Scale shape: zero-shuffle per-batch projection; sink-bound, same
+    plan per partition as the batch op."""
+    from e_commerce_click_stream_spark.plans.text import gopher_flags_df
+    from e_commerce_click_stream_spark.streaming.jobs import (
+        read_documents_stream,
+        run_to_completion,
+    )
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    return run_to_completion(gopher_flags_df(stream), "append")

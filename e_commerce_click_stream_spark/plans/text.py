@@ -2595,7 +2595,14 @@ def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure zero-shuffle projection — token and line arrays
     stay inside one codegen stage, no join, no agg, no UDF; trivially
     partition-parallel at 100 TB."""
-    docs = table(spark, sf_dir, "documents").select(
+    return gopher_flags_df(table(spark, sf_dir, "documents"))
+
+
+def gopher_flags_df(docs: DataFrame) -> DataFrame:
+    """The rule battery itself over any (doc_id, text) DataFrame — batch
+    table or structured stream (stateless projection, so it composes with
+    append mode unchanged; streaming_quality_gate runs exactly this)."""
+    docs = docs.select(
         "doc_id", "text", tokens().alias("t"),
         F.split(F.col("text"), "\n").alias("lines"),
     )

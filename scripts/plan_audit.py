@@ -826,6 +826,13 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "Join"],
         "max_exchanges": 1,
     },
+    # k-anonymity: one QI-tuple groupBy (the only corpus-sized shuffle),
+    # then a size-domain groupBy with the 1-row total broadcast-attached
+    "k_anonymity_audit": {
+        "contains": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+        "max_exchanges": 4,
+    },
     # truncation recall: checkpointed full-dim baseline + per-width
     # broadcast brute-force rankings over prefix slices; recall via
     # semi-join + count — never a sort-merge pair join

@@ -34,6 +34,7 @@ CUSTOMER_FAMILY = [
     "q18_large_volume_customers",
     "q22_dormant_customers",
     "customer_pareto_abc",
+    "k_anonymity_audit",
     "dq_constraint_report",
     "customer_order_stats",
     "nation_coverage_full_outer",
