@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-18 = brand-new in the r9 continuation sessions
-    # (no prior proof). Slots 19-30 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-19 = brand-new in the r9 continuation sessions
+    # (no prior proof). Slots 20-31 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,12 +64,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 31-32 = the IVF builders refactored
-    # onto shared helpers. Slots 33-40 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 32-33 = the IVF builders refactored
+    # onto shared helpers. Slots 34-41 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 41-50 = refresh rotation: the oldest
+    # Slots 42-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 32 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 33 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
@@ -90,6 +90,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_truncation_recall",
     "k_anonymity_audit",
     "streaming_quality_gate",
+    "embedding_top_component",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -126,7 +127,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "tfidf_top_terms",
     "user_retention_cohorts",
     "ann_lsh_buckets",
-    "ann_recall_eval",
 )
 
 
@@ -135,9 +135,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the eighteen
+    # r4-proof refreshes displaced from the 50-slot window by the nineteen
     # brand-new r9-continuation queries and the two IVF-refactor re-proofs
     # (new/changed queries outrank refreshes)
+    "ann_recall_eval",
     "brand_basket_affinity",
     "corpus_mix_plan",
     "corpus_vocabulary",

@@ -2702,3 +2702,113 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction by power iteration: the spectral-structure
+# readout (dominant axis of variance-ish structure — uncentered, i.e. the
+# top right-singular vector of the data matrix) that PCA-whitening,
+# ABTT-style embedding post-processing, and drift monitoring start from.
+# Every cross-engine float hazard is handled the way the k-means family
+# does: per-row coefficients and per-dimension sums round to 6 before
+# they feed the next stage, and every whole-vector reduction happens as a
+# sequential fold over a dim-sorted packed array (identical accumulation
+# order in both engines).
+
+POWER_ITERS = 5
+
+
+def _power_iter_sql() -> str:
+    gate = (
+        "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+        "FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 "
+        "AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 "
+        "AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    )
+    parts = [f"""n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM ({gate}) embeddings
+),
+w0 AS (SELECT list_transform(range({_EMB_DIM}), i -> 0.125) AS vv)"""]
+    for t in range(1, POWER_ITERS + 1):
+        parts.append(f"""c{t} AS (
+    SELECT n.vec_id, n.v, round(list_dot_product(n.v, w.vv), 6) AS c
+    FROM n, w{t - 1} w
+),
+d{t} AS (
+    SELECT r.range AS dim, round(sum(c * v[r.range + 1]), 6) AS u
+    FROM c{t}, range({_EMB_DIM}) r
+    GROUP BY r.range
+),
+u{t} AS (SELECT list(u ORDER BY dim) AS uu FROM d{t}),
+w{t} AS (
+    SELECT list_transform(uu, x -> round(
+               x / sqrt(list_sum(list_transform(uu, y -> y * y))), 6)) AS vv,
+           round(sqrt(list_sum(list_transform(uu, y -> y * y))), 6) AS lam
+    FROM u{t}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT r.range::BIGINT AS dim, vv[r.range + 1] AS loading, lam AS eigenvalue_est
+FROM w{POWER_ITERS}, range({_EMB_DIM}) r
+"""
+    )
+
+
+_POWER_ITER_SQL = _power_iter_sql()
+
+
+@register("embedding_top_component", oracle=_POWER_ITER_SQL,
+          tags=("similarity", "pca", "iterative"))
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant singular direction of the (uncentered) embedding matrix by
+    5 rounds of power iteration from the uniform unit vector: coefficient
+    per vector (rounded fold-dot), per-dimension weighted sums (one hash
+    agg over the posexploded components, rounded), renormalize, repeat.
+    Emits the 64 loadings plus the eigenvalue estimate ||A v|| from the
+    final round — the direction PCA-whitening / common-axis removal
+    subtracts first. The only order-sensitive float reductions are the
+    per-dimension sums, rounded to 6 like the k-means centroid means;
+    everything whole-vector is a sequential fold over a dim-sorted
+    packed array, bit-identical across engines.
+
+    Scale shape: per round, the corpus is touched by exactly one
+    zero-shuffle coefficient projection (the direction rides in as a
+    broadcast 1-row array) and one posexplode -> 64-group hash agg; the
+    64-element repack is a 1-row aggregate. State between rounds is one
+    64-double row — the classic distributed matvec."""
+    n = _vecs(spark, sf_dir).select("vec_id", "v")
+    vrow = spark.range(1).select(
+        F.expr(f"transform(sequence(0, {_EMB_DIM - 1}), i -> 0.125d)").alias("vv")
+    )
+    lam = None
+    for _ in range(POWER_ITERS):
+        coef = n.crossJoin(F.broadcast(vrow)).select(
+            "v", F.round(_dot(F.col("v"), F.col("vv")), 6).alias("c")
+        )
+        dims = (
+            coef.select("c", F.posexplode("v").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("c") * F.col("x")), 6).alias("u"))
+        )
+        packed = dims.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "u"))).alias("du")
+        ).select(F.expr("transform(du, s -> s.u)").alias("uu"))
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("uu", lambda y: y * y), F.lit(0.0), lambda a, y: a + y
+            )
+        )
+        vrow = packed.select(
+            F.transform("uu", lambda x: F.round(x / nrm, 6)).alias("vv"),
+            F.round(nrm, 6).alias("lam"),
+        ).localCheckpoint(eager=True)
+        lam = True
+    return vrow.select(
+        F.posexplode("vv").alias("dim", "loading"), "lam"
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        "loading",
+        F.col("lam").alias("eigenvalue_est"),
+    )

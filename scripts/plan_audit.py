@@ -826,6 +826,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "Join"],
         "max_exchanges": 1,
     },
+    # power iteration: output derives from the final checkpointed 1-row
+    # direction — flat posexplode projection; the per-round matvecs
+    # (coefficient projection + 64-group agg) ran at checkpoint time
+    "embedding_top_component": {
+        "contains": ["Generate", "Scan ExistingRDD"],
+        "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
+        "max_exchanges": 0,
+    },
     # k-anonymity: one QI-tuple groupBy (the only corpus-sized shuffle),
     # then a size-domain groupBy with the 1-row total broadcast-attached
     "k_anonymity_audit": {

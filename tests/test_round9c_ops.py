@@ -303,3 +303,46 @@ def test_bpe_segmentation_matches_reference_apply(spark):
         assert r["syms_total"] == syms
         assert r["compression_ratio"] == round(chars / syms, 6)
         assert r["syms_total"] < r["chars_total"]  # merges actually fired
+
+
+# ---------------------------------------------------------------------- #
+# embedding_top_component — third-implementation check (numpy) + math
+
+
+def test_power_iteration_matches_numpy_recipe(spark):
+    import numpy as np
+
+    from e_commerce_click_stream_spark.plans.similarity import (
+        POWER_ITERS,
+        _vecs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    X = np.array(
+        [r["v"] for r in _vecs(spark, sf).select("v").collect()], dtype=np.float64
+    )
+    v = np.full(64, 0.125)
+    lams = []
+    for _ in range(POWER_ITERS):
+        coef = np.round([sum(x * y for x, y in zip(row, v)) for row in X], 6)
+        u = np.round(coef @ X, 6)
+        nrm = float(np.sqrt(sum(y * y for y in u)))
+        v = np.round(u / nrm, 6)
+        lams.append(round(nrm, 6))
+    lam = lams[-1]
+
+    rows = sorted(
+        SPECS["embedding_top_component"].builder(spark, sf).collect(),
+        key=lambda r: r["dim"],
+    )
+    got = np.array([r["loading"] for r in rows])
+    assert rows[0]["eigenvalue_est"] == lam
+    assert np.array_equal(got, v)
+    # unit direction (up to component rounding) and a positive spectrum
+    assert abs(float(np.sqrt((got * got).sum())) - 1.0) < 1e-4
+    assert lam > 0
+    # power iteration's Rayleigh estimate grows monotonically toward the
+    # top eigenvalue (the convergence RATE is fixture-dependent — the
+    # synthetic embeddings have a small spectral gap — so monotone growth
+    # is the robust property, not a closeness threshold)
+    assert lams == sorted(lams)
