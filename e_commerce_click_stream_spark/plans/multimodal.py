@@ -271,8 +271,15 @@ def multimodal_text_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 PHASH_HAMMING_T = 1  # near-dup radius; 2 bands of 8 bits => pigeonhole-exact
 
+from e_commerce_click_stream_spark.operators.multimodal import PHASH_BITS
 
-_PHASH_NEARDUP_SQL = """
+_PHASH_BAND_BITS = PHASH_BITS // 2
+_PHASH_BAND_MASK = (1 << _PHASH_BAND_BITS) - 1
+
+# Geometry constants interpolate from PHASH_BITS / PHASH_HAMMING_T so a
+# width/radius retune changes builder and oracle TOGETHER (with >2 bands
+# the pigeonhole guarantee needs the banding generalized too).
+_PHASH_NEARDUP_SQL = f"""
 WITH cps AS (
     SELECT doc_id,
            [unicode(c) FOR c IN string_split(coalesce(text, ''), '') IF c <> ''] AS cp
@@ -280,27 +287,27 @@ WITH cps AS (
 ),
 h AS (
     SELECT doc_id,
-           list_sum(list_transform(range(16), i ->
-               CASE WHEN 16 * coalesce(list_sum(cp[(i * k + 1):(i * k + k)]), 0)
+           list_sum(list_transform(range({PHASH_BITS}), i ->
+               CASE WHEN {PHASH_BITS} * coalesce(list_sum(cp[(i * k + 1):(i * k + k)]), 0)
                          > coalesce(list_sum(cp), 0)
                     THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS phash
-    FROM (SELECT doc_id, cp, (len(cp) + 15) // 16 AS k FROM cps)
+    FROM (SELECT doc_id, cp, (len(cp) + {PHASH_BITS - 1}) // {PHASH_BITS} AS k FROM cps)
 ),
 bands AS (
-    SELECT doc_id, phash, 0 AS band, phash & 255 AS key FROM h
+    SELECT doc_id, phash, 0 AS band, phash & {_PHASH_BAND_MASK} AS key FROM h
     UNION ALL
-    SELECT doc_id, phash, 1 AS band, phash >> 8 AS key FROM h
+    SELECT doc_id, phash, 1 AS band, phash >> {_PHASH_BAND_BITS} AS key FROM h
 ),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.phash AS phash_a, b.phash AS phash_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_T}
 )
 SELECT doc_a, doc_b, phash_a, phash_b,
        bit_count(xor(phash_a, phash_b))::BIGINT AS hamming
 FROM pairs
-WHERE bit_count(xor(phash_a, phash_b)) <= 1
 """
 
 
@@ -337,11 +344,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.struct(
                     F.lit(0).alias("band"),
-                    F.col("phash").bitwiseAND(F.lit(255)).alias("key"),
+                    F.col("phash").bitwiseAND(F.lit(_PHASH_BAND_MASK)).alias("key"),
                 ),
                 F.struct(
                     F.lit(1).alias("band"),
-                    F.shiftright("phash", 8).alias("key"),
+                    F.shiftright("phash", _PHASH_BAND_BITS).alias("key"),
                 ),
             )
         ).alias("b"),
@@ -352,13 +359,14 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("phash").alias("phash_b"), "band", "key"
     )
-    pairs = (
+    hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))).cast("long")
+    # hamming verify BEFORE the distinct: only in-radius pairs pay the
+    # dedup exchange, not every band-bucket collision
+    return (
         a.join(b, on=["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= PHASH_HAMMING_T)
         .select("doc_a", "doc_b", "phash_a", "phash_b")
         .distinct()
+        .select("doc_a", "doc_b", "phash_a", "phash_b", hamming.alias("hamming"))
     )
-    hamming = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))).cast("long")
-    return pairs.select(
-        "doc_a", "doc_b", "phash_a", "phash_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= PHASH_HAMMING_T)

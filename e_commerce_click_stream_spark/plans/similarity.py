@@ -2782,7 +2782,6 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     vrow = spark.range(1).select(
         F.expr(f"transform(sequence(0, {_EMB_DIM - 1}), i -> 0.125d)").alias("vv")
     )
-    lam = None
     for _ in range(POWER_ITERS):
         coef = n.crossJoin(F.broadcast(vrow)).select(
             "v", F.round(_dot(F.col("v"), F.col("vv")), 6).alias("c")
@@ -2804,7 +2803,6 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("uu", lambda x: F.round(x / nrm, 6)).alias("vv"),
             F.round(nrm, 6).alias("lam"),
         ).localCheckpoint(eager=True)
-        lam = True
     return vrow.select(
         F.posexplode("vv").alias("dim", "loading"), "lam"
     ).select(

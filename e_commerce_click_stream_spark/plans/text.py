@@ -2521,9 +2521,12 @@ _GOPHER_REQ_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_REQ_SQL = ", ".join(f"'{w}'" for w in _GOPHER_REQ_WORDS)
 
 # line-level regexes with EXPLICIT whitespace classes (Java \s includes
-# \x0B where RE2's does not — module convention, see _SPACE_CLASS)
+# \x0B where RE2's does not — module convention, see _SPACE_CLASS), and
+# \z instead of $ for the end anchor: Java's $ matches BEFORE a final
+# line terminator (U+2028/U+2029/U+0085) where RE2's matches only at end
+# of text; \z means end-of-text in both engines
 _BULLET_RE = r"^[ \t]*[-*•]"
-_ELLIPSIS_RE = r"(\.\.\.|…)[ \t\r]*$"
+_ELLIPSIS_RE = r"(\.\.\.|…)[ \t\r]*\z"
 
 _GOPHER_SQL = f"""
 WITH toks AS (
@@ -2968,7 +2971,7 @@ wd AS (
 ),
 seg AS (
     SELECT doc_id, length(w)::BIGINT AS chars, {applied} AS s2
-    FROM (SELECT doc_id, length(w) AS _n, w,
+    FROM (SELECT doc_id, w,
                  '|' || array_to_string([c FOR c IN string_split(w, '') IF c <> ''],
                                         '||') || '|' AS s
           FROM wd), m

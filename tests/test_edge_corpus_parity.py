@@ -89,6 +89,11 @@ EDGE_TEXTS = [
     (32, "## heading # tag # tag2 #### wall", "en", "src15"),
     (33, "12 34 56 78 90 11 22", "en", "src15"),
     (34, "the words be to of and that have with extra filler", "en", "src16"),
+    # unicode line separators (r9c): U+2028/U+2029 directly after an
+    # ellipsis — Java's $ matches BEFORE a final line terminator where
+    # RE2's matches only at end of text; the \z anchor must agree (the
+    # separators are not \n, so they stay INSIDE the split line)
+    (35, "left dots...\u2028\nright dots…\u2029\nclean end…", "en", "src20"),
 ]
 
 
