@@ -1123,3 +1123,108 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.alias("sequence"),
         F.md5(seq).alias("seq_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-delay calibration: simulate Structured Streaming's watermark
+# progression over the event stream's ARRIVAL order and count what each
+# candidate withWatermark delay would DROP. Spark's semantics, mirrored
+# exactly: the watermark before micro-batch k is max(epoch 0,
+# max-event-time over batches < k, minus the delay) — it starts at epoch
+# 0 (the r9 discovery that pre-epoch rows are late even in batch 1) and
+# never regresses; a row is late iff ts < watermark. The readout that
+# picks the delay BEFORE a stateful streaming job silently loses data.
+
+WM_BATCH_SIZE = 1000  # arrival micro-batch granularity (event_id order)
+WM_DELAY_GRID_MIN = (0, 1, 10, 60)  # candidate delays, minutes
+
+_WM_CALIB_SQL = f"""
+WITH ev AS (
+    SELECT event_id, epoch_us(ts) AS ts_us, event_id // {WM_BATCH_SIZE} AS batch
+    FROM events
+    WHERE ts IS NOT NULL AND event_id IS NOT NULL
+),
+bm AS (
+    SELECT batch, max(ts_us) AS bmax FROM ev GROUP BY batch
+),
+wm AS (
+    SELECT batch,
+           max(bmax) OVER (ORDER BY batch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max
+    FROM bm
+),
+grid AS (
+    SELECT unnest([{", ".join(str(d) for d in WM_DELAY_GRID_MIN)}]) AS delay_minutes
+),
+flagged AS (
+    SELECT g.delay_minutes,
+           e.ts_us < greatest(0, coalesce(w.prior_max, 0)
+                                 - g.delay_minutes::BIGINT * 60000000) AS dropped
+    FROM ev e JOIN wm w ON w.batch = e.batch, grid g
+)
+SELECT delay_minutes,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       round(sum(CASE WHEN dropped THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS drop_frac
+FROM flagged
+GROUP BY delay_minutes
+"""
+
+
+@register("watermark_delay_calibration", oracle=_WM_CALIB_SQL,
+          tags=("streaming", "watermark", "calibration"))
+def watermark_delay_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data loss per candidate watermark delay: events replay in
+    arrival order (event_id) as WM_BATCH_SIZE micro-batches; the
+    simulated watermark before batch k is max(epoch 0, prior batches'
+    max event time - delay) — exactly Spark's semantics including the
+    epoch-0 initialization that drops pre-epoch rows at ANY delay (the
+    class the r9 streaming-oracle fix addressed; this op QUANTIFIES it).
+    Per grid delay: events seen, events a stateful append-mode operator
+    would drop, and the drop fraction — the number that picks the
+    withWatermark argument before a job silently loses data. NULL-ts
+    rows are excluded (the streaming window() drops them regardless of
+    watermark); all comparisons in integer microseconds.
+
+    Scale shape: one batch-grain agg over the arrival stream, a prefix
+    max over the tiny batch domain (|batches| rows — the only window),
+    watermarks broadcast back onto events by batch id, and one
+    grid-grain agg; the event-level join is a broadcast hash join at any
+    corpus size because |batches| = |events| / {WM_BATCH_SIZE}."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.unix_micros("ts").alias("ts_us"),
+            (F.col("event_id") / WM_BATCH_SIZE).cast("bigint").alias("batch"),
+        )
+    )
+    bm = ev.groupBy("batch").agg(F.max("ts_us").alias("bmax"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bm.select("batch", F.max("bmax").over(w).alias("prior_max"))
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d) for d in WM_DELAY_GRID_MIN])
+        ).alias("delay_minutes")
+    )
+    watermark = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.coalesce("prior_max", F.lit(0))
+        - F.col("delay_minutes").cast("bigint") * 60_000_000,
+    )
+    flagged = (
+        ev.join(F.broadcast(wm), "batch")
+        .crossJoin(F.broadcast(grid))
+        .select("delay_minutes", (F.col("ts_us") < watermark).alias("dropped"))
+    )
+    return flagged.groupBy("delay_minutes").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("bigint").alias(
+            "n_dropped"
+        ),
+        F.round(
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)) * 1.0 / F.count("*"), 6
+        ).alias("drop_frac"),
+    )

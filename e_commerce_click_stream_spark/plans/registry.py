@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-19 = brand-new in the r9 continuation sessions
-    # (no prior proof). Slots 20-31 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-20 = brand-new in the r9 continuation sessions
+    # (no prior proof). Slots 21-32 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,12 +64,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 32-33 = the IVF builders refactored
-    # onto shared helpers. Slots 34-41 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 33-34 = the IVF builders refactored
+    # onto shared helpers. Slots 35-42 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 42-50 = refresh rotation: the oldest
+    # Slots 43-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 33 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 34 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
@@ -91,6 +91,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "k_anonymity_audit",
     "streaming_quality_gate",
     "embedding_top_component",
+    "watermark_delay_calibration",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -126,7 +127,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_ivf_pq_topk",
     "tfidf_top_terms",
     "user_retention_cohorts",
-    "ann_lsh_buckets",
 )
 
 
@@ -135,9 +135,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the nineteen
+    # r4-proof refreshes displaced from the 50-slot window by the twenty
     # brand-new r9-continuation queries and the two IVF-refactor re-proofs
     # (new/changed queries outrank refreshes)
+    "ann_lsh_buckets",
     "ann_recall_eval",
     "brand_basket_affinity",
     "corpus_mix_plan",

@@ -2762,22 +2762,28 @@ _POWER_ITER_SQL = _power_iter_sql()
 @register("embedding_top_component", oracle=_POWER_ITER_SQL,
           tags=("similarity", "pca", "iterative"))
 def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant singular direction of the (uncentered) embedding matrix by
+    """Dominant singular direction of the UNCENTERED embedding matrix by
     5 rounds of power iteration from the uniform unit vector: coefficient
     per vector (rounded fold-dot), per-dimension weighted sums (one hash
     agg over the posexploded components, rounded), renormalize, repeat.
     Emits the 64 loadings plus the eigenvalue estimate ||A v|| from the
-    final round — the direction PCA-whitening / common-axis removal
-    subtracts first. The only order-sensitive float reductions are the
-    per-dimension sums, rounded to 6 like the k-means centroid means;
-    everything whole-vector is a sequential fold over a dim-sorted
-    packed array, bit-identical across engines.
+    final round. Deliberately the COMPLEMENT of embedding_pca_power
+    (centered covariance spectrum): uncentered, the top direction is the
+    mean-dominated "common direction" that All-But-The-Top-style
+    embedding post-processing removes BEFORE any PCA. The only
+    order-sensitive float reductions are the per-dimension sums, rounded
+    to 6 like the k-means centroid means; everything whole-vector is a
+    sequential fold over a dim-sorted packed array, bit-identical across
+    engines.
 
-    Scale shape: per round, the corpus is touched by exactly one
-    zero-shuffle coefficient projection (the direction rides in as a
-    broadcast 1-row array) and one posexplode -> 64-group hash agg; the
-    64-element repack is a 1-row aggregate. State between rounds is one
-    64-double row — the classic distributed matvec."""
+    Scale shape: the architectural alternative to embedding_pca_power's
+    one-covariance-pass-then-iterate-on-d² design — here each round
+    touches the corpus with one zero-shuffle coefficient projection (the
+    direction rides in as a broadcast 1-row array) and one posexplode ->
+    64-group hash agg, and NO d x d grid ever materializes. At d=64 the
+    covariance route is cheaper; at modern embedding widths (d >= 4096,
+    d² = 16M+ cells) this per-round corpus matvec is the shape that
+    scales. State between rounds is one 64-double row."""
     n = _vecs(spark, sf_dir).select("vec_id", "v")
     vrow = spark.range(1).select(
         F.expr(f"transform(sequence(0, {_EMB_DIM - 1}), i -> 0.125d)").alias("vv")

@@ -834,6 +834,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
         "max_exchanges": 0,
     },
+    # watermark calibration: batch-grain agg + prefix-max window over
+    # the TINY batch domain only, watermarks broadcast back onto events,
+    # one grid-grain agg — the event stream itself never sorts
+    "watermark_delay_calibration": {
+        "contains": ["HashAggregate", "Window", "BroadcastHashJoin"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 6,
+    },
     # k-anonymity: one QI-tuple groupBy (the only corpus-sized shuffle),
     # then a size-domain groupBy with the 1-row total broadcast-attached
     "k_anonymity_audit": {
