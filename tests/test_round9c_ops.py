@@ -346,3 +346,43 @@ def test_power_iteration_matches_numpy_recipe(spark):
     # synthetic embeddings have a small spectral gap — so monotone growth
     # is the robust property, not a closeness threshold)
     assert lams == sorted(lams)
+
+
+# ---------------------------------------------------------------------- #
+# bpe_train_merges — property test vs the reference implementation on
+# RANDOM corpora over a tiny alphabet (forced pair collisions, repeated
+# symbols, tandem runs — the shapes hand cases miss)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_bpe_corpus = st.lists(
+    st.lists(
+        # words over {a, b, c} incl. runs like 'aaaa' (overlap rule) and
+        # 1-char words (excluded by the len >= 2 training filter)
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_bpe_corpus)
+def test_bpe_trainer_matches_reference_on_random_corpora(spark, texts):
+    rows = [(i + 1, t, "en", "s") for i, t in enumerate(texts)]
+    sf = _write_docs(spark, rows)
+    wc = {}
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2 and "|" not in w:
+                wc[w] = wc.get(w, 0) + 1
+    expected = _bpe_reference(wc, 4)
+    got = sorted(
+        (r["iter"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in SPECS["bpe_train_merges"].builder(spark, sf).collect()
+    )
+    assert got == sorted(expected)
