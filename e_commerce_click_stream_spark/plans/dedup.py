@@ -560,18 +560,10 @@ GROUP BY component_id
 """
 
 
-@register("dedup_connected_components", oracle=_cc_sql(), tags=("dedup", "graph", "iterative"))
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters: transitive closure of the MinHash-LSH pair
-    relation via iterative min-label propagation. Each round is one
-    edges⋈labels hash join + a min groupBy (both key-local shuffles on
-    doc_id — skew-free), checkpointed so lineage stays flat; convergence is
-    an exact fixpoint, so the result is deterministic regardless of round
-    count. Singleton documents (no near-dup edge) are not components and
-    are excluded by construction. The member list is emitted as a sorted
-    comma-joined string: the correctness gate canonicalizes through pandas,
-    which cannot hash list cells, so array outputs are serialized on both
-    sides (same discipline as session_cart_contents, driver-green r4)."""
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) min-label fixpoint over the MinHash-LSH pair graph —
+    shared by dedup_connected_components (cluster report) and
+    dedup_quality_keep (canonical selection)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -601,7 +593,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
 
+
+@register("dedup_connected_components", oracle=_cc_sql(), tags=("dedup", "graph", "iterative"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: transitive closure of the MinHash-LSH pair
+    relation via iterative min-label propagation. Each round is one
+    edges⋈labels hash join + a min groupBy (both key-local shuffles on
+    doc_id — skew-free), checkpointed so lineage stays flat; convergence is
+    an exact fixpoint, so the result is deterministic regardless of round
+    count. Singleton documents (no near-dup edge) are not components and
+    are excluded by construction. The member list is emitted as a sorted
+    comma-joined string: the correctness gate canonicalizes through pandas,
+    which cannot hash list cells, so array outputs are serialized on both
+    sides (same discipline as session_cart_contents, driver-green r4)."""
+    labels = _cc_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(
@@ -1323,4 +1330,89 @@ def dedup_stored_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_band_index_tables(
         spark, batch_sh, batch_sh.select("doc_id"), prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: which document each near-dup cluster
+# KEEPS. Min-id keeps (the CC label) are what toy dedups do; production
+# pipelines keep the best representative — here the longest document
+# (whitespace tokens), ties to the lowest doc_id. The keep/drop manifest
+# is the artifact a rewrite pass actually consumes.
+
+_QUALITY_KEEP_SQL = f"""
+WITH cc AS ({_cc_sql()}),
+nodes AS (
+    SELECT component_id, unnest(string_split(members, ','))::BIGINT AS doc_id
+    FROM cc
+),
+q AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+    FROM documents
+),
+j AS (
+    SELECT n.component_id, n.doc_id, q.n_tokens
+    FROM nodes n JOIN q USING (doc_id)
+),
+mx AS (
+    SELECT component_id, max(n_tokens) AS max_tokens FROM j GROUP BY component_id
+),
+canon AS (
+    SELECT j.component_id, min(j.doc_id) AS canonical_doc
+    FROM j JOIN mx ON mx.component_id = j.component_id
+               AND j.n_tokens = mx.max_tokens
+    GROUP BY j.component_id
+)
+SELECT j.component_id, j.doc_id, j.n_tokens,
+       j.doc_id = c.canonical_doc AS is_canonical,
+       c.canonical_doc
+FROM j JOIN canon c USING (component_id)
+"""
+
+
+@register("dedup_quality_keep", oracle=_QUALITY_KEEP_SQL,
+          tags=("dedup", "graph", "canonical"))
+def dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop manifest for every near-dup cluster member: the cluster's
+    canonical document is its LONGEST member (whitespace token count),
+    ties broken toward the lowest doc_id — the quality-aware selection a
+    production dedup ships instead of keep-min-id. Each clustered doc
+    reports its component, token count, whether it is the canonical, and
+    which doc it deduplicates INTO (the mapping a rewrite/redirect pass
+    consumes). Composes the shared min-label CC fixpoint; the oracle
+    re-derives membership from the CC members string so the two queries
+    can never disagree about clusters.
+
+    Scale shape: CC labels (checkpointed fixpoint, key-local rounds) +
+    one token-count projection joined by doc_id, the per-component
+    argmax as max-then-min-id (two key-local aggs — DuckDB's arg_max
+    rejects struct ordering keys, and this shape avoids a SortAggregate
+    on the Spark side too), and a component-keyed equi-join back;
+    nothing corpus-sized shuffles more than once."""
+    from e_commerce_click_stream_spark.operators.textops import tokens
+
+    labels = _cc_labels(spark, sf_dir)
+    q = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens()).cast("long").alias("n_tokens")
+    )
+    j = labels.join(q, labels.node == q.doc_id).select(
+        F.col("label").alias("component_id"), "doc_id", "n_tokens"
+    )
+    # max tokens per component, then min doc_id among the maxima — the
+    # (n_tokens desc, doc_id asc) argmax without a struct ordering key
+    # (DuckDB's arg_max can't take one)
+    mx = j.groupBy("component_id").agg(F.max("n_tokens").alias("max_tokens"))
+    canon = (
+        j.join(mx, "component_id")
+        .filter(F.col("n_tokens") == F.col("max_tokens"))
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("canonical_doc"))
+    )
+    return j.join(canon, "component_id").select(
+        "component_id",
+        "doc_id",
+        "n_tokens",
+        (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
+        "canonical_doc",
     )

@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-20 = brand-new in the r9 continuation sessions
-    # (no prior proof). Slots 21-32 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-21 = brand-new in the r9 continuation sessions
+    # (no prior proof). Slots 22-33 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,12 +64,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 33-34 = the IVF builders refactored
-    # onto shared helpers. Slots 35-42 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 34-36 = the IVF + CC builders refactored
+    # onto shared helpers. Slots 37-44 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 43-50 = refresh rotation: the oldest
+    # Slots 45-50 = refresh rotation: the oldest
     # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 34 leftover
+    # first (streaming twins, LSH/PQ/tfidf/retention); the 36 leftover
     # r4 queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
@@ -92,6 +92,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_quality_gate",
     "embedding_top_component",
     "watermark_delay_calibration",
+    "dedup_quality_keep",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -105,10 +106,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "vocab_oov_curve",
     "quality_threshold_sweep",
     "substring_span_clusters",
-    # builders refactored onto the shared _ivf_assign/_ivf_probes helpers
-    # (oracle text byte-identical; plans re-proven at 3 SFs pre-commit)
+    # builders refactored onto shared helpers (_ivf_assign/_ivf_probes;
+    # _cc_labels) — oracle text unchanged; plans re-proven at 3 SFs
     "ann_ivf_topk",
     "ann_ivf_cells",
+    "dedup_connected_components",
     # r3-proof TPC-H overflow from the r8 window
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -125,8 +127,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_sliding_windows",
     "embedding_neardup_lsh",
     "ann_ivf_pq_topk",
-    "tfidf_top_terms",
-    "user_retention_cohorts",
 )
 
 
@@ -135,9 +135,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the twenty
+    # r4-proof refreshes displaced from the 50-slot window by the twenty-one
     # brand-new r9-continuation queries and the two IVF-refactor re-proofs
     # (new/changed queries outrank refreshes)
+    "tfidf_top_terms",
+    "user_retention_cohorts",
     "ann_lsh_buckets",
     "ann_recall_eval",
     "brand_basket_affinity",

@@ -834,6 +834,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
         "max_exchanges": 0,
     },
+    # quality keep: output derives from the checkpointed CC labels (flat
+    # ExistingRDD scans) + token projection + two key-local aggs and a
+    # component-keyed join back — no window, no Python
+    "dedup_quality_keep": {
+        "contains": ["HashAggregate", "Scan ExistingRDD"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "Window"],
+        "max_exchanges": 8,
+    },
     # watermark calibration: batch-grain agg + prefix-max window over
     # the TINY batch domain only, watermarks broadcast back onto events,
     # one grid-grain agg — the event stream itself never sorts
