@@ -3051,3 +3051,79 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("double") / F.sum(syms), 6
         ).alias("compression_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum manifest: the training-order artifact for length-based
+# curriculum learning (short -> long, the classic schedule) — every doc
+# gets a decile PHASE from the exact corpus length distribution and a
+# deterministic shuffle key; the trainer reads ORDER BY (phase,
+# shuffle_key) and no global sort ever runs inside the engine.
+
+CURRICULUM_PHASES = 10
+
+
+_CURRICULUM_SQL = f"""
+WITH lens AS (
+    SELECT doc_id,
+           coalesce(len(string_split_regex(trim(text), '\\s+')), 0)::BIGINT
+               AS n_tokens
+    FROM documents
+),
+hist AS (SELECT n_tokens, count(*) AS n FROM lens GROUP BY n_tokens),
+cum AS (
+    SELECT n_tokens,
+           sum(n) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS cum_n,
+           sum(n) OVER () AS total
+    FROM hist
+),
+ph AS (
+    SELECT n_tokens,
+           ((cum_n * {CURRICULUM_PHASES} + total - 1) // total)::BIGINT AS phase
+    FROM cum
+)
+SELECT l.doc_id, l.n_tokens, p.phase,
+       md5('cur:' || l.doc_id) AS shuffle_key
+FROM lens l JOIN ph p USING (n_tokens)
+"""
+
+
+@register("doc_curriculum_manifest", oracle=_CURRICULUM_SQL,
+          tags=("text", "curriculum", "ordering"))
+def doc_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum training manifest: each document's phase is its
+    decile in the EXACT corpus token-length distribution (equal-length
+    docs always share a phase — the cumulative walk assigns the decile
+    per distinct length, integer ceiling math so boundaries are exact),
+    plus a deterministic md5 shuffle key for within-phase order. The
+    trainer consumes ORDER BY (phase, shuffle_key); the engine never
+    globally sorts anything — ordering is the SINK's concern, the
+    manifest just carries the keys.
+
+    Scale shape: same exact-quantile trick as
+    doc_length_percentile_filter — the corpus collapses to a length
+    histogram (one associative agg), the cumulative walk runs on the
+    tiny distinct-length grid, and phases ride back over the corpus via
+    a broadcast equi-join on length. Zero corpus-sized sorts or windows
+    at any scale."""
+    lens = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.size(tokens()), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count("*").alias("n"))
+    ph = hist.select(
+        "n_tokens",
+        F.expr(
+            f"(sum(n) OVER (ORDER BY n_tokens ROWS BETWEEN UNBOUNDED PRECEDING"
+            f" AND CURRENT ROW) * {CURRICULUM_PHASES}"
+            f" + sum(n) OVER () - 1) div sum(n) OVER ()"
+        ).cast("bigint").alias("phase"),
+    )
+    return lens.join(F.broadcast(ph), "n_tokens").select(
+        "doc_id",
+        "n_tokens",
+        "phase",
+        F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )

@@ -834,6 +834,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
         "max_exchanges": 0,
     },
+    # curriculum manifest: length histogram -> cumulative walk on the
+    # tiny distinct-length grid -> phases broadcast back by length; the
+    # corpus itself never sorts or windows
+    "doc_curriculum_manifest": {
+        "contains": ["HashAggregate", "Window", "BroadcastHashJoin"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 4,
+    },
     # quality keep: output derives from the checkpointed CC labels (flat
     # ExistingRDD scans) + token projection + two key-local aggs and a
     # component-keyed join back — no window, no Python
