@@ -1228,3 +1228,96 @@ def watermark_delay_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("dropped"), 1).otherwise(0)) * 1.0 / F.count("*"), 6
         ).alias("drop_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot/automation flags: the behavioral-hygiene gate a pipeline runs before
+# training on interaction data — scripted clients poison sequence models.
+# Every heuristic is EXACT arithmetic (integer-µs gaps, distinct counts,
+# integer volumes) so no float-tolerance class can split the engines:
+# robotic cadence = one distinct inter-arrival gap, monotype = one event
+# type at volume, volume outlier = 10x the mean per-user volume.
+
+BOT_MIN_EVENTS = 5
+BOT_VOLUME_X = 10
+
+_BOT_FLAGS_SQL = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+gaps AS (
+    SELECT user_id, event_type, ts_us,
+           ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS gap_us
+    FROM ev
+),
+per_user AS (
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round((max(ts_us) - min(ts_us)) / 60000000.0, 4) AS span_minutes,
+           count(DISTINCT gap_us)::BIGINT AS n_distinct_gaps,
+           count(DISTINCT event_type)::BIGINT AS n_types
+    FROM gaps GROUP BY user_id
+),
+tot AS (SELECT avg(n_events) AS mean_events FROM per_user)
+SELECT user_id, n_events, span_minutes, n_distinct_gaps, n_types,
+       (n_events >= {BOT_MIN_EVENTS} AND n_distinct_gaps = 1)
+           AS constant_cadence,
+       (n_events >= {BOT_MIN_EVENTS} AND n_types = 1) AS monotype,
+       (n_events > {BOT_VOLUME_X} * mean_events) AS volume_outlier,
+       ((n_events >= {BOT_MIN_EVENTS} AND n_distinct_gaps = 1)
+        OR (n_events >= {BOT_MIN_EVENTS} AND n_types = 1)
+        OR n_events > {BOT_VOLUME_X} * mean_events) AS bot_suspect
+FROM per_user, tot
+"""
+
+
+@register("user_bot_flags", oracle=_BOT_FLAGS_SQL,
+          tags=("behavior", "hygiene", "bot-detection"))
+def user_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user automation flags: robotic cadence (>= BOT_MIN_EVENTS
+    events with exactly ONE distinct inter-arrival gap — human traffic
+    never metronomes), monotype behavior (one event type at volume), and
+    volume outliers (> BOT_VOLUME_X x the mean per-user event count),
+    plus the disjunction a training-data pass drops on. Gaps are exact
+    integer microseconds over the ts-sorted sequence (tie order cannot
+    change the gap multiset); NULL-ts/user rows are excluded as
+    unattributable.
+
+    Scale shape: one per-user lag window (key-local, skew bounded by the
+    hottest user) and one per-user agg, checkpointed because both the
+    corpus mean and the output read it; the 1-row mean broadcasts back —
+    no global window, no float-tolerance comparisons anywhere."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+    # checkpoint: the corpus mean AND the output both consume per_user —
+    # without it the window + double countDistinct re-derive per branch
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round((F.max("ts_us") - F.min("ts_us")) / 60_000_000.0, 4).alias(
+            "span_minutes"
+        ),
+        F.countDistinct("gap_us").alias("n_distinct_gaps"),
+        F.countDistinct("event_type").alias("n_types"),
+    ).localCheckpoint(eager=True)
+    tot = per_user.agg(F.avg("n_events").alias("mean_events"))
+    cadence = (F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("n_distinct_gaps") == 1)
+    monotype = (F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("n_types") == 1)
+    volume = F.col("n_events") > BOT_VOLUME_X * F.col("mean_events")
+    return per_user.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n_events",
+        "span_minutes",
+        "n_distinct_gaps",
+        "n_types",
+        cadence.alias("constant_cadence"),
+        monotype.alias("monotype"),
+        volume.alias("volume_outlier"),
+        (cadence | monotype | volume).alias("bot_suspect"),
+    )

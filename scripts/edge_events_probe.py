@@ -92,7 +92,7 @@ BATCH_EVENT_QUERIES = [
     "sql_gateway_hourly_revenue", "key_skew_profile",
     "kmv_audience_overlap", "events_zorder_stats",
     "events_countmin_heavy_hitters", "user_event_sequences",
-    "watermark_delay_calibration",
+    "watermark_delay_calibration", "user_bot_flags",
 ]
 
 

@@ -834,6 +834,15 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
         "max_exchanges": 0,
     },
+    # bot flags: the per-user relation (lag window + agg) checkpoints
+    # once — mean branch and output both read the ExistingRDD — then the
+    # 1-row corpus mean broadcasts back (BNLJ attach); exact-arithmetic
+    # heuristics, no Python, no sort-merge
+    "user_bot_flags": {
+        "contains": ["Scan ExistingRDD", "HashAggregate", "BroadcastNestedLoopJoin"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 1,
+    },
     # curriculum manifest: length histogram -> cumulative walk on the
     # tiny distinct-length grid -> phases broadcast back by length; the
     # corpus itself never sorts or windows
