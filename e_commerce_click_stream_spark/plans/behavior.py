@@ -1289,6 +1289,10 @@ def user_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest user) and one per-user agg, checkpointed because both the
     corpus mean and the output read it; the 1-row mean broadcasts back —
     no global window, no float-tolerance comparisons anywhere."""
+    # gap stage deliberately NOT shared with user_interarrival_stats:
+    # that op keeps NULL users/ts (distribution over everything observed)
+    # and breaks ts ties by event_id; this one excludes unattributable
+    # rows and needs only the gap MULTISET (tie order can't change it)
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())

@@ -1396,9 +1396,11 @@ def dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens()).cast("long").alias("n_tokens")
     )
+    # three consumers (max-tokens agg, canonical filter-join, output) —
+    # checkpoint so the documents scan + tokenize + label join run once
     j = labels.join(q, labels.node == q.doc_id).select(
         F.col("label").alias("component_id"), "doc_id", "n_tokens"
-    )
+    ).localCheckpoint(eager=True)
     # max tokens per component, then min doc_id among the maxima — the
     # (n_tokens desc, doc_id asc) argmax without a struct ordering key
     # (DuckDB's arg_max can't take one)

@@ -67,10 +67,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # leaderboard (new r9). Slots 36-38 = the IVF + CC builders refactored
     # onto shared helpers. Slots 39-46 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 47-50 = refresh rotation: the oldest
-    # remaining (r4) proofs re-earn current rows, heavy/changed-adjacent
-    # first (streaming twins, LSH/PQ/tfidf/retention); the 38 leftover
-    # r4 queries overflow to _VERIFY_NEXT.
+    # Slots 47-50 = refresh rotation: the four streaming twins (the
+    # oldest remaining r4 proofs; the LSH/PQ/tfidf/retention refreshes
+    # were displaced by this round's new queries); the 38 leftover r4
+    # queries overflow to _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
     "eval_gram_decontamination",
@@ -139,6 +139,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     # brand-new r9-continuation queries and the three refactor re-proofs
     # (new/changed queries outrank refreshes)
     "ann_ivf_pq_topk",
+    "embedding_neardup_lsh",
     "tfidf_top_terms",
     "user_retention_cohorts",
     "ann_lsh_buckets",

@@ -851,13 +851,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 4,
     },
-    # quality keep: output derives from the checkpointed CC labels (flat
-    # ExistingRDD scans) + token projection + two key-local aggs and a
-    # component-keyed join back — no window, no Python
+    # quality keep: the labels+tokens relation checkpoints once for its
+    # three consumers (max-tokens agg, canonical filter-join, output), so
+    # the visible plan is two key-local aggs + the component-keyed join
+    # back over ExistingRDD scans — no window, no Python
     "dedup_quality_keep": {
         "contains": ["HashAggregate", "Scan ExistingRDD"],
         "not_contains": ["BatchEvalPython", "CartesianProduct", "Window"],
-        "max_exchanges": 8,
+        "max_exchanges": 5,
     },
     # watermark calibration: batch-grain agg + prefix-max window over
     # the TINY batch domain only, watermarks broadcast back onto events,
