@@ -54,8 +54,8 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-23 = brand-new in the r9 continuation sessions
-    # (no prior proof). Slots 24-35 = new or changed earlier in r9: the two
+    # r9 window. Slots 1-24 = brand-new in the r9 continuation sessions
+    # (no prior proof). Slots 25-36 = new or changed earlier in r9: the two
     # streaming twins whose oracles gained the epoch-0 initial-watermark
     # floor (oracle change invalidates their r4 proof),
     # dedup_savings_report (ADVICE r8: its oracle composes the
@@ -64,13 +64,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # THREE probes whose batch-id derivation and/or top-1 agg changed
     # r9 (both stored-band paths and the one-pass twin share the min_by
     # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 36-38 = the IVF + CC builders refactored
-    # onto shared helpers. Slots 39-46 = the 8 r3-proof TPC-H queries
+    # leaderboard (new r9). Slots 37-39 = the IVF + CC builders refactored
+    # onto shared helpers. Slots 40-47 = the 8 r3-proof TPC-H queries
     # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 47-50 = refresh rotation: the four streaming twins (the
-    # oldest remaining r4 proofs; the LSH/PQ/tfidf/retention refreshes
-    # were displaced by this round's new queries); the 38 leftover r4
-    # queries overflow to _VERIFY_NEXT.
+    # Slots 48-50 = refresh rotation: three streaming twins (the oldest
+    # remaining r4 proofs; the other refreshes were displaced by this
+    # round's new queries); the 39 leftover r4 queries overflow to
+    # _VERIFY_NEXT.
     # brand-new in the r9 continuation session — no prior proof at all
     "doc_script_profile",
     "eval_gram_decontamination",
@@ -95,6 +95,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_quality_keep",
     "doc_curriculum_manifest",
     "user_bot_flags",
+    "source_ngram_novelty",
     # oracle or code changed this round — prior proof no longer covers
     "streaming_session_windows",
     "streaming_exactly_once_dedup",
@@ -126,7 +127,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_click_attribution",
     "streaming_hourly_metrics",
     "streaming_segment_enrichment",
-    "streaming_sliding_windows",
 )
 
 
@@ -135,9 +135,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # these r4-proof refreshes benefit first; if not, they cost nothing
 # (every one holds a fixture-current ever-green row).
 _VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the twenty-three
+    # r4-proof refreshes displaced from the 50-slot window by the twenty-four
     # brand-new r9-continuation queries and the three refactor re-proofs
     # (new/changed queries outrank refreshes)
+    "streaming_sliding_windows",
     "ann_ivf_pq_topk",
     "embedding_neardup_lsh",
     "tfidf_top_terms",

@@ -3127,3 +3127,92 @@ def doc_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle_key"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source novelty: which sources contribute content nobody else has — the
+# data-acquisition readout (pay for the feed whose grams are exclusive,
+# not the one that mirrors what the corpus already holds). Gram machinery
+# shared with the contamination family (rolling GRAM_N-token md5s).
+
+_NOVELTY_SQL = f"""
+WITH docs AS (
+    SELECT source, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+sg AS (
+    SELECT DISTINCT source, gh FROM (
+        SELECT source,
+               unnest([md5(array_to_string(t[i:i + {GRAM_N - 1}], ' '))
+                       for i in range(1, len(t) - {GRAM_N - 2})]) AS gh
+        FROM docs)
+),
+gc AS (
+    SELECT gh, count(*)::BIGINT AS n_sources FROM sg GROUP BY gh
+),
+tot AS (SELECT count(*)::DOUBLE AS total_grams FROM gc)
+SELECT s.source,
+       count(*)::BIGINT AS distinct_grams,
+       sum(CASE WHEN g.n_sources = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS exclusive_grams,
+       round(sum(CASE WHEN g.n_sources = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS exclusivity,
+       round(count(*) / total_grams, 6) AS corpus_share
+FROM sg s JOIN gc g ON g.gh = s.gh, tot
+GROUP BY s.source, total_grams
+"""
+
+
+@register("source_ngram_novelty", oracle=_NOVELTY_SQL,
+          tags=("text", "governance", "acquisition"))
+def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content novelty over rolling GRAM_N-token fingerprints:
+    how many distinct grams the source holds, how many exist in NO other
+    source (exclusive), the exclusivity ratio, and the source's share of
+    the corpus's distinct grams — the evidence for which feeds to keep
+    paying for and which merely mirror existing content. Shares the
+    contamination family's gram machinery; NULL-text docs contribute
+    nothing.
+
+    Scale shape: one (source, gram) distinct (md5 keys, uniform — the
+    only corpus-sized shuffle), a gram-grain count that reuses the same
+    hash key, a co-keyed equi-join back, and a sources-grain agg with
+    the 1-row total broadcast; fan-out is exactly 1 per (source, gram)
+    pair, never n²."""
+    docs = spread(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    ).select("source", tokens().alias("t"))
+    gram_fp = F.when(
+        F.size("t") >= GRAM_N,
+        F.expr(
+            f"transform(sequence(1, size(t) - {GRAM_N - 1}),"
+            f" i -> md5(concat_ws(' ', slice(t, i, {GRAM_N}))))"
+        ),
+    ).otherwise(F.expr("array()"))
+    sg = (
+        docs.select("source", F.explode(gram_fp).alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the gram counts AND the join
+    )
+    gc = sg.groupBy("gh").agg(F.count("*").alias("n_sources"))
+    tot = gc.agg(F.count("*").cast("double").alias("total_grams"))
+    excl = F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+    return (
+        sg.join(gc, "gh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("distinct_grams"),
+            excl.cast("bigint").alias("exclusive_grams"),
+            F.round(excl * 1.0 / F.count("*"), 6).alias("exclusivity"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "distinct_grams",
+            "exclusive_grams",
+            "exclusivity",
+            F.round(F.col("distinct_grams") / F.col("total_grams"), 6).alias(
+                "corpus_share"
+            ),
+        )
+    )

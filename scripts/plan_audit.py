@@ -834,6 +834,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
         "max_exchanges": 0,
     },
+    # source novelty: (source, gram) distinct checkpoints once (gram
+    # counts + join both read it), gram-grain count reuses the key, one
+    # sources-grain agg, 1-row total broadcast — fan-out 1 per pair
+    "source_ngram_novelty": {
+        "contains": ["HashAggregate", "Scan ExistingRDD", "BroadcastNestedLoopJoin"],
+        "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "max_exchanges": 5,
+    },
     # bot flags: the per-user relation (lag window + agg) checkpoints
     # once — mean branch and output both read the ExistingRDD — then the
     # 1-row corpus mean broadcasts back (BNLJ attach); exact-arithmetic
