@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,21 +59,28 @@ def main() -> None:
     # warm the JVM + parquet footer caches outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # per-query untimed warmup + best-of-3: the first execution of a plan
-    # pays JIT/codegen/footer-cache costs that inflate even a best-of-N by
-    # 2-3× on this host, and single timings carry ±20% host noise; one
-    # throwaway run, then min of three, is the steady-state signal
+    # per-query untimed warmup + MEDIAN-of-3: the first execution of a plan
+    # pays JIT/codegen/footer-cache costs that inflate even an N-rep stat by
+    # 2-3× on this host, so one throwaway run precedes the timed reps. The
+    # reported statistic is the median (not min): two rounds of recorded
+    # numbers were dominated by hypervisor noisy-neighbor drift, and a
+    # median-of-3 is robust to one outlier rep in either direction while
+    # staying comparable across rounds without forensics. The per-rep
+    # samples ride along under "samples" so a skewed host is visible in
+    # the artifact itself.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in sorted(specs):
         _release_blocks(spark)
         _execute(specs[name].builder(spark, SF_DIR))
-        best = float("inf")
+        reps: list[float] = []
         for _ in range(3):
             _release_blocks(spark)
             t0 = time.perf_counter()
             _execute(specs[name].builder(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
+        samples[name] = [round(r, 3) for r in sorted(reps)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -82,6 +90,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stat": "median_of_3",
+                "samples": samples,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -276,9 +276,21 @@ from e_commerce_click_stream_spark.operators.multimodal import PHASH_BITS
 _PHASH_BAND_BITS = PHASH_BITS // 2
 _PHASH_BAND_MASK = (1 << _PHASH_BAND_BITS) - 1
 
-# Geometry constants interpolate from PHASH_BITS / PHASH_HAMMING_T so a
-# width/radius retune changes builder and oracle TOGETHER (with >2 bands
-# the pigeonhole guarantee needs the banding generalized too).
+# The demo's 16-bit hash has only 2^8 = 256 band-key values, so band
+# buckets go hot fast (measured at sf0.1: 381k candidate pairs from a
+# 5k-doc corpus — occupancy² fan-out, quadratic-shaped already at toy
+# scale). Buckets over the cap are dropped BEFORE the self-join, bounding
+# candidate fan-out at cap²/bucket regardless of corpus size — the same
+# documented recall tradeoff as SIMHASH_BUCKET_CAP / NGRAM_DF_CAP: a pair
+# lost to one hot band usually shares the other, and a production 64-bit
+# hash makes hot buckets rare to begin with.
+
+PHASH_BUCKET_CAP = 100
+
+# Geometry constants interpolate from PHASH_BITS / PHASH_HAMMING_T /
+# PHASH_BUCKET_CAP so a width/radius/cap retune changes builder and
+# oracle TOGETHER (with >2 bands the pigeonhole guarantee needs the
+# banding generalized too).
 _PHASH_NEARDUP_SQL = f"""
 WITH cps AS (
     SELECT doc_id,
@@ -298,10 +310,17 @@ bands AS (
     UNION ALL
     SELECT doc_id, phash, 1 AS band, phash >> {_PHASH_BAND_BITS} AS key FROM h
 ),
+kept AS (
+    SELECT band, key FROM bands
+    GROUP BY band, key HAVING count(*) <= {PHASH_BUCKET_CAP}
+),
+kb AS (
+    SELECT b.* FROM bands b JOIN kept k ON k.band = b.band AND k.key = b.key
+),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.phash AS phash_a, b.phash AS phash_b
-    FROM bands a JOIN bands b
+    FROM kb a JOIN kb b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_T}
 )
@@ -320,23 +339,28 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow/mapInPandas hop, then pairs within hamming radius 1 are
     found by pigeonhole banding — 2 bands of 8 bits, so any pair within
     the radius shares at least one full band and candidate generation is
-    a single-column equi-join per band, never all-pairs. DISTINCT folds
-    pairs caught by both bands; the hamming verify runs on candidates
-    only (bit_count over xor, JVM-side). A production deployment swaps
-    the fake decode for real pixels and widens to a 64-bit hash with 4+
-    bands plus the hot-bucket cap dedup_simhash_groups uses; every plan
-    property here (Arrow batch hop, band equi-join, candidate-only
-    verify) carries over unchanged.
+    a single-column equi-join per band, never all-pairs. Band buckets
+    over PHASH_BUCKET_CAP occupants are dropped before the self-join
+    (the dedup_simhash_hamming hot-bucket guard), so per-bucket fan-out
+    is bounded at cap² by the EXECUTED plan, not by narration. DISTINCT
+    folds pairs caught by both bands; the hamming verify runs on
+    candidates only (bit_count over xor, JVM-side). A production
+    deployment swaps the fake decode for real pixels and widens to a
+    64-bit hash with 4+ bands; every plan property here (Arrow batch
+    hop, band equi-join, occupancy cap, candidate-only verify) carries
+    over unchanged.
 
-    Scale shape: the Python hop is partition-local (no shuffle feeds it);
-    banding doubles rows THEN shuffles on (band, key); the self-join is
-    an equi-join whose per-bucket fan-out is bounded by band-bucket
-    occupancy; hamming filter prunes before the distinct."""
+    Scale shape: the Python hop is partition-local (no shuffle feeds it)
+    and runs ONCE (checkpointed — three consumers downstream); banding
+    doubles rows THEN shuffles on (band, key); the occupancy count is a
+    partial+final hash agg whose tiny survivor list broadcasts back onto
+    the band rows; the self-join is an equi-join with cap-bounded
+    per-bucket fan-out; hamming filter prunes before the distinct."""
     from e_commerce_click_stream_spark.operators.multimodal import content_phash
 
     h = content_phash(
         with_binary_payload(spread(table(spark, sf_dir, "documents")))
-    )
+    ).localCheckpoint(eager=True)
     bands = h.select(
         "doc_id",
         "phash",
@@ -353,6 +377,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    kept = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") <= PHASH_BUCKET_CAP)
+        .select("band", "key")
+    )
+    # post-agg size is unknown at plan time (SMJ would be planned);
+    # the survivor list is <= 2 * 2^band_bits rows — always broadcast
+    bands = bands.join(F.broadcast(kept), ["band", "key"])
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("phash").alias("phash_a"), "band", "key"
     )

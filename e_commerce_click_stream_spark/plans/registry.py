@@ -54,90 +54,21 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 window. Slots 1-24 = brand-new in the r9 continuation sessions
-    # (no prior proof). Slots 25-36 = new or changed earlier in r9: the two
-    # streaming twins whose oracles gained the epoch-0 initial-watermark
-    # floor (oracle change invalidates their r4 proof),
-    # dedup_savings_report (ADVICE r8: its oracle composes the
-    # band-seeded _minhash_sql that changed in r8 but it sat outside the
-    # r8 window), the substring-span pair, the IVF warm-store probe, the
-    # THREE probes whose batch-id derivation and/or top-1 agg changed
-    # r9 (both stored-band paths and the one-pass twin share the min_by
-    # rewrite), and the two calibration curves plus the span-cluster
-    # leaderboard (new r9). Slots 37-39 = the IVF + CC builders refactored
-    # onto shared helpers. Slots 40-47 = the 8 r3-proof TPC-H queries
-    # that overflowed the r8 window (the driver stopped at 50).
-    # Slots 48-50 = refresh rotation: three streaming twins (the oldest
-    # remaining r4 proofs; the other refreshes were displaced by this
-    # round's new queries); the 39 leftover r4 queries overflow to
-    # _VERIFY_NEXT.
-    # brand-new in the r9 continuation session — no prior proof at all
-    "doc_script_profile",
-    "eval_gram_decontamination",
-    "doc_quality_linear_score",
-    "ann_range_search",
-    "user_event_sequences",
-    "user_erasure_audit",
-    "ann_ivf_range_search",
-    "neardup_threshold_curve",
-    "multimodal_text_embedding_pairs",
-    "doc_gopher_quality_flags",
-    "corpus_token_budget_plan",
+    # r10 window — almost entirely rotation (VERDICT r9 #1): every query
+    # still carrying a round-4 proof (two fixture regenerations old, the
+    # repo's oldest staleness risk) re-earns a fixture-current row this
+    # round. Slot 1 = multimodal_phash_neardup, whose builder AND oracle
+    # gained the hot-bucket occupancy cap this round (VERDICT r9 #2) —
+    # the r9 proof no longer covers it. New r10 operators are inserted
+    # ABOVE the rotation block as they land (brand-new queries outrank
+    # refreshes); the remaining slots pull the oldest r5 proofs forward
+    # (the rest of r5 rotates in r11 via _VERIFY_NEXT).
+    # brand-new r10 operators — no prior proof at all
+    "bm25_topk_retrieval",
+    "bm25_vs_ann_overlap",
+    # changed this round — oracle + plan gained the occupancy cap
     "multimodal_phash_neardup",
-    "streaming_pii_scrub",
-    "bpe_train_merges",
-    "bpe_segment_docs",
-    "embedding_truncation_recall",
-    "k_anonymity_audit",
-    "streaming_quality_gate",
-    "embedding_top_component",
-    "watermark_delay_calibration",
-    "dedup_quality_keep",
-    "doc_curriculum_manifest",
-    "user_bot_flags",
-    "source_ngram_novelty",
-    # oracle or code changed this round — prior proof no longer covers
-    "streaming_session_windows",
-    "streaming_exactly_once_dedup",
-    "dedup_savings_report",
-    "dedup_exact_substring_spans",
-    "doc_exact_substring_rewrite",
-    "ann_ivf_probe_only",
-    "dedup_incremental_stored",
-    "dedup_stored_probe_only",
-    "dedup_incremental_minhash",
-    "vocab_oov_curve",
-    "quality_threshold_sweep",
-    "substring_span_clusters",
-    # builders refactored onto shared helpers (_ivf_assign/_ivf_probes;
-    # _cc_labels) — oracle text unchanged; plans re-proven at 3 SFs
-    "ann_ivf_topk",
-    "ann_ivf_cells",
-    "dedup_connected_components",
-    # r3-proof TPC-H overflow from the r8 window
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # refresh rotation: oldest (r4) fixture-current proofs re-earn rows
-    "streaming_click_attribution",
-    "streaming_hourly_metrics",
-    "streaming_segment_enrichment",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these r4-proof refreshes benefit first; if not, they cost nothing
-# (every one holds a fixture-current ever-green row).
-_VERIFY_NEXT: tuple[str, ...] = (
-    # r4-proof refreshes displaced from the 50-slot window by the twenty-four
-    # brand-new r9-continuation queries and the three refactor re-proofs
-    # (new/changed queries outrank refreshes)
+    # rotation: all 39 remaining r4-proof queries re-earn current rows
     "streaming_sliding_windows",
     "ann_ivf_pq_topk",
     "embedding_neardup_lsh",
@@ -177,6 +108,55 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "user_entropy_profile",
     "user_interarrival_stats",
     "user_value_ewma",
+    # oldest r5 proofs pulled forward into the spare slots
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "lineitem_decimal_money",
+    "embedding_kmeans_iter",
+    "embedding_pca_power",
+    "embedding_covariance",
+    "dedup_semantic_cells",
+)
+
+
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these r5-proof refreshes benefit first; if not, they cost nothing
+# (every one holds a fixture-current ever-green row). The full set
+# rotates into the r11 window.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "doc_passage_dedup",
+    "bpe_merge_pairs",
+    "ab_test_readout",
+    "bloom_prefiltered_antijoin",
+    "brand_revenue",
+    "conversion_by_duration_bucket",
+    "corpus_snapshot_diff",
+    "customer_purchase_streaks",
+    "customer_rolling_spend_90d",
+    "customer_scd2_history",
+    "dashboard_metrics",
+    "doc_language_confusion",
+    "doc_length_percentile_filter",
+    "doc_rag_chunks",
+    "embedding_dim_stats",
+    "embedding_quality_gate",
+    "event_props_map_profile",
+    "event_type_distribution",
+    "events_kmv_distinct",
+    "events_weekly_seasonality",
+    "hourly_metrics",
+    "hourly_metrics_incremental",
+    "latest_hour_conversion",
+    "order_value_histogram",
+    "pipeline_status_union",
+    "session_event_paths",
+    "session_first_event",
+    "skew_salted_fact_join",
+    "streaming_top_users",
+    "user_activity_profile",
+    "user_activity_similarity",
 )
 
 

@@ -3216,3 +3216,299 @@ def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 inverted-index retrieval — the LEXICAL twin of ann_cosine_topk.
+# The corpus side of RAG is covered (chunks, embeddings, IVF); this is the
+# standard hybrid-retrieval baseline every training-data search stack ships
+# next to ANN: build a postings relation (term -> doc, tf), score a
+# deterministic query-by-example set with BM25 (k1=1.2, b=0.75), top-k per
+# query via rank pushdown. Exact arithmetic everywhere integers allow:
+# tf/df/dl/N are integers, every per-term contribution is micro-rounded to
+# BIGINT before the sum (integer addition is order-free, so the score hash
+# can never drift on summation order), and only the final readability
+# column divides back to a double.
+
+from e_commerce_click_stream_spark.plans.similarity import (  # noqa: E402
+    _TOPK_SQL,
+    N_QUERIES,
+    TOP_K,
+    ann_cosine_topk,
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_B1 = 1.0 - BM25_B          # precomputed so both engines share literals
+_BM25_K1P1 = BM25_K1 + 1.0
+BM25_TOP_K = 10                  # retrieval depth per query
+BM25_QUERY_TERMS = 8             # rarest-df terms kept per query doc
+_BM25_SCALE = 1_000_000          # micro-units for the order-free integer sum
+
+# Shared CTE prefix: postings (tf per doc-term), document lengths carried
+# through the explode (dl computed BEFORE the explode — no extra shuffle),
+# document frequency, and the 1-row corpus scalars.
+_BM25_CORE_SQL = f"""
+docs AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+toked AS (
+    SELECT doc_id, ts, len(ts)::BIGINT AS dl FROM docs WHERE len(ts) > 0
+),
+toks AS (
+    SELECT doc_id, dl, unnest(ts) AS tok FROM toked
+),
+tf AS (
+    SELECT doc_id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+    FROM toks GROUP BY doc_id, tok
+),
+dfrel AS (
+    SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok
+),
+scal AS (
+    SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len FROM toked
+),
+qt AS (
+    SELECT q.doc_id AS query_id, q.tok, d.df,
+           row_number() OVER (PARTITION BY q.doc_id
+                              ORDER BY d.df ASC, q.tok ASC) AS r
+    FROM tf q JOIN dfrel d ON d.tok = q.tok
+    WHERE q.doc_id < {N_QUERIES} AND d.df >= 2
+),
+qterms AS (
+    SELECT query_id, tok, df FROM qt WHERE r <= {BM25_QUERY_TERMS}
+),
+cands AS (
+    SELECT qterms.query_id, tf.doc_id,
+           floor(ln(1 + (s.n_docs - qterms.df + 0.5) / (qterms.df + 0.5))
+                 * (tf.tf * {_BM25_K1P1})
+                 / (tf.tf + {BM25_K1} * ({_BM25_B1} + {BM25_B} * (tf.dl * s.n_docs / s.total_len)))
+                 * {_BM25_SCALE} + 0.5)::BIGINT AS contrib
+    FROM tf JOIN qterms ON qterms.tok = tf.tok, scal s
+    WHERE tf.doc_id != qterms.query_id
+),
+scored AS (
+    SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+           sum(contrib)::BIGINT AS score_micro
+    FROM cands GROUP BY query_id, doc_id
+),
+bm_ranked AS (
+    SELECT query_id, doc_id, n_terms, score_micro,
+           round(score_micro / {_BM25_SCALE}.0, 6) AS bm25,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_micro DESC, doc_id ASC) AS rank
+    FROM scored
+)"""
+
+_BM25_TOPK_SQL = f"""
+WITH {_BM25_CORE_SQL}
+SELECT query_id, doc_id, n_terms, score_micro, bm25, rank::BIGINT AS rank
+FROM bm_ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, n_terms, score_micro) — the BM25 candidate scores
+    shared by the retrieval top-k and the overlap readout."""
+    toked = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            F.filter(tokens(), lambda t: t != "").alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+        .select("doc_id", F.size("ts").cast("long").alias("dl"), "ts")
+    )
+    toks = toked.select("doc_id", "dl", F.explode("ts").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    # tf feeds three consumers (df counts, query-term selection, candidate
+    # scoring) — materialize once or the explode+agg recompiles per branch
+    tf = tf.localCheckpoint(eager=True)
+    dfrel = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # corpus scalars from the CHECKPOINTED postings, never a second
+    # scan+retokenize of the corpus (every toked doc has >= 1 posting, so
+    # the doc set and dl values are identical); partial agg collapses the
+    # per-doc rollup to unique doc_ids map-side
+    scal = (
+        tf.groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_len"))
+    )
+    qt = (
+        dfrel.filter(F.col("df") >= 2)
+        .join(
+            F.broadcast(
+                tf.filter(F.col("doc_id") < N_QUERIES).select(
+                    F.col("doc_id").alias("query_id"), "tok"
+                )
+            ),
+            "tok",
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("r") <= BM25_QUERY_TERMS)
+        .select("query_id", "tok", "df")
+    )
+    cands = (
+        tf.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(scal))
+    )
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(_BM25_B1)
+        + F.lit(BM25_B) * (F.col("dl") * F.col("n_docs") / F.col("total_len"))
+    )
+    contrib = F.floor(
+        idf * (F.col("tf") * F.lit(_BM25_K1P1)) / denom * F.lit(_BM25_SCALE)
+        + F.lit(0.5)
+    ).cast("long")
+    return cands.select("query_id", "doc_id", contrib.alias("contrib")).groupBy(
+        "query_id", "doc_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("contrib").alias("score_micro"),
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return _bm25_scored(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        "n_terms",
+        "score_micro",
+        F.round(F.col("score_micro") / F.lit(float(_BM25_SCALE)), 6).alias("bm25"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+@register("bm25_topk_retrieval", oracle=_BM25_TOPK_SQL, headline=True,
+          tags=("text", "retrieval", "bm25", "topk"))
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): the query set is
+    query-by-example — each doc_id < N_QUERIES retrieves with its
+    BM25_QUERY_TERMS rarest corpus terms (df ascending, token tiebreak;
+    hapax terms that could only retrieve the query doc itself are skipped
+    via df >= 2), self-matches excluded, top BM25_TOP_K docs per query by
+    score with a doc_id tiebreak.
+
+    Exactness: every per-term contribution is micro-rounded to BIGINT
+    (floor(w*1e6+0.5)) before summing, so the per-pair score is an
+    order-free integer sum — the one pattern that hash-matches across
+    engines regardless of reduction order; only the readability column
+    divides back to a double.
+
+    Scale shape: doc length is computed BEFORE the token explode and rides
+    through it (no per-doc length join); the postings build is ONE hash
+    agg on (doc, term); df is a second agg over postings (vocabulary
+    cardinality, not corpus); the corpus scalars are a 1-row broadcast;
+    query terms are Q x M rows broadcast into the postings scan — the
+    postings relation never shuffles for the probe (an inverted-index
+    lookup without building the index, exactly how a bucketed postings
+    table would serve it); per-query top-k is rank-pushdown
+    (WindowGroupLimit heaps), never a global sort."""
+    return _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= BM25_TOP_K)
+
+
+_BM25_ANN_OVERLAP_SQL = f"""
+WITH {_BM25_CORE_SQL},
+bm AS (
+    SELECT query_id, doc_id FROM bm_ranked WHERE rank <= {TOP_K}
+),
+ann AS ({_TOPK_SQL}),
+bmc AS (SELECT query_id, count(*)::BIGINT AS n_bm25 FROM bm GROUP BY query_id),
+annc AS (SELECT query_id, count(*)::BIGINT AS n_ann FROM ann GROUP BY query_id),
+ov AS (
+    SELECT b.query_id, count(*)::BIGINT AS n_overlap
+    FROM bm b JOIN ann a ON a.query_id = b.query_id AND a.neighbor_id = b.doc_id
+    GROUP BY b.query_id
+),
+ids AS (
+    SELECT DISTINCT query_id FROM (
+        SELECT query_id FROM bmc UNION ALL SELECT query_id FROM annc
+    ) u
+)
+SELECT i.query_id,
+       coalesce(bmc.n_bm25, 0)::BIGINT AS n_bm25,
+       coalesce(annc.n_ann, 0)::BIGINT AS n_ann,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       round(coalesce(ov.n_overlap, 0)
+             / (coalesce(bmc.n_bm25, 0) + coalesce(annc.n_ann, 0)
+                - coalesce(ov.n_overlap, 0)), 6) AS jaccard
+FROM ids i
+LEFT JOIN bmc ON bmc.query_id = i.query_id
+LEFT JOIN annc ON annc.query_id = i.query_id
+LEFT JOIN ov ON ov.query_id = i.query_id
+"""
+
+
+@register("bm25_vs_ann_overlap", oracle=_BM25_ANN_OVERLAP_SQL,
+          tags=("text", "retrieval", "bm25", "self-grading"))
+def bm25_vs_ann_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval self-grading readout: per query, how much of the
+    lexical BM25 top-{TOP_K} agrees with the dense ann_cosine_topk
+    top-{TOP_K} (same query ids: doc_id == vec_id < N_QUERIES, both sides
+    exclude self). Low jaccard is EXPECTED on decorrelated fixtures — the
+    readout's job is to quantify the lexical/dense complementarity a
+    hybrid retriever banks on, the same artifact-vs-oracle style as
+    ann_recall_eval.
+
+    Scale shape: both top-k relations are <= N_QUERIES * k rows; every
+    join here is a broadcast onto the tiny id grid (union-derived, so no
+    full-outer shuffle join appears)."""
+    bm = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)  # feeds the count agg AND the overlap join
+    )
+    ann = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    bmc = bm.groupBy("query_id").agg(F.count("*").alias("n_bm25"))
+    annc = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    ov = (
+        bm.join(
+            F.broadcast(ann),
+            (bm["query_id"] == ann["query_id"]) & (bm["doc_id"] == ann["neighbor_id"]),
+        )
+        .select(bm["query_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ids = (
+        bmc.select("query_id").unionByName(annc.select("query_id")).distinct()
+    )
+    n_bm25 = F.coalesce(F.col("n_bm25"), F.lit(0)).cast("long")
+    n_ann = F.coalesce(F.col("n_ann"), F.lit(0)).cast("long")
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    return (
+        ids.join(F.broadcast(bmc), "query_id", "left")
+        .join(F.broadcast(annc), "query_id", "left")
+        .join(F.broadcast(ov), "query_id", "left")
+        .select(
+            "query_id",
+            n_bm25.alias("n_bm25"),
+            n_ann.alias("n_ann"),
+            n_ov.alias("n_overlap"),
+            F.round(n_ov / (n_bm25 + n_ann - n_ov), 6).alias("jaccard"),
+        )
+    )

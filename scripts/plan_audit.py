@@ -891,12 +891,38 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 16,
     },
-    # phash near-dup: ONE partition-local Arrow hop feeding a banded
-    # single-column equi-join (never all-pairs/NLJ); hamming verify and
-    # distinct run on band candidates only
+    # BM25 retrieval: the checkpointed postings relation NEVER shuffles
+    # for the probe — query terms broadcast into it (BroadcastHashJoin);
+    # corpus scalars ride a 1-row broadcast (BNLJ-over-one-row, the
+    # parts_above_avg_price pattern, so BNLJ is expected); per-query
+    # top-k is rank pushdown (WindowGroupLimit heaps), never a global
+    # sort; no second corpus scan (scalars derive from the postings)
+    "bm25_topk_retrieval": {
+        "contains": ["WindowGroupLimit", "BroadcastHashJoin", "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Scan parquet"],
+        "max_exchanges": 6,
+    },
+    # hybrid-retrieval overlap: every join over the <= Q*k top-k
+    # relations broadcasts onto the union-derived id grid — no full-outer
+    # or sort-merge shuffle join anywhere
+    "bm25_vs_ann_overlap": {
+        "contains": ["BroadcastHashJoin", "Union"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 7,
+    },
+    # phash near-dup: the Arrow hop runs ONCE behind a checkpoint (plan
+    # shows Scan ExistingRDD, never MapInPandas re-executed per branch);
+    # the hot-bucket cap stage must appear — occupancy HashAggregate with
+    # its tiny survivor list BROADCAST back onto the band rows — ahead of
+    # the banded single-column equi-join (never all-pairs/NLJ); hamming
+    # verify and distinct run on band candidates only
     "multimodal_phash_neardup": {
-        "contains": ["MapInPandas", "HashAggregate"],
-        "not_contains": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "contains": ["Scan ExistingRDD", "HashAggregate", "BroadcastHashJoin"],
+        "not_contains": [
+            "MapInPandas", "BatchEvalPython", "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
         "max_exchanges": 6,
     },
     # triangle counting: degree-ordered wedge + closing equi-joins only;

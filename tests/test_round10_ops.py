@@ -1,0 +1,175 @@
+"""Invariant tests for the r10 operators: bm25_topk_retrieval,
+bm25_vs_ann_overlap.
+
+Oracle parity is covered by the driver gate and the documents edge
+matrix; these pin SEMANTIC guarantees against an INDEPENDENT pure-Python
+BM25 (Robertson idf, k1=1.2, b=0.75) on constructed corpora: exact
+score/rank agreement, self-match exclusion, hapax query terms (df=1)
+skipped, and the rarest-df query-term selection."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+from e_commerce_click_stream_spark.plans.registry import all_specs
+from e_commerce_click_stream_spark.plans.text import (
+    _BM25_SCALE,
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY_TERMS,
+    BM25_TOP_K,
+)
+
+SPECS = all_specs()
+
+
+def _write_docs(spark, rows):
+    out = tempfile.mkdtemp(prefix="r10_corpus_")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else 0) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def _ref_bm25(rows, n_queries=10):
+    """Independent BM25: returns {(query_id, doc_id): (n_terms, score_micro)}."""
+    toks = {
+        i: [t for t in t_.strip().split() if t]
+        for i, t_ in rows
+        if t_ is not None and t_.strip()
+    }
+    toks = {i: ts for i, ts in toks.items() if ts}
+    tf = {
+        (i, t): ts.count(t) for i, ts in toks.items() for t in set(ts)
+    }
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    n_docs = len(toks)
+    total_len = sum(len(ts) for ts in toks.values())
+    out = {}
+    for q in sorted(toks):
+        if q >= n_queries:
+            continue
+        cand_terms = sorted(
+            (t for t in set(toks[q]) if df[t] >= 2), key=lambda t: (df[t], t)
+        )[:BM25_QUERY_TERMS]
+        for d, ts in toks.items():
+            if d == q:
+                continue
+            score, n_terms = 0, 0
+            for t in cand_terms:
+                if (d, t) not in tf:
+                    continue
+                n_terms += 1
+                idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                dl = len(ts)
+                w = (
+                    idf
+                    * (tf[(d, t)] * (BM25_K1 + 1.0))
+                    / (
+                        tf[(d, t)]
+                        + BM25_K1
+                        * ((1.0 - BM25_B) + BM25_B * (dl * n_docs / total_len))
+                    )
+                )
+                score += math.floor(w * _BM25_SCALE + 0.5)
+            if n_terms:
+                out[(q, d)] = (n_terms, score)
+    return out
+
+
+def test_bm25_matches_independent_reference(spark):
+    rows = [
+        (0, "apple banana cherry apple"),          # query doc
+        (1, "apple apple apple orange"),           # tf-heavy on 'apple'
+        (2, "banana cherry banana plum"),
+        (3, "cherry plum grape"),
+        (4, "zzz yyy xxx"),                        # shares nothing
+        (11, "apple banana"),                      # short doc, high score
+        (12, "orange grape plum orange grape plum orange"),
+    ]
+    sf = _write_docs(spark, rows)
+    expected = _ref_bm25(rows)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_terms"], r["score_micro"], r["rank"])
+        for r in SPECS["bm25_topk_retrieval"].builder(spark, sf).collect()
+    }
+    assert {k for k in got} == set(expected)  # top-k > candidates here
+    for k, (n_terms, score) in expected.items():
+        assert got[k][0] == n_terms, k
+        assert got[k][1] == score, k
+    # rank ordering: score desc, doc_id asc within each query
+    by_q = {}
+    for (q, d), (_, s, r) in got.items():
+        by_q.setdefault(q, []).append((r, s, d))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert lst == sorted(lst, key=lambda x: (-x[1], x[2]), reverse=False) or all(
+            (a[1], -a[2]) >= (b[1], -b[2]) for a, b in zip(lst, lst[1:])
+        )
+
+
+def test_bm25_excludes_self_and_hapax_terms(spark):
+    # 'unique0' appears ONLY in the query doc (df=1, a true hapax) -> the
+    # query-term selection must skip it; doc 30 shares nothing with doc 0
+    # -> never retrieved by query 0
+    rows = [
+        (0, "shared unique0 shared"),
+        (30, "nothing matching here"),
+        (31, "shared thing"),
+        (32, "shared words"),
+    ]
+    sf = _write_docs(spark, rows)
+    got = [
+        r
+        for r in SPECS["bm25_topk_retrieval"].builder(spark, sf).collect()
+        if r["query_id"] == 0
+    ]
+    retrieved = {r["doc_id"] for r in got}
+    assert 0 not in retrieved           # self excluded
+    assert 30 not in retrieved          # shares nothing
+    assert retrieved == {31, 32}
+    # the only eligible query term is 'shared' (df=3); unique0 is hapax
+    for r in got:
+        assert r["n_terms"] == 1
+
+
+def test_bm25_query_terms_capped_at_rarest(spark):
+    # query doc has BM25_QUERY_TERMS+3 distinct eligible terms; the cap
+    # keeps the M rarest by df — the common term ('common', df=12) must
+    # be the one dropped
+    filler_terms = [f"t{i}" for i in range(BM25_QUERY_TERMS + 2)]
+    qtext = "common " + " ".join(filler_terms)
+    rows = [(0, qtext)]
+    # each filler term appears in exactly one other doc (df=2);
+    # 'common' appears everywhere (df=12)
+    rows += [(10 + i, f"{t} common pad{i}") for i, t in enumerate(filler_terms)]
+    rows += [(50, "common alone")]
+    sf = _write_docs(spark, rows)
+    got = [
+        r
+        for r in SPECS["bm25_topk_retrieval"].builder(spark, sf).collect()
+        if r["query_id"] == 0
+    ]
+    # doc 50 matches ONLY 'common', which the rarest-M cap must have
+    # dropped (10 eligible terms, cap 8, 'common' has the highest df)
+    assert 50 not in {r["doc_id"] for r in got}
+    assert len(got) <= BM25_TOP_K
+
+
+def test_bm25_ann_overlap_row_per_query(spark, sf_dir_001=None):
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    rows = SPECS["bm25_vs_ann_overlap"].builder(spark, sf).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= min(r["n_bm25"], r["n_ann"])
+        denom = r["n_bm25"] + r["n_ann"] - r["n_overlap"]
+        assert denom > 0
+        assert abs(r["jaccard"] - round(r["n_overlap"] / denom, 6)) < 1e-9

@@ -13,7 +13,10 @@ from __future__ import annotations
 import os
 import tempfile
 
-from e_commerce_click_stream_spark.plans.multimodal import PHASH_HAMMING_T
+from e_commerce_click_stream_spark.plans.multimodal import (
+    PHASH_BUCKET_CAP,
+    PHASH_HAMMING_T,
+)
 from e_commerce_click_stream_spark.plans.registry import all_specs
 from e_commerce_click_stream_spark.plans.text import (
     BUDGET_TOKEN_MULT,
@@ -170,6 +173,28 @@ def test_phash_banding_is_pigeonhole_complete(spark):
         assert r["phash_a"] == hashes[r["doc_a"]]
         assert r["phash_b"] == hashes[r["doc_b"]]
         assert r["hamming"] == bin(hashes[r["doc_a"]] ^ hashes[r["doc_b"]]).count("1")
+
+
+def test_phash_hot_bucket_cap_quarantines_not_everything(spark):
+    # A wall of byte-identical docs makes BOTH of its band buckets exceed
+    # PHASH_BUCKET_CAP, so the wall contributes ZERO pairs (quarantined,
+    # exactly the dedup_simhash_hamming recall tradeoff); a cool
+    # planted dup pair with a different hash still comes through.
+    wall_text = "hot bucket wall member text that hashes identically"
+    cool_text = "an entirely different cool document about rivers at dusk"
+    rows = [(i, wall_text, "en", "s") for i in range(1, PHASH_BUCKET_CAP + 2)]
+    rows += [(1001, cool_text, "en", "s"), (1002, cool_text, "en", "s")]
+    sf = _write_docs(spark, rows)
+    # the wall and the cool pair must not share a band bucket, or the
+    # wall's heat would quarantine the cool pair too
+    wall_h, cool_h = _phash(wall_text), _phash(cool_text)
+    assert (wall_h & 0xFF) != (cool_h & 0xFF)
+    assert (wall_h >> 8) != (cool_h >> 8)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["multimodal_phash_neardup"].builder(spark, sf).collect()
+    }
+    assert got == {(1001, 1002)}
 
 
 def test_phash_empty_and_null_payloads_hash_zero(spark):
