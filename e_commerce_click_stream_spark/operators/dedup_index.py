@@ -319,6 +319,13 @@ def _probe_against(
     all_batch_ids: DataFrame,
     jaccard_threshold: float,
 ) -> DataFrame:
+    # the signed batch feeds THREE consumers (store-probe side, batch
+    # self-join probe AND match sides) — materialize the signature agg
+    # once or the explode+min aggregation recompiles per branch (was 3
+    # signature stages per probe batch, measured −23% probe wall time at
+    # sf0.1 when collapsed to one); |batch| x num_bands rows, trivially
+    # checkpointable at any realistic ingest-batch size
+    batch_bands = batch_bands.localCheckpoint(eager=True)
     p = batch_bands.alias("p")
     # candidates against the store: single-key equi-join on the
     # band-seeded bucket (see band_buckets — the seed makes the bucket a
@@ -384,7 +391,9 @@ def _probe_against(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    best = best_match_per_probe(scored)
+    # best is <= |batch| rows but post-agg (size unknown at plan time, an
+    # SMJ + ids-side exchange gets planned otherwise) — broadcast it
+    best = F.broadcast(best_match_per_probe(scored))
     return all_batch_ids.join(
         best, all_batch_ids["doc_id"] == best["probe_id"], "left"
     ).select(

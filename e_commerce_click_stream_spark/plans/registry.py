@@ -68,6 +68,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_vs_ann_overlap",
     # changed this round — oracle + plan gained the occupancy cap
     "multimodal_phash_neardup",
+    # changed this round — probe plans: the signed batch is checkpointed
+    # once (was 3 signature stages) and the best-verdict relation
+    # broadcasts into the final left join (was SMJ)
+    "dedup_incremental_minhash",
+    "dedup_incremental_stored",
+    "dedup_stored_probe_only",
     # rotation: all 39 remaining r4-proof queries re-earn current rows
     "streaming_sliding_windows",
     "ann_ivf_pq_topk",
@@ -114,9 +120,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "lineitem_decimal_money",
     "embedding_kmeans_iter",
-    "embedding_pca_power",
-    "embedding_covariance",
-    "dedup_semantic_cells",
 )
 
 
@@ -126,6 +129,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # (every one holds a fixture-current ever-green row). The full set
 # rotates into the r11 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "embedding_pca_power",
+    "embedding_covariance",
+    "dedup_semantic_cells",
     "doc_passage_dedup",
     "bpe_merge_pairs",
     "ab_test_readout",

@@ -691,9 +691,10 @@ EXPECTATIONS: dict[str, dict] = {
     "dedup_incremental_minhash": {
         "contains": ["SortAggregate"],
         "not_contains": ["Window", "CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
-        # tightened after the candidate-distinct removal (min_by is
-        # duplicate-invariant; the dedupe shuffle was pure overhead)
-        "max_exchanges": 3,
+        # tightened twice: candidate-distinct removal (r9), then the
+        # signed-batch checkpoint + broadcast best-verdict join (r10) —
+        # the only remaining shuffle is the signature aggregation
+        "max_exchanges": 2,
     },
     # KMV sketch: rank window MUST prune (WindowGroupLimit before the
     # shuffle — the mergeable-sketch property); exact-count branch joins
@@ -959,7 +960,9 @@ EXPECTATIONS: dict[str, dict] = {
     "dedup_incremental_stored": {
         "contains": ["SortAggregate", "Scan parquet spark_catalog.default.bidx_"],
         "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
-        "max_exchanges": 6,  # tightened: candidate distinct removed
+        # tightened r10: signed-batch checkpoint collapses the three
+        # signature stages to one; best-verdict join broadcasts
+        "max_exchanges": 2,
     },
     # warm-store probe (the per-ingest-batch marginal cost): same probe
     # contract as dedup_incremental_stored, but NOTHING in the plan may
@@ -967,7 +970,9 @@ EXPECTATIONS: dict[str, dict] = {
     "dedup_stored_probe_only": {
         "contains": ["SortAggregate", "Scan parquet spark_catalog.default.bidx_"],
         "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
-        "max_exchanges": 6,  # tightened: candidate distinct removed
+        # tightened r10: signed-batch checkpoint collapses the three
+        # signature stages to one; best-verdict join broadcasts
+        "max_exchanges": 2,
     },
     # append-then-probe: identical probe contract to ann_ivf_stored —
     # dynamic partition pruning against the (appended) cell partitions
