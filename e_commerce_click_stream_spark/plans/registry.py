@@ -66,6 +66,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # brand-new r10 operators — no prior proof at all
     "bm25_topk_retrieval",
     "bm25_vs_ann_overlap",
+    "unigram_lm_train",
     # changed this round — oracle + plan gained the occupancy cap
     "multimodal_phash_neardup",
     # changed this round — probe plans: the signed batch is checkpointed
@@ -119,7 +120,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "lineitem_decimal_money",
-    "embedding_kmeans_iter",
 )
 
 
@@ -129,6 +129,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # (every one holds a fixture-current ever-green row). The full set
 # rotates into the r11 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "embedding_kmeans_iter",
     "embedding_pca_power",
     "embedding_covariance",
     "dedup_semantic_cells",

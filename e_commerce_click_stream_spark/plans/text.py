@@ -3512,3 +3512,262 @@ def bm25_vs_ann_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_ov / (n_bm25 + n_ann - n_ov), 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer step (the SentencePiece direction) — the OTHER
+# canonical tokenizer family next to BPE: seed a candidate piece vocabulary
+# from substring frequencies, Viterbi-segment every word under the current
+# piece costs (E-step), re-estimate piece probabilities from the weighted
+# segmentation counts (M-step), emit the vocabulary with trained probs and
+# the prune verdict. One full EM round with a fixed, deterministic
+# recurrence so the whole loop is value-hash-gatable like bpe_train_merges.
+
+UNI_MAX_WORD = 12    # words longer than this are excluded from training
+UNI_MAX_PIECE = 4    # seed pieces are substrings of length 1..4
+UNI_VOCAB = 48       # multi-char pieces kept (all single chars always kept)
+_UNI_SCALE = 1_000_000  # micro-units: piece costs are BIGINT, sums exact
+
+# Viterbi DP state per (word, position): a SINGLE STRING
+# 'lpad(cost,13,0) || " " || seg' so the per-position argmin is a plain
+# min(string) — (cost asc, seg asc) by construction, portable across
+# engines (no struct aggregates, which force SortAggregate in Spark and
+# are unsupported as DuckDB arg-min keys). The tie-break is the
+# deterministic PER-POSITION rule all three implementations (builder,
+# oracle, test reference) share — not a claim of a globally
+# lexicographic-minimal segmentation.
+
+
+def _unigram_seed_ctes() -> str:
+    """WITH-body: word-frequency table, substring seed counts, kept vocab
+    with micro-costs. Shared by the trainer oracle."""
+    return f"""uw AS MATERIALIZED (
+    SELECT w AS word, count(*)::BIGINT AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) BETWEEN 1 AND {UNI_MAX_WORD}
+    GROUP BY w
+),
+usubs AS (
+    SELECT piece, sum(freq)::BIGINT AS seed_freq
+    FROM (SELECT freq,
+                 unnest(flatten(list_transform(range(1, length(word)::BIGINT + 1),
+                     i -> list_transform(range(1, least({UNI_MAX_PIECE}, length(word) - i + 1)::BIGINT + 1),
+                         k -> substr(word, i::INT, k::INT))))) AS piece
+          FROM uw)
+    GROUP BY piece
+),
+umulti AS (
+    SELECT piece, seed_freq,
+           row_number() OVER (ORDER BY seed_freq DESC, piece ASC) AS rnk
+    FROM usubs WHERE length(piece) > 1
+),
+ukept AS (
+    SELECT piece, seed_freq FROM usubs WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, seed_freq FROM umulti WHERE rnk <= {UNI_VOCAB}
+),
+utot AS (SELECT sum(seed_freq)::BIGINT AS total FROM ukept),
+uvocab AS MATERIALIZED (
+    SELECT k.piece, k.seed_freq,
+           floor(-ln(k.seed_freq / t.total) * {_UNI_SCALE} + 0.5)::BIGINT
+               AS cost_micro
+    FROM ukept k, utot t
+)"""
+
+
+def _unigram_dp_ctes() -> str:
+    """WITH-body fragments for the unrolled Viterbi DP: ub0..ub{L}, then
+    ufin (each word's state at its own length)."""
+    ctes = [
+        f"""ub0 AS (
+    SELECT word, freq, '{'0' * 13}' || ' ' AS st FROM uw
+)"""
+    ]
+    for i in range(1, UNI_MAX_WORD + 1):
+        branches = []
+        for k in range(1, min(UNI_MAX_PIECE, i) + 1):
+            branches.append(f"""    SELECT b.word, b.freq,
+           (substr(b.st, 1, 13)::BIGINT + v.cost_micro) AS nc,
+           CASE WHEN substr(b.st, 15) = '' THEN v.piece
+                ELSE substr(b.st, 15) || ' ' || v.piece END AS seg
+    FROM ub{i - k} b JOIN uvocab v ON v.piece = substr(b.word, {i - k + 1}, {k})
+    WHERE length(b.word) >= {i}""")
+        ctes.append(f"""uc{i} AS (
+{(chr(10) + '    UNION ALL' + chr(10)).join(branches)}
+),
+ub{i} AS MATERIALIZED (
+    SELECT word, max(freq) AS freq,
+           min(lpad(nc::VARCHAR, 13, '0') || ' ' || seg) AS st
+    FROM uc{i} GROUP BY word
+)""")
+    fin = "\nUNION ALL\n".join(
+        f"    SELECT word, freq, st FROM ub{i} WHERE length(word) = {i}"
+        for i in range(1, UNI_MAX_WORD + 1)
+    )
+    ctes.append(f"""ufin AS MATERIALIZED (
+{fin}
+)""")
+    return ",\n".join(ctes)
+
+
+_UNIGRAM_TRAIN_SQL = f"""
+WITH {_unigram_seed_ctes()},
+{_unigram_dp_ctes()},
+uused AS (
+    SELECT piece, sum(freq)::BIGINT AS used_count
+    FROM (SELECT freq, unnest(string_split(substr(st, 15), ' ')) AS piece
+          FROM ufin)
+    GROUP BY piece
+),
+uusedtot AS (SELECT sum(used_count)::BIGINT AS t FROM uused)
+SELECT v.piece,
+       length(v.piece)::BIGINT AS piece_len,
+       v.seed_freq,
+       v.cost_micro AS seed_cost_micro,
+       coalesce(u.used_count, 0)::BIGINT AS used_count,
+       round(coalesce(u.used_count, 0) / t.t, 6) AS new_prob,
+       (length(v.piece) = 1 OR coalesce(u.used_count, 0) > 0) AS kept
+FROM uvocab v
+LEFT JOIN uused u ON u.piece = v.piece, uusedtot t
+"""
+
+
+def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(
+            (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+        )
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("freq"))
+    )
+    return w.localCheckpoint(eager=True)  # feeds the seed explode AND ub0
+
+
+def _unigram_vocab(words: DataFrame) -> DataFrame:
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(1, least({UNI_MAX_PIECE}, length(word) - i + 1)), "
+                    f"k -> substring(word, i, k))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("seed_freq"))
+    )
+    multi = subs.filter(F.length("piece") > 1).withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("seed_freq"), F.asc("piece"))),
+    )
+    kept = subs.filter(F.length("piece") == 1).unionByName(
+        multi.filter(F.col("rnk") <= UNI_VOCAB).drop("rnk")
+    )
+    tot = kept.agg(F.sum("seed_freq").alias("total"))
+    cost = F.floor(
+        -F.log(F.col("seed_freq") / F.col("total")) * F.lit(_UNI_SCALE) + F.lit(0.5)
+    ).cast("long")
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select("piece", "seed_freq", cost.alias("cost_micro"))
+        .localCheckpoint(eager=True)  # joined by every DP round + the output
+    )
+
+
+@register("unigram_lm_train", oracle=_UNIGRAM_TRAIN_SQL,
+          tags=("text", "tokenizer", "unigram", "iterative"))
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece direction), one full
+    EM round with a fixed deterministic recurrence: seed pieces = all
+    substrings of length 1..{UNI_MAX_PIECE} of the (lowercased,
+    length<= {UNI_MAX_WORD}) training words, weighted by word frequency;
+    keep every single-char piece plus the top {UNI_VOCAB} multi-char
+    pieces (freq desc, piece asc); piece cost = -ln(freq/total) in
+    integer micro-units. E-step: exact Viterbi best segmentation per
+    word under those costs (forward DP over positions, transitions =
+    pieces of length 1..4 ending at the position; per-position argmin by
+    (cost, seg) via a zero-padded min(string) — no struct aggregates).
+    Single-char coverage guarantees every word segments. M-step:
+    frequency-weighted piece usage over the Viterbi segmentations
+    re-estimates probabilities; unused multi-char pieces get prob 0 and
+    kept=false — the prune verdict. Emits one row per vocab piece.
+
+    Cross-engine exactness: costs are BIGINT micro-units (the DP
+    compares exact integers, never floats), the DP state is a single
+    string so min() is portable, and only the final re-estimated
+    probability divides back to a rounded double.
+
+    Scale shape: training state is the word-frequency table (bounded by
+    unique words, not corpus size — one shuffle to build, checkpointed);
+    the vocabulary (checkpointed, <= singles + {UNI_VOCAB} rows)
+    BROADCASTS into every DP round, so each of the {UNI_MAX_WORD} rounds
+    is explode + broadcast-join + one hash agg on word; corpus text is
+    scanned exactly once."""
+    words = _unigram_words(spark, sf_dir)
+    vocab = _unigram_vocab(words)
+    best: dict[int, DataFrame] = {
+        0: words.select("word", "freq", F.lit("0" * 13 + " ").alias("st"))
+    }
+    for i in range(1, UNI_MAX_WORD + 1):
+        branches = []
+        for k in range(1, min(UNI_MAX_PIECE, i) + 1):
+            branches.append(
+                best[i - k]
+                .filter(F.length("word") >= i)
+                .select(
+                    "word",
+                    "freq",
+                    "st",
+                    F.expr(f"substring(word, {i - k + 1}, {k})").alias("piece"),
+                )
+            )
+        cand = branches[0]
+        for b in branches[1:]:
+            cand = cand.unionByName(b)
+        joined = cand.join(F.broadcast(vocab.select("piece", "cost_micro")), "piece")
+        nc = F.substring("st", 1, 13).cast("long") + F.col("cost_micro")
+        seg = F.substring("st", 15, 10_000)
+        nseg = F.when(seg == "", F.col("piece")).otherwise(
+            F.concat(seg, F.lit(" "), F.col("piece"))
+        )
+        nst = F.concat(F.lpad(nc.cast("string"), 13, "0"), F.lit(" "), nseg)
+        best[i] = (
+            joined.select("word", "freq", nst.alias("nst"))
+            .groupBy("word")
+            .agg(F.max("freq").alias("freq"), F.min("nst").alias("st"))
+            .localCheckpoint(eager=True)
+        )
+    fin = None
+    for i in range(1, UNI_MAX_WORD + 1):
+        part = best[i].filter(F.length("word") == i)
+        fin = part if fin is None else fin.unionByName(part)
+    used = (
+        fin.select(
+            "freq",
+            F.explode(F.split(F.substring("st", 15, 10_000), " ")).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("used_count"))
+    )
+    usedtot = used.agg(F.sum("used_count").alias("t"))
+    n_used = F.coalesce(F.col("used_count"), F.lit(0)).cast("long")
+    return (
+        vocab.join(F.broadcast(used), "piece", "left")
+        .crossJoin(F.broadcast(usedtot))
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "seed_freq",
+            F.col("cost_micro").alias("seed_cost_micro"),
+            n_used.alias("used_count"),
+            F.round(n_used / F.col("t"), 6).alias("new_prob"),
+            ((F.length("piece") == 1) | (n_used > 0)).alias("kept"),
+        )
+    )

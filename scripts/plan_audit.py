@@ -892,6 +892,17 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 16,
     },
+    # unigram-LM trainer (final readout plan; the 12 Viterbi DP rounds
+    # run behind per-round checkpoints): the M-step usage agg and its
+    # 1-row total are the only shuffles; vocab/used/total all broadcast
+    # into the output join (BHJ + 1-row BNLJ) — never a shuffle join; the
+    # string-encoded DP argmin keeps every aggregate a HashAggregate
+    "unigram_lm_train": {
+        "contains": ["BroadcastHashJoin", "HashAggregate", "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "SortAggregate"],
+        "max_exchanges": 3,
+    },
     # BM25 retrieval: the checkpointed postings relation NEVER shuffles
     # for the probe — query terms broadcast into it (BroadcastHashJoin);
     # corpus scalars ride a 1-row broadcast (BNLJ-over-one-row, the

@@ -173,3 +173,114 @@ def test_bm25_ann_overlap_row_per_query(spark, sf_dir_001=None):
         denom = r["n_bm25"] + r["n_ann"] - r["n_overlap"]
         assert denom > 0
         assert abs(r["jaccard"] - round(r["n_overlap"] / denom, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------- #
+# unigram_lm_train — independent pure-Python reference (same fixed
+# recurrence: substring seeds, singles + top-V multi vocab, integer
+# micro-costs, per-position (cost, seg) Viterbi argmin, weighted M-step)
+
+from e_commerce_click_stream_spark.plans.text import (  # noqa: E402
+    _UNI_SCALE,
+    UNI_MAX_PIECE,
+    UNI_MAX_WORD,
+    UNI_VOCAB,
+)
+
+
+def _ref_unigram(texts):
+    words = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.strip().lower().split():
+            if 1 <= len(w) <= UNI_MAX_WORD:
+                words[w] = words.get(w, 0) + 1
+    seed = {}
+    for w, f in words.items():
+        for i in range(len(w)):
+            for k in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                p = w[i : i + k]
+                seed[p] = seed.get(p, 0) + f
+    singles = {p for p in seed if len(p) == 1}
+    multi = sorted(
+        (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+    )[:UNI_VOCAB]
+    vocab = {p: seed[p] for p in singles | set(multi)}
+    total = sum(vocab.values())
+    cost = {
+        p: math.floor(-math.log(f / total) * _UNI_SCALE + 0.5)
+        for p, f in vocab.items()
+    }
+    used = {}
+    for w, f in words.items():
+        dp = [None] * (len(w) + 1)
+        dp[0] = (0, "")
+        for i in range(1, len(w) + 1):
+            cands = []
+            for k in range(1, min(UNI_MAX_PIECE, i) + 1):
+                p = w[i - k : i]
+                if p in vocab and dp[i - k] is not None:
+                    c, s = dp[i - k]
+                    cands.append((c + cost[p], p if s == "" else s + " " + p))
+            dp[i] = min(cands) if cands else None
+        for p in dp[len(w)][1].split(" "):
+            used[p] = used.get(p, 0) + f
+    tot_used = sum(used.values())
+    return {
+        p: (seed[p], cost[p], used.get(p, 0), used.get(p, 0) / tot_used)
+        for p in vocab
+    }
+
+
+def _check_unigram(spark, texts):
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    sf = _write_docs(spark, rows)
+    expected = _ref_unigram(texts)
+    got = {
+        r["piece"]: r
+        for r in SPECS["unigram_lm_train"].builder(spark, sf).collect()
+    }
+    assert set(got) == set(expected)
+    for p, (seed_freq, cost, used, prob) in expected.items():
+        r = got[p]
+        assert r["seed_freq"] == seed_freq, p
+        assert r["seed_cost_micro"] == cost, p
+        assert r["used_count"] == used, p
+        assert abs(r["new_prob"] - prob) < 1e-6, p
+        assert r["kept"] == (len(p) == 1 or used > 0), p
+
+
+def test_unigram_matches_reference_on_mixed_corpus(spark):
+    _check_unigram(
+        spark,
+        [
+            "the cat sat on the mat",
+            "concatenation the the cat",
+            "aaaa aa a aaa",          # tandem runs: overlapping piece choices
+            "xyzzy plugh xyzzy",
+            "supercalifragilistic",   # > UNI_MAX_WORD chars -> excluded
+            "中文 字 中文字",            # multibyte pieces
+        ],
+    )
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_uni_corpus = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_uni_corpus)
+def test_unigram_matches_reference_on_random_corpora(spark, texts):
+    _check_unigram(spark, texts)
