@@ -1129,14 +1129,47 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Watermark-delay calibration: simulate Structured Streaming's watermark
 # progression over the event stream's ARRIVAL order and count what each
 # candidate withWatermark delay would DROP. Spark's semantics, mirrored
-# exactly: the watermark before micro-batch k is max(epoch 0,
-# max-event-time over batches < k, minus the delay) — it starts at epoch
-# 0 (the r9 discovery that pre-epoch rows are late even in batch 1) and
-# never regresses; a row is late iff ts < watermark. The readout that
-# picks the delay BEFORE a stateful streaming job silently loses data.
+# exactly: the engine keeps TWO watermark values per micro-batch — the
+# EVICTION watermark (max-event-time over batches < k, minus the delay)
+# and the LATE-EVENTS watermark, which is the PREVIOUS batch's value,
+# i.e. derived from batches < k-1 (Spark separates them so a row is
+# never dropped by a watermark it could not have observed; discovered
+# empirically by streaming_late_data_audit — the r10 real-engine run
+# dropped exactly one batch's worth fewer rows than the unlagged
+# recurrence predicted, at two SFs). Late rows are filtered with the
+# LAGGED value: a row in batch k is dropped iff ts < max(epoch 0,
+# max-event-time over batches < k-1, minus delay). The epoch-0 floor is
+# the r9 discovery (pre-epoch rows are late even in batch 1); the
+# watermark never regresses. The readout that picks the delay BEFORE a
+# stateful streaming job silently loses data.
 
 WM_BATCH_SIZE = 1000  # arrival micro-batch granularity (event_id order)
 WM_DELAY_GRID_MIN = (0, 1, 10, 60)  # candidate delays, minutes
+
+# The watermark recurrence, factored so the SIMULATION oracle (grid over
+# event_id arrival order) and the REAL-ENGINE audit oracle
+# (streaming_late_data_audit, permuted arrival order, one delay) compose
+# the IDENTICAL text — a hand-copied recurrence diverging silently is the
+# exact twin-oracle failure mode the r9 review caught.
+_WM_BM_WM_CTES = """bm AS (
+    SELECT batch, max(ts_us) AS bmax FROM ev GROUP BY batch
+),
+wm AS (
+    SELECT batch,
+           max(bmax) OVER (ORDER BY batch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               AS prior_max
+    FROM bm
+)"""
+
+
+def _wm_dropped_sql(delay_sql: str) -> str:
+    """The late predicate: epoch-0 floor, never-regressing prior max."""
+    return (
+        "e.ts_us < greatest(0, coalesce(w.prior_max, 0)\n"
+        f"                                 - {delay_sql}::BIGINT * 60000000) AS dropped"
+    )
+
 
 _WM_CALIB_SQL = f"""
 WITH ev AS (
@@ -1144,23 +1177,13 @@ WITH ev AS (
     FROM events
     WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ),
-bm AS (
-    SELECT batch, max(ts_us) AS bmax FROM ev GROUP BY batch
-),
-wm AS (
-    SELECT batch,
-           max(bmax) OVER (ORDER BY batch
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS prior_max
-    FROM bm
-),
+{_WM_BM_WM_CTES},
 grid AS (
     SELECT unnest([{", ".join(str(d) for d in WM_DELAY_GRID_MIN)}]) AS delay_minutes
 ),
 flagged AS (
     SELECT g.delay_minutes,
-           e.ts_us < greatest(0, coalesce(w.prior_max, 0)
-                                 - g.delay_minutes::BIGINT * 60000000) AS dropped
+           {_wm_dropped_sql("g.delay_minutes")}
     FROM ev e JOIN wm w ON w.batch = e.batch, grid g
 )
 SELECT delay_minutes,
@@ -1178,15 +1201,20 @@ GROUP BY delay_minutes
 def watermark_delay_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data loss per candidate watermark delay: events replay in
     arrival order (event_id) as WM_BATCH_SIZE micro-batches; the
-    simulated watermark before batch k is max(epoch 0, prior batches'
-    max event time - delay) — exactly Spark's semantics including the
-    epoch-0 initialization that drops pre-epoch rows at ANY delay (the
-    class the r9 streaming-oracle fix addressed; this op QUANTIFIES it).
-    Per grid delay: events seen, events a stateful append-mode operator
-    would drop, and the drop fraction — the number that picks the
-    withWatermark argument before a job silently loses data. NULL-ts
-    rows are excluded (the streaming window() drops them regardless of
-    watermark); all comparisons in integer microseconds.
+    simulated LATE-EVENTS watermark for batch k is max(epoch 0, max
+    event time over batches < k-1, minus delay) — exactly Spark's
+    semantics: the late-row filter uses the PREVIOUS batch's watermark
+    (one-batch lag vs the eviction watermark; proven against the real
+    engine by streaming_late_data_audit, which replays a permuted
+    arrival order through an actual watermarked stream and hash-matches
+    this recurrence), including the epoch-0 initialization that drops
+    pre-epoch rows at ANY delay (the class the r9 streaming-oracle fix
+    addressed; this op QUANTIFIES it). Per grid delay: events seen,
+    events a stateful append-mode operator would drop, and the drop
+    fraction — the number that picks the withWatermark argument before a
+    job silently loses data. NULL-ts rows are excluded (the streaming
+    window() drops them regardless of watermark); all comparisons in
+    integer microseconds.
 
     Scale shape: one batch-grain agg over the arrival stream, a prefix
     max over the tiny batch domain (|batches| rows — the only window),
@@ -1202,7 +1230,8 @@ def watermark_delay_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bm = ev.groupBy("batch").agg(F.max("ts_us").alias("bmax"))
-    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    # -2: the late-events watermark lags one batch behind eviction
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -2)
     wm = bm.select("batch", F.max("bmax").over(w).alias("prior_max"))
     grid = spark.range(1).select(
         F.explode(

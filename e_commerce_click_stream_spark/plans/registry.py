@@ -67,6 +67,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_topk_retrieval",
     "bm25_vs_ann_overlap",
     "unigram_lm_train",
+    "streaming_late_data_audit",
+    # changed this round: the late-events watermark recurrence gained the
+    # one-batch lag the real-engine audit discovered (oracle + builder)
+    "watermark_delay_calibration",
     # changed this round — oracle + plan gained the occupancy cap
     "multimodal_phash_neardup",
     # changed this round — probe plans: the signed batch is checkpointed
@@ -118,8 +122,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # oldest r5 proofs pulled forward into the spare slots
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "lineitem_decimal_money",
 )
 
 
@@ -129,6 +131,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # (every one holds a fixture-current ever-green row). The full set
 # rotates into the r11 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "q5_local_supplier_volume",
+    "lineitem_decimal_money",
     "embedding_kmeans_iter",
     "embedding_pca_power",
     "embedding_covariance",

@@ -440,3 +440,125 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
     return run_to_completion(gopher_flags_df(stream), "append")
+
+
+# ---------------------------------------------------------------------------
+# Late-data audit: prove watermark_delay_calibration's SIMULATION against
+# the real engine. The simulated recurrence (plans/behavior.py: epoch-0
+# floor, never-regressing prior-batch max, ts < watermark) predicts the
+# drop count for one delay; here the SAME arrival order replays through an
+# actual withWatermark + dropDuplicates stream — one file per arrival
+# micro-batch, maxFilesPerTrigger=1 — and the engine's surviving-row count
+# must land exactly on the prediction. The artifact-vs-oracle pattern of
+# ivf_cell_balance_audit, applied to the streaming engine itself.
+
+WM_AUDIT_DELAY_MIN = 10   # the audited grid point
+WM_AUDIT_BATCH = 2000     # arrival micro-batch size for the audit replay
+
+# The fixture's event_id order is time-sorted (zero drops at every grid
+# delay — a vacuous audit), so the audit defines arrival order as a
+# deterministic md5 permutation of event_id: maximal disorder, real late
+# rows at the audited delay, identical on both engines. Event times are
+# second-truncated so the simulation's integer-microsecond watermark and
+# the engine's millisecond-granularity event-time stats coincide exactly
+# (sub-ms timestamps would classify a sliver of rows differently).
+from e_commerce_click_stream_spark.plans.behavior import (  # noqa: E402
+    _WM_BM_WM_CTES,
+    _wm_dropped_sql,
+)
+
+_WM_AUDIT_SQL = f"""
+WITH ev AS (
+    SELECT epoch_us(date_trunc('second', ts)) AS ts_us,
+           (row_number() OVER (ORDER BY md5(event_id::VARCHAR), event_id) - 1)
+               // {WM_AUDIT_BATCH} AS batch
+    FROM events
+    WHERE ts IS NOT NULL AND event_id IS NOT NULL
+),
+{_WM_BM_WM_CTES},
+flagged AS (
+    SELECT {_wm_dropped_sql(str(WM_AUDIT_DELAY_MIN))}
+    FROM ev e JOIN wm w ON w.batch = e.batch
+)
+SELECT {WM_AUDIT_DELAY_MIN} AS delay_minutes,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       round(sum(CASE WHEN dropped THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS drop_frac
+FROM flagged
+HAVING count(*) > 0
+"""
+
+
+@register("streaming_late_data_audit", oracle=_WM_AUDIT_SQL,
+          tags=("streaming", "watermark", "audit", "T1"))
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-engine watermark drop count vs the simulator's prediction:
+    events (second-truncated ts, md5-permuted arrival order) replay as
+    one file per WM_AUDIT_BATCH-row micro-batch through
+    withWatermark({WM_AUDIT_DELAY_MIN} minutes) + dropDuplicates keyed on
+    a unique arrival rank — no genuine duplicates exist, so every row the
+    stream does NOT emit was dropped by the engine's late-row filter.
+    n_dropped = fed − emitted, value-hash-gated against the SAME
+    recurrence text the calibration oracle composes (epoch-0 initial
+    watermark, prior-batch max, strict ts < watermark, per-micro-batch
+    update timing). A green row certifies the simulator against the
+    engine it models — including that the watermark only advances BETWEEN
+    micro-batches and never regresses.
+
+    Scale shape: the audit stream carries (arrival rank, ts) only; the
+    global arrival permutation is the audit's test harness (a
+    deliberately adversarial order), not a production shape — the
+    rank window is the one single-partition stage. Dedup state is
+    bounded by the watermark; the readout is two 1-row aggregates
+    broadcast-crossed."""
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from e_commerce_click_stream_spark.io import table
+    from e_commerce_click_stream_spark.streaming.jobs import (
+        arrival_order_replay,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            F.date_trunc("second", F.col("ts")).alias("ts"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.md5(F.col("event_id").cast("string")), F.col("event_id"))
+    )
+    staged = ev.select(
+        (rn - 1).cast("long").alias("arr"),
+        "ts",
+    ).withColumn("wb", (F.col("arr") / WM_AUDIT_BATCH).cast("bigint"))
+    stream, stage_root = arrival_order_replay(spark, staged, "wb")
+    try:
+        survivors = run_to_completion(
+            stream.withWatermark("ts", f"{WM_AUDIT_DELAY_MIN} minutes")
+            .dropDuplicates(["arr", "ts"]),
+            "append",
+        )
+        # force the lazy parquet read before the stage dir disappears
+        survivors = survivors.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
+    fed = ev.agg(F.count("*").alias("n_events"))
+    out = survivors.agg(F.count("*").alias("n_out"))
+    n_dropped = (F.col("n_events") - F.col("n_out")).cast("long")
+    return (
+        fed.crossJoin(F.broadcast(out))
+        .filter(F.col("n_events") > 0)
+        .select(
+            F.lit(WM_AUDIT_DELAY_MIN).alias("delay_minutes"),
+            F.col("n_events"),
+            n_dropped.alias("n_dropped"),
+            F.round(n_dropped * 1.0 / F.col("n_events"), 6).alias("drop_frac"),
+        )
+    )

@@ -30,6 +30,7 @@ import hashlib
 import itertools
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -750,3 +751,42 @@ def ewma_tail_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         for path in (stage, store_root, ckpt):
             if path:
                 shutil.rmtree(path, ignore_errors=True)
+
+
+def arrival_order_replay(spark: SparkSession, df: DataFrame, batch_col: str):
+    """Stage ``df`` as ONE parquet file per ``batch_col`` value and return
+    (stream, stage_root): a file-source stream with maxFilesPerTrigger=1
+    whose micro-batches replay the batch values IN ORDER — the ordered
+    counterpart of _chunked_replay for watermark-sensitive audits (file
+    order is forced by ascending mtimes; the file source processes oldest
+    files first). repartition on the batch column hash-routes every batch
+    to exactly one task, so partitionBy writes exactly one part file per
+    batch. The caller removes stage_root when the stream has drained."""
+    stage_root = tempfile.mkdtemp(prefix="arrival_replay_")
+    by_batch = os.path.join(stage_root, "by_batch")
+    df.repartition(F.col(batch_col)).write.partitionBy(batch_col).mode(
+        "overwrite"
+    ).parquet(by_batch)
+    flat = os.path.join(stage_root, "arrival")
+    os.makedirs(flat)
+    dirs = []
+    for d in os.listdir(by_batch):
+        if d.startswith(f"{batch_col}="):
+            dirs.append((int(d.split("=", 1)[1]), d))
+    base = time.time() - 86_400
+    for k, d in sorted(dirs):
+        parts = [
+            f for f in os.listdir(os.path.join(by_batch, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"batch {k}: {len(parts)} part files"
+        dst = os.path.join(flat, f"b{k:08d}.parquet")
+        os.rename(os.path.join(by_batch, d, parts[0]), dst)
+        os.utime(dst, (base + 2 * k, base + 2 * k))
+    schema = df.drop(batch_col).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    return stream, stage_root

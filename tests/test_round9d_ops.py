@@ -49,13 +49,17 @@ def test_watermark_drops_match_hand_simulation(spark):
         # batch 0 (ids < 1000): on-time traffic, max ts = B+30min
         (1, m(0), 1, "view", 0.0, None),
         (2, m(30), 1, "view", 0.0, None),
-        # batch 1 (ids >= 1000): watermark base is B+30min
-        #  - 5 min late: dropped at delay 0 and 1, kept at 10 and 60
-        (1000, m(25), 1, "view", 0.0, None),
+        # batch 1 (ids 1000..1999): its LATE-EVENTS watermark is still the
+        # epoch floor — the lagged semantics (batches < k-1) mean batch 0's
+        # max does not bite until batch 2
         #  - on time
-        (1001, m(31), 1, "view", 0.0, None),
+        (1000, m(31), 1, "view", 0.0, None),
         #  - pre-epoch: below the epoch-0 floor, dropped at EVERY delay
-        (1002, dt.datetime(1969, 12, 31, 23, 0, 0), 1, "view", 0.0, None),
+        (1001, dt.datetime(1969, 12, 31, 23, 0, 0), 1, "view", 0.0, None),
+        # batch 2 (ids >= 2000): late watermark base is batch 0's max
+        # (B+30min) — batch 1's max m(31) is NOT visible yet (the lag)
+        #  - 5 min late: dropped at delay 0 and 1, kept at 10 and 60
+        (2000, m(25), 1, "view", 0.0, None),
     ]
     sf = _write_events(spark, rows)
     out = {
