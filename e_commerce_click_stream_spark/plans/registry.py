@@ -67,6 +67,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_topk_retrieval",
     "bm25_vs_ann_overlap",
     "unigram_lm_train",
+    "unigram_lm_segment_docs",
+    "hybrid_rrf_fusion",
     "streaming_late_data_audit",
     # changed this round: the late-events watermark recurrence gained the
     # one-batch lag the real-engine audit discovered (oracle + builder)
@@ -119,9 +121,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "user_entropy_profile",
     "user_interarrival_stats",
     "user_value_ewma",
-    # oldest r5 proofs pulled forward into the spare slots
-    "q1_pricing_summary",
-    "q3_shipping_priority",
 )
 
 
@@ -131,6 +130,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # (every one holds a fixture-current ever-green row). The full set
 # rotates into the r11 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "lineitem_decimal_money",
     "embedding_kmeans_iter",

@@ -3681,37 +3681,11 @@ def _unigram_vocab(words: DataFrame) -> DataFrame:
     )
 
 
-@register("unigram_lm_train", oracle=_UNIGRAM_TRAIN_SQL,
-          tags=("text", "tokenizer", "unigram", "iterative"))
-def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer training (SentencePiece direction), one full
-    EM round with a fixed deterministic recurrence: seed pieces = all
-    substrings of length 1..{UNI_MAX_PIECE} of the (lowercased,
-    length<= {UNI_MAX_WORD}) training words, weighted by word frequency;
-    keep every single-char piece plus the top {UNI_VOCAB} multi-char
-    pieces (freq desc, piece asc); piece cost = -ln(freq/total) in
-    integer micro-units. E-step: exact Viterbi best segmentation per
-    word under those costs (forward DP over positions, transitions =
-    pieces of length 1..4 ending at the position; per-position argmin by
-    (cost, seg) via a zero-padded min(string) — no struct aggregates).
-    Single-char coverage guarantees every word segments. M-step:
-    frequency-weighted piece usage over the Viterbi segmentations
-    re-estimates probabilities; unused multi-char pieces get prob 0 and
-    kept=false — the prune verdict. Emits one row per vocab piece.
-
-    Cross-engine exactness: costs are BIGINT micro-units (the DP
-    compares exact integers, never floats), the DP state is a single
-    string so min() is portable, and only the final re-estimated
-    probability divides back to a rounded double.
-
-    Scale shape: training state is the word-frequency table (bounded by
-    unique words, not corpus size — one shuffle to build, checkpointed);
-    the vocabulary (checkpointed, <= singles + {UNI_VOCAB} rows)
-    BROADCASTS into every DP round, so each of the {UNI_MAX_WORD} rounds
-    is explode + broadcast-join + one hash agg on word; corpus text is
-    scanned exactly once."""
-    words = _unigram_words(spark, sf_dir)
-    vocab = _unigram_vocab(words)
+def _unigram_viterbi(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The unrolled forward Viterbi DP: (word, freq, st) per training word,
+    where st = zero-padded total cost || ' ' || best segmentation. Shared
+    by the trainer (M-step input) and the apply path
+    (unigram_lm_segment_docs) so the recurrence exists exactly once."""
     best: dict[int, DataFrame] = {
         0: words.select("word", "freq", F.lit("0" * 13 + " ").alias("st"))
     }
@@ -3748,6 +3722,41 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, UNI_MAX_WORD + 1):
         part = best[i].filter(F.length("word") == i)
         fin = part if fin is None else fin.unionByName(part)
+    return fin
+
+
+@register("unigram_lm_train", oracle=_UNIGRAM_TRAIN_SQL,
+          tags=("text", "tokenizer", "unigram", "iterative"))
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece direction), one full
+    EM round with a fixed deterministic recurrence: seed pieces = all
+    substrings of length 1..{UNI_MAX_PIECE} of the (lowercased,
+    length<= {UNI_MAX_WORD}) training words, weighted by word frequency;
+    keep every single-char piece plus the top {UNI_VOCAB} multi-char
+    pieces (freq desc, piece asc); piece cost = -ln(freq/total) in
+    integer micro-units. E-step: exact Viterbi best segmentation per
+    word under those costs (forward DP over positions, transitions =
+    pieces of length 1..4 ending at the position; per-position argmin by
+    (cost, seg) via a zero-padded min(string) — no struct aggregates).
+    Single-char coverage guarantees every word segments. M-step:
+    frequency-weighted piece usage over the Viterbi segmentations
+    re-estimates probabilities; unused multi-char pieces get prob 0 and
+    kept=false — the prune verdict. Emits one row per vocab piece.
+
+    Cross-engine exactness: costs are BIGINT micro-units (the DP
+    compares exact integers, never floats), the DP state is a single
+    string so min() is portable, and only the final re-estimated
+    probability divides back to a rounded double.
+
+    Scale shape: training state is the word-frequency table (bounded by
+    unique words, not corpus size — one shuffle to build, checkpointed);
+    the vocabulary (checkpointed, <= singles + {UNI_VOCAB} rows)
+    BROADCASTS into every DP round, so each of the {UNI_MAX_WORD} rounds
+    is explode + broadcast-join + one hash agg on word; corpus text is
+    scanned exactly once."""
+    words = _unigram_words(spark, sf_dir)
+    vocab = _unigram_vocab(words)
+    fin = _unigram_viterbi(words, vocab)
     used = (
         fin.select(
             "freq",
@@ -3770,4 +3779,194 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_used / F.col("t"), 6).alias("new_prob"),
             ((F.length("piece") == 1) | (n_used > 0)).alias("kept"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM apply path: segment every document with the trained vocabulary
+# (the tokenizer's inference half, completing the train+apply loop the BPE
+# family already has).
+
+_UNIGRAM_SEGMENT_SQL = f"""
+WITH {_unigram_seed_ctes()},
+{_unigram_dp_ctes()},
+wseg AS MATERIALIZED (
+    SELECT word,
+           len(string_split(substr(st, 15), ' '))::BIGINT AS n_pieces,
+           substr(st, 1, 13)::BIGINT AS cost_micro
+    FROM ufin
+),
+dt AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) >= 1
+)
+SELECT d.doc_id,
+       count(*) FILTER (WHERE length(d.w) BETWEEN 1 AND {UNI_MAX_WORD})::BIGINT
+           AS n_words,
+       count(*) FILTER (WHERE length(d.w) > {UNI_MAX_WORD})::BIGINT AS oov_words,
+       coalesce(sum(s.n_pieces), 0)::BIGINT AS n_pieces,
+       coalesce(sum(s.cost_micro), 0)::BIGINT AS total_cost_micro,
+       CASE WHEN count(*) FILTER (WHERE length(d.w) BETWEEN 1 AND {UNI_MAX_WORD}) > 0
+            THEN round(coalesce(sum(s.n_pieces), 0)
+                       / count(*) FILTER (WHERE length(d.w) BETWEEN 1 AND {UNI_MAX_WORD}), 6)
+       END AS pieces_per_word
+FROM dt d LEFT JOIN wseg s ON s.word = d.w
+GROUP BY d.doc_id
+"""
+
+
+@register("unigram_lm_segment_docs", oracle=_UNIGRAM_SEGMENT_SQL,
+          tags=("text", "tokenizer", "unigram"))
+def unigram_lm_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM vocabulary to every document: each
+    trainable word (lowercased, length <= {UNI_MAX_WORD}) carries its
+    Viterbi piece count and integer micro-cost from the SHARED DP
+    (_unigram_viterbi — the recurrence exists once for train and apply);
+    per doc: trainable word count, over-length OOV count, total pieces,
+    exact total cost, and the pieces-per-word fertility — the number a
+    tokenizer choice is judged by. Per-occurrence semantics: a word
+    appearing three times contributes its pieces three times.
+
+    Cross-engine exactness: piece counts and costs are integers; only
+    the final fertility divides to a rounded double (NULL when a doc has
+    no trainable words).
+
+    Scale shape: the per-WORD segmentation table is vocabulary-sized
+    (unique words), built once and joined to the per-occurrence token
+    stream on the word key; the doc-grain agg is one shuffle. The
+    document text is scanned once for the token stream (the word table's
+    scan is shared with the trainer's via the checkpoint)."""
+    words = _unigram_words(spark, sf_dir)
+    vocab = _unigram_vocab(words)
+    wseg = _unigram_viterbi(words, vocab).select(
+        "word",
+        F.size(F.split(F.substring("st", 15, 10_000), " ")).cast("long").alias(
+            "n_pieces"
+        ),
+        F.substring("st", 1, 13).cast("long").alias("cost_micro"),
+    )
+    dt = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+    )
+    trainable = F.when(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD), 1
+    ).otherwise(0)
+    oov = F.when(F.length("w") > UNI_MAX_WORD, 1).otherwise(0)
+    joined = dt.join(wseg, dt["w"] == wseg["word"], "left")
+    n_words = F.sum(trainable).cast("long")
+    return joined.groupBy("doc_id").agg(
+        n_words.alias("n_words"),
+        F.sum(oov).cast("long").alias("oov_words"),
+        F.coalesce(F.sum("n_pieces"), F.lit(0)).cast("long").alias("n_pieces"),
+        F.coalesce(F.sum("cost_micro"), F.lit(0)).cast("long").alias(
+            "total_cost_micro"
+        ),
+        F.when(
+            n_words > 0,
+            F.round(F.coalesce(F.sum("n_pieces"), F.lit(0)) / n_words, 6),
+        ).alias("pieces_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion: reciprocal-rank fusion of the lexical (BM25) and
+# dense (cosine) top-k lists — the standard way production search stacks
+# combine the two retrievers this engine now ships side by side.
+
+RRF_K = 60  # the canonical RRF dampening constant
+
+_RRF_SQL = f"""
+WITH {_BM25_CORE_SQL},
+bm AS (
+    SELECT query_id, doc_id, rank FROM bm_ranked WHERE rank <= {BM25_TOP_K}
+),
+ann AS ({_TOPK_SQL}),
+pairs AS (
+    SELECT DISTINCT query_id, doc_id FROM (
+        SELECT query_id, doc_id FROM bm
+        UNION ALL
+        SELECT query_id, neighbor_id AS doc_id FROM ann
+    ) u
+),
+fused AS (
+    SELECT p.query_id, p.doc_id,
+           b.rank::BIGINT AS bm25_rank,
+           a.rank::BIGINT AS ann_rank,
+           round(coalesce(1.0 / ({RRF_K} + b.rank), 0)
+                 + coalesce(1.0 / ({RRF_K} + a.rank), 0), 6) AS rrf_score
+    FROM pairs p
+    LEFT JOIN bm b ON b.query_id = p.query_id AND b.doc_id = p.doc_id
+    LEFT JOIN ann a ON a.query_id = p.query_id AND a.neighbor_id = p.doc_id
+)
+SELECT query_id, doc_id, bm25_rank, ann_rank, rrf_score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id ASC)::BIGINT AS fused_rank
+FROM fused
+"""
+
+
+@register("hybrid_rrf_fusion", oracle=_RRF_SQL,
+          tags=("text", "retrieval", "hybrid", "self-grading"))
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over the two retrievers: every (query, doc)
+    pair surfaced by EITHER the BM25 top-{BM25_TOP_K} or the dense cosine
+    top-k gets rrf = sum over lists of 1/({RRF_K} + rank) (absent list
+    contributes 0), re-ranked per query by (rrf desc, doc_id) — the
+    k={RRF_K} formulation every hybrid search stack ships. The raw
+    per-list ranks ride along so the fused order is auditable against
+    its inputs.
+
+    Exactness: each addend is the same two-double sum on both engines
+    (identical rank integers, identical literals — no reduction-order
+    class since a pair has at most two addends).
+
+    Scale shape: both input lists are <= N_QUERIES x k rows; the pair
+    grid is union + distinct over them, and both rank lookups broadcast
+    back onto it — no shuffle join; the final per-query re-rank is a
+    window over <= 15 rows per query."""
+    bm = (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+        .localCheckpoint(eager=True)
+    )
+    ann = (
+        ann_cosine_topk(spark, sf_dir)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("ann_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        bm.select("query_id", "doc_id")
+        .unionByName(ann.select("query_id", "doc_id"))
+        .distinct()
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("ann_rank")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        pairs.join(F.broadcast(bm), ["query_id", "doc_id"], "left")
+        .join(F.broadcast(ann), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            "ann_rank",
+            rrf.alias("rrf_score"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
     )

@@ -903,6 +903,24 @@ EXPECTATIONS: dict[str, dict] = {
                          "SortAggregate"],
         "max_exchanges": 3,
     },
+    # unigram apply path: the per-word segmentation table joins the
+    # per-occurrence token stream on the word key (SMJ is the legitimate
+    # scale plan — the unique-word table is NOT broadcast-bounded at web
+    # scale), one doc-grain agg; never a nested-loop
+    "unigram_lm_segment_docs": {
+        "contains": ["HashAggregate", "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                         "BatchEvalPython", "SortAggregate"],
+        "max_exchanges": 4,
+    },
+    # RRF fusion: both <= Q*k rank lists broadcast onto the union-derived
+    # pair grid; one distinct + one per-query re-rank window
+    "hybrid_rrf_fusion": {
+        "contains": ["BroadcastHashJoin", "HashAggregate", "Window"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin",
+                         "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
     # BM25 retrieval: the checkpointed postings relation NEVER shuffles
     # for the probe — query terms broadcast into it (BroadcastHashJoin);
     # corpus scalars ride a 1-row broadcast (BNLJ-over-one-row, the

@@ -284,3 +284,103 @@ _uni_corpus = st.lists(
 @given(_uni_corpus)
 def test_unigram_matches_reference_on_random_corpora(spark, texts):
     _check_unigram(spark, texts)
+
+
+def test_unigram_segment_matches_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "aaaa aa a aaa",
+        "supercalifragilistic short",   # first word is OOV (> UNI_MAX_WORD)
+        "中文 字 中文字",
+    ]
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    sf = _write_docs(spark, rows)
+    # reference: per-word Viterbi (same recurrence as _ref_unigram)
+    words = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            if 1 <= len(w) <= UNI_MAX_WORD:
+                words[w] = words.get(w, 0) + 1
+    seed = {}
+    for w in words:
+        for i in range(len(w)):
+            for k in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                p = w[i : i + k]
+                seed[p] = seed.get(p, 0) + words[w]
+    singles = {p for p in seed if len(p) == 1}
+    multi = sorted((p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p))[:UNI_VOCAB]
+    vocab = {p: seed[p] for p in singles | set(multi)}
+    total = sum(vocab.values())
+    cost = {p: math.floor(-math.log(f / total) * _UNI_SCALE + 0.5) for p, f in vocab.items()}
+    wseg = {}
+    for w in words:
+        dp = [None] * (len(w) + 1)
+        dp[0] = (0, "")
+        for i in range(1, len(w) + 1):
+            cands = []
+            for k in range(1, min(UNI_MAX_PIECE, i) + 1):
+                p = w[i - k : i]
+                if p in vocab and dp[i - k] is not None:
+                    c, s = dp[i - k]
+                    cands.append((c + cost[p], p if s == "" else s + " " + p))
+            dp[i] = min(cands) if cands else None
+        c, s = dp[len(w)]
+        wseg[w] = (len(s.split(" ")), c)
+    expected = {}
+    for doc_id, t in rows:
+        toks = [w for w in t.strip().lower().split() if w]
+        tr = [w for w in toks if len(w) <= UNI_MAX_WORD]
+        oov = [w for w in toks if len(w) > UNI_MAX_WORD]
+        n_pieces = sum(wseg[w][0] for w in tr)
+        expected[doc_id] = (
+            len(tr), len(oov), n_pieces, sum(wseg[w][1] for w in tr),
+            round(n_pieces / len(tr), 6) if tr else None,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["oov_words"], r["n_pieces"],
+            r["total_cost_micro"], r["pieces_per_word"],
+        )
+        for r in SPECS["unigram_lm_segment_docs"].builder(spark, sf).collect()
+    }
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d][:4] == expected[d][:4], d
+        if expected[d][4] is None:
+            assert got[d][4] is None
+        else:
+            assert abs(got[d][4] - expected[d][4]) < 1e-6
+
+
+def test_rrf_fusion_consistent_with_inputs(spark):
+    from e_commerce_click_stream_spark.plans.text import RRF_K
+
+    sf = "/root/testdata/sf0.001"
+    bm = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in SPECS["bm25_topk_retrieval"].builder(spark, sf).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in SPECS["ann_cosine_topk"].builder(spark, sf).collect()
+    }
+    fused = SPECS["hybrid_rrf_fusion"].builder(spark, sf).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in fused} == set(bm) | set(ann)
+    by_q = {}
+    for r in fused:
+        key = (r["query_id"], r["doc_id"])
+        assert r["bm25_rank"] == bm.get(key)
+        assert r["ann_rank"] == ann.get(key)
+        exp = (1.0 / (RRF_K + bm[key]) if key in bm else 0.0) + (
+            1.0 / (RRF_K + ann[key]) if key in ann else 0.0
+        )
+        assert abs(r["rrf_score"] - round(exp, 6)) < 1e-9
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["rrf_score"], -a["doc_id"]) >= (b["rrf_score"], -b["doc_id"]) or (
+                a["rrf_score"] > b["rrf_score"]
+                or (a["rrf_score"] == b["rrf_score"] and a["doc_id"] < b["doc_id"])
+            )
