@@ -1137,8 +1137,10 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # empirically by streaming_late_data_audit — the r10 real-engine run
 # dropped exactly one batch's worth fewer rows than the unlagged
 # recurrence predicted, at two SFs). Late rows are filtered with the
-# LAGGED value: a row in batch k is dropped iff ts < max(epoch 0,
-# max-event-time over batches < k-1, minus delay). The epoch-0 floor is
+# LAGGED value: a row in batch k is dropped iff ts <= max(epoch 0,
+# max-event-time over batches < k-1, minus delay) — INCLUSIVE: equality
+# with the watermark is late (confirmed empirically; an exactly-epoch row
+# is therefore dropped at the initial watermark too). The epoch-0 floor is
 # the r9 discovery (pre-epoch rows are late even in batch 1); the
 # watermark never regresses. The readout that picks the delay BEFORE a
 # stateful streaming job silently loses data.
@@ -1164,10 +1166,15 @@ wm AS (
 
 
 def _wm_dropped_sql(delay_sql: str) -> str:
-    """The late predicate: epoch-0 floor, never-regressing prior max."""
+    """The late predicate: epoch-0 floor, never-regressing prior max,
+    INCLUSIVE comparison — the engine drops a row whose event time exactly
+    equals the late-events watermark (r10 code-review finding, confirmed
+    empirically: ts == prior-batch-max - delay is dropped, ts + 1s
+    survives; likewise an exactly-epoch row is dropped at the initial
+    watermark)."""
     return (
-        "e.ts_us < greatest(0, coalesce(w.prior_max, 0)\n"
-        f"                                 - {delay_sql}::BIGINT * 60000000) AS dropped"
+        "e.ts_us <= greatest(0, coalesce(w.prior_max, 0)\n"
+        f"                                  - {delay_sql}::BIGINT * 60000000) AS dropped"
     )
 
 
@@ -1202,8 +1209,10 @@ def watermark_delay_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data loss per candidate watermark delay: events replay in
     arrival order (event_id) as WM_BATCH_SIZE micro-batches; the
     simulated LATE-EVENTS watermark for batch k is max(epoch 0, max
-    event time over batches < k-1, minus delay) — exactly Spark's
-    semantics: the late-row filter uses the PREVIOUS batch's watermark
+    event time over batches < k-1, minus delay), and a row is dropped
+    iff ts <= that watermark (INCLUSIVE — boundary equality is late) —
+    exactly Spark's semantics: the late-row filter uses the PREVIOUS
+    batch's watermark
     (one-batch lag vs the eviction watermark; proven against the real
     engine by streaming_late_data_audit, which replays a permuted
     arrival order through an actual watermarked stream and hash-matches
@@ -1246,7 +1255,7 @@ def watermark_delay_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (
         ev.join(F.broadcast(wm), "batch")
         .crossJoin(F.broadcast(grid))
-        .select("delay_minutes", (F.col("ts_us") < watermark).alias("dropped"))
+        .select("delay_minutes", (F.col("ts_us") <= watermark).alias("dropped"))
     )
     return flagged.groupBy("delay_minutes").agg(
         F.count("*").alias("n_events"),

@@ -57,12 +57,14 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r10 window — almost entirely rotation (VERDICT r9 #1): every query
     # still carrying a round-4 proof (two fixture regenerations old, the
     # repo's oldest staleness risk) re-earns a fixture-current row this
-    # round. Slot 1 = multimodal_phash_neardup, whose builder AND oracle
-    # gained the hot-bucket occupancy cap this round (VERDICT r9 #2) —
-    # the r9 proof no longer covers it. New r10 operators are inserted
-    # ABOVE the rotation block as they land (brand-new queries outrank
-    # refreshes); the remaining slots pull the oldest r5 proofs forward
-    # (the rest of r5 rotates in r11 via _VERIFY_NEXT).
+    # round. Changed-this-round queries (phash's occupancy cap, the probe
+    # replan, the watermark recurrence's lag + inclusive boundary, the two
+    # streaming epoch-floor oracles) sit between the new-ops block and the
+    # rotation block — their prior proofs no longer cover them. New r10
+    # operators are inserted ABOVE the rotation block as they land
+    # (brand-new queries outrank refreshes); the two r4 refreshes the
+    # oracle fixes displaced lead _VERIFY_NEXT, followed by the r5 set
+    # (rotating in r11).
     # brand-new r10 operators — no prior proof at all
     "bm25_topk_retrieval",
     "bm25_vs_ann_overlap",
@@ -75,6 +77,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "watermark_delay_calibration",
     # changed this round — oracle + plan gained the occupancy cap
     "multimodal_phash_neardup",
+    # changed this round — epoch-floor oracles corrected to the engine's
+    # INCLUSIVE late predicate: dedup keeps ts > epoch (not >=); session
+    # windows keep ts + gap > 0 (the late filter tests the session END)
+    "streaming_exactly_once_dedup",
+    "streaming_session_windows",
     # changed this round — probe plans: the signed batch is checkpointed
     # once (was 3 signature stages) and the best-verdict relation
     # broadcasts into the final left join (was SMJ)
@@ -119,8 +126,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "session_metrics",
     "sql_gateway_hourly_revenue",
     "user_entropy_profile",
-    "user_interarrival_stats",
-    "user_value_ewma",
 )
 
 
@@ -130,6 +135,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # (every one holds a fixture-current ever-green row). The full set
 # rotates into the r11 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "user_interarrival_stats",
+    "user_value_ewma",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -83,12 +83,16 @@ def streaming_dashboard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessions that close (end + 30 min gap) before the final watermark
 # (max ts - 10 min delay) — exactly the set append mode emits.
 #
-# Epoch floor: Spark initializes the event-time watermark at epoch 0, so a
-# pre-epoch event (ts < 1970-01-01) is "late" even in the very first
-# micro-batch and append-mode stateful operators drop it unconditionally.
-# The oracle must sessionize only the events the stream actually sees.
+# Epoch floor: Spark initializes the event-time watermark at epoch 0, and
+# the session-window late filter tests the SESSION END (ts + gap), not the
+# raw event time — a row is late iff ts + gap <= watermark, INCLUSIVE
+# (r10 empirical probes: at the initial epoch-0 watermark with the
+# 30-minute gap, ts = -45min is dropped, ts = -30min exactly is dropped
+# — end == watermark is late — and ts = -15min SURVIVES because its
+# session end is +15min). The oracle must sessionize exactly the events
+# the stream actually keeps: epoch_us(ts) + 1800000000 > 0.
 _STREAM_SESSIONS_SQL = f"""
-WITH sessionized AS ({sessionize_sql(source="(SELECT * FROM events WHERE ts >= TIMESTAMP '1970-01-01')")}),
+WITH sessionized AS ({sessionize_sql(source="(SELECT * FROM events WHERE epoch_us(ts) + 1800000000 > 0)")}),
 sess AS (
     SELECT user_id,
            min(ts) AS session_start,
@@ -203,11 +207,15 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every event exactly once — the union doubles each, the dedup restores.
 # Epoch floor: Spark's event-time watermark starts at epoch 0, so
 # dropDuplicatesWithinWatermark drops pre-epoch rows as late even in the
-# first micro-batch; NULL-ts rows are NOT late (no event time) and pass
-# through the dedup, so the oracle keeps them.
+# first micro-batch — INCLUSIVELY: a row with ts exactly at the watermark
+# is late (r10 code-review finding, confirmed empirically: an
+# exactly-epoch row is dropped by both dropDuplicates and
+# dropDuplicatesWithinWatermark at the initial watermark), so the keep
+# predicate is strict >. NULL-ts rows are NOT late (no event time) and
+# pass through the dedup, so the oracle keeps them.
 _STREAM_DEDUP_SQL = """
 SELECT event_id, ts, user_id, event_type, value FROM events
-WHERE ts IS NULL OR ts >= TIMESTAMP '1970-01-01'
+WHERE ts IS NULL OR ts > TIMESTAMP '1970-01-01'
 """
 
 
@@ -540,13 +548,14 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("wb", (F.col("arr") / WM_AUDIT_BATCH).cast("bigint"))
     stream, stage_root = arrival_order_replay(spark, staged, "wb")
     try:
+        # run_to_completion drains the stream and returns a batch read of
+        # its own parquet SINK dir, which outlives stage_root — the staged
+        # input files are free to go as soon as the query terminates
         survivors = run_to_completion(
             stream.withWatermark("ts", f"{WM_AUDIT_DELAY_MIN} minutes")
             .dropDuplicates(["arr", "ts"]),
             "append",
         )
-        # force the lazy parquet read before the stage dir disappears
-        survivors = survivors.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(stage_root, ignore_errors=True)
     fed = ev.agg(F.count("*").alias("n_events"))

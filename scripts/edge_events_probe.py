@@ -66,6 +66,20 @@ EDGE_EVENTS = [
     # pre-epoch ts (r8): negative epoch_us — hour-bucket quotients and
     # moduli go negative; zorder h must stay in [0, 256)
     (24, dt.datetime(1969, 12, 31, 22, 59, 0), 100, "click", 0.0, '{"k": 20}'),
+    # watermark-boundary adversaries (r10): the engine's late-row filter
+    # is INCLUSIVE (ts <= watermark is late) and the session-window
+    # variant tests the SESSION END (ts + 30min gap). Three rows pin the
+    # boundary band the r10 review found untested:
+    #  - exactly-epoch: dropped by the dedup twin (ts <= initial wm 0),
+    #    KEPT by session_window (end = +30min > 0)
+    (25, dt.datetime(1970, 1, 1, 0, 0, 0), 200, "click", 0.0, '{"k": 21}'),
+    #  - 15 min before epoch: inside one gap — session end +15min > 0, so
+    #    session_window KEEPS a pre-epoch row (the band the old ts >=
+    #    epoch oracle floor wrongly excluded)
+    (26, dt.datetime(1969, 12, 31, 23, 45, 0), 300, "click", 0.0, '{"k": 22}'),
+    #  - exactly one gap before epoch: session end == 0 == wm, dropped
+    #    INCLUSIVELY by session_window
+    (27, dt.datetime(1969, 12, 31, 23, 30, 0), 300, "click", 0.0, '{"k": 23}'),
 ]
 
 STREAMING_EVENT_QUERIES = [
@@ -74,6 +88,7 @@ STREAMING_EVENT_QUERIES = [
     "streaming_click_attribution", "streaming_exactly_once_dedup",
     "streaming_sliding_windows", "streaming_top_users",
     "streaming_kmv_distinct", "streaming_user_ewma",
+    "streaming_late_data_audit",
 ]
 
 BATCH_EVENT_QUERIES = [

@@ -111,9 +111,8 @@ def test_bm25_matches_independent_reference(spark):
     for q, lst in by_q.items():
         lst.sort()
         assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
-        assert lst == sorted(lst, key=lambda x: (-x[1], x[2]), reverse=False) or all(
-            (a[1], -a[2]) >= (b[1], -b[2]) for a, b in zip(lst, lst[1:])
-        )
+        # rank order == (score desc, doc_id asc)
+        assert lst == sorted(lst, key=lambda x: (-x[1], x[2]))
 
 
 def test_bm25_excludes_self_and_hapax_terms(spark):
@@ -164,9 +163,8 @@ def test_bm25_query_terms_capped_at_rarest(spark):
     assert len(got) <= BM25_TOP_K
 
 
-def test_bm25_ann_overlap_row_per_query(spark, sf_dir_001=None):
-    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
-    rows = SPECS["bm25_vs_ann_overlap"].builder(spark, sf).collect()
+def test_bm25_ann_overlap_row_per_query(spark):
+    rows = SPECS["bm25_vs_ann_overlap"].builder(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 10
     for r in rows:
         assert 0 <= r["n_overlap"] <= min(r["n_bm25"], r["n_ann"])
@@ -188,7 +186,12 @@ from e_commerce_click_stream_spark.plans.text import (  # noqa: E402
 )
 
 
-def _ref_unigram(texts):
+def _ref_unigram_model(texts):
+    """Shared reference recurrence (seed counts, vocab, costs, per-word
+    Viterbi) — ONE copy for the trainer and segmenter tests, so a retune
+    can never silently test two different recurrences. Returns
+    (words, seed, vocab, cost, wseg) with wseg[w] = (segmentation string,
+    total micro-cost)."""
     words = {}
     for t in texts:
         if t is None:
@@ -212,8 +215,8 @@ def _ref_unigram(texts):
         p: math.floor(-math.log(f / total) * _UNI_SCALE + 0.5)
         for p, f in vocab.items()
     }
-    used = {}
-    for w, f in words.items():
+    wseg = {}
+    for w in words:
         dp = [None] * (len(w) + 1)
         dp[0] = (0, "")
         for i in range(1, len(w) + 1):
@@ -224,7 +227,16 @@ def _ref_unigram(texts):
                     c, s = dp[i - k]
                     cands.append((c + cost[p], p if s == "" else s + " " + p))
             dp[i] = min(cands) if cands else None
-        for p in dp[len(w)][1].split(" "):
+        c, s = dp[len(w)]
+        wseg[w] = (s, c)
+    return words, seed, vocab, cost, wseg
+
+
+def _ref_unigram(texts):
+    words, seed, vocab, cost, wseg = _ref_unigram_model(texts)
+    used = {}
+    for w, f in words.items():
+        for p in wseg[w][0].split(" "):
             used[p] = used.get(p, 0) + f
     tot_used = sum(used.values())
     return {
@@ -295,37 +307,8 @@ def test_unigram_segment_matches_reference(spark):
     ]
     rows = [(i + 1, t) for i, t in enumerate(texts)]
     sf = _write_docs(spark, rows)
-    # reference: per-word Viterbi (same recurrence as _ref_unigram)
-    words = {}
-    for t in texts:
-        for w in t.strip().lower().split():
-            if 1 <= len(w) <= UNI_MAX_WORD:
-                words[w] = words.get(w, 0) + 1
-    seed = {}
-    for w in words:
-        for i in range(len(w)):
-            for k in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
-                p = w[i : i + k]
-                seed[p] = seed.get(p, 0) + words[w]
-    singles = {p for p in seed if len(p) == 1}
-    multi = sorted((p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p))[:UNI_VOCAB]
-    vocab = {p: seed[p] for p in singles | set(multi)}
-    total = sum(vocab.values())
-    cost = {p: math.floor(-math.log(f / total) * _UNI_SCALE + 0.5) for p, f in vocab.items()}
-    wseg = {}
-    for w in words:
-        dp = [None] * (len(w) + 1)
-        dp[0] = (0, "")
-        for i in range(1, len(w) + 1):
-            cands = []
-            for k in range(1, min(UNI_MAX_PIECE, i) + 1):
-                p = w[i - k : i]
-                if p in vocab and dp[i - k] is not None:
-                    c, s = dp[i - k]
-                    cands.append((c + cost[p], p if s == "" else s + " " + p))
-            dp[i] = min(cands) if cands else None
-        c, s = dp[len(w)]
-        wseg[w] = (len(s.split(" ")), c)
+    _, _, _, _, segs = _ref_unigram_model(texts)
+    wseg = {w: (len(s.split(" ")), c) for w, (s, c) in segs.items()}
     expected = {}
     for doc_id, t in rows:
         toks = [w for w in t.strip().lower().split() if w]
@@ -379,8 +362,8 @@ def test_rrf_fusion_consistent_with_inputs(spark):
     for q, rows in by_q.items():
         rows.sort(key=lambda r: r["fused_rank"])
         assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # fused order == (rrf_score desc, doc_id asc)
         for a, b in zip(rows, rows[1:]):
-            assert (a["rrf_score"], -a["doc_id"]) >= (b["rrf_score"], -b["doc_id"]) or (
-                a["rrf_score"] > b["rrf_score"]
-                or (a["rrf_score"] == b["rrf_score"] and a["doc_id"] < b["doc_id"])
+            assert a["rrf_score"] > b["rrf_score"] or (
+                a["rrf_score"] == b["rrf_score"] and a["doc_id"] < b["doc_id"]
             )

@@ -60,6 +60,9 @@ def test_watermark_drops_match_hand_simulation(spark):
         # (B+30min) — batch 1's max m(31) is NOT visible yet (the lag)
         #  - 5 min late: dropped at delay 0 and 1, kept at 10 and 60
         (2000, m(25), 1, "view", 0.0, None),
+        #  - EXACTLY on the delay-10 watermark (B+30min - 10min): the
+        #    inclusive predicate drops boundary equality (r10 finding)
+        (2001, m(20), 1, "view", 0.0, None),
     ]
     sf = _write_events(spark, rows)
     out = {
@@ -68,12 +71,14 @@ def test_watermark_drops_match_hand_simulation(spark):
     }
     assert set(out) == {0, 1, 10, 60}
     for d in out.values():
-        assert d["n_events"] == 5
-    # delay 0/1: the 5-min-late row AND the pre-epoch row drop
-    assert out[0]["n_dropped"] == 2 and out[1]["n_dropped"] == 2
-    # delay 10/60: only the pre-epoch row (epoch floor) drops
-    assert out[10]["n_dropped"] == 1 and out[60]["n_dropped"] == 1
-    assert out[60]["drop_frac"] == 0.2
+        assert d["n_events"] == 6
+    # delay 0/1: the 5-min-late row, the boundary row AND the pre-epoch row
+    assert out[0]["n_dropped"] == 3 and out[1]["n_dropped"] == 3
+    # delay 10: the boundary row is ON the watermark — inclusive, dropped —
+    # plus the pre-epoch row; delay 60: only the pre-epoch row
+    assert out[10]["n_dropped"] == 2
+    assert out[60]["n_dropped"] == 1
+    assert out[60]["drop_frac"] == round(1 / 6, 6)
 
 
 # ---------------------------------------------------------------------- #

@@ -130,6 +130,9 @@ def test_initial_watermark_drops_pre_epoch_rows(spark, tmp_path):
     src = str(tmp_path / "src")
     rows = [
         ("pre", "1969-12-31 22:59:00"),
+        # exactly-epoch: the late filter is INCLUSIVE (ts <= watermark is
+        # late — the r10 boundary finding), so ts == 0 is dropped too
+        ("epoch", "1970-01-01 00:00:00"),
         ("post", "2024-01-01 00:00:00"),
     ]
     df = spark.createDataFrame(rows, "k string, ts_s string").select(
