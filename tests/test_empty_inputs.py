@@ -89,6 +89,14 @@ REPRESENTATIVE = (
     "substring_span_clusters",
     "vocab_oov_curve",
     "quality_threshold_sweep",
+    # round-10 families: lexical retrieval + hybrid fusion, unigram-LM
+    # tokenizer train/apply, real-engine watermark audit
+    "bm25_topk_retrieval",
+    "bm25_vs_ann_overlap",
+    "hybrid_rrf_fusion",
+    "unigram_lm_train",
+    "unigram_lm_segment_docs",
+    "streaming_late_data_audit",
 )
 
 

@@ -367,3 +367,40 @@ def test_rrf_fusion_consistent_with_inputs(spark):
             assert a["rrf_score"] > b["rrf_score"] or (
                 a["rrf_score"] == b["rrf_score"] and a["doc_id"] < b["doc_id"]
             )
+
+
+_bm25_corpus = st.lists(
+    st.lists(
+        # tiny alphabet forces df collisions, rarest-term tie-breaks, and
+        # tf-heavy repeats — the shapes hand fixtures miss
+        st.text(alphabet="abc", min_size=1, max_size=4),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_bm25_corpus)
+def test_bm25_matches_reference_on_random_corpora(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sf = _write_docs(spark, rows)
+    expected = _ref_bm25(rows)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_terms"], r["score_micro"])
+        for r in SPECS["bm25_topk_retrieval"].builder(spark, sf).collect()
+    }
+    # builder returns top-BM25_TOP_K per query; the reference is uncapped —
+    # every returned pair must match the reference exactly, and no pair may
+    # be missing unless the query exceeded the cap
+    for k, v in got.items():
+        assert expected[k] == v, k
+    by_q = {}
+    for (q, d) in expected:
+        by_q.setdefault(q, []).append(d)
+    for q, docs in by_q.items():
+        returned = [d for (qq, d) in got if qq == q]
+        assert len(returned) == min(len(docs), BM25_TOP_K)
