@@ -74,3 +74,37 @@ def test_fixtures_free_of_casefold_divergent_codepoints(sf_dir):
         "AND every oracle fragment that lowers/uppers text, then re-slot "
         "the 15 consumer queries in the verify window."
     )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_part_columns_free_of_grapheme_joiners(sf_dir):
+    """reverse() diverges on grapheme clusters: DuckDB reverses GRAPHEMES
+    (a ZWJ emoji sequence stays intact) while Spark reverses CODEPOINTS
+    (empirically: reverse('🧑\\u200d🚀') = '🚀\\u200d🧑' in Spark, kept
+    whole by DuckDB). The only reverse() consumer is
+    part_string_functions on p_brand, so the guard is scoped to the part
+    table — ZWJ in documents.text is legitimate content no oracle
+    reverses."""
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "part.parquet")
+    if not os.path.exists(path):
+        pytest.skip("no part fixture")
+    cols = [
+        r[0]
+        for r in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
+        if r[1] == "VARCHAR"
+    ]
+    offenders = []
+    for c in cols:
+        n = con.execute(
+            f"SELECT count(*) FROM '{path}' WHERE contains(\"{c}\", chr(8205))",
+        ).fetchone()[0]
+        if n:
+            offenders.append(f"part.{c}: {n} rows")
+    assert not offenders, (
+        f"part fixture now contains zero-width joiners ({offenders}) — "
+        "Spark reverse() (codepoints) and DuckDB reverse() (graphemes) "
+        "would split on part_string_functions.brand_rev; replace the "
+        "reverse with an engine-identical codepoint reverse in both "
+        "builder and oracle, then re-slot part_string_functions."
+    )
