@@ -77,6 +77,34 @@ def test_fixtures_free_of_casefold_divergent_codepoints(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_levenshtein_sample_heads_are_ascii(sf_dir):
+    """DuckDB levenshtein() is BYTE-based, Spark's is CODEPOINT-based —
+    empirically: levenshtein('中文字','中国字') = 3 vs 1,
+    ('héllo','hello') = 2 vs 1, ('🎉a','a') = 4 vs 1. The sole consumer
+    is dedup_levenshtein_sample over substr(lower(trim(text)),1,40) of
+    doc_id % 10 == 0 documents; those sampled heads are pure ASCII on
+    current fixtures at all 3 SFs, so every green row stands. The r11 fix
+    (bundled with the case-folding wave): ASCII-fold the head BEFORE
+    lower() (regexp_replace non-ASCII -> '?' in both engines, 'g' flag in
+    DuckDB) — a single-byte alphabet makes byte and codepoint distances
+    provably identical and removes this query's casefold exposure too."""
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip("no documents fixture")
+    n = con.execute(
+        f"SELECT count(*) FROM '{path}' WHERE doc_id % 10 = 0 "
+        "AND regexp_matches(substr(lower(trim(text)), 1, 40), '[^\\x00-\\x7F]')"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} sampled levenshtein heads now contain non-ASCII — DuckDB "
+        "(bytes) and Spark (codepoints) levenshtein distances diverge on "
+        "them; apply the ASCII-fold fix recorded in SURVEY §8 (round 10) "
+        "and re-slot dedup_levenshtein_sample."
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
 def test_part_columns_free_of_grapheme_joiners(sf_dir):
     """reverse() diverges on grapheme clusters: DuckDB reverses GRAPHEMES
     (a ZWJ emoji sequence stays intact) while Spark reverses CODEPOINTS
