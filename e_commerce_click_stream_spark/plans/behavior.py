@@ -1223,7 +1223,12 @@ def watermark_delay_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — the number that picks the withWatermark argument before a
     job silently loses data. NULL-ts rows are excluded (the streaming
     window() drops them regardless of watermark); all comparisons in
-    integer microseconds.
+    integer microseconds. One fidelity nuance: the engine floors its
+    event-time stats to MILLISECONDS before subtracting the delay, so on
+    sub-ms-grain timestamps the true watermark can sit up to 999 µs below
+    this simulation's — streaming_late_data_audit therefore proves the
+    recurrence on second-truncated times, where the two definitions
+    coincide exactly (documented there).
 
     Scale shape: one batch-grain agg over the arrival stream, a prefix
     max over the tiny batch domain (|batches| rows — the only window),
