@@ -88,7 +88,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_incremental_stored",
     "dedup_stored_probe_only",
-    # rotation: all 39 remaining r4-proof queries re-earn current rows
+    # rotation: 37 of the 39 remaining r4-proof queries re-earn current
+    # rows here; the final two (user_interarrival_stats, user_value_ewma)
+    # were displaced by the boundary-oracle re-slots and LEAD
+    # _VERIFY_NEXT — they must head the r11 window
     "streaming_sliding_windows",
     "ann_ivf_pq_topk",
     "embedding_neardup_lsh",
@@ -131,9 +134,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
 
 # Overflow preference: emitted immediately AFTER the verify window. The
 # driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these r5-proof refreshes benefit first; if not, they cost nothing
-# (every one holds a fixture-current ever-green row). The full set
-# rotates into the r11 window.
+# these benefit first; if not, they cost nothing (every one holds a
+# fixture-current ever-green row). The first TWO are r4-proof (displaced
+# from the window by the r10 boundary-oracle re-slots — the oldest
+# remaining staleness, they must lead the r11 window); the rest are the
+# r5 set, rotating in r11 behind them.
 _VERIFY_NEXT: tuple[str, ...] = (
     "user_interarrival_stats",
     "user_value_ewma",

@@ -453,7 +453,8 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Late-data audit: prove watermark_delay_calibration's SIMULATION against
 # the real engine. The simulated recurrence (plans/behavior.py: epoch-0
-# floor, never-regressing prior-batch max, ts < watermark) predicts the
+# floor, one-batch-lagged never-regressing prior max, INCLUSIVE
+# ts <= watermark) predicts the
 # drop count for one delay; here the SAME arrival order replays through an
 # actual withWatermark + dropDuplicates stream — one file per arrival
 # micro-batch, maxFilesPerTrigger=1 — and the engine's surviving-row count
@@ -509,8 +510,8 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream does NOT emit was dropped by the engine's late-row filter.
     n_dropped = fed − emitted, value-hash-gated against the SAME
     recurrence text the calibration oracle composes (epoch-0 initial
-    watermark, prior-batch max, strict ts < watermark, per-micro-batch
-    update timing). A green row certifies the simulator against the
+    watermark, one-batch-lagged prior max, INCLUSIVE ts <= watermark,
+    per-micro-batch update timing). A green row certifies the simulator against the
     engine it models — including that the watermark only advances BETWEEN
     micro-batches and never regresses.
 

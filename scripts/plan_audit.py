@@ -692,8 +692,10 @@ EXPECTATIONS: dict[str, dict] = {
         "contains": ["SortAggregate"],
         "not_contains": ["Window", "CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"],
         # tightened twice: candidate-distinct removal (r9), then the
-        # signed-batch checkpoint + broadcast best-verdict join (r10) —
-        # the only remaining shuffle is the signature aggregation
+        # broadcast best-verdict join (r10; this one-pass twin has
+        # checkpointed its signed buckets since r9 and does not call
+        # _probe_against) — remaining shuffles: the signature aggregation
+        # and the min_by verdict agg
         "max_exchanges": 2,
     },
     # KMV sketch: rank window MUST prune (WindowGroupLimit before the
