@@ -19,6 +19,65 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = r"\s+"
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
 
+# --- cross-engine case folding -------------------------------------------
+#
+# Spark (Java full Unicode case mapping) and DuckDB (simple 1:1 mapping)
+# disagree on exactly two codepoints under lower():
+#
+#     lower('İ')  spark = 'i' + U+0307 (combining dot)   duck = 'i'
+#     lower('Σ')  spark = 'ς' in final position (context) duck = 'σ' always
+#
+# (These are the only default-locale lowercase divergences: U+0130 is the
+# sole multi-char lowercase special case and Final_Sigma the sole
+# context-sensitive one in Unicode SpecialCasing.txt. The multi-char
+# UPPERCASE special cases — ß, ligatures, iota subscripts — lowercase
+# identically in both engines; probed r11.)
+#
+# Pre-replacing İ→i and Σ→σ BEFORE lower() makes the two engines agree on
+# every input. translate() is codepoint-wise 1:1 in both engines (probed
+# r11 incl. astral/ZWJ payloads). Every builder that lowercases free text
+# MUST use lower_folded()/normalized_text(), and every oracle must splice
+# SQL_LOWER_FOLDED-generated fragments, so the normalization lives in one
+# place on each side.
+CASEFOLD_SRC = "İΣ"
+CASEFOLD_DST = "iσ"
+
+# Printable-ASCII fold for operators whose engine twins diverge on ANY
+# non-ASCII input: DuckDB levenshtein() counts BYTES vs Spark CODEPOINTS,
+# DuckDB reverse() keeps GRAPHEME clusters vs Spark codepoints, and
+# upper() hits the multi-char special cases (ß→SS, ﬁ→FI, ῃ→ΗΙ in Spark
+# only). Folding every non-printable-ASCII codepoint to '?' (both regex
+# engines match per CODEPOINT, probed r11 incl. astral pairs) yields a
+# single-byte alphabet where byte==codepoint==grapheme, making those
+# operators provably engine-identical. Control chars fold too: CRLF is
+# one grapheme to DuckDB reverse() but two codepoints to Spark's.
+ASCII_FOLD_RE = "[^\\x20-\\x7E]"
+
+
+def casefold_pre(col: Column) -> Column:
+    """Pre-replace the two lower()-divergent codepoints (İ, Σ)."""
+    return F.translate(col, CASEFOLD_SRC, CASEFOLD_DST)
+
+
+def lower_folded(col: Column) -> Column:
+    """Engine-portable lowercase: lower() after the İ/Σ pre-replacement."""
+    return F.lower(casefold_pre(col))
+
+
+def sql_lower_folded(expr: str) -> str:
+    """DuckDB twin of :func:`lower_folded` for oracle fragments."""
+    return f"lower(translate({expr}, 'İΣ', 'iσ'))"
+
+
+def ascii_fold(col: Column) -> Column:
+    """Replace every non-printable-ASCII codepoint with '?'."""
+    return F.regexp_replace(col, ASCII_FOLD_RE, "?")
+
+
+def sql_ascii_fold(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_fold` (RE2 needs the 'g' flag)."""
+    return f"regexp_replace({expr}, '[^\\x20-\\x7E]', '?', 'g')"
+
 
 def tokens(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
@@ -50,8 +109,12 @@ def minhash(shingles_col: Column, seed: int) -> Column:
 
 
 def normalized_text(text_col: str = "text") -> Column:
-    """lower + whitespace-collapse normalization for fingerprinting."""
-    return F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    """Folded-lower + whitespace-collapse normalization for fingerprinting.
+
+    Oracle twin: ``md5(lower(translate(regexp_replace(trim(text), '\\s+',
+    ' ', 'g'), 'İΣ', 'iσ')))`` — the translate() pre-replacement keeps the
+    two engines' lower() identical on every input (see CASEFOLD_SRC)."""
+    return lower_folded(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
 
 def fingerprint(text_col: str = "text") -> Column:

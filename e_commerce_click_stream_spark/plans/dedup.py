@@ -97,7 +97,7 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact dedup
 
 _EXACT_SQL = """
-SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+SELECT md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))) AS fp,
        min(doc_id) AS canonical_doc_id,
        count(*) AS dup_count
 FROM documents
@@ -125,9 +125,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_STATS_SQL = """
 SELECT count(*) AS total_docs,
        count(DISTINCT text) AS distinct_texts,
-       count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+       count(DISTINCT md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))))
            AS distinct_fingerprints,
-       count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+       count(*) - count(DISTINCT md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))))
            AS removable_docs
 FROM documents
 """
@@ -466,7 +466,7 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLEAN_PIPELINE_SQL = """
 WITH fp AS (
     SELECT doc_id, source, lang,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))) AS fp,
            string_split_regex(trim(text), '\\s+') AS t
     FROM documents
 ),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import register_views, table
 from e_commerce_click_stream_spark.operators.sketches import kmv_frac, kmv_prune
+from e_commerce_click_stream_spark.operators.textops import lower_folded
 from e_commerce_click_stream_spark.plans.registry import register
 
 # one SQL text, two engines — keep it in the ANSI intersection: no ::
@@ -357,7 +358,7 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAPDIFF_SQL = """
 WITH v1 AS (
     SELECT doc_id, source,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))) AS fp
     FROM documents
     WHERE CAST(CAST(('0x' || substr(md5('v1:' || doc_id), 1, 8))
                AS UBIGINT) AS BIGINT) % 10 < 9
@@ -367,7 +368,7 @@ v2 AS (
            CASE WHEN CAST(CAST(('0x' || substr(md5('mut:' || doc_id), 1, 8))
                      AS UBIGINT) AS BIGINT) % 20 = 0
                 THEN md5('mutated:' || doc_id)
-                ELSE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                ELSE md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ')))
                 END AS fp
     FROM documents
     WHERE CAST(CAST(('0x' || substr(md5('v2:' || doc_id), 1, 8))
@@ -405,7 +406,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     status classification is a per-row CASE. At 100 TB this is two scans
     + one co-partitioned join; the output is source × 4 rows."""
     docs = table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    fp = F.md5(lower_folded(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
 
     def bucket(seed: str) -> F.Column:
         return F.conv(

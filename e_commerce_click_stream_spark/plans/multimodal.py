@@ -205,7 +205,7 @@ _TEXT_EMB_PAIRS_SQL = f"""
 WITH d AS (
     SELECT doc_id, source, lang,
            string_split_regex(trim(text), '\\s+') AS t,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS caption_fp
+           md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))) AS caption_fp
     FROM documents
     WHERE text IS NOT NULL AND trim(text) <> ''
 ),

@@ -231,7 +231,20 @@ def all_specs() -> dict[str, QuerySpec]:
         except ModuleNotFoundError as exc:
             if exc.name != mod:  # genuine missing dependency inside the module
                 raise
-    ordered = {n: _REGISTRY[n] for n in _VERIFY_FIRST if n in _REGISTRY}
-    ordered.update((n, _REGISTRY[n]) for n in _VERIFY_NEXT if n in _REGISTRY)
+    # Rotation lists are maintained by hand (~90 literal edits per round) —
+    # a typo'd name must fail LOUDLY here, not silently forfeit its verify
+    # slot (ADVICE r10).
+    unknown = (set(_VERIFY_FIRST) | set(_VERIFY_NEXT)) - set(_REGISTRY)
+    if unknown:
+        raise ValueError(f"rotation lists name unregistered queries: {sorted(unknown)}")
+    overlap = set(_VERIFY_FIRST) & set(_VERIFY_NEXT)
+    if overlap:
+        raise ValueError(f"queries in BOTH rotation lists: {sorted(overlap)}")
+    for lst, label in ((_VERIFY_FIRST, "_VERIFY_FIRST"), (_VERIFY_NEXT, "_VERIFY_NEXT")):
+        if len(lst) != len(set(lst)):
+            dupes = sorted({n for n in lst if lst.count(n) > 1})
+            raise ValueError(f"duplicate names in {label}: {dupes}")
+    ordered = {n: _REGISTRY[n] for n in _VERIFY_FIRST}
+    ordered.update((n, _REGISTRY[n]) for n in _VERIFY_NEXT)
     ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
     return ordered

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import table
+from e_commerce_click_stream_spark.operators.textops import ascii_fold
 from e_commerce_click_stream_spark.plans.registry import register
 
 
@@ -563,8 +564,8 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STRINGS_SQL = """
 SELECT p_partkey,
-       upper(p_name) AS name_upper,
-       lower(p_brand) AS brand_lower,
+       upper(regexp_replace(p_name, '[^\\x20-\\x7E]', '?', 'g')) AS name_upper,
+       lower(regexp_replace(p_brand, '[^\\x20-\\x7E]', '?', 'g')) AS brand_lower,
        length(p_name) AS name_len,
        substr(p_name, 1, 5) AS name_prefix,
        concat_ws('|', p_brand, p_type) AS brand_type,
@@ -573,7 +574,7 @@ SELECT p_partkey,
        trim(' ' || p_brand || ' ') AS brand_trim,
        CASE WHEN p_type IS NULL THEN NULL
             ELSE split_part(p_type, ' ', 1) END AS type_head,
-       reverse(p_brand) AS brand_rev,
+       reverse(regexp_replace(p_brand, '[^\\x20-\\x7E]', '?', 'g')) AS brand_rev,
        contains(p_type, 'BRUSHED') AS is_brushed,
        starts_with(p_name, 'a') AS starts_a
 FROM part
@@ -588,12 +589,20 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-input parity notes (part-dimension edge probe): the oracle
     wraps concat with ``||`` (DuckDB concat() SKIPS NULL args where
     Spark propagates) and NULL-guards split_part (DuckDB returns ''
-    on NULL input where Spark returns NULL)."""
+    on NULL input where Spark returns NULL).
+
+    The upper()/lower()/reverse() inputs are ASCII-folded: Spark's full
+    Unicode upper() expands ß→SS / ﬁ→FI / ῃ→ΗΙ where DuckDB's simple
+    mapping doesn't, and DuckDB reverse() keeps GRAPHEME clusters intact
+    where Spark reverses codepoints (r10 post-close probes). Folding to
+    printable ASCII makes all three provably engine-identical on ANY
+    input; the generated part strings are pure ASCII so the fold is an
+    identity on real data."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.lower("p_brand").alias("brand_lower"),
+        F.upper(ascii_fold(F.col("p_name"))).alias("name_upper"),
+        F.lower(ascii_fold(F.col("p_brand"))).alias("brand_lower"),
         F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
@@ -601,7 +610,7 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
         F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
-        F.reverse("p_brand").alias("brand_rev"),
+        F.reverse(ascii_fold(F.col("p_brand"))).alias("brand_rev"),
         F.contains(F.col("p_type"), F.lit("BRUSHED")).alias("is_brushed"),
         F.startswith(F.col("p_name"), F.lit("a")).alias("starts_a"),
     )

@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from e_commerce_click_stream_spark.io import spread, table
 from e_commerce_click_stream_spark.operators.textops import (
     STOPWORDS_EN,
+    ascii_fold,
     fingerprint,
+    lower_folded,
+    sql_ascii_fold,
     tokens,
 )
 from e_commerce_click_stream_spark.plans.registry import register
@@ -114,7 +117,7 @@ def _hits_sql(lang: str) -> str:
 
 _LANG_SQL = f"""
 WITH toks AS (
-    SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+    SELECT doc_id, lang, string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+') AS t
     FROM documents
 ),
 hits AS (
@@ -142,7 +145,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+        F.split(F.trim(lower_folded(F.col("text"))), r"\s+").alias("t"),
     )
     hit_cols = {}
     for lang, words in _LANG_MARKERS.items():
@@ -168,8 +171,8 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FP_SQL = """
 SELECT doc_id,
-       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_fp,
-       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 8)
+       md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))) AS content_fp,
+       substr(md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))), 1, 8)
            AS fp_prefix,
        source
 FROM documents
@@ -251,9 +254,10 @@ def token_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LEVENSHTEIN_SQL = """
+_LEVENSHTEIN_SQL = f"""
 WITH sample AS (
-    SELECT doc_id, substr(lower(trim(text)), 1, 40) AS head
+    SELECT doc_id,
+           substr(lower({sql_ascii_fold("trim(text)")}), 1, 40) AS head
     FROM documents WHERE doc_id % 10 = 0
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -267,11 +271,20 @@ WHERE levenshtein(a.head, b.head) <= 20
 def dedup_levenshtein_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs over bounded prefixes of a
     deterministic sample — the O(n·m) fuzzy-match primitive; at scale it
-    runs only on candidate pairs from the LSH stages, never all-pairs."""
+    runs only on candidate pairs from the LSH stages, never all-pairs.
+
+    The heads are ASCII-folded BEFORE lower(): DuckDB levenshtein()
+    counts BYTES where Spark counts CODEPOINTS ('中文字'↔'中国字' = 3 vs 1,
+    probed r10), and lower() itself diverges on İ/Σ — a single-byte
+    alphabet makes byte and codepoint distances provably identical and
+    removes both exposures at once (r10 post-close finding, fixed r11)."""
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id", F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"))
+        .select(
+            "doc_id",
+            F.substring(F.lower(ascii_fold(F.trim(F.col("text")))), 1, 40).alias("head"),
+        )
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("ha"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("hb"))
@@ -1627,7 +1640,7 @@ BPE_TOP = 20
 _BPE_SQL = f"""
 WITH words AS (
     SELECT w, count(*) AS wc
-    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM (SELECT unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
           FROM documents)
     WHERE length(w) >= 2
     GROUP BY w
@@ -1670,7 +1683,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     place a 1-partition sort is legitimate)."""
     words = (
         spread(table(spark, sf_dir, "documents"))
-        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .select(F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
@@ -2800,7 +2813,7 @@ def _bpe_train_ctes(n_iters: int) -> str:
     ctes = [
         """w0 AS (
     SELECT w, count(*)::BIGINT AS n
-    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM (SELECT unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
           FROM documents)
     WHERE length(w) >= 2 AND NOT contains(w, '|')
     GROUP BY w
@@ -2880,7 +2893,7 @@ def _bpe_learned_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+            F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w")
         )
         .filter((F.length("w") >= 2) & (~F.col("w").contains("|")))
         .groupBy("w")
@@ -2965,7 +2978,7 @@ m AS (SELECT {m_cols}),
 wd AS (
     SELECT doc_id, w
     FROM (SELECT doc_id,
-                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                 unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
           FROM documents)
     WHERE length(w) >= 2 AND NOT contains(w, '|')
 ),
@@ -3023,7 +3036,7 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+            F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w"),
         )
         .filter((F.length("w") >= 2) & (~F.col("w").contains("|")))
     )
@@ -3543,7 +3556,7 @@ def _unigram_seed_ctes() -> str:
     with micro-costs. Shared by the trainer oracle."""
     return f"""uw AS MATERIALIZED (
     SELECT w AS word, count(*)::BIGINT AS freq
-    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM (SELECT unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
           FROM documents)
     WHERE length(w) BETWEEN 1 AND {UNI_MAX_WORD}
     GROUP BY w
@@ -3637,7 +3650,7 @@ def _unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         table(spark, sf_dir, "documents")
         .select(
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+            F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w")
         )
         .filter(
             (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
@@ -3799,7 +3812,7 @@ wseg AS MATERIALIZED (
 dt AS (
     SELECT doc_id, w
     FROM (SELECT doc_id,
-                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                 unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
           FROM documents)
     WHERE length(w) >= 1
 )
@@ -3852,7 +3865,7 @@ def unigram_lm_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+            F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w"),
         )
         .filter(F.length("w") >= 1)
     )

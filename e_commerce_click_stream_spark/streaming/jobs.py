@@ -757,11 +757,26 @@ def arrival_order_replay(spark: SparkSession, df: DataFrame, batch_col: str):
     """Stage ``df`` as ONE parquet file per ``batch_col`` value and return
     (stream, stage_root): a file-source stream with maxFilesPerTrigger=1
     whose micro-batches replay the batch values IN ORDER — the ordered
-    counterpart of _chunked_replay for watermark-sensitive audits (file
-    order is forced by ascending mtimes; the file source processes oldest
-    files first). repartition on the batch column hash-routes every batch
-    to exactly one task, so partitionBy writes exactly one part file per
-    batch. The caller removes stage_root when the stream has drained."""
+    counterpart of _chunked_replay for watermark-sensitive audits.
+
+    Ordering contract (ADVICE r10 — the assumptions, made loud):
+
+    - FileStreamSource with the DEFAULT ``latestFirst=false`` processes
+      files oldest-modification-time-first (Spark
+      ``FileStreamOptions.latestFirst`` / ``FileStreamSource.fetchMaxFiles``);
+      this helper builds the reader itself and never sets ``latestFirst``,
+      so the default is part of the staged contract, not a caller option.
+    - Batch k's file gets mtime ``base + 2k`` via os.utime; after staging,
+      the mtimes are read BACK from the filesystem and asserted strictly
+      increasing in batch order — a filesystem that truncates timestamps
+      coarser than the 2 s spacing (or ignores utime) fails here loudly
+      instead of silently permuting the replay.
+    - ``repartition(batch_col)`` hash-routes every batch to exactly one
+      task, so partitionBy writes exactly one part file per batch; a
+      session that sets ``spark.sql.files.maxRecordsPerFile`` would split
+      batches into multiple files and trips the len(parts)==1 assert.
+
+    The caller removes stage_root when the stream has drained."""
     stage_root = tempfile.mkdtemp(prefix="arrival_replay_")
     by_batch = os.path.join(stage_root, "by_batch")
     df.repartition(F.col(batch_col)).write.partitionBy(batch_col).mode(
@@ -774,6 +789,7 @@ def arrival_order_replay(spark: SparkSession, df: DataFrame, batch_col: str):
         if d.startswith(f"{batch_col}="):
             dirs.append((int(d.split("=", 1)[1]), d))
     base = time.time() - 86_400
+    staged = []
     for k, d in sorted(dirs):
         parts = [
             f for f in os.listdir(os.path.join(by_batch, d))
@@ -783,6 +799,14 @@ def arrival_order_replay(spark: SparkSession, df: DataFrame, batch_col: str):
         dst = os.path.join(flat, f"b{k:08d}.parquet")
         os.rename(os.path.join(by_batch, d, parts[0]), dst)
         os.utime(dst, (base + 2 * k, base + 2 * k))
+        staged.append(dst)
+    # verify the order the source will SEE: stored mtimes (post any fs
+    # truncation) must be strictly increasing in batch order
+    stored = [os.stat(p).st_mtime for p in staged]
+    assert all(a < b for a, b in zip(stored, stored[1:])), (
+        "staged mtimes not strictly increasing — filesystem timestamp "
+        f"granularity broke the replay order contract: {stored[:8]}..."
+    )
     schema = df.drop(batch_col).schema
     stream = (
         spark.readStream.schema(schema)

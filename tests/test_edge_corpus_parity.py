@@ -94,6 +94,28 @@ EDGE_TEXTS = [
     # RE2's matches only at end of text; the \z anchor must agree (the
     # separators are not \n, so they stay INSIDE the split line)
     (35, "left dots...\u2028\nright dots…\u2029\nclean end…", "en", "src20"),
+    # case-folding adversaries (r11): the codepoints where Spark's full
+    # Unicode case mapping and DuckDB's simple mapping diverge — İ
+    # (U+0130, multi-char lower in Spark), final sigma (context-sensitive
+    # in Spark), ß/ligatures/iota-subscripts (multi-char UPPER in Spark;
+    # lower-safe, present to prove it), astral + ZWJ sequences. These rows
+    # would hash-split every case-mapping oracle without the
+    # lower_folded()/ascii_fold() pre-replacement (operators/textops.py);
+    # they convert the r10 tripwires into permanent parity coverage.
+    (36, "İSTANBUL VE İZMİR BÜYÜK ŞEHİRLER İKİSİ", "en", "src21"),
+    (37, "ΟΔΟΣ ΣΟΦΟΣ ΣΣ ΤΕΛΟΣ ΣΕ ΘΕΣΣΑΛΟΝΙΚΗ", "en", "src21"),
+    (38, "straße ß ẞ groß weiß FUSS", "de", "src22"),
+    (39, "ﬁle ﬂow ﬀort ﬆop ligature ﬃ ﬄ zoo", "en", "src22"),
+    # doc_id 40 lands in dedup_levenshtein_sample's doc_id % 10 == 0
+    # sample — its multibyte head proves the ASCII-fold makes DuckDB's
+    # byte-based and Spark's codepoint-based levenshtein identical
+    (40, "ᾨΔΗ ῼ ῃ İ Σ 中文字 héllo wörld δοκιμή", "fr", "src23"),
+    (41, "🧑\u200d🚀 rocket 🎉 party end emoji go", "en", "src23"),
+    # fold-collision pair: lower_folded('İstanbul…') == 'istanbul…', so
+    # these two are EXACT duplicates under the folded fingerprint — both
+    # engines must agree on the collision, not just on non-collision
+    (42, "İstanbul city guide ΣΟΦΟΣ edition", "en", "src24"),
+    (43, "istanbul city guide σοφοσ edition", "en", "src24"),
 ]
 
 

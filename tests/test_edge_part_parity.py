@@ -54,6 +54,25 @@ def part_dir(spark):
         r[i] = None
         r[0] = maxk + i + 1
         rows.append(tuple(r))
+    # case-mapping / grapheme adversaries (r11): upper() diverges on
+    # ß/ligatures/iota-subscripts (Spark full mapping expands them,
+    # DuckDB's simple mapping doesn't), lower() on İ/final-Σ, and
+    # reverse() on ZWJ emoji sequences (DuckDB keeps grapheme clusters
+    # whole, Spark reverses codepoints) — part_string_functions must
+    # stay engine-identical through its ascii_fold() pre-replacement
+    ni, nb, nt = cols.index("p_name"), cols.index("p_brand"), cols.index("p_type")
+    base = maxk + len(cols) + 10
+    for j, (name, brand, ptyp) in enumerate(
+        [
+            ("große ﬁne İSTANBUL part", "Brand#ß1", "STANDARD BRUSHED STEEL"),
+            ("ΟΔΟΣ ΣΟΦΟΣ ᾨΔΗ ῃ", "Brand#🧑‍🚀", "PROMO İΣ TIN"),
+            ("ŉ ǰ ΐ ΰ ẚ mixed", "Brand#\r\nX", "ECONOMY ﬆ COPPER"),
+        ]
+    ):
+        r = list(rows[0])
+        r[0] = base + j
+        r[ni], r[nb], r[nt] = name, brand, ptyp
+        rows.append(tuple(r))
     spark.createDataFrame(rows, part.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "part.parquet"))

@@ -1,0 +1,115 @@
+"""Tripwire for the transcendental-input micro-rounding class (ADVICE r10).
+
+BM25 contributions and unigram-LM piece costs are made order-free and
+hash-stable by micro-rounding doubles to BIGINT: ``floor(w * 1e6 + 0.5)``.
+That kills summation-order drift, but the INPUT ``w`` still comes from
+``ln(...)`` evaluated by two different libm implementations (DuckDB's vs
+the JVM's Math.log). If ``w * 1e6 + 0.5`` ever lands within ~1 ulp of an
+integer boundary on a fixture value, the two engines could floor to
+different integers and split score_micro/cost_micro.
+
+These tests measure the actual boundary distance of every such value at
+all three fixture scales and fail — with the offending value — if any
+sits closer than MIN_DIST. A double ulp at the ~1e7 magnitude of these
+products is ~2e-9 and ln's cross-libm disagreement is ≤ 1-2 ulp of the
+result, so 1e-7 gives ~50× headroom over the hazard while staying below
+the observed minimum distances (3.4e-6 at sf0.1, larger at smaller SFs).
+
+The pre-floor expressions are derived FROM the committed oracle SQL
+(string surgery on the exact fragments), not re-implemented — so a
+retune of k1/b/scale or the folded tokenization cannot silently leave
+the tripwire testing a stale formula.
+
+Residual class, documented: round(x, 6)-style readout columns (tfidf,
+bigram NLL) share the same theoretical exposure at their last decimal;
+they are derived FROM already-integer micro sums or are pure readouts
+the hasher compares after identical rounding on both sides, so the two
+floors checked here are the only order-free-sum inputs."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from e_commerce_click_stream_spark.plans.text import (
+    _BM25_CORE_SQL,
+    _BM25_SCALE,
+    _UNI_SCALE,
+    _unigram_seed_ctes,
+)
+
+MIN_DIST = 1e-7
+
+_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _connect(sf_dir):
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no fixtures at {sf_dir}")
+    con = duckdb.connect()
+    for t in _TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _bm25_prefloor_sql() -> str:
+    """De-floor the committed BM25 contrib and truncate the CTE chain
+    after cands, yielding the raw double each engine floors."""
+    core = _BM25_CORE_SQL
+    de_floored = core.replace("floor(ln(1 +", "(ln(1 +", 1)
+    assert de_floored != core, "BM25 floor( marker drifted — update this test"
+    marker = f"* {_BM25_SCALE} + 0.5)::BIGINT AS contrib"
+    assert marker in de_floored, "BM25 contrib marker drifted — update this test"
+    de_floored = de_floored.replace(marker, f"* {_BM25_SCALE} + 0.5) AS preflr")
+    cut = de_floored.find("),\nscored AS (")
+    assert cut != -1, "BM25 scored CTE marker drifted — update this test"
+    head = de_floored[: cut + 1]  # keep the ')' closing cands
+    return (
+        f"WITH {head} "
+        "SELECT min(abs(preflr - round(preflr))) AS d, count(*) AS n FROM cands"
+    )
+
+
+def _unigram_prefloor_sql() -> str:
+    seeds = _unigram_seed_ctes()
+    marker = f"floor(-ln(k.seed_freq / t.total) * {_UNI_SCALE} + 0.5)::BIGINT"
+    assert marker in seeds, "unigram cost marker drifted — update this test"
+    return (
+        f"WITH {seeds} "
+        f"SELECT min(abs(p - round(p))) AS d, count(*) AS n FROM ("
+        f"  SELECT -ln(k.seed_freq / t.total) * {_UNI_SCALE} + 0.5 AS p"
+        f"  FROM ukept k, utot t)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_bm25_contrib_prefloor_clear_of_boundaries(sf_dir):
+    con = _connect(sf_dir)
+    d, n = con.execute(_bm25_prefloor_sql()).fetchone()
+    assert n > 0, "BM25 tripwire matched zero candidate terms — vacuous"
+    assert d > MIN_DIST, (
+        f"a BM25 per-term product sits {d:.3e} from a floor() boundary on "
+        f"{sf_dir} ({n} candidates scanned) — cross-libm ln() disagreement "
+        "could split score_micro between Spark and DuckDB; widen the scale "
+        "or perturb the fixture analysis per ADVICE r10"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_unigram_cost_prefloor_clear_of_boundaries(sf_dir):
+    con = _connect(sf_dir)
+    d, n = con.execute(_unigram_prefloor_sql()).fetchone()
+    assert n > 0, "unigram tripwire matched zero vocab pieces — vacuous"
+    assert d > MIN_DIST, (
+        f"a unigram piece cost sits {d:.3e} from a floor() boundary on "
+        f"{sf_dir} ({n} pieces scanned) — cross-libm ln() disagreement "
+        "could split cost_micro between Spark and DuckDB"
+    )

@@ -82,6 +82,23 @@ def test_evergreen_names_still_registered():
     assert not dangling, f"evergreen.json names not registered: {dangling}"
 
 
+def test_all_specs_raises_on_rotation_typo(monkeypatch):
+    """ADVICE r10: all_specs() used to SKIP unknown rotation names with
+    'if n in _REGISTRY' — a typo in the ~90 hand-edited rotation entries
+    would silently forfeit its verify slot. It must raise instead."""
+    import pytest
+
+    from e_commerce_click_stream_spark.plans import registry as reg
+
+    monkeypatch.setattr(reg, "_VERIFY_FIRST", reg._VERIFY_FIRST + ("no_such_query_xyz",))
+    with pytest.raises(ValueError, match="no_such_query_xyz"):
+        reg.all_specs()
+    monkeypatch.setattr(reg, "_VERIFY_FIRST", reg._VERIFY_FIRST[:-1])
+    monkeypatch.setattr(reg, "_VERIFY_NEXT", reg._VERIFY_NEXT + (reg._VERIFY_FIRST[0],))
+    with pytest.raises(ValueError, match="BOTH rotation lists"):
+        reg.all_specs()
+
+
 def test_verify_next_names_registered_and_positioned():
     """_VERIFY_NEXT (the post-window overflow preference) gets the same
     hygiene as _VERIFY_FIRST: every name registered, no duplicates, no
