@@ -1278,6 +1278,131 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# line-level boilerplate scrub: the CCNet cleaning stage BELOW passage
+# granularity — drop every line whose normalized text recurs across
+# LINE_DF_DOCS or more distinct documents (nav bars, footers, cookie
+# banners), plus whitespace-only lines, and REWRITE the document from the
+# surviving original lines. doc_passage_dedup cleans repeated 10-token
+# spans; this cleans the line-shaped boilerplate that never aligns with
+# token-window boundaries.
+
+LINE_DF_DOCS = 2  # a line in >= this many distinct docs is boilerplate
+
+_LINE_SCRUB_NORM = (
+    "lower(translate(trim(regexp_replace(s.l, '\\s+', ' ', 'g')), 'İΣ', 'iσ'))"
+)
+
+_LINE_SCRUB_SQL = f"""
+WITH ls AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+    SELECT doc_id, s.i AS i, s.l AS line,
+           {_LINE_SCRUB_NORM} AS norm
+    FROM (SELECT doc_id,
+                 unnest([{{'i': i, 'l': ls[i + 1]}}
+                         for i in range(0, len(ls))]) AS s
+          FROM ls)
+),
+keyed AS (
+    SELECT doc_id, i, line,
+           CASE WHEN norm = '' THEN NULL ELSE md5(norm) END AS fp
+    FROM lines
+),
+freq AS (
+    SELECT fp, count(DISTINCT doc_id)::BIGINT AS ndocs
+    FROM keyed WHERE fp IS NOT NULL GROUP BY fp
+)
+SELECT k.doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN k.fp IS NULL THEN 1 ELSE 0 END)::BIGINT AS blank_lines,
+       sum(CASE WHEN f.ndocs >= {LINE_DF_DOCS} THEN 1 ELSE 0 END)::BIGINT
+           AS dropped_lines,
+       sum(CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
+                THEN 1 ELSE 0 END)::BIGINT AS kept_lines,
+       length(coalesce(string_agg(
+           CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
+                THEN k.line END, chr(10) ORDER BY k.i), ''))::BIGINT
+           AS kept_chars,
+       md5(coalesce(string_agg(
+           CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
+                THEN k.line END, chr(10) ORDER BY k.i), '')) AS cleaned_fp
+FROM keyed k LEFT JOIN freq f USING (fp)
+GROUP BY k.doc_id
+"""
+
+
+@register(
+    "doc_line_boilerplate_scrub",
+    oracle=_LINE_SCRUB_SQL,
+    tags=("text", "dedup", "rewrite", "boilerplate"),
+)
+def doc_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal with document REWRITE:
+    split each document on newlines, normalize each line
+    (whitespace-collapse + folded lowercase — the matching KEY only; the
+    rewrite keeps original line text), drop every line whose normalized
+    md5 occurs in >= LINE_DF_DOCS distinct documents plus all
+    whitespace-only lines, and reassemble the survivors in order. Emits
+    per-doc line counts (total / blank / dropped / kept) and the cleaned
+    text's length + fingerprint.
+
+    Scale shape (the doc_passage_dedup discipline at line granularity):
+    zero-shuffle line explode, df agg over uniform md5 keys with
+    COUNT(DISTINCT doc_id) (partial agg collapses a million-doc footer
+    map-side; fan-out is exactly 1 join row per line INSTANCE, so a hub
+    line never explodes into candidate pairs), one join back, one re-agg
+    by doc rebuilding the text via sort_array over (idx, line) structs —
+    three key-local shuffles at any corpus size, no doc×doc joins.
+
+    Cross-engine notes: split keeps trailing empty fields in BOTH engines
+    (probed); the normalization key uses the folded lowercase fragment
+    (textops.sql_lower_folded) so İ/Σ boilerplate matches identically;
+    NULL-text docs have no lines in either engine and drop from the
+    output, mirroring doc_passage_dedup."""
+    norm = lower_folded(F.trim(F.regexp_replace("line", r"\s+", " ")))
+    lines = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.posexplode(F.split("text", "\n", -1)).alias("i", "line"))
+        .withColumn("fp", F.when(norm != "", F.md5(norm)))
+    )
+    freq = (
+        lines.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+    )
+    keep = F.col("fp").isNotNull() & (F.col("ndocs") < LINE_DF_DOCS)
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(keep, F.struct(F.col("i"), F.col("line"))))
+    )
+    cleaned = F.concat_ws("\n", F.expr("transform(kept, s -> s.line)"))
+    return (
+        lines.join(freq, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("fp").isNull().cast("long")).alias("blank_lines"),
+            # NULL-safe: an all-blank doc has ndocs NULL on every line and
+            # Spark's sum(all-NULL) is NULL where the oracle's CASE sums 0
+            F.sum(
+                F.coalesce((F.col("ndocs") >= LINE_DF_DOCS).cast("long"), F.lit(0))
+            ).alias("dropped_lines"),
+            F.sum(keep.cast("long")).alias("kept_lines"),
+            kept_structs.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "blank_lines",
+            "dropped_lines",
+            "kept_lines",
+            F.length(cleaned).cast("long").alias("kept_chars"),
+            F.md5(cleaned).alias("cleaned_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact substring-span dedup (the Lee et al. 2022 "ExactSubstr" class):
 # find maximal runs of tokens whose every SPAN_GRAM-token window repeats
 # verbatim elsewhere in the corpus, then REWRITE documents with those runs
@@ -3983,3 +4108,138 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("fused_rank", F.row_number().over(w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# stored BM25 postings index — the retrieval family's production shape,
+# completing the build/probe split the way the MinHash band store (r7/r8)
+# and the stored IVF index (r8) were completed. bm25_topk_retrieval pays a
+# full corpus tokenize+aggregate on every run; a deployment indexes once,
+# probes per batch, and APPENDS new documents (df and the corpus scalars
+# are mergeable counts). Both queries share the one-pass oracle: the
+# stored paths must produce bit-identical top-k rows.
+
+
+def _bm25_store_location(sf_dir: str) -> tuple[str, str]:
+    from e_commerce_click_stream_spark.operators.storelock import store_location
+
+    return store_location("bm25", sf_dir)
+
+
+def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ts) with the EXACT tokenization of _bm25_scored — one
+    definition so the store build and the one-pass scorer can't drift."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.filter(tokens(), lambda t: t != "").alias("ts"))
+        .filter(F.size("ts") > 0)
+    )
+
+
+def _bm25_store_build(spark: SparkSession, sf_dir: str, index_dir: str, prefix: str) -> None:
+    from e_commerce_click_stream_spark.operators.bm25_index import build_postings_index
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
+
+    acquire_build_lock(index_dir)
+    build_postings_index(
+        spread(_bm25_docs(spark, sf_dir)), prefix, location=index_dir
+    )
+    downgrade_to_shared(index_dir)
+
+
+def _bm25_probe(spark: SparkSession, prefix: str) -> DataFrame:
+    from e_commerce_click_stream_spark.operators.bm25_index import probe_postings_index
+
+    return probe_postings_index(
+        spark, prefix,
+        n_queries=N_QUERIES, query_terms=BM25_QUERY_TERMS, top_k=BM25_TOP_K,
+        k1=BM25_K1, b=BM25_B, scale=_BM25_SCALE,
+    )
+
+
+@register("bm25_stored_probe_only", oracle=_BM25_TOPK_SQL, headline=True,
+          tags=("text", "retrieval", "bm25", "stored-index", "bench"))
+def bm25_stored_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARM-STORE BM25 retrieval: reuse the persisted postings index if
+    this session already built it (build only on a cold start) and score
+    the query-by-example set purely from the store — zero corpus
+    tokenization at probe time. This is what a production user pays per
+    retrieval batch once the index is amortized; shares
+    bm25_topk_retrieval's oracle, so the green row proves the stored
+    path's top-k is bit-identical to the one-pass scorer.
+
+    Store shapes (operators/bm25_index.py): postings + terms tables are
+    hash-bucketed AND sorted on tok, so query-term selection is a
+    bucket-local join with NO Exchange on either side; the query docs'
+    own tf rows reach the postings scan as a pushed doc_id filter; the
+    <= N_QUERIES x BM25_QUERY_TERMS selected terms broadcast into the
+    candidate scan, so the corpus-sized postings relation never
+    shuffles; corpus scalars ride a 1-row broadcast. The probe's only
+    shuffles are the tiny query-term window and the per-(query, doc)
+    score aggregation + rank."""
+    from e_commerce_click_stream_spark.operators.bm25_index import postings_table_names
+    from e_commerce_click_stream_spark.operators.storelock import acquire_read_lock
+
+    index_dir, prefix = _bm25_store_location(sf_dir)
+    post_t, _, _ = postings_table_names(prefix)
+    if not spark.catalog.tableExists(post_t):
+        _bm25_store_build(spark, sf_dir, index_dir, prefix)
+    else:
+        acquire_read_lock(index_dir)
+    return _bm25_probe(spark, prefix)
+
+
+@register("bm25_stored_append", oracle=_BM25_TOPK_SQL,
+          tags=("text", "retrieval", "bm25", "stored-index", "incremental"))
+def bm25_stored_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental postings maintenance, driver-proven: build the index
+    from the already-indexed corpus half (sources below NEW_SRC_MIN — the
+    same ingest split the dedup stores use), APPEND the incoming batch,
+    then probe. Sharing the full-corpus oracle makes the merge semantics
+    the theorem under test: postings of new doc_ids append disjointly in
+    the bucket layout, df merges as a per-tok sum, the corpus scalars add
+    — so the post-append store must be indistinguishable from a full
+    rebuild, down to every micro-rounded score.
+
+    Scale shape: the append tokenizes ONLY the batch; the df merge is one
+    key-local agg over |stored terms| + |batch terms| rows and the
+    scalar merge is 1+1 rows. Nothing corpus-sized recomputes."""
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        append_to_postings_index,
+        build_postings_index,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
+    from e_commerce_click_stream_spark.plans.dedup import NEW_SRC_MIN
+
+    index_dir, prefix = _bm25_store_location(sf_dir)
+    is_new = F.coalesce(
+        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+    )
+    docs = spread(
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            is_new.alias("is_new"),
+            F.filter(tokens(), lambda t: t != "").alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+    ).localCheckpoint(eager=True)
+
+    acquire_build_lock(index_dir)
+    build_postings_index(
+        docs.filter(~F.col("is_new")).select("doc_id", "ts"), prefix,
+        location=index_dir,
+    )
+    append_to_postings_index(
+        spark, docs.filter("is_new").select("doc_id", "ts"), prefix
+    )
+    downgrade_to_shared(index_dir)
+    return _bm25_probe(spark, prefix)

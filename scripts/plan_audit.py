@@ -562,6 +562,18 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_exchanges": 4,
     },
+    # line-boilerplate rewrite (r11): same key-local discipline at line
+    # granularity — zero-shuffle line explode (Generate), COUNT(DISTINCT
+    # doc) df agg (2 exchanges inherent to exact distinct), fan-out-1
+    # equi-join back, doc re-agg; the two extra exchanges are spread()'s
+    # local-parallelism repartition of the tiny fixture scans. No pair
+    # join, no Python, no Window
+    "doc_line_boilerplate_scrub": {
+        "contains": ["Generate", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython", "Window",
+                         "SortMergeJoin"],
+        "max_exchanges": 5,
+    },
     # explicit runtime filter: the bloom is built ONCE behind a
     # localCheckpoint and rides a 1-row BNLJ broadcast into both union
     # branches; the fact side is never exchanged before the prefilter —
@@ -934,6 +946,29 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
                          "Scan parquet"],
         "max_exchanges": 6,
+    },
+    # warm-store BM25 probe (r11): every relation comes off the bm25_*
+    # catalog tables — NOTHING in the plan may tokenize the corpus
+    # (Generate = explode is banned outright), the selected query terms
+    # broadcast into the postings scan, scalars ride a 1-row broadcast,
+    # top-k is rank pushdown. Only the query-term window + score agg +
+    # rank shuffles remain
+    "bm25_stored_probe_only": {
+        "contains": ["WindowGroupLimit", "BroadcastHashJoin",
+                     "Scan parquet spark_catalog.default.bm25_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Generate"],
+        "max_exchanges": 3,
+    },
+    # append-then-probe: same probe contract after the incremental merge
+    # (the build+append ran eagerly at store time, so the audited plan is
+    # the warm probe's)
+    "bm25_stored_append": {
+        "contains": ["WindowGroupLimit",
+                     "Scan parquet spark_catalog.default.bm25_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Generate"],
+        "max_exchanges": 3,
     },
     # hybrid-retrieval overlap: every join over the <= Q*k top-k
     # relations broadcasts onto the union-derived id grid — no full-outer

@@ -161,3 +161,57 @@ def test_join_scan_engages_bucketing(spark, bucketed_tables):
         assert "Bucketed: true" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.fixture(scope="module")
+def bm25_store(spark, tmp_path_factory):
+    """Bucketed BM25 postings store over the smoke corpus (the registered
+    bm25_stored_probe_only layout, at a test-owned location)."""
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        build_postings_index,
+        postings_table_names,
+    )
+    from e_commerce_click_stream_spark.plans.text import _bm25_docs
+
+    prefix = "t_bm25store"
+    build_postings_index(
+        _bm25_docs(spark, SF_SMOKE), prefix,
+        location=str(tmp_path_factory.mktemp("bm25_store")),
+    )
+    yield prefix
+    for t in postings_table_names(prefix):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_postings_terms_join_is_shuffle_free(spark, bm25_store):
+    """The query-term selection join (postings x terms on tok) must be
+    bucket-local: both tables share the tok bucket spec, so with
+    broadcast disabled the SMJ needs NO exchange on either side."""
+    from pyspark.sql import functions as F
+
+    post_t, terms_t, _ = __import__(
+        "e_commerce_click_stream_spark.operators.bm25_index",
+        fromlist=["postings_table_names"],
+    ).postings_table_names(bm25_store)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        qtf = spark.table(post_t).filter(F.col("doc_id") < 10)
+        terms = spark.table(terms_t).filter(F.col("df") >= 2)
+        plan = formatted_plan(qtf.join(terms, "tok"))
+        assert count_shuffles(plan) == 0, plan.split("\n\n")[0]
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bm25_probe_pushes_query_doc_filter_into_postings_scan(spark, bm25_store):
+    """The query docs' own tf rows are a doc_id predicate PUSHED into the
+    postings parquet scan — no corpus tokenize at probe time and no
+    full-scan-then-filter."""
+    from pyspark.sql import functions as F
+
+    post_t = f"{bm25_store}_postings"
+    plan = formatted_plan(spark.table(post_t).filter(F.col("doc_id") < 10))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan, plan

@@ -116,6 +116,11 @@ EDGE_TEXTS = [
     # engines must agree on the collision, not just on non-collision
     (42, "İstanbul city guide ΣΟΦΟΣ edition", "en", "src24"),
     (43, "istanbul city guide σοφοσ edition", "en", "src24"),
+    # line-boilerplate adversaries (r11): a footer line shared across two
+    # multi-line docs (dropped by doc_line_boilerplate_scrub), blank and
+    # whitespace-only interior lines, and a trailing newline
+    (44, "alpha body text\nVisit our sponsor today\n   \nalpha tail", "en", "src25"),
+    (45, "beta body text\nVisit  our  sponsor  today\n", "en", "src25"),
 ]
 
 
