@@ -124,6 +124,7 @@ def append_to_postings_index(
     new_docs: DataFrame,
     prefix: str,
     num_buckets: int = NUM_POSTING_BUCKETS,
+    location: str | None = None,
 ) -> None:
     """Fold a batch of NEW documents (disjoint doc_ids) into the store.
 
@@ -131,7 +132,13 @@ def append_to_postings_index(
     collide with stored rows). df and the corpus scalars are mergeable
     counts: merged = stored + batch, aggregated by tok resp. added
     row-wise. The merged relations are eagerly checkpointed BEFORE the
-    overwrite — they read from the very tables they replace."""
+    overwrite — they read from the very tables they replace.
+
+    ``location`` must match the build's: an overwrite-saveAsTable
+    RECREATES the table, and without the path option the replacement
+    becomes a MANAGED table whose warehouse directory outlives the
+    session catalog — the next session's append then fails with
+    LOCATION_ALREADY_EXISTS on that stale directory."""
     post_t, terms_t, scal_t = postings_table_names(prefix)
     batch_postings = corpus_postings(new_docs).localCheckpoint(eager=True)
     batch_terms, batch_scalars = _df_and_scalars(batch_postings)
@@ -159,14 +166,19 @@ def append_to_postings_index(
         .sortBy("tok")
         .saveAsTable(post_t)
     )
-    (
+    wt = (
         merged_terms.write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, "tok")
         .sortBy("tok")
-        .saveAsTable(terms_t)
     )
-    merged_scalars.write.mode("overwrite").format("parquet").saveAsTable(scal_t)
+    if location:
+        wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
+    wt.saveAsTable(terms_t)
+    ws = merged_scalars.write.mode("overwrite").format("parquet")
+    if location:
+        ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
+    ws.saveAsTable(scal_t)
 
 
 def probe_postings_index(

@@ -3714,11 +3714,17 @@ uvocab AS MATERIALIZED (
 )"""
 
 
-def _unigram_dp_ctes() -> str:
-    """WITH-body fragments for the unrolled Viterbi DP: ub0..ub{L}, then
-    ufin (each word's state at its own length)."""
+def _unigram_dp_ctes(
+    vocab: str = "uvocab", pfx: str = "ub", cand: str = "uc", fin_name: str = "ufin"
+) -> str:
+    """WITH-body fragments for the unrolled Viterbi DP: {pfx}0..{pfx}{L},
+    then {fin_name} (each word's state at its own length). Parameterized
+    (r11) so the round-2 EM oracle can unroll a SECOND DP over the
+    re-estimated vocabulary in the same WITH chain; the defaults generate
+    the round-1 text BYTE-IDENTICALLY (pinned in tests), so the composed
+    r10 train/segment oracles are unchanged."""
     ctes = [
-        f"""ub0 AS (
+        f"""{pfx}0 AS (
     SELECT word, freq, '{'0' * 13}' || ' ' AS st FROM uw
 )"""
     ]
@@ -3729,21 +3735,21 @@ def _unigram_dp_ctes() -> str:
            (substr(b.st, 1, 13)::BIGINT + v.cost_micro) AS nc,
            CASE WHEN substr(b.st, 15) = '' THEN v.piece
                 ELSE substr(b.st, 15) || ' ' || v.piece END AS seg
-    FROM ub{i - k} b JOIN uvocab v ON v.piece = substr(b.word, {i - k + 1}, {k})
+    FROM {pfx}{i - k} b JOIN {vocab} v ON v.piece = substr(b.word, {i - k + 1}, {k})
     WHERE length(b.word) >= {i}""")
-        ctes.append(f"""uc{i} AS (
+        ctes.append(f"""{cand}{i} AS (
 {(chr(10) + '    UNION ALL' + chr(10)).join(branches)}
 ),
-ub{i} AS MATERIALIZED (
+{pfx}{i} AS MATERIALIZED (
     SELECT word, max(freq) AS freq,
            min(lpad(nc::VARCHAR, 13, '0') || ' ' || seg) AS st
-    FROM uc{i} GROUP BY word
+    FROM {cand}{i} GROUP BY word
 )""")
     fin = "\nUNION ALL\n".join(
-        f"    SELECT word, freq, st FROM ub{i} WHERE length(word) = {i}"
+        f"    SELECT word, freq, st FROM {pfx}{i} WHERE length(word) = {i}"
         for i in range(1, UNI_MAX_WORD + 1)
     )
-    ctes.append(f"""ufin AS MATERIALIZED (
+    ctes.append(f"""{fin_name} AS MATERIALIZED (
 {fin}
 )""")
     return ",\n".join(ctes)
@@ -4239,7 +4245,116 @@ def bm25_stored_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         location=index_dir,
     )
     append_to_postings_index(
-        spark, docs.filter("is_new").select("doc_id", "ts"), prefix
+        spark, docs.filter("is_new").select("doc_id", "ts"), prefix,
+        location=index_dir,
     )
     downgrade_to_shared(index_dir)
     return _bm25_probe(spark, prefix)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM second EM round (r11): SentencePiece trains by ITERATED
+# prune-and-reestimate, and one round leaves the re-estimated
+# probabilities untested — round 2 closes that fidelity gap. The round-2
+# vocabulary is exactly the pieces the round-1 Viterbi USED (every word's
+# round-1 segmentation survives, so single-char coverage is inherited by
+# construction, never re-asserted); their costs re-estimate from the
+# frequency-weighted usage counts; a SECOND unrolled Viterbi under the
+# new costs yields the round-2 usage and prune verdict. Same exactness
+# discipline: integer micro-costs, string-state DP, one rounded readout.
+
+_UNIGRAM_TRAIN2_SQL = f"""
+WITH {_unigram_seed_ctes()},
+{_unigram_dp_ctes()},
+uused AS (
+    SELECT piece, sum(freq)::BIGINT AS used_count
+    FROM (SELECT freq, unnest(string_split(substr(st, 15), ' ')) AS piece
+          FROM ufin)
+    GROUP BY piece
+),
+uusedtot AS (SELECT sum(used_count)::BIGINT AS t FROM uused),
+vvocab AS MATERIALIZED (
+    SELECT u.piece, u.used_count,
+           floor(-ln(u.used_count / t.t) * {_UNI_SCALE} + 0.5)::BIGINT
+               AS cost_micro
+    FROM uused u, uusedtot t
+),
+{_unigram_dp_ctes(vocab="vvocab", pfx="vb", cand="vc", fin_name="vfin")},
+vused AS (
+    SELECT piece, sum(freq)::BIGINT AS used2
+    FROM (SELECT freq, unnest(string_split(substr(st, 15), ' ')) AS piece
+          FROM vfin)
+    GROUP BY piece
+),
+vusedtot AS (SELECT sum(used2)::BIGINT AS t FROM vused)
+SELECT v.piece,
+       length(v.piece)::BIGINT AS piece_len,
+       v.used_count AS r1_used_count,
+       v.cost_micro AS r2_cost_micro,
+       coalesce(u.used2, 0)::BIGINT AS r2_used_count,
+       round(coalesce(u.used2, 0) / t.t, 6) AS r2_prob,
+       (length(v.piece) = 1 OR coalesce(u.used2, 0) > 0) AS kept
+FROM vvocab v
+LEFT JOIN vused u ON u.piece = v.piece, vusedtot t
+"""
+
+
+def _unigram_used(fin: DataFrame) -> DataFrame:
+    """Frequency-weighted piece usage over a Viterbi output — the M-step
+    aggregation, shared by round 1, round 2, and the round-2 vocabulary
+    derivation so the usage semantics exist once."""
+    return (
+        fin.select(
+            "freq",
+            F.explode(F.split(F.substring("st", 15, 10_000), " ")).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("used_count"))
+    )
+
+
+@register("unigram_lm_train_round2", oracle=_UNIGRAM_TRAIN2_SQL,
+          tags=("text", "tokenizer", "unigram", "iterative"))
+def unigram_lm_train_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second EM round of the unigram-LM trainer: round-1 Viterbi usage
+    counts define the round-2 vocabulary (used pieces only — a strict
+    subset of round 1's kept set) and its re-estimated integer
+    micro-costs -ln(used/total); a second Viterbi under those costs
+    re-segments every training word, and the round-2 usage produces the
+    next prune verdict. Emits one row per round-2 vocab piece with both
+    rounds' counts.
+
+    Scale shape: identical to round 1 ×2 — the word table builds once
+    (checkpointed) and feeds BOTH DPs; each vocabulary (checkpointed,
+    <= singles + {UNI_VOCAB} rows) broadcasts into its DP rounds; the
+    corpus is scanned exactly once for two full EM rounds."""
+    words = _unigram_words(spark, sf_dir)
+    vocab1 = _unigram_vocab(words)
+    fin1 = _unigram_viterbi(words, vocab1)
+    usedtot = F.broadcast(_unigram_used(fin1).agg(F.sum("used_count").alias("t")))
+    cost2 = F.floor(
+        -F.log(F.col("used_count") / F.col("t")) * F.lit(_UNI_SCALE) + F.lit(0.5)
+    ).cast("long")
+    vocab2 = (
+        _unigram_used(fin1)
+        .crossJoin(usedtot)
+        .select("piece", "used_count", cost2.alias("cost_micro"))
+        .localCheckpoint(eager=True)  # joined by every round-2 DP step + output
+    )
+    fin2 = _unigram_viterbi(words, vocab2)
+    used2 = _unigram_used(fin2).withColumnRenamed("used_count", "used2")
+    used2tot = F.broadcast(used2.agg(F.sum("used2").alias("t")))
+    n2 = F.coalesce(F.col("used2"), F.lit(0)).cast("long")
+    return (
+        vocab2.join(F.broadcast(used2), "piece", "left")
+        .crossJoin(used2tot)
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            F.col("used_count").alias("r1_used_count"),
+            F.col("cost_micro").alias("r2_cost_micro"),
+            n2.alias("r2_used_count"),
+            F.round(n2 / F.col("t"), 6).alias("r2_prob"),
+            ((F.length("piece") == 1) | (n2 > 0)).alias("kept"),
+        )
+    )

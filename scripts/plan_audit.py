@@ -917,6 +917,17 @@ EXPECTATIONS: dict[str, dict] = {
                          "SortAggregate"],
         "max_exchanges": 3,
     },
+    # round-2 EM (r11): both DPs ran behind checkpoints by audit time, so
+    # the audited plan is the round-2 usage agg over the final DP states
+    # joined to the broadcast round-2 vocabulary — same discipline as
+    # round 1 (one extra exchange: the r2 usage agg feeds both the output
+    # join and its 1-row total)
+    "unigram_lm_train_round2": {
+        "contains": ["BroadcastHashJoin", "HashAggregate", "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "SortAggregate"],
+        "max_exchanges": 4,
+    },
     # unigram apply path: the per-word segmentation table joins the
     # per-occurrence token stream on the word key (SMJ is the legitimate
     # scale plan — the unique-word table is NOT broadcast-bounded at web

@@ -123,3 +123,130 @@ def test_line_scrub_semantics_hand_computed(spark):
     assert got[11]["n_lines"] == 1
     assert got[11]["blank_lines"] == 1
     assert got[11]["cleaned_fp"] == md5("")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM second EM round
+
+import math  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from e_commerce_click_stream_spark.plans.text import _UNI_SCALE, UNI_MAX_PIECE  # noqa: E402
+from tests.test_round10_ops import _ref_unigram_model  # noqa: E402
+
+
+def _ref_viterbi(word, vocab, cost):
+    """Reference forward DP under an arbitrary (vocab, cost) — the same
+    per-position (cost, seg) argmin as _ref_unigram_model's inline DP."""
+    dp = [None] * (len(word) + 1)
+    dp[0] = (0, "")
+    for i in range(1, len(word) + 1):
+        cands = []
+        for k in range(1, min(UNI_MAX_PIECE, i) + 1):
+            p = word[i - k : i]
+            if p in vocab and dp[i - k] is not None:
+                c, s = dp[i - k]
+                cands.append((c + cost[p], p if s == "" else s + " " + p))
+        dp[i] = min(cands) if cands else None
+    return dp[len(word)]
+
+
+def _ref_unigram_round2(texts):
+    """Round-2 reference: vocab2 = round-1 USED pieces, costs from usage,
+    second Viterbi, second usage. Returns
+    {piece: (r1_used, cost2, r2_used, r2_prob)}."""
+    words, _seed, _vocab, _cost, wseg = _ref_unigram_model(texts)
+    used = {}
+    for w, f in words.items():
+        for p in wseg[w][0].split(" "):
+            used[p] = used.get(p, 0) + f
+    tot = sum(used.values())
+    cost2 = {
+        p: math.floor(-math.log(f / tot) * _UNI_SCALE + 0.5)
+        for p, f in used.items()
+    }
+    used2 = {}
+    for w, f in words.items():
+        _c, seg = _ref_viterbi(w, used, cost2)
+        for p in seg.split(" "):
+            used2[p] = used2.get(p, 0) + f
+    tot2 = sum(used2.values())
+    return {
+        p: (used[p], cost2[p], used2.get(p, 0), used2.get(p, 0) / tot2)
+        for p in used
+    }
+
+
+def _check_unigram_round2(spark, texts):
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    sf = _write_docs(spark, rows)
+    expected = _ref_unigram_round2(texts)
+    got = {
+        r["piece"]: r
+        for r in SPECS["unigram_lm_train_round2"].builder(spark, sf).collect()
+    }
+    assert set(got) == set(expected)
+    for p, (r1_used, cost2, r2_used, r2_prob) in expected.items():
+        r = got[p]
+        assert r["r1_used_count"] == r1_used, p
+        assert r["r2_cost_micro"] == cost2, p
+        assert r["r2_used_count"] == r2_used, p
+        assert abs(r["r2_prob"] - r2_prob) < 1e-6, p
+        assert r["kept"] == (len(p) == 1 or r2_used > 0), p
+
+
+def test_unigram_round2_matches_reference_on_mixed_corpus(spark):
+    _check_unigram_round2(
+        spark,
+        [
+            "the cat sat on the mat",
+            "concatenation the the cat",
+            "aaaa aa a aaa",
+            "xyzzy plugh xyzzy",
+            "supercalifragilistic",
+            "中文 字 中文字",
+        ],
+    )
+
+
+def test_unigram_round2_vocab_is_subset_of_round1_kept(spark):
+    """VERDICT r9->r11: the round-2 vocabulary must be exactly a subset of
+    round 1's kept set (used pieces), and the shared r1 usage counts must
+    agree between the two registered queries."""
+    texts = [
+        "the cat sat on the mat",
+        "concatenation the the cat",
+        "banana bandana cabana",
+    ]
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    sf = _write_docs(spark, rows)
+    r1 = {r["piece"]: r for r in SPECS["unigram_lm_train"].builder(spark, sf).collect()}
+    r2 = {
+        r["piece"]: r
+        for r in SPECS["unigram_lm_train_round2"].builder(spark, sf).collect()
+    }
+    kept1 = {p for p, r in r1.items() if r["kept"]}
+    assert set(r2) <= kept1
+    assert set(r2) == {p for p, r in r1.items() if r["used_count"] > 0}
+    for p, row in r2.items():
+        assert row["r1_used_count"] == r1[p]["used_count"], p
+
+
+_uni2_corpus = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_uni2_corpus)
+def test_unigram_round2_matches_reference_on_random_corpora(spark, texts):
+    _check_unigram_round2(spark, texts)
