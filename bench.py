@@ -37,6 +37,39 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(idle+iowait, total) jiffies from the aggregate /proc/stat line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[3] + (vals[4] if len(vals) > 4 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_load(t0_ticks: tuple[int, int] | None) -> dict:
+    """Machine-readable host-pressure stamp (VERDICT r10 #6): loadavg at
+    bench end plus the CPU idle fraction OVER THE BENCH WINDOW (delta of
+    /proc/stat between sweep start and end), so a noisy-neighbor-skewed
+    run is visible in the artifact itself instead of a prose note. On a
+    quiet 32-way host a bench that keeps ~8 cores busy reads
+    idle_frac ≈ 0.75; phantom load shows as idle_frac far below what
+    loadavg's own arithmetic implies."""
+    info: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        info["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    t1_ticks = _cpu_ticks()
+    if t0_ticks and t1_ticks and t1_ticks[1] > t0_ticks[1]:
+        d_idle = t1_ticks[0] - t0_ticks[0]
+        d_total = t1_ticks[1] - t0_ticks[1]
+        info["bench_window_cpu_idle_frac"] = round(d_idle / d_total, 4)
+    info["n_cpus"] = os.cpu_count()
+    return info
+
+
 def _release_blocks(spark) -> None:
     """Drop every persistent RDD left behind by the previous query.
 
@@ -70,6 +103,7 @@ def main() -> None:
     # the artifact itself.
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    t0_ticks = _cpu_ticks()
     for name in sorted(specs):
         _release_blocks(spark)
         _execute(specs[name].builder(spark, SF_DIR))
@@ -92,6 +126,7 @@ def main() -> None:
                 "queries": timings,
                 "stat": "median_of_3",
                 "samples": samples,
+                "host": _host_load(t0_ticks),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -54,94 +54,41 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r10 window — almost entirely rotation (VERDICT r9 #1): every query
-    # still carrying a round-4 proof (two fixture regenerations old, the
-    # repo's oldest staleness risk) re-earns a fixture-current row this
-    # round. Changed-this-round queries (phash's occupancy cap, the probe
-    # replan, the watermark recurrence's lag + inclusive boundary, the two
-    # streaming epoch-floor oracles) sit between the new-ops block and the
-    # rotation block — their prior proofs no longer cover them. New r10
-    # operators are inserted ABOVE the rotation block as they land
-    # (brand-new queries outrank refreshes); the two r4 refreshes the
-    # oracle fixes displaced lead _VERIFY_NEXT, followed by the r5 set
-    # (rotating in r11).
-    # brand-new r10 operators — no prior proof at all
-    "bm25_topk_retrieval",
-    "bm25_vs_ann_overlap",
-    "unigram_lm_train",
-    "unigram_lm_segment_docs",
-    "hybrid_rrf_fusion",
-    "streaming_late_data_audit",
-    # changed this round: the late-events watermark recurrence gained the
-    # one-batch lag the real-engine audit discovered (oracle + builder)
-    "watermark_delay_calibration",
-    # changed this round — oracle + plan gained the occupancy cap
-    "multimodal_phash_neardup",
-    # changed this round — epoch-floor oracles corrected to the engine's
-    # INCLUSIVE late predicate: dedup keeps ts > epoch (not >=); session
-    # windows keep ts + gap > 0 (the late filter tests the session END)
-    "streaming_exactly_once_dedup",
-    "streaming_session_windows",
-    # changed this round — probe plans: the signed batch is checkpointed
-    # once (was 3 signature stages) and the best-verdict relation
-    # broadcasts into the final left join (was SMJ)
-    "dedup_incremental_minhash",
-    "dedup_incremental_stored",
-    "dedup_stored_probe_only",
-    # rotation: 37 of the 39 remaining r4-proof queries re-earn current
-    # rows here; the final two (user_interarrival_stats, user_value_ewma)
-    # were displaced by the boundary-oracle re-slots and LEAD
-    # _VERIFY_NEXT — they must head the r11 window
-    "streaming_sliding_windows",
-    "ann_ivf_pq_topk",
-    "embedding_neardup_lsh",
-    "tfidf_top_terms",
-    "user_retention_cohorts",
-    "ann_lsh_buckets",
-    "ann_recall_eval",
-    "brand_basket_affinity",
-    "corpus_mix_plan",
-    "corpus_vocabulary",
-    "customer_ltv_cohorts",
-    "customer_pareto_abc",
-    "daily_active_users",
-    "dedup_containment",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_hamming",
-    "doc_gram_contamination",
-    "doc_winnowing_fingerprints",
-    "dq_constraint_report",
-    "embedding_cluster_quality",
-    "embedding_lsh_recall_eval",
-    "embedding_pq_encode",
-    "embedding_sq8_error",
-    "event_type_markov",
-    "events_anomaly_zscore",
-    "events_rollup_hypertable",
-    "events_sliding_windows",
-    "funnel_conversion",
-    "hourly_gapfill_locf",
-    "key_skew_profile",
-    "multimodal_shard_pack",
-    "nation_coverage_full_outer",
-    "orders_backlog_over_time",
-    "session_cart_contents",
-    "session_metrics",
-    "sql_gateway_hourly_revenue",
-    "user_entropy_profile",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). The first TWO are r4-proof (displaced
-# from the window by the r10 boundary-oracle re-slots — the oldest
-# remaining staleness, they must lead the r11 window); the rest are the
-# r5 set, rotating in r11 behind them.
-_VERIFY_NEXT: tuple[str, ...] = (
+    # r11 window (VERDICT r10 #2): LEADS with the last two r4-proof
+    # queries (displaced from the r10 window by the boundary-oracle
+    # re-slots — the repo's oldest staleness), then the four brand-new
+    # r11 operators, then the 15 case-mapping consumers whose oracles
+    # changed in the casefold wave (changed oracles invalidate prior
+    # proofs), then 29 of the 36 remaining r5-proof queries. The three
+    # r5 queries that are ALSO casefold consumers (bpe_merge_pairs,
+    # corpus_snapshot_diff, doc_language_confusion) are covered by their
+    # re-slot; the 7 r5 overflow queries lead _VERIFY_NEXT for r12.
+    # the last two r4 proofs — refresh FIRST
     "user_interarrival_stats",
     "user_value_ewma",
+    # brand-new r11 operators — no prior proof at all
+    "doc_line_boilerplate_scrub",
+    "bm25_stored_probe_only",
+    "bm25_stored_append",
+    "unigram_lm_train_round2",
+    # casefold wave: every oracle that case-maps text gained the folded
+    # fragment (lower(translate(...)) / ascii_fold) — re-proven here
+    "unigram_lm_train",
+    "unigram_lm_segment_docs",
+    "bpe_merge_pairs",
+    "corpus_snapshot_diff",
+    "doc_language_confusion",
+    "part_string_functions",
+    "dedup_exact",
+    "dedup_exact_stats",
+    "corpus_clean_pipeline",
+    "doc_language_id",
+    "doc_fingerprints",
+    "dedup_levenshtein_sample",
+    "bpe_train_merges",
+    "bpe_segment_docs",
+    "multimodal_text_embedding_pairs",
+    # rotation: 29 of the 36 remaining r5-proof queries
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -151,17 +98,14 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "embedding_covariance",
     "dedup_semantic_cells",
     "doc_passage_dedup",
-    "bpe_merge_pairs",
     "ab_test_readout",
     "bloom_prefiltered_antijoin",
     "brand_revenue",
     "conversion_by_duration_bucket",
-    "corpus_snapshot_diff",
     "customer_purchase_streaks",
     "customer_rolling_spend_90d",
     "customer_scd2_history",
     "dashboard_metrics",
-    "doc_language_confusion",
     "doc_length_percentile_filter",
     "doc_rag_chunks",
     "embedding_dim_stats",
@@ -174,6 +118,16 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "hourly_metrics_incremental",
     "latest_hour_conversion",
     "order_value_histogram",
+)
+
+
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these benefit first; if not, they cost nothing (every one holds a
+# fixture-current ever-green row). These are the 7 r5-proof queries the
+# r11 window could not fit — they must lead the r12 window, after which
+# no proof older than r9 remains anywhere.
+_VERIFY_NEXT: tuple[str, ...] = (
     "pipeline_status_union",
     "session_event_paths",
     "session_first_event",
