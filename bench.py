@@ -42,7 +42,9 @@ def _cpu_ticks() -> tuple[int, int] | None:
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return vals[3] + (vals[4] if len(vals) > 4 else 0), sum(vals)
+        # sum only the first 8 fields: guest/guest_nice (9th/10th) are
+        # already counted inside user/nice and would deflate idle_frac
+        return vals[3] + (vals[4] if len(vals) > 4 else 0), sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 

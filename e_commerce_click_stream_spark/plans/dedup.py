@@ -1054,6 +1054,17 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEW_SRC_MIN = 16  # sources srcNN with NN >= this are the "incoming batch"
 
 
+def is_new_source():
+    """The ingest-split predicate (Column): sources srcNN with
+    NN >= NEW_SRC_MIN are the incoming batch; malformed/NULL tags are
+    old corpus. ONE definition — the dedup stores, their one-pass twin,
+    and the BM25 append path must all split identically, and the NULL
+    coalesce is load-bearing (try_cast returns NULL on junk)."""
+    return F.coalesce(
+        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
+    )
+
+
 def _incremental_minhash_sql() -> str:
     mh_cols = ",\n           ".join(
         f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(NUM_HASHES)
@@ -1155,9 +1166,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signing twice."""
     docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id",
-        F.coalesce(
-            F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
-        ).alias("is_new"),
+        is_new_source().alias("is_new"),
         tokens().alias("toks"),
     )
     sh = docs.select(
@@ -1206,9 +1215,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= |batch|-row verdict relation, same as _probe_against
     best = F.broadcast(best_match_per_probe(scored))
     new_docs = table(spark, sf_dir, "documents").filter(
-        F.coalesce(
-            F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
-        )
+        is_new_source()
     ).select("doc_id")
     return new_docs.join(
         best, new_docs["doc_id"] == best["probe_id"], "left"
@@ -1270,9 +1277,7 @@ def _band_store_build(spark, sf_dir, index_dir, prefix):
         downgrade_to_shared,
     )
 
-    is_new = F.coalesce(
-        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
-    )
+    is_new = is_new_source()
     docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", is_new.alias("is_new"), tokens().alias("toks")
     )
@@ -1333,9 +1338,7 @@ def dedup_stored_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_store_build(spark, sf_dir, index_dir, prefix)
     else:
         acquire_read_lock(index_dir)
-    is_new = F.coalesce(
-        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
-    )
+    is_new = is_new_source()
     batch = table(spark, sf_dir, "documents").filter(is_new)
     batch_sh = (
         spread(batch)

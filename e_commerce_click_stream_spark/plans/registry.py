@@ -179,18 +179,26 @@ def all_specs() -> dict[str, QuerySpec]:
     Returns specs with ``_VERIFY_FIRST`` names leading (driver verification
     window), then the remainder in registration order.
     """
+    any_module_skipped = False
     for mod in _PLAN_MODULES:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError as exc:
             if exc.name != mod:  # genuine missing dependency inside the module
                 raise
+            any_module_skipped = True
     # Rotation lists are maintained by hand (~90 literal edits per round) —
     # a typo'd name must fail LOUDLY here, not silently forfeit its verify
-    # slot (ADVICE r10).
-    unknown = (set(_VERIFY_FIRST) | set(_VERIFY_NEXT)) - set(_REGISTRY)
-    if unknown:
-        raise ValueError(f"rotation lists name unregistered queries: {sorted(unknown)}")
+    # slot (ADVICE r10). The strictness only applies when the registry is
+    # complete: a tolerated-missing plan module (the swallow above) takes
+    # its registrations with it, and flagging those names would make the
+    # tolerance unreachable.
+    if not any_module_skipped:
+        unknown = (set(_VERIFY_FIRST) | set(_VERIFY_NEXT)) - set(_REGISTRY)
+        if unknown:
+            raise ValueError(
+                f"rotation lists name unregistered queries: {sorted(unknown)}"
+            )
     overlap = set(_VERIFY_FIRST) & set(_VERIFY_NEXT)
     if overlap:
         raise ValueError(f"queries in BOTH rotation lists: {sorted(overlap)}")

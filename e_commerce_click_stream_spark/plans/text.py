@@ -4222,12 +4222,10 @@ def bm25_stored_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         acquire_build_lock,
         downgrade_to_shared,
     )
-    from e_commerce_click_stream_spark.plans.dedup import NEW_SRC_MIN
+    from e_commerce_click_stream_spark.plans.dedup import is_new_source
 
     index_dir, prefix = _bm25_store_location(sf_dir)
-    is_new = F.coalesce(
-        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
-    )
+    is_new = is_new_source()
     docs = spread(
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.trim("text") != ""))

@@ -73,14 +73,12 @@ def band_store(spark, tmp_path_factory):
     )
     from e_commerce_click_stream_spark.operators.textops import shingles, tokens
     from e_commerce_click_stream_spark.plans.dedup import (
-        NEW_SRC_MIN,
         NUM_BANDS,
         NUM_HASHES,
+        is_new_source,
     )
 
-    is_new = F.coalesce(
-        F.expr("substring(source, 4)").try_cast("int") >= NEW_SRC_MIN, F.lit(False)
-    )
+    is_new = is_new_source()
     sh = (
         table(spark, SF_SMOKE, "documents")
         .select("doc_id", is_new.alias("is_new"), tokens().alias("toks"))

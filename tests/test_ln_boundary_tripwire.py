@@ -23,8 +23,9 @@ the tripwire testing a stale formula.
 Residual class, documented: round(x, 6)-style readout columns (tfidf,
 bigram NLL) share the same theoretical exposure at their last decimal;
 they are derived FROM already-integer micro sums or are pure readouts
-the hasher compares after identical rounding on both sides, so the two
-floors checked here are the only order-free-sum inputs."""
+the hasher compares after identical rounding on both sides, so the
+three floors checked here (BM25 contrib, round-1 seed cost, round-2
+usage cost) are the only order-free-sum transcendental inputs."""
 
 from __future__ import annotations
 
@@ -37,6 +38,7 @@ from e_commerce_click_stream_spark.plans.text import (
     _BM25_CORE_SQL,
     _BM25_SCALE,
     _UNI_SCALE,
+    _UNIGRAM_TRAIN2_SQL,
     _unigram_seed_ctes,
 )
 
@@ -112,4 +114,35 @@ def test_unigram_cost_prefloor_clear_of_boundaries(sf_dir):
         f"a unigram piece cost sits {d:.3e} from a floor() boundary on "
         f"{sf_dir} ({n} pieces scanned) — cross-libm ln() disagreement "
         "could split cost_micro between Spark and DuckDB"
+    )
+
+
+def _unigram_round2_prefloor_sql() -> str:
+    """The round-2 cost floor(-ln(used/total)*1e6+0.5) is the THIRD
+    order-free-sum transcendental input (r11 review finding): its
+    operands (round-1 usage counts) require the full round-1 DP, so the
+    committed round-2 oracle is truncated right before vvocab and the
+    pre-floor products are computed over uused × uusedtot."""
+    sql = _UNIGRAM_TRAIN2_SQL
+    cut = sql.find("vvocab AS MATERIALIZED (")
+    assert cut != -1, "round-2 vvocab marker drifted — update this test"
+    head = sql[:cut].rstrip().rstrip(",")  # drop the trailing comma after uusedtot
+    return (
+        f"{head} "
+        f"SELECT min(abs(p - round(p))) AS d, count(*) AS n FROM ("
+        f"  SELECT -ln(u.used_count / t.t) * {_UNI_SCALE} + 0.5 AS p"
+        f"  FROM uused u, uusedtot t)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_unigram_round2_cost_prefloor_clear_of_boundaries(sf_dir):
+    con = _connect(sf_dir)
+    d, n = con.execute(_unigram_round2_prefloor_sql()).fetchone()
+    assert n > 0, "round-2 tripwire matched zero used pieces — vacuous"
+    assert d > MIN_DIST, (
+        f"a round-2 unigram cost sits {d:.3e} from a floor() boundary on "
+        f"{sf_dir} ({n} pieces scanned) — cross-libm ln() disagreement "
+        "could split r2_cost_micro (and the second DP's segmentations) "
+        "between Spark and DuckDB"
     )

@@ -250,3 +250,30 @@ _uni2_corpus = st.lists(
 @given(_uni2_corpus)
 def test_unigram_round2_matches_reference_on_random_corpora(spark, texts):
     _check_unigram_round2(spark, texts)
+
+
+def test_unigram_dp_cte_default_text_is_pinned():
+    """_unigram_dp_ctes was parameterized in r11 so the round-2 oracle
+    can unroll a second DP; its DEFAULT-argument output must reproduce
+    the r10 round-1 text byte-for-byte, or the composed (and
+    driver-proven) train/segment oracles silently change. The md5 was
+    captured from the r10 generator immediately before the refactor. If
+    this fails, you changed the generated round-1 SQL: that is an oracle
+    change — re-slot unigram_lm_train / unigram_lm_segment_docs /
+    unigram_lm_train_round2 in the verify window and re-pin."""
+    import hashlib
+
+    from e_commerce_click_stream_spark.plans.text import _unigram_dp_ctes
+
+    digest = hashlib.md5(_unigram_dp_ctes().encode()).hexdigest()
+    assert digest == "afb9ec6b7979b4908b9d8795a8b6fbda"
+    # and the composed oracles embed exactly that text
+    from e_commerce_click_stream_spark.plans.text import (
+        _UNIGRAM_SEGMENT_SQL,
+        _UNIGRAM_TRAIN2_SQL,
+        _UNIGRAM_TRAIN_SQL,
+    )
+
+    assert _unigram_dp_ctes() in _UNIGRAM_TRAIN_SQL
+    assert _unigram_dp_ctes() in _UNIGRAM_SEGMENT_SQL
+    assert _unigram_dp_ctes() in _UNIGRAM_TRAIN2_SQL
