@@ -37,14 +37,19 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _cpu_ticks() -> tuple[int, int] | None:
-    """(idle+iowait, total) jiffies from the aggregate /proc/stat line."""
+def _cpu_ticks() -> tuple[int, int, int] | None:
+    """(idle+iowait, steal, total) jiffies from the aggregate /proc/stat
+    line. steal (field 8) is time the hypervisor ran OTHER tenants while
+    this VM wanted the CPU — the direct noisy-neighbor signal behind
+    three rounds of uniform bench drift that loadavg could never show."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
         # sum only the first 8 fields: guest/guest_nice (9th/10th) are
         # already counted inside user/nice and would deflate idle_frac
-        return vals[3] + (vals[4] if len(vals) > 4 else 0), sum(vals[:8])
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return idle, steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 
@@ -64,10 +69,14 @@ def _host_load(t0_ticks: tuple[int, int] | None) -> dict:
     except OSError:
         pass
     t1_ticks = _cpu_ticks()
-    if t0_ticks and t1_ticks and t1_ticks[1] > t0_ticks[1]:
-        d_idle = t1_ticks[0] - t0_ticks[0]
-        d_total = t1_ticks[1] - t0_ticks[1]
-        info["bench_window_cpu_idle_frac"] = round(d_idle / d_total, 4)
+    if t0_ticks and t1_ticks and t1_ticks[2] > t0_ticks[2]:
+        d_total = t1_ticks[2] - t0_ticks[2]
+        info["bench_window_cpu_idle_frac"] = round(
+            (t1_ticks[0] - t0_ticks[0]) / d_total, 4
+        )
+        info["bench_window_cpu_steal_frac"] = round(
+            (t1_ticks[1] - t0_ticks[1]) / d_total, 4
+        )
     info["n_cpus"] = os.cpu_count()
     return info
 
