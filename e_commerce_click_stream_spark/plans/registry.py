@@ -56,13 +56,13 @@ _PLAN_MODULES = (
 _VERIFY_FIRST: tuple[str, ...] = (
     # r11 window (VERDICT r10 #2): LEADS with the last two r4-proof
     # queries (displaced from the r10 window by the boundary-oracle
-    # re-slots — the repo's oldest staleness), then the four brand-new
+    # re-slots — the repo's oldest staleness), then the five brand-new
     # r11 operators, then the 15 case-mapping consumers whose oracles
     # changed in the casefold wave (changed oracles invalidate prior
-    # proofs), then 29 of the 36 remaining r5-proof queries. The three
+    # proofs), then 28 of the 36 remaining r5-proof queries. The three
     # r5 queries that are ALSO casefold consumers (bpe_merge_pairs,
     # corpus_snapshot_diff, doc_language_confusion) are covered by their
-    # re-slot; the 7 r5 overflow queries lead _VERIFY_NEXT for r12.
+    # re-slot; the 8 r5 overflow queries lead _VERIFY_NEXT for r12.
     # the last two r4 proofs — refresh FIRST
     "user_interarrival_stats",
     "user_value_ewma",
@@ -71,6 +71,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_stored_probe_only",
     "bm25_stored_append",
     "unigram_lm_train_round2",
+    "dsir_importance_weights",
     # casefold wave: every oracle that case-maps text gained the folded
     # fragment (lower(translate(...)) / ascii_fold) — re-proven here
     "unigram_lm_train",
@@ -88,7 +89,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_segment_docs",
     "multimodal_text_embedding_pairs",
-    # rotation: 29 of the 36 remaining r5-proof queries
+    # rotation: 28 of the 36 remaining r5-proof queries
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -117,16 +118,17 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "hourly_metrics",
     "hourly_metrics_incremental",
     "latest_hour_conversion",
-    "order_value_histogram",
 )
 
 
 # Overflow preference: emitted immediately AFTER the verify window. The
 # driver checks "a bounded prefix (~50)" — if its window runs past 50,
 # these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the 7 r5-proof queries the
-# r11 window could not fit — they must lead the r12 window, after which
-# no proof older than r9 remains anywhere.
+# fixture-current ever-green row). These are the 8 r5-proof queries the
+# r11 window could not fit (order_value_histogram was displaced late by
+# the fifth new operator, dsir_importance_weights — new ops outrank
+# refreshes) — they must lead the r12 window, after which no proof older
+# than r9 remains anywhere.
 _VERIFY_NEXT: tuple[str, ...] = (
     "pipeline_status_union",
     "session_event_paths",
@@ -135,6 +137,7 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "streaming_top_users",
     "user_activity_profile",
     "user_activity_similarity",
+    "order_value_histogram",
 )
 
 

@@ -4356,3 +4356,175 @@ def unigram_lm_train_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.length("piece") == 1) | (n2 > 0)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by the
+# log-likelihood ratio of a TARGET distribution vs the RAW corpus over
+# hashed n-gram features. The published recipe hashes n-grams into a
+# fixed bucket space and fits two bag-of-buckets models; here the target
+# slice is the English subset (lang = 'en' — the "high-quality target"
+# stand-in the fixtures support) and features are hashed unigrams. The
+# importance weight integrates exactly: per-bucket log ratios are
+# micro-rounded to BIGINT once, so every document's score is an
+# order-free integer dot product tf · λ_micro — the same exactness
+# discipline as BM25 and the unigram costs (and the same ln-boundary
+# tripwire covers the new floor).
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+dtb AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(w), 1, 4))::BIGINT % {DSIR_BUCKETS} AS bucket,
+           count(*)::BIGINT AS tf
+    FROM toks WHERE w <> ''
+    GROUP BY doc_id, lang, bucket
+),
+bstats AS (
+    SELECT bucket,
+           sum(tf)::BIGINT AS raw_cnt,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)::BIGINT
+               AS tgt_cnt
+    FROM dtb GROUP BY bucket
+),
+btot AS (
+    SELECT sum(raw_cnt)::BIGINT AS r_total, sum(tgt_cnt)::BIGINT AS t_total
+    FROM bstats
+),
+lam AS (
+    SELECT b.bucket,
+           floor(ln(((b.tgt_cnt + 1) * (t.r_total + {DSIR_BUCKETS}))
+                    / ((b.raw_cnt + 1.0) * (t.t_total + {DSIR_BUCKETS})))
+                 * 1000000 + 0.5)::BIGINT AS lam_micro
+    FROM bstats b, btot t
+),
+perdoc AS (
+    SELECT d.doc_id,
+           sum(d.tf)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_feat_buckets,
+           sum(d.tf * l.lam_micro)::BIGINT AS logratio_micro
+    FROM dtb d JOIN lam l USING (bucket)
+    GROUP BY d.doc_id
+),
+ptot AS (
+    SELECT sum(n_tokens)::BIGINT AS nt_total,
+           sum(logratio_micro)::BIGINT AS lr_total
+    FROM perdoc
+)
+SELECT p.doc_id, p.n_tokens, p.n_feat_buckets, p.logratio_micro,
+       round(p.logratio_micro / (p.n_tokens * 1000000.0), 6) AS avg_logratio,
+       (p.logratio_micro * t.nt_total > p.n_tokens * t.lr_total) AS above_avg
+FROM perdoc p, ptot t
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_SQL,
+          tags=("text", "selection", "dsir", "importance"))
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed unigram features: buckets are
+    md5-prefix hashes mod {DSIR_BUCKETS} (engine-portable — probed
+    identical in Spark conv() and DuckDB '0x' cast), the per-bucket log
+    ratio compares add-one-smoothed target (lang = 'en') vs raw corpus
+    bucket frequencies, and each document scores the exact integer dot
+    product of its bucket tf vector with the micro-rounded ratios.
+    Emits per-doc token/bucket counts, the integer score, the per-token
+    average readout, and the above_avg flag — the doc's per-token log
+    ratio exceeds the corpus per-token average (add-one smoothing with a
+    minority target slice biases every ABSOLUTE score slightly negative,
+    so the relative cut is the non-vacuous keep signal; a resampler
+    keeps docs with probability proportional to exp of the score).
+
+    Scale shape: ONE corpus tokenize into a checkpointed
+    (doc, lang, bucket, tf) relation that feeds both model fitting and
+    scoring; bucket stats are a single hash agg over it (partial aggs
+    collapse hot buckets map-side); the λ table is <= {DSIR_BUCKETS}
+    rows — checkpointed and BROADCAST into the scoring join, so the
+    corpus-sized side never shuffles for it; per-doc scores are one
+    key-local agg. No pair joins, no Python, fan-out exactly 1 per
+    (doc, bucket)."""
+    toks = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS
+    )
+    dtb = (
+        toks.select("doc_id", "lang", bucket.alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds model fitting AND scoring
+    )
+    bstats = (
+        dtb.groupBy("bucket")
+        .agg(
+            F.sum("tf").alias("raw_cnt"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+            ).alias("tgt_cnt"),
+        )
+        .localCheckpoint(eager=True)  # <= DSIR_BUCKETS rows; feeds totals + lam
+    )
+    btot = bstats.agg(
+        F.sum("raw_cnt").alias("r_total"), F.sum("tgt_cnt").alias("t_total")
+    )
+    lam_micro = F.floor(
+        F.log(
+            ((F.col("tgt_cnt") + 1) * (F.col("r_total") + F.lit(DSIR_BUCKETS)))
+            / ((F.col("raw_cnt") + F.lit(1.0)) * (F.col("t_total") + F.lit(DSIR_BUCKETS)))
+        )
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    lam = bstats.crossJoin(F.broadcast(btot)).select(
+        "bucket", lam_micro.alias("lam_micro")
+    )
+    perdoc = (
+        dtb.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_feat_buckets"),
+            F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
+        )
+        .localCheckpoint(eager=True)  # feeds the corpus totals AND the output
+    )
+    ptot = perdoc.agg(
+        F.sum("n_tokens").alias("nt_total"),
+        F.sum("logratio_micro").alias("lr_total"),
+    )
+    # above_avg compares the doc's per-token ratio to the corpus per-token
+    # average by EXACT BIGINT cross-multiplication — no float compare, no
+    # summation-order hazard. Width: |logratio_micro| * nt_total stays
+    # far under 2^63 at these scales; a web-scale deployment promotes the
+    # comparison to DECIMAL(38) (Spark long*long wraps silently where
+    # DuckDB errors — the overflow behaviors DIVERGE, so the width note
+    # is load-bearing).
+    return perdoc.crossJoin(F.broadcast(ptot)).select(
+        "doc_id",
+        "n_tokens",
+        "n_feat_buckets",
+        "logratio_micro",
+        F.round(
+            F.col("logratio_micro") / (F.col("n_tokens") * F.lit(1_000_000.0)), 6
+        ).alias("avg_logratio"),
+        (
+            F.col("logratio_micro") * F.col("nt_total")
+            > F.col("n_tokens") * F.col("lr_total")
+        ).alias("above_avg"),
+    )

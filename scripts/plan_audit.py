@@ -958,6 +958,17 @@ EXPECTATIONS: dict[str, dict] = {
                          "Scan parquet"],
         "max_exchanges": 6,
     },
+    # DSIR importance weights (r11): the audited plan starts at the
+    # checkpointed per-doc score relation (tokenize + model fit ran at
+    # checkpoint time) — corpus totals attach as a 1-row broadcast
+    # (BNLJ-over-one-row, the parts_above_avg_price pattern); nothing
+    # Python, no pair joins, no Window
+    "dsir_importance_weights": {
+        "contains": ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Window", "Generate"],
+        "max_exchanges": 1,
+    },
     # warm-store BM25 probe (r11): every relation comes off the bm25_*
     # catalog tables — NOTHING in the plan may tokenize the corpus
     # (Generate = explode is banned outright), the selected query terms

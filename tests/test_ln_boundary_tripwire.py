@@ -24,8 +24,9 @@ Residual class, documented: round(x, 6)-style readout columns (tfidf,
 bigram NLL) share the same theoretical exposure at their last decimal;
 they are derived FROM already-integer micro sums or are pure readouts
 the hasher compares after identical rounding on both sides, so the
-three floors checked here (BM25 contrib, round-1 seed cost, round-2
-usage cost) are the only order-free-sum transcendental inputs."""
+four floors checked here (BM25 contrib, round-1 seed cost, round-2
+usage cost, DSIR bucket log-ratio) are the only order-free-sum
+transcendental inputs."""
 
 from __future__ import annotations
 
@@ -37,6 +38,7 @@ import pytest
 from e_commerce_click_stream_spark.plans.text import (
     _BM25_CORE_SQL,
     _BM25_SCALE,
+    _DSIR_SQL,
     _UNI_SCALE,
     _UNIGRAM_TRAIN2_SQL,
     _unigram_seed_ctes,
@@ -144,5 +146,40 @@ def test_unigram_round2_cost_prefloor_clear_of_boundaries(sf_dir):
         f"a round-2 unigram cost sits {d:.3e} from a floor() boundary on "
         f"{sf_dir} ({n} pieces scanned) — cross-libm ln() disagreement "
         "could split r2_cost_micro (and the second DP's segmentations) "
+        "between Spark and DuckDB"
+    )
+
+
+def _dsir_prefloor_sql() -> str:
+    """The DSIR bucket log-ratio floor(ln(...)*1e6+0.5) is the fourth
+    order-free-sum transcendental input (its micro-rounded λ multiplies
+    into every document's integer dot product). Truncate the committed
+    oracle before the lam CTE's floor and measure the raw products."""
+    sql = _DSIR_SQL
+    cut = sql.find("lam AS (")
+    assert cut != -1, "DSIR lam marker drifted — update this test"
+    head = sql[:cut].rstrip().rstrip(",")
+    marker = "floor(ln("
+    lam_body = sql[cut:]
+    assert marker in lam_body, "DSIR floor marker drifted — update this test"
+    inner_start = lam_body.index(marker) + len("floor(")
+    inner_end = lam_body.index("+ 0.5)::BIGINT")
+    expr = lam_body[inner_start:inner_end] + "+ 0.5"
+    return (
+        f"{head} "
+        f"SELECT min(abs(p - round(p))) AS d, count(*) AS n FROM ("
+        f"  SELECT {expr} AS p FROM bstats b, btot t)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_dsir_lambda_prefloor_clear_of_boundaries(sf_dir):
+    con = _connect(sf_dir)
+    d, n = con.execute(_dsir_prefloor_sql()).fetchone()
+    assert n > 0, "DSIR tripwire matched zero buckets — vacuous"
+    assert d > MIN_DIST, (
+        f"a DSIR bucket log-ratio sits {d:.3e} from a floor() boundary on "
+        f"{sf_dir} ({n} buckets scanned) — cross-libm ln() disagreement "
+        "could split lam_micro (and every doc score it multiplies into) "
         "between Spark and DuckDB"
     )

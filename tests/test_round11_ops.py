@@ -277,3 +277,92 @@ def test_unigram_dp_cte_default_text_is_pinned():
     assert _unigram_dp_ctes() in _UNIGRAM_TRAIN_SQL
     assert _unigram_dp_ctes() in _UNIGRAM_SEGMENT_SQL
     assert _unigram_dp_ctes() in _UNIGRAM_TRAIN2_SQL
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+
+from e_commerce_click_stream_spark.plans.text import (  # noqa: E402
+    DSIR_BUCKETS,
+    DSIR_TARGET_LANG,
+)
+
+
+def _ref_dsir(rows):
+    """Independent DSIR reference: hashed-unigram bucket models with
+    add-one smoothing, per-doc integer dot product. rows =
+    [(doc_id, text, lang)]."""
+    docs = []
+    for doc_id, text, lang in rows:
+        if text is None or not text.strip():
+            continue
+        toks = [w for w in text.strip().lower().split() if w]
+        if toks:
+            docs.append((doc_id, lang, toks))
+    bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS
+    raw, tgt = {}, {}
+    for _d, lang, toks in docs:
+        for w in toks:
+            b = bucket(w)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == DSIR_TARGET_LANG:
+                tgt[b] = tgt.get(b, 0) + 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: math.floor(
+            math.log(
+                ((tgt.get(b, 0) + 1) * (R + DSIR_BUCKETS))
+                / ((raw[b] + 1.0) * (T + DSIR_BUCKETS))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        for b in raw
+    }
+    perdoc = {}
+    for doc_id, _lang, toks in docs:
+        score = sum(lam[bucket(w)] for w in toks)
+        perdoc[doc_id] = (len(toks), len({bucket(w) for w in toks}), score)
+    nt_total = sum(v[0] for v in perdoc.values())
+    lr_total = sum(v[2] for v in perdoc.values())
+    return {
+        d: (n, nb, sc, sc * nt_total > n * lr_total)
+        for d, (n, nb, sc) in perdoc.items()
+    }
+
+
+def test_dsir_matches_reference(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the cat sat on the mat with the dog", "en"),
+        (3, "der hund sitzt auf der matte heute", "de"),
+        (4, "le chat est sur le tapis aujourd hui", "fr"),
+        (5, "the the the repeated tokens bias buckets", "en"),
+        (6, "", "en"),                       # empty -> excluded
+        (7, None, "de"),                     # NULL -> excluded
+        (8, "中文 文字 测试 中文", "zh"),        # multibyte buckets
+        (9, "one", "en"),                    # single token
+    ]
+    out = tempfile.mkdtemp(prefix="dsir_")
+    spark.createDataFrame(
+        [(i, t, l, "s", len(t) if t else 0) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    expected = _ref_dsir(rows)
+    got = {
+        r["doc_id"]: r
+        for r in SPECS["dsir_importance_weights"].builder(spark, out).collect()
+    }
+    assert set(got) == set(expected)
+    for d, (n, nb, sc, above) in expected.items():
+        r = got[d]
+        assert r["n_tokens"] == n, d
+        assert r["n_feat_buckets"] == nb, d
+        assert r["logratio_micro"] == sc, d
+        assert r["above_avg"] == above, d
+    # the target-language docs must average higher than the rest
+    en = [got[d]["avg_logratio"] for d, (_, _, _, _) in expected.items()
+          if dict((i, l) for i, _, l in rows)[d] == "en"]
+    rest = [got[d]["avg_logratio"] for d in expected
+            if dict((i, l) for i, _, l in rows)[d] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
