@@ -97,6 +97,13 @@ REPRESENTATIVE = (
     "unigram_lm_train",
     "unigram_lm_segment_docs",
     "streaming_late_data_audit",
+    # round-11 families: line-boilerplate rewrite, stored BM25
+    # probe/append, second EM round, DSIR selection
+    "doc_line_boilerplate_scrub",
+    "bm25_stored_probe_only",
+    "bm25_stored_append",
+    "unigram_lm_train_round2",
+    "dsir_importance_weights",
 )
 
 
