@@ -288,6 +288,19 @@ from e_commerce_click_stream_spark.plans.text import (  # noqa: E402
 )
 
 
+import re  # noqa: E402
+
+
+def _ref_tokens(text):
+    """The builder's EXACT tokenization, independently: İ/Σ pre-fold,
+    then lower, then a space-only trim (Spark F.trim strips 0x20 only —
+    Python .strip() would also eat NBSP and diverge), then an
+    ASCII-class \\s+ split (Java/RE2 \\s is ASCII; Python str.split
+    would also split U+00A0 and diverge)."""
+    folded = text.translate(str.maketrans("İΣ", "iσ")).lower()
+    return [w for w in re.split(r"\s+", folded.strip(" "), flags=re.ASCII) if w]
+
+
 def _ref_dsir(rows):
     """Independent DSIR reference: hashed-unigram bucket models with
     add-one smoothing, per-doc integer dot product. rows =
@@ -296,7 +309,7 @@ def _ref_dsir(rows):
     for doc_id, text, lang in rows:
         if text is None or not text.strip():
             continue
-        toks = [w for w in text.strip().lower().split() if w]
+        toks = _ref_tokens(text)
         if toks:
             docs.append((doc_id, lang, toks))
     bucket = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS
@@ -342,6 +355,15 @@ def test_dsir_matches_reference(spark):
         (7, None, "de"),                     # NULL -> excluded
         (8, "中文 文字 测试 中文", "zh"),        # multibyte buckets
         (9, "one", "en"),                    # single token
+        # folded-path adversaries: the bucket key must go through the
+        # İ/Σ pre-fold (Python 'İ'.lower() alone yields i+U+0307 — a
+        # DIFFERENT md5 bucket than the engines' translate-then-lower)
+        (10, "İstanbul ΣΟΦΟΣ kebab İzmir dolma", "en"),
+        (11, "istanbul σοφοσ kebab izmir dolma", "de"),
+        # NBSP stays INSIDE a token: Java/RE2 \s+ is ASCII-only, so
+        # 'non\u00a0breaking' is one token in both engines and in the
+        # reference's ASCII-flag split (str.split() would split it)
+        (12, "non\u00a0breaking space token here", "en"),
     ]
     out = tempfile.mkdtemp(prefix="dsir_")
     spark.createDataFrame(
