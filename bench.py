@@ -54,7 +54,7 @@ def _cpu_ticks() -> tuple[int, int, int] | None:
         return None
 
 
-def _host_load(t0_ticks: tuple[int, int] | None) -> dict:
+def _host_load(t0_ticks: tuple[int, int, int] | None) -> dict:
     """Machine-readable host-pressure stamp (VERDICT r10 #6): loadavg at
     bench end plus the CPU idle fraction OVER THE BENCH WINDOW (delta of
     /proc/stat between sweep start and end), so a noisy-neighbor-skewed

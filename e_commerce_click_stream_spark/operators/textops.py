@@ -66,7 +66,7 @@ def lower_folded(col: Column) -> Column:
 
 def sql_lower_folded(expr: str) -> str:
     """DuckDB twin of :func:`lower_folded` for oracle fragments."""
-    return f"lower(translate({expr}, 'İΣ', 'iσ'))"
+    return f"lower(translate({expr}, '{CASEFOLD_SRC}', '{CASEFOLD_DST}'))"
 
 
 def ascii_fold(col: Column) -> Column:

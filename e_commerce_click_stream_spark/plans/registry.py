@@ -209,7 +209,16 @@ def all_specs() -> dict[str, QuerySpec]:
         if len(lst) != len(set(lst)):
             dupes = sorted({n for n in lst if lst.count(n) > 1})
             raise ValueError(f"duplicate names in {label}: {dupes}")
-    ordered = {n: _REGISTRY[n] for n in _VERIFY_FIRST}
-    ordered.update((n, _REGISTRY[n]) for n in _VERIFY_NEXT)
+    if any_module_skipped:
+        # tolerated-missing plan module: its registrations are absent, so
+        # rotation names it owned must be skipped, not KeyError (the
+        # degradation path the strictness guard above deliberately spares)
+        ordered = {n: _REGISTRY[n] for n in _VERIFY_FIRST if n in _REGISTRY}
+        ordered.update(
+            (n, _REGISTRY[n]) for n in _VERIFY_NEXT if n in _REGISTRY
+        )
+    else:
+        ordered = {n: _REGISTRY[n] for n in _VERIFY_FIRST}
+        ordered.update((n, _REGISTRY[n]) for n in _VERIFY_NEXT)
     ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
     return ordered

@@ -18,6 +18,7 @@ from e_commerce_click_stream_spark.operators.textops import (
     fingerprint,
     lower_folded,
     sql_ascii_fold,
+    sql_lower_folded,
     tokens,
 )
 from e_commerce_click_stream_spark.plans.registry import register
@@ -1288,8 +1289,8 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINE_DF_DOCS = 2  # a line in >= this many distinct docs is boilerplate
 
-_LINE_SCRUB_NORM = (
-    "lower(translate(trim(regexp_replace(s.l, '\\s+', ' ', 'g')), 'İΣ', 'iσ'))"
+_LINE_SCRUB_NORM = sql_lower_folded(
+    "trim(regexp_replace(s.l, '\\s+', ' ', 'g'))"
 )
 
 _LINE_SCRUB_SQL = f"""

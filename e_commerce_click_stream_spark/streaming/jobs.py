@@ -803,10 +803,13 @@ def arrival_order_replay(spark: SparkSession, df: DataFrame, batch_col: str):
     # verify the order the source will SEE: stored mtimes (post any fs
     # truncation) must be strictly increasing in batch order
     stored = [os.stat(p).st_mtime for p in staged]
-    assert all(a < b for a, b in zip(stored, stored[1:])), (
-        "staged mtimes not strictly increasing — filesystem timestamp "
-        f"granularity broke the replay order contract: {stored[:8]}..."
-    )
+    if not all(a < b for a, b in zip(stored, stored[1:])):
+        # runtime ordering contract, not a debug check: must stay loud
+        # under python -O (ADVICE r11)
+        raise RuntimeError(
+            "staged mtimes not strictly increasing — filesystem timestamp "
+            f"granularity broke the replay order contract: {stored[:8]}..."
+        )
     schema = df.drop(batch_col).schema
     stream = (
         spark.readStream.schema(schema)

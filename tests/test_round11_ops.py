@@ -388,3 +388,27 @@ def test_dsir_matches_reference(spark):
     rest = [got[d]["avg_logratio"] for d in expected
             if dict((i, l) for i, _, l in rows)[d] != "en"]
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_bigint_headroom(spark):
+    """VERDICT r11 #7: the above_avg BIGINT cross-multiplication's width
+    argument lives in a comment (plans/text.py) — Spark long*long WRAPS
+    silently where DuckDB errors, so exactness rests on the products
+    staying inside int64. Tripwire it on the real sf0.001 fixture: both
+    cross-products must keep >= 1 bit of headroom under 2^62 (alarm at
+    half the int64 range so growth trips BEFORE wrap)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = SPECS["dsir_importance_weights"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    nt_total = sum(r["n_tokens"] for r in rows)
+    lr_total = sum(r["logratio_micro"] for r in rows)
+    worst = max(
+        max(abs(r["logratio_micro"] * nt_total), abs(r["n_tokens"] * lr_total))
+        for r in rows
+    )
+    assert worst < 2**62, (
+        f"DSIR cross-multiplication at {worst:.3e} exceeds the 2^62 alarm "
+        "(int64 wrap at 9.2e18) — promote above_avg to DECIMAL(38) per the "
+        "plans/text.py width note"
+    )
