@@ -81,6 +81,66 @@ def _host_load(t0_ticks: tuple[int, int, int] | None) -> dict:
     return info
 
 
+# --- in-sweep calibration (VERDICT r11 #2) -------------------------------
+# Three of four rounds burned forensics separating host drift (hypervisor
+# steal, noisy neighbors) from plan regressions. The stamps above DESCRIBE
+# pressure; these frozen probes CANCEL it: every sweep times a fixed
+# Spark computation (range -> hash shuffle -> agg, no fixture dependence)
+# and a fixed single-threaded DuckDB aggregate, and each headline time is
+# also emitted as a RATIO to the Spark calibrator. A uniformly slow host
+# scales probe and queries alike, so ratios stay comparable across rounds
+# where raw seconds move (pinned by tests/test_bench_calibration.py's
+# synthetic slow-host A/B). NEVER retune these constants without bumping
+# CAL_VERSION — cross-round ratio comparisons are only valid per version.
+CAL_VERSION = 1
+CAL_SPARK_ROWS = 32_000_000
+CAL_GROUP_MOD = 1_000_003
+CAL_DUCK_ROWS = 8_000_000
+
+
+def spark_probe(spark) -> float:
+    """One timed execution of the frozen Spark calibrator plan."""
+    df = (
+        spark.range(0, CAL_SPARK_ROWS, 1, 32)
+        .selectExpr(f"id % {CAL_GROUP_MOD} AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+    )
+    t0 = time.perf_counter()
+    _execute(df)
+    return time.perf_counter() - t0
+
+
+def duck_probe() -> float:
+    """One timed execution of the frozen DuckDB calibrator query — a
+    second, Spark-independent read of host CPU speed (separates
+    JVM-specific pressure such as GC/JIT from whole-host slowness)."""
+    import duckdb
+
+    con = duckdb.connect()
+    t0 = time.perf_counter()
+    con.execute(
+        f"SELECT count(*) AS c, sum(s) AS t FROM ("
+        f"SELECT range % {CAL_GROUP_MOD} AS k, sum(range::BIGINT) AS s "
+        f"FROM range({CAL_DUCK_ROWS}) GROUP BY k)"
+    ).fetchall()
+    con.close()
+    return time.perf_counter() - t0
+
+
+def _calibrate(spark, reps: int = 3) -> tuple[list[float], list[float]]:
+    """(spark_probe reps, duck_probe reps) — one untimed Spark warmup
+    precedes the timed reps, mirroring the per-query protocol."""
+    _release_blocks(spark)
+    spark_probe(spark)
+    sreps = []
+    for _ in range(reps):
+        _release_blocks(spark)
+        sreps.append(spark_probe(spark))
+    dreps = [duck_probe() for _ in range(reps)]
+    return sreps, dreps
+
+
 def _release_blocks(spark) -> None:
     """Drop every persistent RDD left behind by the previous query.
 
@@ -115,6 +175,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     t0_ticks = _cpu_ticks()
+    # calibrate at sweep START and END: the combined median is the
+    # normalizer; the start/end pair makes in-sweep weather shift visible
+    cal_spark_start, cal_duck_start = _calibrate(spark)
     for name in sorted(specs):
         _release_blocks(spark)
         _execute(specs[name].builder(spark, SF_DIR))
@@ -127,6 +190,8 @@ def main() -> None:
         timings[name] = round(statistics.median(reps), 3)
         samples[name] = [round(r, 3) for r in sorted(reps)]
 
+    cal_spark_end, cal_duck_end = _calibrate(spark)
+    cal = statistics.median(cal_spark_start + cal_spark_end)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -137,6 +202,29 @@ def main() -> None:
                 "queries": timings,
                 "stat": "median_of_3",
                 "samples": samples,
+                "calibration": {
+                    "version": CAL_VERSION,
+                    "spark_probe_sec": round(cal, 3),
+                    "spark_probe_start_sec": round(
+                        statistics.median(cal_spark_start), 3
+                    ),
+                    "spark_probe_end_sec": round(
+                        statistics.median(cal_spark_end), 3
+                    ),
+                    "duck_probe_sec": round(
+                        statistics.median(cal_duck_start + cal_duck_end), 3
+                    ),
+                    "spark_samples": [
+                        round(r, 3) for r in cal_spark_start + cal_spark_end
+                    ],
+                    "duck_samples": [
+                        round(r, 3) for r in cal_duck_start + cal_duck_end
+                    ],
+                },
+                "queries_ratio": {
+                    n: round(t / cal, 3) for n, t in timings.items()
+                },
+                "value_ratio": round(total / cal, 2),
                 "host": _host_load(t0_ticks),
                 "sf": _sf_from_dir(SF_DIR),
             }
