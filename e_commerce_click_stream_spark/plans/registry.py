@@ -54,82 +54,13 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r11 window (VERDICT r10 #2): LEADS with the last two r4-proof
-    # queries (displaced from the r10 window by the boundary-oracle
-    # re-slots — the repo's oldest staleness), then the five brand-new
-    # r11 operators, then the 15 case-mapping consumers whose oracles
-    # changed in the casefold wave (changed oracles invalidate prior
-    # proofs), then 28 of the 36 remaining r5-proof queries. The three
-    # r5 queries that are ALSO casefold consumers (bpe_merge_pairs,
-    # corpus_snapshot_diff, doc_language_confusion) are covered by their
-    # re-slot; the 8 r5 overflow queries lead _VERIFY_NEXT for r12.
-    # the last two r4 proofs — refresh FIRST
-    "user_interarrival_stats",
-    "user_value_ewma",
-    # brand-new r11 operators — no prior proof at all
-    "doc_line_boilerplate_scrub",
-    "bm25_stored_probe_only",
-    "bm25_stored_append",
-    "unigram_lm_train_round2",
-    "dsir_importance_weights",
-    # casefold wave: every oracle that case-maps text gained the folded
-    # fragment (lower(translate(...)) / ascii_fold) — re-proven here
-    "unigram_lm_train",
-    "unigram_lm_segment_docs",
-    "bpe_merge_pairs",
-    "corpus_snapshot_diff",
-    "doc_language_confusion",
-    "part_string_functions",
-    "dedup_exact",
-    "dedup_exact_stats",
-    "corpus_clean_pipeline",
-    "doc_language_id",
-    "doc_fingerprints",
-    "dedup_levenshtein_sample",
-    "bpe_train_merges",
-    "bpe_segment_docs",
-    "multimodal_text_embedding_pairs",
-    # rotation: 28 of the 36 remaining r5-proof queries
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "lineitem_decimal_money",
-    "embedding_kmeans_iter",
-    "embedding_pca_power",
-    "embedding_covariance",
-    "dedup_semantic_cells",
-    "doc_passage_dedup",
-    "ab_test_readout",
-    "bloom_prefiltered_antijoin",
-    "brand_revenue",
-    "conversion_by_duration_bucket",
-    "customer_purchase_streaks",
-    "customer_rolling_spend_90d",
-    "customer_scd2_history",
-    "dashboard_metrics",
-    "doc_length_percentile_filter",
-    "doc_rag_chunks",
-    "embedding_dim_stats",
-    "embedding_quality_gate",
-    "event_props_map_profile",
-    "event_type_distribution",
-    "events_kmv_distinct",
-    "events_weekly_seasonality",
-    "hourly_metrics",
-    "hourly_metrics_incremental",
-    "latest_hour_conversion",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the 8 r5-proof queries the
-# r11 window could not fit (order_value_histogram was displaced late by
-# the fifth new operator, dsir_importance_weights — new ops outrank
-# refreshes) — they must lead the r12 window, after which no proof older
-# than r9 remains anywhere.
-_VERIFY_NEXT: tuple[str, ...] = (
+    # r12 window (VERDICT r11 #1): LEADS with the 8 r5-proof overflow
+    # queries from the r11 rotation (the repo's oldest staleness — after
+    # this round no proof older than r9 remains anywhere), then the
+    # brand-new r12 operators, then 36 of the 43 r7-proof queries (the
+    # next-oldest band); the remaining 7 r7 queries lead _VERIFY_NEXT
+    # for r13.
+    # the 8 r5 proofs — refresh FIRST
     "pipeline_status_union",
     "session_event_paths",
     "session_first_event",
@@ -138,6 +69,62 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "user_activity_profile",
     "user_activity_similarity",
     "order_value_histogram",
+    # brand-new r12 operators — no prior proof at all
+    "quality_nb_classifier",
+    "quality_nb_confusion",
+    # rotation: 36 of the 43 r7-proof queries
+    "ann_hard_negatives",
+    "corpus_quality_drift",
+    "customer_order_gaps",
+    "customer_order_stats",
+    "customer_revenue_quartiles",
+    "customers_without_orders",
+    "dedup_simhash",
+    "doc_bigram_nll",
+    "doc_hashed_tf_vectors",
+    "embedding_coreset_kcenter",
+    "embedding_jl_projection",
+    "embedding_norms",
+    "events_asof_orders",
+    "events_countmin_heavy_hitters",
+    "events_enriched",
+    "graph_triangle_count",
+    "kmv_audience_overlap",
+    "lineitem_cube",
+    "lineitem_grouping_sets",
+    "lineitem_price_quantile_sketch",
+    "nation_set_ops",
+    "order_date_functions",
+    "order_price_dispersion",
+    "order_value_percentiles",
+    "orders_monthly_trend",
+    "orders_status_pivot",
+    "orders_with_returns",
+    "pagerank_bipartite",
+    "part_type_rollup",
+    "parts_above_avg_price",
+    "purchase_attribution_window",
+    "q12_priority_shipping",
+    "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "quality_weighted_sample",
+    "recent_events_window",
+)
+
+
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these benefit first; if not, they cost nothing (every one holds a
+# fixture-current ever-green row). These are the 7 r7-proof queries the
+# r12 window could not fit — they lead the r13 window.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "running_customer_revenue",
+    "skew_salted_event_counts",
+    "streaming_kmv_distinct",
+    "streaming_user_ewma",
+    "top_orders_per_customer",
+    "training_shard_manifest",
+    "weighted_reservoir_sample",
 )
 
 

@@ -2740,10 +2740,13 @@ def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags_df(table(spark, sf_dir, "documents"))
 
 
-def gopher_flags_df(docs: DataFrame) -> DataFrame:
+def gopher_flags_df(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     """The rule battery itself over any (doc_id, text) DataFrame — batch
     table or structured stream (stateless projection, so it composes with
-    append mode unchanged; streaming_quality_gate runs exactly this)."""
+    append mode unchanged; streaming_quality_gate runs exactly this).
+    ``keep_text=True`` threads the text column through so a downstream
+    stage (the NB classifier's tokenize) can label AND tokenize in the
+    same zero-shuffle projection instead of re-joining on doc_id."""
     docs = docs.select(
         "doc_id", "text", tokens().alias("t"),
         F.split(F.col("text"), "\n").alias("lines"),
@@ -2784,6 +2787,7 @@ def gopher_flags_df(docs: DataFrame) -> DataFrame:
     )
     m = docs.select(
         "doc_id",
+        *(["text"] if keep_text else []),
         n.cast("long").alias("n_words"),
         mean_wlen.alias("mean_wlen"),
         sym_ratio.alias("sym_ratio"),
@@ -2801,6 +2805,7 @@ def gopher_flags_df(docs: DataFrame) -> DataFrame:
     sw_ok = F.col("req_sw_hits") >= 2
     return m.select(
         "doc_id",
+        *(["text"] if keep_text else []),
         "n_words",
         F.round("mean_wlen", 4).alias("mean_word_len"),
         F.round("sym_ratio", 6).alias("symbol_word_ratio"),
@@ -4528,4 +4533,258 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("logratio_micro") * F.col("nt_total")
             > F.col("n_tokens") * F.col("lr_total")
         ).alias("above_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (VERDICT r11 #3): the CCNet/LLaMA-pipeline
+# pattern — fit a cheap linear classifier on heuristic quality labels,
+# then use its scores as the production filter. Here the label is the
+# Gopher structural gate (doc_gopher_quality_flags' conjunction) and the
+# model is binary multinomial Naive Bayes with add-one smoothing over
+# hashed unigram buckets — counting fit = hash aggregates, the same
+# discipline as dsir_importance_weights' λ table. Per-bucket log-odds
+# weights and the class prior are micro-rounded to BIGINT once, so every
+# document's log-odds is an order-free exact integer dot product and the
+# keep decision (log_odds > 0) is an integer compare on both engines.
+
+NB_BUCKETS = 4096
+
+# label CTE: the committed Gopher battery verbatim (byte-shared with
+# _GOPHER_SQL), gate coalesced to false (NULL-text docs never tokenize
+# anyway), text re-attached for the feature tokenize. The label is the
+# battery's STRUCTURAL conjunction — every rule except the required-
+# English-stopword one, which the synthetic multilingual corpus fails
+# categorically (0/500 docs at sf0.01) and would degenerate the label
+# to all-negative; the remaining six rules split the fixtures ~55/45.
+_NB_CORE_CTES = f"""gopher AS ({_GOPHER_SQL}),
+lab AS (
+    SELECT g.doc_id,
+           coalesce(g.words_in_range AND g.mean_len_ok AND g.symbol_ok
+                    AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok,
+                    false) AS label,
+           d.text
+    FROM gopher g JOIN documents d USING (doc_id)
+),
+toks AS (
+    SELECT doc_id, label,
+           unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
+    FROM lab
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+dtb AS (
+    SELECT doc_id, label,
+           ('0x' || substr(md5(w), 1, 4))::BIGINT % {NB_BUCKETS} AS bucket,
+           count(*)::BIGINT AS tf
+    FROM toks WHERE w <> ''
+    GROUP BY doc_id, label, bucket
+),
+bstats AS (
+    SELECT bucket,
+           sum(CASE WHEN label THEN tf ELSE 0 END)::BIGINT AS pos_cnt,
+           sum(CASE WHEN label THEN 0 ELSE tf END)::BIGINT AS neg_cnt
+    FROM dtb GROUP BY bucket
+),
+btot AS (
+    SELECT sum(pos_cnt)::BIGINT AS p_total, sum(neg_cnt)::BIGINT AS n_total
+    FROM bstats
+),
+nbw AS (
+    SELECT b.bucket,
+           floor(ln(((b.pos_cnt + 1) * (t.n_total + {NB_BUCKETS}))
+                    / ((b.neg_cnt + 1.0) * (t.p_total + {NB_BUCKETS})))
+                 * 1000000 + 0.5)::BIGINT AS w_micro
+    FROM bstats b, btot t
+),
+perdoc AS (
+    SELECT d.doc_id, d.label,
+           sum(d.tf)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_feat_buckets,
+           sum(d.tf * nbw.w_micro)::BIGINT AS dot_micro
+    FROM dtb d JOIN nbw USING (bucket)
+    GROUP BY d.doc_id, d.label
+),
+prior AS (
+    SELECT floor(ln((sum(CASE WHEN label THEN 1 ELSE 0 END) + 1.0)
+                    / (sum(CASE WHEN label THEN 0 ELSE 1 END) + 1))
+                 * 1000000 + 0.5)::BIGINT AS prior_micro
+    FROM perdoc
+)"""
+
+_NB_CLASSIFIER_SQL = f"""
+WITH {_NB_CORE_CTES}
+SELECT p.doc_id, p.label, p.n_tokens, p.n_feat_buckets,
+       (p.dot_micro + r.prior_micro)::BIGINT AS log_odds_micro,
+       (p.dot_micro + r.prior_micro > 0) AS pred_keep
+FROM perdoc p, prior r
+"""
+
+_NB_CONFUSION_SQL = f"""
+WITH {_NB_CORE_CTES}
+SELECT p.label, (p.dot_micro + r.prior_micro > 0) AS pred_keep,
+       count(*)::BIGINT AS n_docs,
+       sum(p.n_tokens)::BIGINT AS n_tokens
+FROM perdoc p, prior r
+GROUP BY p.label, (p.dot_micro + r.prior_micro > 0)
+"""
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fit+score chain: per-doc (label, n_tokens, n_feat_buckets,
+    dot_micro) with the 1-row micro prior attached by broadcast."""
+    flagged = gopher_flags_df(
+        spread(table(spark, sf_dir, "documents")), keep_text=True
+    ).select(
+        "doc_id",
+        F.coalesce(
+            F.col("words_in_range")
+            & F.col("mean_len_ok")
+            & F.col("symbol_ok")
+            & F.col("bullet_ok")
+            & F.col("ellipsis_ok")
+            & F.col("alpha_ok"),
+            F.lit(False),
+        ).alias("label"),
+        "text",
+    )
+    toks = (
+        flagged.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            "label",
+            F.explode(
+                F.split(F.trim(lower_folded(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % NB_BUCKETS
+    )
+    dtb = (
+        toks.select("doc_id", "label", bucket.alias("bucket"))
+        .groupBy("doc_id", "label", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds model fitting AND scoring
+    )
+    bstats = (
+        dtb.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("label"), F.col("tf")).otherwise(0)).alias(
+                "pos_cnt"
+            ),
+            F.sum(F.when(F.col("label"), 0).otherwise(F.col("tf"))).alias(
+                "neg_cnt"
+            ),
+        )
+        .localCheckpoint(eager=True)  # <= NB_BUCKETS rows; feeds totals + nbw
+    )
+    btot = bstats.agg(
+        F.sum("pos_cnt").alias("p_total"), F.sum("neg_cnt").alias("n_total")
+    )
+    w_micro = F.floor(
+        F.log(
+            ((F.col("pos_cnt") + 1) * (F.col("n_total") + F.lit(NB_BUCKETS)))
+            / (
+                (F.col("neg_cnt") + F.lit(1.0))
+                * (F.col("p_total") + F.lit(NB_BUCKETS))
+            )
+        )
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    nbw = bstats.crossJoin(F.broadcast(btot)).select(
+        "bucket", w_micro.alias("w_micro")
+    )
+    perdoc = (
+        dtb.join(F.broadcast(nbw), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_feat_buckets"),
+            F.sum(F.col("tf") * F.col("w_micro")).alias("dot_micro"),
+        )
+        .localCheckpoint(eager=True)  # feeds the prior AND the output
+    )
+    prior = perdoc.agg(
+        F.floor(
+            F.log(
+                (
+                    F.sum(F.when(F.col("label"), 1).otherwise(0)) + F.lit(1.0)
+                )
+                / (F.sum(F.when(F.col("label"), 0).otherwise(1)) + F.lit(1))
+            )
+            * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("prior_micro")
+    )
+    return perdoc.crossJoin(F.broadcast(prior))
+
+
+@register("quality_nb_classifier", oracle=_NB_CLASSIFIER_SQL,
+          tags=("text", "quality", "classifier", "nb"))
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes quality classifier trained IN the engine on the Gopher
+    structural gate: labels are the committed rule battery's conjunction
+    minus the required-English-stopword rule (gopher_flags_df, byte-
+    shared with its oracle; the stopword rule is all-false on the
+    synthetic corpus and would degenerate the label), features are
+    md5-prefix hashed unigram
+    buckets mod {NB_BUCKETS} over the folded lowercase, and the model is
+    two hash aggregates (per-bucket class counts + totals). Per-bucket
+    add-one-smoothed log-odds and the class prior are micro-rounded to
+    BIGINT once, so each document's log_odds_micro is an exact
+    order-free integer dot product plus the prior, and pred_keep is an
+    integer zero compare. Swapping the fixed-weight filter
+    (doc_quality_linear_score) for TRAINED weights keeps the scoring
+    plan shape — exactly the swap-in that op's docstring promises.
+
+    Fixture caveat (same class as doc_line_boilerplate_scrub's single-
+    line note): the synthetic corpus draws every document from ONE
+    shared 31-word pool, so no label is lexically separable there and
+    the training fit degenerates to the class prior; real lexical
+    learning (disjoint vocabularies -> 100% training fit, both
+    confusion cells populated) is pinned against a pure-Python NB
+    reference on a constructed corpus in tests/test_round12_ops.py.
+
+    Scale shape: label + tokenize happen in ONE zero-shuffle projection
+    (keep_text threads text through the flag battery — no corpus-sized
+    label join); ONE corpus tokenize into a checkpointed
+    (doc, label, bucket, tf) relation feeds both fit and score; the
+    weight table is <= {NB_BUCKETS} rows, BROADCAST into the scoring
+    join so the corpus-sized side never shuffles for it; the prior is a
+    1-row broadcast. Same width headroom as DSIR: |dot_micro| stays far
+    under 2^63 (ln ratios are O(10), micro-scaled O(10^7), times tf
+    O(10^4) per doc)."""
+    return _nb_scored(spark, sf_dir).select(
+        "doc_id",
+        "label",
+        "n_tokens",
+        "n_feat_buckets",
+        (F.col("dot_micro") + F.col("prior_micro")).alias("log_odds_micro"),
+        (F.col("dot_micro") + F.col("prior_micro") > 0).alias("pred_keep"),
+    )
+
+
+@register("quality_nb_confusion", oracle=_NB_CONFUSION_SQL,
+          tags=("text", "quality", "classifier", "nb", "eval"))
+def quality_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-graded confusion readout for quality_nb_classifier: training-
+    fit (label, pred_keep) cells with document and token mass per cell —
+    the calibration view every heuristic-label classifier swap is judged
+    by (how much of the corpus the trained filter moves relative to the
+    rule battery it imitates). <= 4 rows; same fit chain, one extra
+    4-group hash agg over the checkpointed per-doc relation."""
+    scored = _nb_scored(spark, sf_dir)
+    return (
+        scored.groupBy(
+            "label",
+            (F.col("dot_micro") + F.col("prior_micro") > 0).alias("pred_keep"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
     )

@@ -969,6 +969,25 @@ EXPECTATIONS: dict[str, dict] = {
                          "Window", "Generate"],
         "max_exchanges": 1,
     },
+    # NB quality classifier (r12): the audited plan starts at the
+    # checkpointed per-doc (label, n_tokens, dot_micro) relation — the
+    # zero-shuffle label+tokenize projection, the <= 4096-row weight
+    # broadcast, and the scoring join all ran at checkpoint time. Only
+    # the 1-row prior agg shuffles; it attaches as a 1-row broadcast
+    # (the DSIR/parts_above_avg pattern)
+    "quality_nb_classifier": {
+        "contains": ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Window", "Generate", "Scan parquet"],
+        "max_exchanges": 1,
+    },
+    # confusion readout: same chain plus ONE <=4-group partial+final agg
+    "quality_nb_confusion": {
+        "contains": ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Window", "Generate", "Scan parquet"],
+        "max_exchanges": 2,
+    },
     # warm-store BM25 probe (r11): every relation comes off the bm25_*
     # catalog tables — NOTHING in the plan may tokenize the corpus
     # (Generate = explode is banned outright), the selected query terms

@@ -24,9 +24,9 @@ Residual class, documented: round(x, 6)-style readout columns (tfidf,
 bigram NLL) share the same theoretical exposure at their last decimal;
 they are derived FROM already-integer micro sums or are pure readouts
 the hasher compares after identical rounding on both sides, so the
-four floors checked here (BM25 contrib, round-1 seed cost, round-2
-usage cost, DSIR bucket log-ratio) are the only order-free-sum
-transcendental inputs."""
+six floors checked here (BM25 contrib, round-1 seed cost, round-2
+usage cost, DSIR bucket log-ratio, NB bucket log-odds, NB class prior)
+are the only order-free-sum transcendental inputs."""
 
 from __future__ import annotations
 
@@ -37,6 +37,7 @@ import pytest
 
 from e_commerce_click_stream_spark.plans.text import (
     _BM25_CORE_SQL,
+    _NB_CLASSIFIER_SQL,
     _BM25_SCALE,
     _DSIR_SQL,
     _UNI_SCALE,
@@ -182,4 +183,72 @@ def test_dsir_lambda_prefloor_clear_of_boundaries(sf_dir):
         f"{sf_dir} ({n} buckets scanned) — cross-libm ln() disagreement "
         "could split lam_micro (and every doc score it multiplies into) "
         "between Spark and DuckDB"
+    )
+
+
+def _nb_weight_prefloor_sql() -> str:
+    """The NB per-bucket log-odds floor(ln(...)*1e6+0.5) is the fifth
+    order-free-sum transcendental input (r12): its micro weight
+    multiplies into every document's integer dot product. Truncate the
+    committed oracle before the nbw CTE and measure the raw products."""
+    sql = _NB_CLASSIFIER_SQL
+    cut = sql.find("nbw AS (")
+    assert cut != -1, "NB nbw marker drifted — update this test"
+    head = sql[:cut].rstrip().rstrip(",")
+    body = sql[cut:]
+    marker = "floor(ln("
+    assert marker in body, "NB floor marker drifted — update this test"
+    inner_start = body.index(marker) + len("floor(")
+    inner_end = body.index("+ 0.5)::BIGINT AS w_micro")
+    expr = body[inner_start:inner_end] + "+ 0.5"
+    return (
+        f"{head} "
+        f"SELECT min(abs(p - round(p))) AS d, count(*) AS n FROM ("
+        f"  SELECT {expr} AS p FROM bstats b, btot t)"
+    )
+
+
+def _nb_prior_prefloor_sql() -> str:
+    """The NB class prior is the sixth (and a 1-row) floor: it adds into
+    every log_odds_micro, so a boundary-straddling prior would shift the
+    whole corpus by one micro unit on one engine only."""
+    sql = _NB_CLASSIFIER_SQL
+    cut = sql.find("prior AS (")
+    assert cut != -1, "NB prior marker drifted — update this test"
+    head = sql[:cut].rstrip().rstrip(",")
+    body = sql[cut:]
+    marker = "floor(ln("
+    assert marker in body, "NB prior floor marker drifted — update this test"
+    inner_start = body.index(marker) + len("floor(")
+    inner_end = body.index("+ 0.5)::BIGINT AS prior_micro")
+    expr = body[inner_start:inner_end] + "+ 0.5"
+    return (
+        f"{head} "
+        f"SELECT min(abs(p - round(p))) AS d, count(*) AS n FROM ("
+        f"  SELECT {expr} AS p FROM perdoc)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_nb_weight_prefloor_clear_of_boundaries(sf_dir):
+    con = _connect(sf_dir)
+    d, n = con.execute(_nb_weight_prefloor_sql()).fetchone()
+    assert n > 0, "NB weight tripwire matched zero buckets — vacuous"
+    assert d > MIN_DIST, (
+        f"an NB bucket log-odds sits {d:.3e} from a floor() boundary on "
+        f"{sf_dir} ({n} buckets scanned) — cross-libm ln() disagreement "
+        "could split w_micro (and every doc log-odds it multiplies into) "
+        "between Spark and DuckDB"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_nb_prior_prefloor_clear_of_boundaries(sf_dir):
+    con = _connect(sf_dir)
+    d, n = con.execute(_nb_prior_prefloor_sql()).fetchone()
+    assert n == 1, "NB prior tripwire must see exactly one row"
+    assert d > MIN_DIST, (
+        f"the NB class prior sits {d:.3e} from a floor() boundary on "
+        f"{sf_dir} — cross-libm ln() disagreement could shift every "
+        "log_odds_micro by one on one engine only"
     )
