@@ -72,6 +72,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # brand-new r12 operators — no prior proof at all
     "quality_nb_classifier",
     "quality_nb_confusion",
+    "corpus_curation_run",
     # rotation: 36 of the 43 r7-proof queries
     "ann_hard_negatives",
     "corpus_quality_drift",

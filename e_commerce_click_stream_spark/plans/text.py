@@ -2667,12 +2667,17 @@ _GOPHER_REQ_SQL = ", ".join(f"'{w}'" for w in _GOPHER_REQ_WORDS)
 _BULLET_RE = r"^[ \t]*[-*•]"
 _ELLIPSIS_RE = r"(\.\.\.|…)[ \t\r]*\z"
 
-_GOPHER_SQL = f"""
+def _gopher_sql(rel: str = "documents") -> str:
+    """The committed Gopher battery, parameterized on the source relation
+    so composed pipelines (corpus_curation_run) can run it over a CTE of
+    scrubbed text; ``_gopher_sql()`` is byte-identical to the string the
+    standalone query has always shipped."""
+    return f"""
 WITH toks AS (
     SELECT doc_id, text,
            string_split_regex(trim(text), '\\s+') AS t,
            string_split(text, chr(10)) AS lines
-    FROM documents
+    FROM {rel}
 ),
 m AS (
     SELECT doc_id,
@@ -2718,6 +2723,9 @@ FROM m
 """
 
 
+_GOPHER_SQL = _gopher_sql()
+
+
 @register("doc_gopher_quality_flags", oracle=_GOPHER_SQL,
           tags=("text", "quality", "gopher"))
 def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2740,15 +2748,22 @@ def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags_df(table(spark, sf_dir, "documents"))
 
 
-def gopher_flags_df(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+def gopher_flags_df(
+    docs: DataFrame,
+    keep_text: bool = False,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """The rule battery itself over any (doc_id, text) DataFrame — batch
     table or structured stream (stateless projection, so it composes with
     append mode unchanged; streaming_quality_gate runs exactly this).
     ``keep_text=True`` threads the text column through so a downstream
     stage (the NB classifier's tokenize) can label AND tokenize in the
-    same zero-shuffle projection instead of re-joining on doc_id."""
+    same zero-shuffle projection instead of re-joining on doc_id;
+    ``keep_cols`` threads further passthrough columns the same way
+    (corpus_curation_run carries lang/source/token counts)."""
+    passthrough = (["text"] if keep_text else []) + list(keep_cols)
     docs = docs.select(
-        "doc_id", "text", tokens().alias("t"),
+        "doc_id", "text", *keep_cols, tokens().alias("t"),
         F.split(F.col("text"), "\n").alias("lines"),
     )
     n = F.size("t")
@@ -2787,7 +2802,7 @@ def gopher_flags_df(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     )
     m = docs.select(
         "doc_id",
-        *(["text"] if keep_text else []),
+        *passthrough,
         n.cast("long").alias("n_words"),
         mean_wlen.alias("mean_wlen"),
         sym_ratio.alias("sym_ratio"),
@@ -2805,7 +2820,7 @@ def gopher_flags_df(docs: DataFrame, keep_text: bool = False) -> DataFrame:
     sw_ok = F.col("req_sw_hits") >= 2
     return m.select(
         "doc_id",
-        *(["text"] if keep_text else []),
+        *passthrough,
         "n_words",
         F.round("mean_wlen", 4).alias("mean_word_len"),
         F.round("sym_ratio", 6).alias("symbol_word_ratio"),
@@ -4788,3 +4803,363 @@ def quality_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (VERDICT r11 #4): the one-line-per-stage
+# readout every real curation run is judged by. Chains the engine's
+# existing stages over a SINGLE corpus scan — line-level boilerplate
+# scrub (doc_line_boilerplate_scrub's key), exact dedup on the scrubbed
+# text (dedup_exact's fingerprint), the Gopher structural gate
+# (gopher_flags_df, stopword rule excluded as in quality_nb_classifier),
+# DSIR above-average selection re-fit on the gate survivors, and the
+# per-source greedy sequence pack (doc_pack_sequences' discipline) —
+# emitting surviving document count and token mass after every stage.
+
+_CURATION_SQL = f"""
+WITH ls AS (
+    SELECT doc_id, lang, source, string_split(text, chr(10)) AS ls
+    FROM documents WHERE text IS NOT NULL
+),
+clines AS (
+    SELECT doc_id, lang, source, s.i AS i, s.l AS line,
+           {_LINE_SCRUB_NORM} AS norm,
+           len(list_filter(string_split_regex(trim(lower(translate(s.l, 'İΣ', 'iσ'))), '\\s+'),
+                           x -> x <> ''))::BIGINT AS tok_cnt
+    FROM (SELECT doc_id, lang, source,
+                 unnest([{{'i': i, 'l': ls[i + 1]}}
+                         for i in range(0, len(ls))]) AS s
+          FROM ls)
+),
+keyed AS (
+    SELECT doc_id, lang, source, i, line, tok_cnt,
+           CASE WHEN norm = '' THEN NULL ELSE md5(norm) END AS fp
+    FROM clines
+),
+freq AS (
+    SELECT fp, count(DISTINCT doc_id)::BIGINT AS ndocs
+    FROM keyed WHERE fp IS NOT NULL GROUP BY fp
+),
+s1 AS (
+    SELECT k.doc_id, k.lang, k.source,
+           sum(k.tok_cnt)::BIGINT AS raw_tokens,
+           sum(CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
+                    THEN k.tok_cnt ELSE 0 END)::BIGINT AS clean_tokens,
+           string_agg(CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
+                           THEN k.line END, chr(10) ORDER BY k.i) AS text
+    FROM keyed k LEFT JOIN freq f USING (fp)
+    GROUP BY k.doc_id, k.lang, k.source
+),
+s1k AS (SELECT * FROM s1 WHERE text IS NOT NULL),
+s2 AS (
+    SELECT * FROM s1k
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY
+        md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))))
+),
+gph AS ({_gopher_sql("s2")}),
+s3 AS (
+    SELECT s2.* FROM s2 JOIN gph g USING (doc_id)
+    WHERE g.words_in_range AND g.mean_len_ok AND g.symbol_ok
+      AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok
+),
+toks3 AS (
+    SELECT doc_id, lang, source,
+           unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
+    FROM s3
+),
+dtb3 AS (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(w), 1, 4))::BIGINT % {DSIR_BUCKETS} AS bucket,
+           count(*)::BIGINT AS tf
+    FROM toks3 WHERE w <> ''
+    GROUP BY doc_id, lang, source, bucket
+),
+bstats3 AS (
+    SELECT bucket,
+           sum(tf)::BIGINT AS raw_cnt,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)::BIGINT
+               AS tgt_cnt
+    FROM dtb3 GROUP BY bucket
+),
+btot3 AS (
+    SELECT sum(raw_cnt)::BIGINT AS r_total, sum(tgt_cnt)::BIGINT AS t_total
+    FROM bstats3
+),
+lam3 AS (
+    SELECT b.bucket,
+           floor(ln(((b.tgt_cnt + 1) * (t.r_total + {DSIR_BUCKETS}))
+                    / ((b.raw_cnt + 1.0) * (t.t_total + {DSIR_BUCKETS})))
+                 * 1000000 + 0.5)::BIGINT AS lam_micro
+    FROM bstats3 b, btot3 t
+),
+pd3 AS (
+    SELECT d.doc_id, d.source,
+           sum(d.tf)::BIGINT AS n_tokens,
+           sum(d.tf * l.lam_micro)::BIGINT AS logratio_micro
+    FROM dtb3 d JOIN lam3 l USING (bucket)
+    GROUP BY d.doc_id, d.source
+),
+pt3 AS (
+    SELECT sum(n_tokens)::BIGINT AS nt_total, sum(logratio_micro)::BIGINT AS lr_total
+    FROM pd3
+),
+s4 AS (
+    SELECT p.doc_id, p.source, p.n_tokens
+    FROM pd3 p, pt3 t
+    WHERE p.logratio_micro * t.nt_total > p.n_tokens * t.lr_total
+),
+cum AS (
+    SELECT source, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM s4
+),
+packed AS (
+    SELECT source, doc_id, n_tokens,
+           floor((cum_tok - n_tokens) / {SEQ_TOKEN_BUDGET})::BIGINT AS seq_id
+    FROM cum
+)
+SELECT 0 AS stage_idx, 'raw' AS stage,
+       (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT coalesce(sum(raw_tokens), 0) FROM s1)::BIGINT AS n_tokens,
+       NULL::BIGINT AS n_shards
+UNION ALL
+SELECT 1, 'line_scrub', count(*)::BIGINT,
+       coalesce(sum(clean_tokens), 0)::BIGINT, NULL::BIGINT FROM s1k
+UNION ALL
+SELECT 2, 'exact_dedup', count(*)::BIGINT,
+       coalesce(sum(clean_tokens), 0)::BIGINT, NULL::BIGINT FROM s2
+UNION ALL
+SELECT 3, 'quality_gate', count(*)::BIGINT,
+       coalesce(sum(clean_tokens), 0)::BIGINT, NULL::BIGINT FROM s3
+UNION ALL
+SELECT 4, 'dsir_select', count(*)::BIGINT,
+       coalesce(sum(n_tokens), 0)::BIGINT, NULL::BIGINT FROM s4
+UNION ALL
+SELECT 5, 'pack', count(*)::BIGINT, coalesce(sum(n_tokens), 0)::BIGINT,
+       (SELECT count(*) FROM (SELECT DISTINCT source, seq_id FROM packed) q)::BIGINT
+FROM packed
+"""
+
+
+@register("corpus_curation_run", oracle=_CURATION_SQL, headline=True,
+          tags=("text", "pipeline", "curation", "readout"))
+def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline readout: per-stage surviving document
+    count and token mass through raw -> line scrub -> exact dedup ->
+    structural quality gate -> DSIR above-average selection -> per-source
+    sequence pack (with the packed-sequence count). Every stage applies
+    the engine's committed primitive to the PREVIOUS stage's survivors:
+    the scrub rewrites text from kept lines (doc_line_boilerplate_scrub's
+    normalization key), dedup fingerprints the SCRUBBED text
+    (dedup_exact's normalized md5), the gate is the Gopher structural
+    battery over scrubbed text (gopher_flags_df; stopword rule excluded
+    per quality_nb_classifier's fixture note), DSIR re-fits its bucket
+    models on the gate survivors (lam formula byte-shared with
+    dsir_importance_weights), and packing follows doc_pack_sequences'
+    per-source greedy discipline at SEQ_TOKEN_BUDGET.
+
+    Token accounting: raw token mass is summed from the scrub's own
+    per-line counts (folded-lower \\s+ tokens), so stage 0 costs no
+    second corpus scan — the only extra touch of the raw table is a
+    metadata-only count(*). Stages hand off through eager checkpoints
+    (scrubbed docs, bucket tf, bucket stats, per-doc scores), so no
+    stage recomputes a relation another stage already materialized; at
+    cluster scale each checkpoint is a persisted intermediate table.
+
+    Scale shape: scrub = 3 key-local shuffles (line df agg, join back,
+    doc re-agg); dedup = ONE window shuffle on the uniform md5 key (no
+    self-join); gate = zero-shuffle projection; DSIR = one tokenize agg
+    + broadcast lambda + broadcast 1-row totals; pack = per-source
+    windows (parallel, no global ordering). Nothing doc x doc, nothing
+    Python, nothing collected."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    norm = lower_folded(F.trim(F.regexp_replace("line", r"\s+", " ")))
+    tok_cnt = F.size(
+        F.filter(
+            F.split(F.trim(lower_folded(F.col("line"))), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    lines = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", "source",
+            F.posexplode(F.split("text", "\n", -1)).alias("i", "line"),
+        )
+        .withColumn("tok_cnt", tok_cnt)
+        .withColumn("fp", F.when(norm != "", F.md5(norm)))
+    )
+    freq = (
+        lines.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+    )
+    keep = F.col("fp").isNotNull() & (F.col("ndocs") < LINE_DF_DOCS)
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(keep, F.struct(F.col("i"), F.col("line"))))
+    )
+    s1 = (
+        lines.join(freq, "fp", "left")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("tok_cnt").alias("raw_tokens"),
+            F.sum(F.when(keep, F.col("tok_cnt")).otherwise(0)).alias(
+                "clean_tokens"
+            ),
+            F.sum(keep.cast("long")).alias("kept_lines"),
+            kept_structs.alias("kept"),
+        )
+        .select(
+            "doc_id", "lang", "source", "raw_tokens", "clean_tokens",
+            F.when(
+                F.col("kept_lines") > 0,
+                F.concat_ws("\n", F.expr("transform(kept, s -> s.line)")),
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)  # feeds stage-0/1 readouts AND dedup
+    )
+    s1k = s1.filter(F.col("text").isNotNull())
+    fpw = Window.partitionBy(fingerprint())
+    s2 = (
+        s1k.withColumn("min_doc", F.min("doc_id").over(fpw))
+        .filter(F.col("doc_id") == F.col("min_doc"))
+        .drop("min_doc")
+        .localCheckpoint(eager=True)  # feeds stage-2 readout AND the gate
+    )
+    s3 = (
+        gopher_flags_df(
+            s2, keep_text=True, keep_cols=("lang", "source", "clean_tokens")
+        )
+        .filter(
+            F.col("words_in_range")
+            & F.col("mean_len_ok")
+            & F.col("symbol_ok")
+            & F.col("bullet_ok")
+            & F.col("ellipsis_ok")
+            & F.col("alpha_ok")
+        )
+        .select("doc_id", "lang", "source", "clean_tokens", "text")
+        .localCheckpoint(eager=True)  # feeds stage-3 readout AND DSIR
+    )
+    toks3 = (
+        s3.select(
+            "doc_id", "lang", "source",
+            F.explode(
+                F.split(F.trim(lower_folded(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS
+    )
+    dtb3 = (
+        toks3.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds model fitting AND scoring
+    )
+    bstats3 = (
+        dtb3.groupBy("bucket")
+        .agg(
+            F.sum("tf").alias("raw_cnt"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+            ).alias("tgt_cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    btot3 = bstats3.agg(
+        F.sum("raw_cnt").alias("r_total"), F.sum("tgt_cnt").alias("t_total")
+    )
+    lam_micro = F.floor(
+        F.log(
+            ((F.col("tgt_cnt") + 1) * (F.col("r_total") + F.lit(DSIR_BUCKETS)))
+            / ((F.col("raw_cnt") + F.lit(1.0)) * (F.col("t_total") + F.lit(DSIR_BUCKETS)))
+        )
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    lam3 = bstats3.crossJoin(F.broadcast(btot3)).select(
+        "bucket", lam_micro.alias("lam_micro")
+    )
+    pd3 = (
+        dtb3.join(F.broadcast(lam3), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
+        )
+        .localCheckpoint(eager=True)  # feeds corpus totals AND selection
+    )
+    pt3 = pd3.agg(
+        F.sum("n_tokens").alias("nt_total"),
+        F.sum("logratio_micro").alias("lr_total"),
+    )
+    s4 = (
+        pd3.crossJoin(F.broadcast(pt3))
+        .filter(
+            F.col("logratio_micro") * F.col("nt_total")
+            > F.col("n_tokens") * F.col("lr_total")
+        )
+        .select("doc_id", "source", "n_tokens")
+        .localCheckpoint(eager=True)  # feeds stage-4 readout AND packing
+    )
+    packw = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = s4.withColumn("cum_tok", F.sum("n_tokens").over(packw)).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum_tok") - F.col("n_tokens")) / SEQ_TOKEN_BUDGET).alias(
+            "seq_id"
+        ),
+    )
+
+    null_shards = F.lit(None).cast("long")
+
+    def row(idx: int, name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+            F.col("n_tokens"),
+            F.col("n_shards"),
+        )
+
+    def counts(df: DataFrame, tok_col: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).alias("n_tokens"),
+            null_shards.alias("n_shards"),
+        )
+
+    r0 = row(
+        0, "raw",
+        docs.agg(F.count("*").alias("n_docs")).crossJoin(
+            s1.agg(
+                F.coalesce(F.sum("raw_tokens"), F.lit(0)).alias("n_tokens"),
+                null_shards.alias("n_shards"),
+            )
+        ),
+    )
+    r1 = row(1, "line_scrub", counts(s1k, "clean_tokens"))
+    r2 = row(2, "exact_dedup", counts(s2, "clean_tokens"))
+    r3 = row(3, "quality_gate", counts(s3, "clean_tokens"))
+    r4 = row(4, "dsir_select", counts(s4, "n_tokens"))
+    r5 = row(
+        5, "pack",
+        packed.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        ).crossJoin(
+            packed.select("source", "seq_id")
+            .distinct()
+            .agg(F.count("*").alias("n_shards"))
+        ),
+    )
+    return r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)

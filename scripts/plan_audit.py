@@ -981,6 +981,21 @@ EXPECTATIONS: dict[str, dict] = {
                          "Window", "Generate", "Scan parquet"],
         "max_exchanges": 1,
     },
+    # composed curation readout (r12): the six stage branches each
+    # aggregate a CHECKPOINTED relation (scrubbed docs, deduped docs,
+    # gate survivors, per-doc DSIR scores) — the scrub/dedup/gate/DSIR
+    # work ran once at checkpoint time, so the audited plan is six tiny
+    # partial+final readout aggs, the per-source pack window, and ONE
+    # metadata-only parquet count for the raw row. No pair joins, no
+    # Python, no Generate (tokenizes ran pre-checkpoint), no SMJ (the
+    # totals attach by broadcast)
+    "corpus_curation_run": {
+        "contains": ["Union", "Scan ExistingRDD", "BroadcastNestedLoopJoin",
+                     "Window"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Generate"],
+        "max_exchanges": 10,
+    },
     # confusion readout: same chain plus ONE <=4-group partial+final agg
     "quality_nb_confusion": {
         "contains": ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],

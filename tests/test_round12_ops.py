@@ -170,3 +170,156 @@ def test_quality_nb_confusion_matches_reference(spark):
     assert got == {k: tuple(v) for k, v in expected.items()}
     # perfect training fit -> exactly the two diagonal cells
     assert set(got) == {(True, True), (False, False)}
+
+
+# ---------------------------------------------------------------------------
+# corpus_curation_run: every stage is a pass-through or an obvious cut on
+# the real fixtures (unique single-line docs -> scrub and dedup drop
+# nothing at sf0.01), so the full cascade is pinned here on a corpus
+# where EVERY stage cuts: shared boilerplate lines (scrub), post-scrub
+# exact duplicates (dedup), short docs (gate), and an en/non-en lexical
+# split (DSIR), with per-source packing.
+
+from e_commerce_click_stream_spark.plans.text import SEQ_TOKEN_BUDGET  # noqa: E402
+from tests.test_round11_ops import _ref_dsir  # noqa: E402
+
+
+def _norm_line(line):
+    collapsed = re.sub(r"\s+", " ", line, flags=re.ASCII).strip(" ")
+    return collapsed.translate(str.maketrans("İΣ", "iσ")).lower()
+
+
+def _ref_scrub(rows):
+    """Line-level boilerplate scrub reference: drop blank-normalized
+    lines and lines whose normalized md5 occurs in >= 2 distinct docs;
+    rebuild text from surviving original lines. rows =
+    [(doc_id, text, lang, source)] -> [(doc_id, scrubbed, lang, source,
+    raw_tokens, clean_tokens)] for docs with text."""
+    df = {}
+    for doc_id, text, _lang, _src in rows:
+        if text is None:
+            continue
+        for n in {_norm_line(l) for l in text.split("\n")}:
+            if n:
+                df[n] = df.get(n, 0) + 1
+    out = []
+    for doc_id, text, lang, src in rows:
+        if text is None:
+            continue
+        kept, raw_t, clean_t = [], 0, 0
+        for l in text.split("\n"):
+            n = _norm_line(l)
+            t = len(_ref_tokens(l))
+            raw_t += t
+            if n and df[n] < 2:
+                kept.append(l)
+                clean_t += t
+        out.append(
+            (doc_id, "\n".join(kept) if kept else None, lang, src, raw_t, clean_t)
+        )
+    return out
+
+
+def _ref_label_multiline(text):
+    """_ref_label generalized to newline-separated docs (still no
+    '#'/'...'/'…'/bullets, so those rules reduce to ratios of 0)."""
+    words = [w for w in re.split(r"\s+", text.strip(" "), flags=re.ASCII) if w]
+    if not words:
+        return False
+    n = len(words)
+    mean_wlen = sum(len(w) for w in words) / n
+    alpha = sum(1 for w in words if re.search("[a-zA-Z]", w)) / n
+    assert "#" not in text and "..." not in text and "…" not in text
+    for l in text.split("\n"):
+        assert not l.lstrip(" \t").startswith(("-", "*", "•"))
+        assert not l.rstrip(" \t\r").endswith((".", "…"))
+    return 50 <= n <= 100000 and 3.0 <= mean_wlen <= 10.0 and alpha >= 0.8
+
+
+def _curation_corpus():
+    boiler = "subscribe to our newsletter today"
+    good = lambda seed, k: " ".join(
+        _GOOD_VOCAB[(seed + j) % len(_GOOD_VOCAB)] for j in range(k)
+    )
+    junk = lambda seed, k: " ".join(
+        _BAD_VOCAB[(seed + j) % len(_BAD_VOCAB)] for j in range(k)
+    )
+    g2 = good(2, 60).split(" ")
+    rows = [
+        # three docs sharing the boilerplate line -> scrub drops it (df=3)
+        (1, boiler + "\n" + good(0, 60), "en", "sA"),
+        (2, boiler + "\n" + good(1, 60), "en", "sA"),
+        # 3 and 4: NOT line-duplicates (3 splits the words over two
+        # lines, so no line recurs and the scrub keeps both), but their
+        # whitespace-collapsed fingerprints are EQUAL -> exact dedup
+        # keeps only doc 3
+        (3, boiler + "\n" + " ".join(g2[:30]) + "\n" + " ".join(g2[30:]),
+         "en", "sB"),
+        (4, " ".join(g2), "en", "sB"),
+        # gate failures: too short after a clean scrub
+        (5, junk(0, 12), "de", "sA"),
+        (6, junk(1, 12), "de", "sB"),
+        # long non-en docs: pass the gate, lose the DSIR en-target cut
+        (7, junk(0, 60), "de", "sA"),
+        (8, junk(1, 60), "de", "sB"),
+        # all-boilerplate doc: empty after scrub -> dropped at stage 1
+        (9, boiler, "en", "sA"),
+        (10, None, "en", "sA"),  # NULL text: only stage 0 counts it
+        (11, "   ", "en", "sB"),  # whitespace-only: no kept lines
+    ]
+    return rows
+
+
+def test_corpus_curation_run_matches_reference(spark):
+    rows = _curation_corpus()
+    out = tempfile.mkdtemp(prefix="cur_")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t) if t else 0) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    # reference cascade
+    scrubbed = _ref_scrub(rows)
+    s1 = [r for r in scrubbed if r[1] is not None]
+    raw_tokens = sum(r[4] for r in scrubbed)
+    by_fp = {}
+    for doc_id, text, lang, src, _rt, ct in s1:
+        fp = hashlib.md5(
+            re.sub(r"\s+", " ", text.strip(" "), flags=re.ASCII)
+            .translate(str.maketrans("İΣ", "iσ"))
+            .lower()
+            .encode()
+        ).hexdigest()
+        by_fp.setdefault(fp, []).append((doc_id, text, lang, src, ct))
+    s2 = sorted(v2 for v in by_fp.values() for v2 in [min(v)])
+    s3 = [r for r in s2 if _ref_label_multiline(r[1])]
+    dsir = _ref_dsir([(d, t, l) for d, t, l, _s, _c in s3])
+    s4 = [
+        (d, src, dsir[d][0])
+        for d, _t, _l, src, _c in s3
+        if dsir[d][3]
+    ]
+    shards = set()
+    cum = {}
+    for d, src, n in sorted(s4):
+        before = cum.get(src, 0)
+        shards.add((src, before // SEQ_TOKEN_BUDGET))
+        cum[src] = before + n
+    expected = {
+        0: ("raw", len(rows), raw_tokens, None),
+        1: ("line_scrub", len(s1), sum(r[5] for r in s1), None),
+        2: ("exact_dedup", len(s2), sum(r[4] for r in s2), None),
+        3: ("quality_gate", len(s3), sum(r[4] for r in s3), None),
+        4: ("dsir_select", len(s4), sum(n for _d, _s, n in s4), None),
+        5: ("pack", len(s4), sum(n for _d, _s, n in s4), len(shards)),
+    }
+    got = {
+        r["stage_idx"]: (r["stage"], r["n_docs"], r["n_tokens"], r["n_shards"])
+        for r in SPECS["corpus_curation_run"].builder(spark, out).collect()
+    }
+    assert got == expected
+    # the corpus was built so every stage CUTS (non-vacuous cascade):
+    # 11 raw -> 8 scrubbed -> 7 deduped -> 5 gated -> a strict DSIR cut
+    assert expected[0][1] > expected[1][1] > expected[2][1] > expected[3][1]
+    assert expected[3][1] > expected[4][1] > 0
