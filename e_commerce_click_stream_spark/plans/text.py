@@ -5163,3 +5163,129 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)
+
+
+# ---------------------------------------------------------------------------
+# Source-mixing temperature sweep (VERDICT r11 #5): the knob every
+# pretraining mix actually tunes. UniMax / alpha-power sampling scales
+# each source's share to n_s^alpha / sum(n^alpha) — alpha 1.0 is
+# natural-proportion sampling, smaller alphas flatten the mix toward
+# uniform (upweighting small sources). Swept over MIX_ALPHAS with the
+# same repeat-ceiling interaction as corpus_token_budget_plan: a small
+# source upweighted past MAX_REPEAT_EPOCHS epochs surfaces the unmet
+# remainder instead of silently over-repeating.
+#
+# Exactness: pow(n, alpha) is the engine's seventh transcendental input
+# — it is micro-rounded ONCE to a BIGINT weight (same discipline as the
+# ln() floors, same tripwire coverage), and every derived quantity is
+# exact integer math on the weights: shares as ppm by BIGINT division,
+# targets as (weight * budget) DIV total-weight. No float product ever
+# crosses an epoch or share boundary. Widths: weight_micro <= n*1e6 and
+# weight_micro * budget stays under 2^63 through sf0.1 by ~10^3; a
+# web-scale deployment promotes the products to DECIMAL(38).
+
+MIX_ALPHAS = (0.3, 0.5, 0.7, 1.0)
+
+_MIX_TEMP_SQL = f"""
+WITH per_src AS (
+    SELECT source,
+           coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0)::BIGINT
+               AS tokens_available
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT sum(tokens_available)::BIGINT AS total_tokens FROM per_src
+),
+wts AS (
+    SELECT p.source, p.tokens_available, a.alpha,
+           floor(pow(p.tokens_available, a.alpha) * 1000000 + 0.5)::BIGINT
+               AS weight_micro
+    FROM per_src p
+    CROSS JOIN (SELECT unnest([0.3, 0.5, 0.7, 1.0]::DOUBLE[]) AS alpha) a
+),
+wtot AS (
+    SELECT alpha, sum(weight_micro)::BIGINT AS w_total FROM wts GROUP BY alpha
+)
+SELECT w.alpha, w.source, w.tokens_available, w.weight_micro,
+       (w.weight_micro * 1000000) // t.w_total AS share_ppm,
+       (w.weight_micro * ({BUDGET_TOKEN_MULT} * tt.total_tokens)) // t.w_total
+           AS target_tokens,
+       least(w.tokens_available * {MAX_REPEAT_EPOCHS},
+             (w.weight_micro * ({BUDGET_TOKEN_MULT} * tt.total_tokens)) // t.w_total)
+           AS planned_tokens,
+       greatest(0, (w.weight_micro * ({BUDGET_TOKEN_MULT} * tt.total_tokens)) // t.w_total
+                   - w.tokens_available * {MAX_REPEAT_EPOCHS}) AS unmet_tokens,
+       (w.tokens_available * {MAX_REPEAT_EPOCHS}
+        >= (w.weight_micro * ({BUDGET_TOKEN_MULT} * tt.total_tokens)) // t.w_total)
+           AS fully_satisfiable
+FROM wts w JOIN wtot t USING (alpha), tot tt
+"""
+
+
+@register("corpus_mix_temperature_sweep", oracle=_MIX_TEMP_SQL,
+          tags=("sampling", "governance", "mixing", "unimax"))
+def corpus_mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-power (temperature) source-mixing sweep: for each alpha in
+    MIX_ALPHAS, each source's sampling weight is pow(tokens, alpha)
+    micro-rounded once to BIGINT; its share (ppm), token target under a
+    BUDGET_TOKEN_MULT x corpus budget, repeat-capped planned tokens, and
+    unmet remainder all derive from the integer weights by exact BIGINT
+    division (DIV // on both engines) — the integer boundary math
+    reassembles totals exactly, like corpus_token_budget_plan, and
+    alpha = 1.0 reproduces natural-proportion sampling while alpha -> 0
+    approaches corpus_token_budget_plan's equal shares.
+
+    Scale shape: ONE corpus scan into a checkpointed per-source token
+    relation (one groupBy(source) shuffle with map-side partials); the
+    4-alpha grid is a zero-shuffle explode over the <= n_sources rows;
+    per-alpha weight totals are a 4-row agg BROADCAST back; the corpus
+    total rides a 1-row broadcast. Everything after the first shuffle
+    operates on n_sources x 4 rows."""
+    per_src = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.size(tokens()).alias("doc_tokens"))
+        .groupBy("source")
+        .agg(
+            F.coalesce(F.sum("doc_tokens"), F.lit(0)).cast("long").alias(
+                "tokens_available"
+            )
+        )
+        .localCheckpoint(eager=True)  # feeds the grid AND the corpus total
+    )
+    tot = per_src.agg(
+        F.sum("tokens_available").cast("long").alias("total_tokens")
+    )
+    wts = per_src.select(
+        "source",
+        "tokens_available",
+        F.explode(F.array(*[F.lit(a) for a in MIX_ALPHAS])).alias("alpha"),
+    ).withColumn(
+        "weight_micro",
+        F.floor(
+            F.pow(F.col("tokens_available"), F.col("alpha")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    wtot = wts.groupBy("alpha").agg(F.sum("weight_micro").alias("w_total"))
+    target = F.expr(
+        f"(weight_micro * ({BUDGET_TOKEN_MULT} * total_tokens)) DIV w_total"
+    )
+    capped = F.col("tokens_available") * MAX_REPEAT_EPOCHS
+    return (
+        wts.join(F.broadcast(wtot), "alpha")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "alpha",
+            "source",
+            "tokens_available",
+            "weight_micro",
+            F.expr("(weight_micro * 1000000) DIV w_total").alias("share_ppm"),
+            target.alias("target_tokens"),
+            F.least(capped, target).alias("planned_tokens"),
+            F.greatest(F.lit(0).cast("long"), target - capped).alias(
+                "unmet_tokens"
+            ),
+            (capped >= target).alias("fully_satisfiable"),
+        )
+    )

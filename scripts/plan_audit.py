@@ -981,6 +981,18 @@ EXPECTATIONS: dict[str, dict] = {
                          "Window", "Generate", "Scan parquet"],
         "max_exchanges": 1,
     },
+    # alpha-power mix sweep (r12): the audited plan starts at the
+    # checkpointed per-source token relation (the single corpus scan +
+    # groupBy ran at checkpoint time); the 4-alpha grid is a zero-
+    # shuffle Generate, per-alpha weight totals broadcast back on alpha,
+    # the corpus total rides a 1-row broadcast
+    "corpus_mix_temperature_sweep": {
+        "contains": ["Generate", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                     "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Window", "Scan parquet"],
+        "max_exchanges": 2,
+    },
     # composed curation readout (r12): the six stage branches each
     # aggregate a CHECKPOINTED relation (scrubbed docs, deduped docs,
     # gate survivors, per-doc DSIR scores) — the scrub/dedup/gate/DSIR

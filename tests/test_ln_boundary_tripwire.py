@@ -24,9 +24,10 @@ Residual class, documented: round(x, 6)-style readout columns (tfidf,
 bigram NLL) share the same theoretical exposure at their last decimal;
 they are derived FROM already-integer micro sums or are pure readouts
 the hasher compares after identical rounding on both sides, so the
-six floors checked here (BM25 contrib, round-1 seed cost, round-2
-usage cost, DSIR bucket log-ratio, NB bucket log-odds, NB class prior)
-are the only order-free-sum transcendental inputs."""
+seven floors checked here (BM25 contrib, round-1 seed cost, round-2
+usage cost, DSIR bucket log-ratio, NB bucket log-odds, NB class prior,
+mix-sweep pow weight) are the only order-free-sum transcendental
+inputs."""
 
 from __future__ import annotations
 
@@ -37,6 +38,7 @@ import pytest
 
 from e_commerce_click_stream_spark.plans.text import (
     _BM25_CORE_SQL,
+    _MIX_TEMP_SQL,
     _NB_CLASSIFIER_SQL,
     _BM25_SCALE,
     _DSIR_SQL,
@@ -251,4 +253,45 @@ def test_nb_prior_prefloor_clear_of_boundaries(sf_dir):
         f"the NB class prior sits {d:.3e} from a floor() boundary on "
         f"{sf_dir} — cross-libm ln() disagreement could shift every "
         "log_odds_micro by one on one engine only"
+    )
+
+
+def _mix_pow_prefloor_sql() -> str:
+    """The mix-sweep weight floor(pow(n, alpha)*1e6+0.5) is the seventh
+    transcendental input — pow() instead of ln(), same cross-libm
+    exposure (Java Math.pow is within 1 ulp, not correctly rounded).
+    Truncate the committed oracle after wts and measure the raw
+    products over every (source, alpha) cell."""
+    sql = _MIX_TEMP_SQL
+    cut = sql.find("wtot AS (")
+    assert cut != -1, "mix wtot marker drifted — update this test"
+    head = sql[:cut].rstrip().rstrip(",")
+    marker = "floor(pow("
+    assert marker in head, "mix floor marker drifted — update this test"
+    inner_start = head.index(marker) + len("floor(")
+    inner_end = head.index("+ 0.5)::BIGINT")
+    expr = head[inner_start:inner_end] + "+ 0.5"
+    # rebuild wts without the floor so the raw double is observable
+    head_defloored = (
+        head[: head.index(marker)]
+        + expr
+        + " AS preflr"
+        + head[head.index("\n               AS weight_micro") + len("\n               AS weight_micro"):]
+    )
+    return (
+        f"{head_defloored} "
+        "SELECT min(abs(preflr - round(preflr))) AS d, count(*) AS n FROM wts"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_mix_pow_prefloor_clear_of_boundaries(sf_dir):
+    con = _connect(sf_dir)
+    d, n = con.execute(_mix_pow_prefloor_sql()).fetchone()
+    assert n > 0, "mix-sweep tripwire matched zero cells — vacuous"
+    assert d > MIN_DIST, (
+        f"a mix-sweep pow() weight sits {d:.3e} from a floor() boundary on "
+        f"{sf_dir} ({n} source x alpha cells scanned) — cross-libm pow() "
+        "disagreement could split weight_micro (and every share/target "
+        "derived from it) between Spark and DuckDB"
     )

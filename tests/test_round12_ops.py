@@ -323,3 +323,54 @@ def test_corpus_curation_run_matches_reference(spark):
     # 11 raw -> 8 scrubbed -> 7 deduped -> 5 gated -> a strict DSIR cut
     assert expected[0][1] > expected[1][1] > expected[2][1] > expected[3][1]
     assert expected[3][1] > expected[4][1] > 0
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_temperature_sweep: exact integer identities that must hold
+# for ANY corpus — floors never leak tokens (planned + unmet == target),
+# the ppm shares under-count by at most one floor remainder per source,
+# targets reassemble the budget to within n_sources floor remainders,
+# and alpha = 1.0 reproduces natural proportions exactly (pow(n, 1.0)
+# is exact, so weight_micro == n * 1e6).
+
+def test_mix_sweep_integer_identities(spark):
+    from tests.conftest import SF_SMOKE
+    from e_commerce_click_stream_spark.plans.text import (
+        BUDGET_TOKEN_MULT,
+        MIX_ALPHAS,
+    )
+
+    rows = SPECS["corpus_mix_temperature_sweep"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    by_alpha = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], []).append(r)
+    assert set(by_alpha) == set(MIX_ALPHAS)
+    total = sum(r["tokens_available"] for r in by_alpha[1.0])
+    budget = BUDGET_TOKEN_MULT * total
+    for alpha, rs in by_alpha.items():
+        n_src = len(rs)
+        # floors never create or leak planned tokens
+        assert all(
+            r["planned_tokens"] + r["unmet_tokens"] == r["target_tokens"]
+            for r in rs
+        ), alpha
+        # shares: each floor drops < 1 ppm, so the sum sits in
+        # (1e6 - n_sources, 1e6]
+        s = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - n_src < s <= 1_000_000, (alpha, s)
+        # targets reassemble the budget to within one floor per source
+        t = sum(r["target_tokens"] for r in rs)
+        assert budget - n_src < t <= budget, (alpha, t)
+        assert all(
+            r["fully_satisfiable"] == (r["unmet_tokens"] == 0) for r in rs
+        ), alpha
+    # alpha = 1.0 is EXACT natural proportion: pow(n, 1.0) == n
+    for r in by_alpha[1.0]:
+        assert r["weight_micro"] == r["tokens_available"] * 1_000_000
+    # flattening: smaller alpha strictly shrinks the share spread
+    def spread(rs):
+        shares = [r["share_ppm"] for r in rs]
+        return max(shares) - min(shares)
+
+    assert spread(by_alpha[0.3]) < spread(by_alpha[1.0])
