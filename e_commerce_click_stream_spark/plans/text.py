@@ -5289,3 +5289,70 @@ def corpus_mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (capped >= target).alias("fully_satisfiable"),
         )
     )
+
+
+@register("bm25_stored_compact", oracle=_BM25_TOPK_SQL,
+          tags=("text", "retrieval", "bm25", "stored-index", "compaction"))
+def bm25_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store compaction, driver-proven: build the postings index from the
+    already-indexed corpus half, APPEND the incoming batch (leaving every
+    bucket with one file per ingest, the known cost of blind bucket-
+    layout appends), REWRITE the postings table in place under the same
+    bucket spec (operators/compaction.py — one file per bucket after),
+    then probe. Sharing the full-corpus oracle makes compaction's
+    no-op-ness the theorem under test: the post-compaction store must
+    score bit-identically to a fresh build, and the probe PLAN is
+    unchanged (same bucket-local term join, same broadcasts — pinned by
+    plan fingerprint in tests and the plan audit).
+
+    Scale shape: compaction reads and rewrites only the postings
+    relation — one repartition shuffle on the bucket column (Murmur3-
+    aligned with the bucket spec, so each task emits exactly one file);
+    terms and scalars are untouched. At 100 TB this is the OPTIMIZE job
+    run off the ingest path under the store's build lock."""
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        NUM_POSTING_BUCKETS,
+        POSTINGS_SUBDIR,
+        append_to_postings_index,
+        build_postings_index,
+        postings_table_names,
+    )
+    from e_commerce_click_stream_spark.operators.compaction import (
+        compact_bucketed_table,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
+    from e_commerce_click_stream_spark.plans.dedup import is_new_source
+    import os as _os
+
+    index_dir, prefix = _bm25_store_location(sf_dir)
+    is_new = is_new_source()
+    docs = spread(
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            is_new.alias("is_new"),
+            F.filter(tokens(), lambda t: t != "").alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+    ).localCheckpoint(eager=True)
+
+    acquire_build_lock(index_dir)
+    build_postings_index(
+        docs.filter(~F.col("is_new")).select("doc_id", "ts"), prefix,
+        location=index_dir,
+    )
+    append_to_postings_index(
+        spark, docs.filter("is_new").select("doc_id", "ts"), prefix,
+        location=index_dir,
+    )
+    post_t, _, _ = postings_table_names(prefix)
+    compact_bucketed_table(
+        spark, post_t, "tok", NUM_POSTING_BUCKETS,
+        location=_os.path.join(index_dir, POSTINGS_SUBDIR), sort_col="tok",
+    )
+    downgrade_to_shared(index_dir)
+    return _bm25_probe(spark, prefix)

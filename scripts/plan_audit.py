@@ -1028,6 +1028,16 @@ EXPECTATIONS: dict[str, dict] = {
                          "Generate"],
         "max_exchanges": 3,
     },
+    # compact-then-probe (r12): the post-compaction probe plan must be
+    # THE SAME warm-probe plan — compaction is invisible to the planner
+    # (byte-stability additionally pinned in test_round12_ops)
+    "bm25_stored_compact": {
+        "contains": ["WindowGroupLimit",
+                     "Scan parquet spark_catalog.default.bm25_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Generate"],
+        "max_exchanges": 3,
+    },
     # append-then-probe: same probe contract after the incremental merge
     # (the build+append ran eagerly at store time, so the audited plan is
     # the warm probe's)

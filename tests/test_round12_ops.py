@@ -374,3 +374,87 @@ def test_mix_sweep_integer_identities(spark):
         return max(shares) - min(shares)
 
     assert spread(by_alpha[0.3]) < spread(by_alpha[1.0])
+
+
+# ---------------------------------------------------------------------------
+# bm25_stored_compact: the driver row proves post-compaction scores are
+# bit-identical to a fresh build (shared oracle). These pins prove the
+# two things the oracle can't see: the file counts actually collapse
+# (every bucket multi-file after append -> exactly one file after), and
+# the probe PLAN is byte-stable across the rewrite (same bucket-local
+# join, same broadcasts — compaction must be invisible to the planner).
+
+def _normalize_plan(plan):
+    """Strip run-varying ids from a formatted plan: expression ids
+    (#123), node ids ((45)), codegen stage ids, and file-listing sizes."""
+    s = re.sub(r"#\d+", "#", plan)
+    s = re.sub(r"\(\d+\)", "(n)", s)
+    s = re.sub(r"\[codegen id : \d+\]", "[codegen]", s)
+    s = re.sub(r"\d+ paths", "N paths", s)
+    # stop at the first blank-line separator (the operator details body
+    # repeats the tree; statistics there vary with file layout)
+    return s.split("\n\n")[0]
+
+
+def test_bm25_compaction_collapses_files_and_keeps_probe_identical(spark):
+    import e_commerce_click_stream_spark.plans.text as textplans
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        NUM_POSTING_BUCKETS,
+        POSTINGS_SUBDIR,
+        append_to_postings_index,
+        build_postings_index,
+        postings_table_names,
+    )
+    from e_commerce_click_stream_spark.operators.compaction import (
+        bucket_file_counts,
+        compact_bucketed_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    index_dir, prefix = textplans._bm25_store_location(SF_SMOKE)
+    prefix += "_cmp"  # test-private tables; dirs under a private subtree
+    index_dir += "_cmp"
+    docs = textplans._bm25_docs(spark, SF_SMOKE).localCheckpoint(eager=True)
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    build_postings_index(old, prefix, location=index_dir)
+    append_to_postings_index(spark, new, prefix, location=index_dir)
+
+    post_dir = os.path.join(index_dir, POSTINGS_SUBDIR)
+    before = bucket_file_counts(post_dir)
+    assert before and all(n >= 2 for n in before.values()), (
+        f"append should leave every bucket multi-file: {before}"
+    )
+
+    probe = lambda: textplans._bm25_probe(spark, prefix)
+    rows_before = sorted(map(tuple, probe().collect()))
+    plan_before = _normalize_plan(
+        probe()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+
+    stats = compact_bucketed_table(
+        spark, postings_table_names(prefix)[0], "tok", NUM_POSTING_BUCKETS,
+        location=post_dir, sort_col="tok",
+    )
+    after = stats["files_after"]
+    assert set(after) == set(range(NUM_POSTING_BUCKETS))
+    assert all(n == 1 for n in after.values()), f"not compacted: {after}"
+    assert stats["files_before"] == before
+
+    rows_after = sorted(map(tuple, probe().collect()))
+    assert rows_after == rows_before, "compaction changed probe results"
+    plan_after = _normalize_plan(
+        probe()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert plan_after == plan_before, (
+        "compaction changed the probe plan:\n"
+        f"BEFORE:\n{plan_before}\nAFTER:\n{plan_after}"
+    )
