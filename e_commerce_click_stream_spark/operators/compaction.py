@@ -34,15 +34,21 @@ from pyspark.sql import functions as F
 _BUCKET_SUFFIX_RE = re.compile(r"_(\d{5})(?:\.c\d+)?\.[^.]+\.parquet$")
 
 
-def bucket_file_counts(location: str) -> dict[int, int]:
-    """Files per bucket for a bucketed parquet table directory — the
-    before/after readout a compaction run is judged by."""
-    counts: dict[int, int] = {}
-    for name in os.listdir(location):
-        m = _BUCKET_SUFFIX_RE.search(name)
-        if m:
-            b = int(m.group(1))
-            counts[b] = counts.get(b, 0) + 1
+def bucket_file_counts(location: str) -> dict[tuple[str, int], int]:
+    """Files per (partition subdir, bucket) for a bucketed parquet table
+    directory — the before/after readout a compaction run is judged by.
+    Unpartitioned tables key on ('', bucket); a cell-partitioned store
+    (IVF) keys on ('cell=3', bucket). Walks recursively so hive-style
+    partition trees of any depth count correctly."""
+    counts: dict[tuple[str, int], int] = {}
+    for root, _dirs, files in os.walk(location):
+        rel = os.path.relpath(root, location)
+        rel = "" if rel == "." else rel
+        for name in files:
+            m = _BUCKET_SUFFIX_RE.search(name)
+            if m:
+                key = (rel, int(m.group(1)))
+                counts[key] = counts.get(key, 0) + 1
     return counts
 
 
@@ -53,10 +59,14 @@ def compact_bucketed_table(
     num_buckets: int,
     location: str | None = None,
     sort_col: str | None = None,
+    partition_col: str | None = None,
 ) -> dict[str, object]:
-    """Rewrite ``table_name`` in place: same bucket spec, one file per
-    bucket. Returns the files-before/after readout
-    ``{"files_before": {bucket: n}, "files_after": {bucket: n}}``
+    """Rewrite ``table_name`` in place: same bucket (and partition) spec,
+    one file per bucket — per partition directory when the table is also
+    hive-partitioned (each write task holds exactly one bucket's rows
+    across every partition, so it emits one file per (partition, bucket)
+    it sees). Returns the files-before/after readout
+    ``{"files_before": {(part, bucket): n}, "files_after": ...}``
     (empty dicts when the table's location isn't a readable local dir).
 
     The snapshot is eagerly checkpointed BEFORE the overwrite — it reads
@@ -71,9 +81,10 @@ def compact_bucketed_table(
         snap.repartition(num_buckets, F.col(bucket_col))
         .write.mode("overwrite")
         .format("parquet")
-        .bucketBy(num_buckets, bucket_col)
-        .sortBy(sort_by)
     )
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w = w.bucketBy(num_buckets, bucket_col).sortBy(sort_by)
     if location:
         w = w.option("path", location)
     w.saveAsTable(table_name)

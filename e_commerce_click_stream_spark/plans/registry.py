@@ -75,6 +75,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_curation_run",
     "corpus_mix_temperature_sweep",
     "bm25_stored_compact",
+    "ann_ivf_compact",
     # rotation: 36 of the 43 r7-proof queries
     "ann_hard_negatives",
     "corpus_quality_drift",

@@ -2816,3 +2816,45 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loading",
         F.col("lam").alias("eigenvalue_est"),
     )
+
+
+@register("ann_ivf_compact", oracle=_IVF_TOPK_SQL,
+          tags=("similarity", "ivf", "stored-index", "compaction"))
+def ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF store compaction (the vector-side twin of bm25_stored_compact):
+    build the store without the arriving quarter, append the arrivals
+    into their cell partitions (each ingest leaves its own file per
+    (cell, bucket)), REWRITE the assignments table in place under the
+    same partition+bucket spec (operators/compaction.py — one file per
+    (cell, bucket) after), then probe. Sharing the one-pass oracle makes
+    compaction's no-op-ness the theorem: the compacted store must return
+    bit-identical top-k, with the probe plan unchanged (DPP against the
+    same cell partitions — pinned in the plan audit and byte-stable in
+    test_round12_ops).
+
+    Scale shape: the rewrite reads and re-writes only (vec_id, v, nrm,
+    cell) — one repartition shuffle on the bucket column; the centroid
+    table is untouched. At 100 TB this is the OPTIMIZE job a vector
+    store runs off the ingest path, under the store's build lock."""
+    import os as _os
+
+    from e_commerce_click_stream_spark.operators.compaction import (
+        compact_bucketed_table,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
+
+    index_dir, _ = _ivf_store_location(sf_dir)
+    prefix = _ivf_store_build(spark, sf_dir, corpus_filter=~_ivf_arrivals())
+    _ivf_store_append(spark, sf_dir, prefix, _ivf_arrivals())
+    acquire_build_lock(index_dir)
+    compact_bucketed_table(
+        spark, f"{prefix}_assign", "vec_id", _IVF_BUCKETS,
+        location=_os.path.join(index_dir, "assignments"),
+        sort_col="vec_id", partition_col="cell",
+    )
+    downgrade_to_shared(index_dir)
+    stored_cent, stored_assign = _ivf_store_read(spark, prefix)
+    return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)

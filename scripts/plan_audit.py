@@ -1118,6 +1118,15 @@ EXPECTATIONS: dict[str, dict] = {
         # signature stages to one; best-verdict join broadcasts
         "max_exchanges": 2,
     },
+    # compact-then-probe (r12): the post-compaction probe plan must be
+    # THE SAME warm-probe plan — DPP against the same cell partitions
+    # (byte-stability additionally pinned in test_round12_ops)
+    "ann_ivf_compact": {
+        "contains": ["dynamicpruning", "BroadcastHashJoin", "WindowGroupLimit",
+                     "Scan parquet spark_catalog.default.ivf_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
     # append-then-probe: identical probe contract to ann_ivf_stored —
     # dynamic partition pruning against the (appended) cell partitions
     "ann_ivf_append": {

@@ -441,10 +441,65 @@ def test_bm25_compaction_collapses_files_and_keeps_probe_identical(spark):
         location=post_dir, sort_col="tok",
     )
     after = stats["files_after"]
-    assert set(after) == set(range(NUM_POSTING_BUCKETS))
+    assert set(after) == {("", b) for b in range(NUM_POSTING_BUCKETS)}
     assert all(n == 1 for n in after.values()), f"not compacted: {after}"
     assert stats["files_before"] == before
 
+    rows_after = sorted(map(tuple, probe().collect()))
+    assert rows_after == rows_before, "compaction changed probe results"
+    plan_after = _normalize_plan(
+        probe()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert plan_after == plan_before, (
+        "compaction changed the probe plan:\n"
+        f"BEFORE:\n{plan_before}\nAFTER:\n{plan_after}"
+    )
+
+
+def test_ivf_compaction_collapses_files_and_keeps_probe_identical(spark):
+    import e_commerce_click_stream_spark.plans.similarity as simplans
+    from e_commerce_click_stream_spark.operators.compaction import (
+        bucket_file_counts,
+        compact_bucketed_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # build + append through the registered helpers (shared store; the
+    # compact query itself rebuilds under the lock, so reuse its steps)
+    prefix = simplans._ivf_store_build(
+        spark, SF_SMOKE, corpus_filter=~simplans._ivf_arrivals()
+    )
+    simplans._ivf_store_append(spark, SF_SMOKE, prefix, simplans._ivf_arrivals())
+    index_dir, _ = simplans._ivf_store_location(SF_SMOKE)
+    assign_dir = os.path.join(index_dir, "assignments")
+    before = bucket_file_counts(assign_dir)
+    assert before and any(n >= 2 for n in before.values()), (
+        f"append should leave some (cell, bucket) multi-file: {before}"
+    )
+    probe = lambda: simplans._ivf_probe_stored(
+        spark, SF_SMOKE, *simplans._ivf_store_read(spark, prefix)
+    )
+    rows_before = sorted(map(tuple, probe().collect()))
+    plan_before = _normalize_plan(
+        probe()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    stats = compact_bucketed_table(
+        spark, f"{prefix}_assign", "vec_id", simplans._IVF_BUCKETS,
+        location=assign_dir, sort_col="vec_id", partition_col="cell",
+    )
+    after = stats["files_after"]
+    assert after and all(n == 1 for n in after.values()), f"not compacted: {after}"
+    # every cell partition present before is still present (no data loss
+    # visible at the layout level; value identity asserted below)
+    assert {p for p, _b in before} <= {p for p, _b in after} | {""}
     rows_after = sorted(map(tuple, probe().collect()))
     assert rows_after == rows_before, "compaction changed probe results"
     plan_after = _normalize_plan(
