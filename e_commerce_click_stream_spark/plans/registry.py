@@ -72,6 +72,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # brand-new r12 operators — no prior proof at all
     "quality_nb_classifier",
     "quality_nb_confusion",
+    "quality_nb_probe_only",
     "corpus_curation_run",
     "corpus_mix_temperature_sweep",
     "bm25_stored_compact",
@@ -112,16 +113,18 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q6_forecast_revenue",
     "quality_weighted_sample",
-    "recent_events_window",
 )
 
 
 # Overflow preference: emitted immediately AFTER the verify window. The
 # driver checks "a bounded prefix (~50)" — if its window runs past 50,
 # these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the 7 r7-proof queries the
-# r12 window could not fit — they lead the r13 window.
+# fixture-current ever-green row). These are the 8 r7-proof queries the
+# r12 window could not fit (recent_events_window was displaced late by
+# the seventh new operator, quality_nb_probe_only — new ops outrank
+# refreshes) — they lead the r13 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "recent_events_window",
     "running_customer_revenue",
     "skew_salted_event_counts",
     "streaming_kmv_distinct",

@@ -4644,9 +4644,12 @@ GROUP BY p.label, (p.dot_micro + r.prior_micro > 0)
 """
 
 
-def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared fit+score chain: per-doc (label, n_tokens, n_feat_buckets,
-    dot_micro) with the 1-row micro prior attached by broadcast."""
+def _nb_dtb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled hashed-TF relation (doc_id, label, bucket, tf) every NB
+    path starts from — ONE zero-shuffle label+tokenize projection, one
+    hash agg, eagerly checkpointed (in-query fit+score reads it twice;
+    the stored-weights probe tokenizes its batch through the same
+    definition so the store and probe tokenizations can't drift)."""
     flagged = gopher_flags_df(
         spread(table(spark, sf_dir, "documents")), keep_text=True
     ).select(
@@ -4676,12 +4679,17 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % NB_BUCKETS
     )
-    dtb = (
+    return (
         toks.select("doc_id", "label", bucket.alias("bucket"))
         .groupBy("doc_id", "label", "bucket")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)  # feeds model fitting AND scoring
     )
+
+
+def _nb_weights(dtb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit from the hashed-TF relation: (weights (bucket, w_micro),
+    prior (1-row prior_micro)) — two hash aggregates, both tiny."""
     bstats = (
         dtb.groupBy("bucket")
         .agg(
@@ -4708,20 +4716,16 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1_000_000)
         + F.lit(0.5)
     ).cast("long")
-    nbw = bstats.crossJoin(F.broadcast(btot)).select(
+    return bstats.crossJoin(F.broadcast(btot)).select(
         "bucket", w_micro.alias("w_micro")
     )
-    perdoc = (
-        dtb.join(F.broadcast(nbw), "bucket")
-        .groupBy("doc_id", "label")
-        .agg(
-            F.sum("tf").alias("n_tokens"),
-            F.count("*").alias("n_feat_buckets"),
-            F.sum(F.col("tf") * F.col("w_micro")).alias("dot_micro"),
-        )
-        .localCheckpoint(eager=True)  # feeds the prior AND the output
-    )
-    prior = perdoc.agg(
+
+
+def _nb_prior_expr():
+    """floor(ln((n_pos+1)/(n_neg+1))*1e6+0.5) over per-doc label rows —
+    one definition so the in-query path (over the perdoc relation) and
+    the stored-weights build (over distinct dtb docs) cannot drift."""
+    return (
         F.floor(
             F.log(
                 (
@@ -4735,7 +4739,43 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prior_micro")
     )
+
+
+def _nb_perdoc(dtb: DataFrame, nbw: DataFrame) -> DataFrame:
+    """Score the hashed-TF relation against a weight table (broadcast):
+    per-doc (label, n_tokens, n_feat_buckets, dot_micro), checkpointed
+    (the in-query path reads it for the prior AND the output)."""
+    return (
+        dtb.join(F.broadcast(nbw), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_feat_buckets"),
+            F.sum(F.col("tf") * F.col("w_micro")).alias("dot_micro"),
+        )
+        .localCheckpoint(eager=True)  # feeds the prior AND the output
+    )
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared in-query fit+score chain: per-doc (label, n_tokens,
+    n_feat_buckets, dot_micro) with the 1-row micro prior attached by
+    broadcast."""
+    dtb = _nb_dtb(spark, sf_dir)
+    perdoc = _nb_perdoc(dtb, _nb_weights(dtb))
+    prior = perdoc.agg(_nb_prior_expr())
     return perdoc.crossJoin(F.broadcast(prior))
+
+
+def _nb_final_select(scored: DataFrame) -> DataFrame:
+    return scored.select(
+        "doc_id",
+        "label",
+        "n_tokens",
+        "n_feat_buckets",
+        (F.col("dot_micro") + F.col("prior_micro")).alias("log_odds_micro"),
+        (F.col("dot_micro") + F.col("prior_micro") > 0).alias("pred_keep"),
+    )
 
 
 @register("quality_nb_classifier", oracle=_NB_CLASSIFIER_SQL,
@@ -4773,14 +4813,7 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast. Same width headroom as DSIR: |dot_micro| stays far
     under 2^63 (ln ratios are O(10), micro-scaled O(10^7), times tf
     O(10^4) per doc)."""
-    return _nb_scored(spark, sf_dir).select(
-        "doc_id",
-        "label",
-        "n_tokens",
-        "n_feat_buckets",
-        (F.col("dot_micro") + F.col("prior_micro")).alias("log_odds_micro"),
-        (F.col("dot_micro") + F.col("prior_micro") > 0).alias("pred_keep"),
-    )
+    return _nb_final_select(_nb_scored(spark, sf_dir))
 
 
 @register("quality_nb_confusion", oracle=_NB_CONFUSION_SQL,
@@ -5356,3 +5389,67 @@ def bm25_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     downgrade_to_shared(index_dir)
     return _bm25_probe(spark, prefix)
+
+
+@register("quality_nb_probe_only", oracle=_NB_CLASSIFIER_SQL,
+          tags=("text", "quality", "classifier", "nb", "stored-index"))
+def quality_nb_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED-WEIGHTS NB scoring: fit once into catalog tables
+    (<prefix>_weights: bucket -> w_micro, <prefix>_prior: 1 row), then
+    score batches purely FROM the store — the train-once/score-per-batch
+    production shape, the same build/probe split the BM25, band, and IVF
+    stores established, applied to the classifier family. Reuses the
+    persisted weights if this session already built them (build only on
+    a cold start). Shares quality_nb_classifier's oracle, so the green
+    row proves stored-weights scoring is bit-identical to the in-query
+    fit+score — the weight round-trip is exact because the weights are
+    already integers (micro-rounded once at fit time; parquet stores
+    BIGINTs losslessly where raw doubles would invite re-rounding).
+
+    Scale shape: the probe tokenizes ONLY its batch (here the query-by-
+    example corpus, via the same _nb_dtb definition as the fit, so the
+    two tokenizations cannot drift); the <= NB_BUCKETS stored weights
+    BROADCAST into the scoring join; the stored prior rides a 1-row
+    broadcast; ONE per-doc aggregation shuffle. Nothing re-fits."""
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        acquire_read_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+    import os as _os
+
+    index_dir, prefix = store_location("nbw", sf_dir)
+    weights_t, prior_t = f"{prefix}_weights", f"{prefix}_prior"
+    if not spark.catalog.tableExists(weights_t):
+        # cold start: fit once into the store, outside any steady state
+        dtb = _nb_dtb(spark, sf_dir)
+        nbw = _nb_weights(dtb).localCheckpoint(eager=True)
+        prior = dtb.select("doc_id", "label").distinct().agg(_nb_prior_expr())
+        acquire_build_lock(index_dir)
+        (
+            nbw.write.mode("overwrite").format("parquet")
+            .option("path", _os.path.join(index_dir, "weights"))
+            .saveAsTable(weights_t)
+        )
+        (
+            prior.write.mode("overwrite").format("parquet")
+            .option("path", _os.path.join(index_dir, "prior"))
+            .saveAsTable(prior_t)
+        )
+        downgrade_to_shared(index_dir)
+    else:
+        acquire_read_lock(index_dir)
+    batch_dtb = _nb_dtb(spark, sf_dir)
+    perdoc = (
+        batch_dtb.join(F.broadcast(spark.table(weights_t)), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_feat_buckets"),
+            F.sum(F.col("tf") * F.col("w_micro")).alias("dot_micro"),
+        )
+    )
+    return _nb_final_select(
+        perdoc.crossJoin(F.broadcast(spark.table(prior_t)))
+    )

@@ -1008,6 +1008,19 @@ EXPECTATIONS: dict[str, dict] = {
                          "Generate"],
         "max_exchanges": 10,
     },
+    # stored-weights NB probe (r12): scoring must come purely FROM the
+    # store — the batch's hashed-TF relation (checkpointed Scan
+    # ExistingRDD) joins the stored weight table by BROADCAST, the
+    # stored prior rides a 1-row broadcast, ONE per-doc agg shuffle;
+    # nothing re-fits (no second agg chain over bucket stats)
+    "quality_nb_probe_only": {
+        "contains": ["BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                     "Scan parquet spark_catalog.default.nbw_",
+                     "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Window", "Generate"],
+        "max_exchanges": 1,
+    },
     # confusion readout: same chain plus ONE <=4-group partial+final agg
     "quality_nb_confusion": {
         "contains": ["BroadcastNestedLoopJoin", "Scan ExistingRDD"],

@@ -513,3 +513,31 @@ def test_ivf_compaction_collapses_files_and_keeps_probe_identical(spark):
         "compaction changed the probe plan:\n"
         f"BEFORE:\n{plan_before}\nAFTER:\n{plan_after}"
     )
+
+
+def test_quality_nb_probe_only_matches_in_query_fit(spark):
+    """Stored-weights scoring must be row-identical to the in-query
+    fit+score — proven here on the CONSTRUCTED corpus where the model
+    actually learns (the driver row proves it on the fixtures), so a
+    weight-table round-trip bug that only flips learned (non-prior)
+    scores cannot hide."""
+    rows = _nb_corpus()
+    out = tempfile.mkdtemp(prefix="nbp_")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else 0) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    in_query = sorted(
+        map(tuple, SPECS["quality_nb_classifier"].builder(spark, out).collect())
+    )
+    stored = sorted(
+        map(tuple, SPECS["quality_nb_probe_only"].builder(spark, out).collect())
+    )
+    assert stored == in_query
+    # warm second probe (store reused, no re-fit) is also identical
+    warm = sorted(
+        map(tuple, SPECS["quality_nb_probe_only"].builder(spark, out).collect())
+    )
+    assert warm == in_query
