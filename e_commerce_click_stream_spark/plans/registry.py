@@ -57,9 +57,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r12 window (VERDICT r11 #1): LEADS with the 8 r5-proof overflow
     # queries from the r11 rotation (the repo's oldest staleness — after
     # this round no proof older than r9 remains anywhere), then the
-    # brand-new r12 operators, then 36 of the 43 r7-proof queries (the
-    # next-oldest band); the remaining 7 r7 queries lead _VERIFY_NEXT
-    # for r13.
+    # brand-new r12 operators (7 after the late stored-weights probe),
+    # then 35 of the 43 r7-proof queries (the next-oldest band); the
+    # remaining 8 r7 queries lead _VERIFY_NEXT for r13.
     # the 8 r5 proofs — refresh FIRST
     "pipeline_status_union",
     "session_event_paths",
@@ -77,7 +77,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_mix_temperature_sweep",
     "bm25_stored_compact",
     "ann_ivf_compact",
-    # rotation: 36 of the 43 r7-proof queries
+    # rotation: 35 of the 43 r7-proof queries
     "ann_hard_negatives",
     "corpus_quality_drift",
     "customer_order_gaps",

@@ -4164,6 +4164,25 @@ def _bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_docs_with_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_new, ts) with _bm25_docs' EXACT tokenization plus the
+    shared ingest-split flag, checkpointed — ONE definition for every op
+    that builds the old half and folds the new batch in (append,
+    compact), so the two halves' tokenization can't drift."""
+    from e_commerce_click_stream_spark.plans.dedup import is_new_source
+
+    return spread(
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            is_new_source().alias("is_new"),
+            F.filter(tokens(), lambda t: t != "").alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+    ).localCheckpoint(eager=True)
+
+
 def _bm25_store_build(spark: SparkSession, sf_dir: str, index_dir: str, prefix: str) -> None:
     from e_commerce_click_stream_spark.operators.bm25_index import build_postings_index
     from e_commerce_click_stream_spark.operators.storelock import (
@@ -4243,20 +4262,9 @@ def bm25_stored_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         acquire_build_lock,
         downgrade_to_shared,
     )
-    from e_commerce_click_stream_spark.plans.dedup import is_new_source
 
     index_dir, prefix = _bm25_store_location(sf_dir)
-    is_new = is_new_source()
-    docs = spread(
-        table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-        .select(
-            "doc_id",
-            is_new.alias("is_new"),
-            F.filter(tokens(), lambda t: t != "").alias("ts"),
-        )
-        .filter(F.size("ts") > 0)
-    ).localCheckpoint(eager=True)
+    docs = _bm25_docs_with_flag(spark, sf_dir)
 
     acquire_build_lock(index_dir)
     build_postings_index(
@@ -4583,7 +4591,7 @@ lab AS (
 ),
 toks AS (
     SELECT doc_id, label,
-           unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
+           unnest(string_split_regex(trim({sql_lower_folded("text")}), '\\s+')) AS w
     FROM lab
     WHERE text IS NOT NULL AND trim(text) <> ''
 ),
@@ -4849,6 +4857,12 @@ def quality_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source greedy sequence pack (doc_pack_sequences' discipline) —
 # emitting surviving document count and token mass after every stage.
 
+# dedup_exact's normalized fingerprint, composed from the shared fold
+# fragment (textops contract: oracles splice sql_lower_folded, never
+# hand-inline the case map); precomputed because f-string expressions
+# cannot carry backslashes on this Python
+_EXACT_FP_NORM = sql_lower_folded("regexp_replace(trim(text), '\\s+', ' ', 'g')")
+
 _CURATION_SQL = f"""
 WITH ls AS (
     SELECT doc_id, lang, source, string_split(text, chr(10)) AS ls
@@ -4857,7 +4871,7 @@ WITH ls AS (
 clines AS (
     SELECT doc_id, lang, source, s.i AS i, s.l AS line,
            {_LINE_SCRUB_NORM} AS norm,
-           len(list_filter(string_split_regex(trim(lower(translate(s.l, 'İΣ', 'iσ'))), '\\s+'),
+           len(list_filter(string_split_regex(trim({sql_lower_folded("s.l")}), '\\s+'),
                            x -> x <> ''))::BIGINT AS tok_cnt
     FROM (SELECT doc_id, lang, source,
                  unnest([{{'i': i, 'l': ls[i + 1]}}
@@ -4886,8 +4900,7 @@ s1 AS (
 s1k AS (SELECT * FROM s1 WHERE text IS NOT NULL),
 s2 AS (
     SELECT * FROM s1k
-    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY
-        md5(lower(translate(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'İΣ', 'iσ'))))
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5({_EXACT_FP_NORM}))
 ),
 gph AS ({_gopher_sql("s2")}),
 s3 AS (
@@ -4897,7 +4910,7 @@ s3 AS (
 ),
 toks3 AS (
     SELECT doc_id, lang, source,
-           unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
+           unnest(string_split_regex(trim({sql_lower_folded("text")}), '\\s+')) AS w
     FROM s3
 ),
 dtb3 AS (
@@ -5235,7 +5248,7 @@ wts AS (
            floor(pow(p.tokens_available, a.alpha) * 1000000 + 0.5)::BIGINT
                AS weight_micro
     FROM per_src p
-    CROSS JOIN (SELECT unnest([0.3, 0.5, 0.7, 1.0]::DOUBLE[]) AS alpha) a
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, MIX_ALPHAS))}]::DOUBLE[]) AS alpha) a
 ),
 wtot AS (
     SELECT alpha, sum(weight_micro)::BIGINT AS w_total FROM wts GROUP BY alpha
@@ -5357,21 +5370,10 @@ def bm25_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         acquire_build_lock,
         downgrade_to_shared,
     )
-    from e_commerce_click_stream_spark.plans.dedup import is_new_source
     import os as _os
 
     index_dir, prefix = _bm25_store_location(sf_dir)
-    is_new = is_new_source()
-    docs = spread(
-        table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-        .select(
-            "doc_id",
-            is_new.alias("is_new"),
-            F.filter(tokens(), lambda t: t != "").alias("ts"),
-        )
-        .filter(F.size("ts") > 0)
-    ).localCheckpoint(eager=True)
+    docs = _bm25_docs_with_flag(spark, sf_dir)
 
     acquire_build_lock(index_dir)
     build_postings_index(
@@ -5421,11 +5423,21 @@ def quality_nb_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir, prefix = store_location("nbw", sf_dir)
     weights_t, prior_t = f"{prefix}_weights", f"{prefix}_prior"
-    if not spark.catalog.tableExists(weights_t):
+    # probe BOTH tables: a crash between the two saves must re-trigger
+    # the build (a weights-only store would wedge every warm run on
+    # TABLE_OR_VIEW_NOT_FOUND at the prior read)
+    if not (
+        spark.catalog.tableExists(weights_t)
+        and spark.catalog.tableExists(prior_t)
+    ):
         # cold start: fit once into the store, outside any steady state
-        dtb = _nb_dtb(spark, sf_dir)
-        nbw = _nb_weights(dtb).localCheckpoint(eager=True)
-        prior = dtb.select("doc_id", "label").distinct().agg(_nb_prior_expr())
+        batch_dtb = _nb_dtb(spark, sf_dir)
+        nbw = _nb_weights(batch_dtb).localCheckpoint(eager=True)
+        prior = (
+            batch_dtb.select("doc_id", "label")
+            .distinct()
+            .agg(_nb_prior_expr())
+        )
         acquire_build_lock(index_dir)
         (
             nbw.write.mode("overwrite").format("parquet")
@@ -5440,7 +5452,9 @@ def quality_nb_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         downgrade_to_shared(index_dir)
     else:
         acquire_read_lock(index_dir)
-    batch_dtb = _nb_dtb(spark, sf_dir)
+        # warm path: tokenize ONLY the batch (the cold path reuses the
+        # fit's checkpointed relation instead of tokenizing twice)
+        batch_dtb = _nb_dtb(spark, sf_dir)
     perdoc = (
         batch_dtb.join(F.broadcast(spark.table(weights_t)), "bucket")
         .groupBy("doc_id", "label")

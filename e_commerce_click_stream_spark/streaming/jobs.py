@@ -795,7 +795,11 @@ def arrival_order_replay(spark: SparkSession, df: DataFrame, batch_col: str):
             f for f in os.listdir(os.path.join(by_batch, d))
             if f.endswith(".parquet")
         ]
-        assert len(parts) == 1, f"batch {k}: {len(parts)} part files"
+        if len(parts) != 1:
+            # runtime staging contract, not a debug check (python -O):
+            # renaming parts[0] alone would silently drop the rest of
+            # the batch's rows from the replay
+            raise RuntimeError(f"batch {k}: {len(parts)} part files")
         dst = os.path.join(flat, f"b{k:08d}.parquet")
         os.rename(os.path.join(by_batch, d, parts[0]), dst)
         os.utime(dst, (base + 2 * k, base + 2 * k))
