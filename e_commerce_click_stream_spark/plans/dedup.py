@@ -1439,3 +1439,62 @@ def dedup_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
         "canonical_doc",
     )
+
+
+@register("dedup_stored_compact", oracle=_incremental_minhash_sql(),
+          tags=("dedup", "minhash", "lsh", "stored-index", "compaction"))
+def dedup_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-store compaction — the third store family proven under the
+    shared compaction helper (after bm25_stored_compact and
+    ann_ivf_compact): build the bucketed band index for the
+    already-indexed corpus half (the 32-task bucketed write fragments
+    the shingle buckets heavily — measured up to 29 files per bucket at
+    sf0.01 — and any later ingest appends fragment the bands the same
+    way), REWRITE both catalog tables in place under their exact
+    partition/bucket specs (operators/compaction.py — one file per
+    (band, bucket) resp. per doc_id bucket after), then probe the
+    incoming batch. Sharing the
+    one-pass incremental oracle makes compaction's no-op-ness the
+    theorem: the compacted store must produce bit-identical verdicts
+    through the bucket-local candidate joins the probe plan pins.
+
+    Scale shape: each rewrite is one repartition shuffle on its bucket
+    column over the stored relation only; the probe afterward is the
+    unchanged warm-probe plan (exchange-free on the stored side). At
+    100 TB this is the OPTIMIZE pass a dedup catalog runs between
+    ingest waves, under the store's build lock."""
+    import os as _os
+
+    from e_commerce_click_stream_spark.operators.compaction import (
+        compact_bucketed_table,
+    )
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        BANDS_SUBDIR,
+        NUM_STORE_BUCKETS,
+        SHINGLES_SUBDIR,
+        band_table_names,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
+
+    index_dir, prefix = _band_store_location(sf_dir)
+    sh, batch_sh, all_batch_ids = _band_store_build(spark, sf_dir, index_dir, prefix)
+    bands_t, shingles_t = band_table_names(prefix)
+    acquire_build_lock(index_dir)  # re-upgrade this process's shared lock
+    compact_bucketed_table(
+        spark, bands_t, "bucket", NUM_STORE_BUCKETS,
+        location=_os.path.join(index_dir, BANDS_SUBDIR),
+        sort_col="bucket", partition_col="band",
+    )
+    compact_bucketed_table(
+        spark, shingles_t, "doc_id", NUM_STORE_BUCKETS,
+        location=_os.path.join(index_dir, SHINGLES_SUBDIR),
+        sort_col="doc_id",
+    )
+    downgrade_to_shared(index_dir)
+    return probe_band_index_tables(
+        spark, batch_sh, all_batch_ids, prefix,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+    )

@@ -1121,6 +1121,15 @@ EXPECTATIONS: dict[str, dict] = {
         # signature stages to one; best-verdict join broadcasts
         "max_exchanges": 2,
     },
+    # compact-then-probe (r12): after both band-store tables are
+    # rewritten in place, the probe plan must be THE SAME warm-probe
+    # plan — compaction invisible to the planner (byte-stability
+    # additionally pinned in test_round12_ops)
+    "dedup_stored_compact": {
+        "contains": ["SortAggregate", "Scan parquet spark_catalog.default.bidx_"],
+        "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
     # warm-store probe (the per-ingest-batch marginal cost): same probe
     # contract as dedup_incremental_stored, but NOTHING in the plan may
     # re-derive the corpus — only the batch filter + the catalog store

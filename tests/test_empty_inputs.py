@@ -114,6 +114,7 @@ REPRESENTATIVE = (
     "corpus_mix_temperature_sweep",
     "bm25_stored_compact",
     "ann_ivf_compact",
+    "dedup_stored_compact",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

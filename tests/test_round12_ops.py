@@ -541,3 +541,76 @@ def test_quality_nb_probe_only_matches_in_query_fit(spark):
         map(tuple, SPECS["quality_nb_probe_only"].builder(spark, out).collect())
     )
     assert warm == in_query
+
+
+def test_band_store_compaction_collapses_files_and_keeps_probe_identical(spark):
+    import e_commerce_click_stream_spark.plans.dedup as dedupplans
+    from e_commerce_click_stream_spark.operators.compaction import (
+        bucket_file_counts,
+        compact_bucketed_table,
+    )
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        BANDS_SUBDIR,
+        NUM_STORE_BUCKETS,
+        SHINGLES_SUBDIR,
+        band_table_names,
+    )
+    from e_commerce_click_stream_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+        NUM_BANDS,
+        NUM_HASHES,
+        probe_band_index_tables,
+    )
+    from tests.conftest import SF_SMOKE
+
+    index_dir, prefix = dedupplans._band_store_location(SF_SMOKE)
+    _sh, batch_sh, ids = dedupplans._band_store_build(
+        spark, SF_SMOKE, index_dir, prefix
+    )
+    bands_t, shingles_t = band_table_names(prefix)
+    bands_dir = os.path.join(index_dir, BANDS_SUBDIR)
+    shingles_dir = os.path.join(index_dir, SHINGLES_SUBDIR)
+    # the signature agg leaves bands one file per (band, bucket) at this
+    # scale, but the 32-task checkpointed shingle relation fragments its
+    # buckets heavily (measured up to 29 files per bucket at sf0.01)
+    before = bucket_file_counts(shingles_dir)
+    assert before and any(n >= 2 for n in before.values()), (
+        f"32-task bucketed build should leave multi-file buckets: {before}"
+    )
+    probe = lambda: probe_band_index_tables(
+        spark, batch_sh, ids, prefix, NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD
+    )
+    rows_before = sorted(map(tuple, probe().collect()))
+    plan_before = _normalize_plan(
+        probe()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    band_stats = compact_bucketed_table(
+        spark, bands_t, "bucket", NUM_STORE_BUCKETS,
+        location=bands_dir, sort_col="bucket", partition_col="band",
+    )
+    sh_stats = compact_bucketed_table(
+        spark, shingles_t, "doc_id", NUM_STORE_BUCKETS,
+        location=shingles_dir, sort_col="doc_id",
+    )
+    for stats in (band_stats, sh_stats):
+        after = stats["files_after"]
+        assert after and all(n == 1 for n in after.values()), (
+            f"not compacted: {after}"
+        )
+    rows_after = sorted(map(tuple, probe().collect()))
+    assert rows_after == rows_before, "compaction changed probe verdicts"
+    plan_after = _normalize_plan(
+        probe()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert plan_after == plan_before, (
+        "compaction changed the probe plan:\n"
+        f"BEFORE:\n{plan_before}\nAFTER:\n{plan_after}"
+    )
