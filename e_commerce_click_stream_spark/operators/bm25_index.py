@@ -33,6 +33,22 @@ retrieval — the same build/probe split the MinHash band index
   append the store is indistinguishable from a full rebuild — the
   registered ``bm25_stored_append`` query proves it against the
   full-corpus oracle.
+- **erase** (``erase_from_postings_index``): the right-to-be-forgotten
+  path — append run in reverse. Rewriting the corpus-sized postings
+  table per deletion request is the one cost a 100 TB store cannot pay
+  on the erasure path, so deletion is LOGICAL first: erased doc_ids
+  land in a ``<prefix>_tombstones`` deletion-vector table (the
+  Delta/Iceberg merge-on-read shape), while df and the corpus scalars —
+  mergeable counts — are decremented exactly the way append increments
+  them, from the erased docs' OWN stored postings rows (a broadcast
+  semi-join read; the erased batch is never re-tokenized, the store
+  already holds its postings). The probe anti-joins the broadcast
+  tombstone set, so the store answers as if the docs never existed —
+  the registered ``bm25_stored_erase`` query proves bit-identity
+  against a rebuild on the surviving corpus. The physical rewrite is
+  deferred to ``apply_erasures``: one compaction-style pass (same
+  bucket spec, tombstoned rows dropped, tombstones truncated), run off
+  the erasure path under the store's build lock.
 
 Concurrent-writer safety: callers take the same flock discipline as the
 band store (operators/storelock.py).
@@ -49,12 +65,17 @@ from pyspark.sql import Window
 POSTINGS_SUBDIR = "postings"
 TERMS_SUBDIR = "terms"
 SCALARS_SUBDIR = "scalars"
+TOMBSTONES_SUBDIR = "tombstones"
 # bucket count shared by postings and terms so their join is bucket-local
 NUM_POSTING_BUCKETS = 8
 
 
 def postings_table_names(prefix: str) -> tuple[str, str, str]:
     return f"{prefix}_postings", f"{prefix}_terms", f"{prefix}_scalars"
+
+
+def tombstones_table_name(prefix: str) -> str:
+    return f"{prefix}_tombstones"
 
 
 def corpus_postings(docs: DataFrame) -> DataFrame:
@@ -117,6 +138,17 @@ def build_postings_index(
     if location:
         ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
     ws.saveAsTable(scal_t)
+    # a fresh build has no erasures: reset any tombstones a previous
+    # generation of this store left behind, or probes would wrongly
+    # anti-join deletion vectors that no longer describe this corpus
+    spark = docs.sparkSession
+    tomb_t = tombstones_table_name(prefix)
+    if spark.catalog.tableExists(tomb_t):
+        empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint(eager=True)
+        wb = empty.write.mode("overwrite").format("parquet")
+        if location:
+            wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
+        wb.saveAsTable(tomb_t)
 
 
 def append_to_postings_index(
@@ -181,6 +213,125 @@ def append_to_postings_index(
     ws.saveAsTable(scal_t)
 
 
+def erase_from_postings_index(
+    spark: SparkSession,
+    erased_doc_ids: DataFrame,
+    prefix: str,
+    num_buckets: int = NUM_POSTING_BUCKETS,
+    location: str | None = None,
+) -> None:
+    """Logically erase a batch of doc_ids from the store (GDPR
+    right-to-be-forgotten): append the ids to the ``<prefix>_tombstones``
+    deletion-vector table and decrement the mergeable statistics.
+
+    The erased docs' term/length rows are read FROM the store (a
+    broadcast semi-join against the erased set — the batch is small, the
+    postings relation never shuffles and is never re-tokenized); df
+    merges as stored − erased per tok (rows reaching 0 drop out, exactly
+    the dfrel a surviving-corpus rebuild would produce) and the corpus
+    scalars subtract row-wise. The corpus-sized postings table is NOT
+    rewritten — probes anti-join the broadcast tombstone set until
+    ``apply_erasures`` physically drops the rows. Erasing an id the
+    store never indexed is a no-op beyond the tombstone row (the
+    semi-join finds nothing to decrement).
+
+    Scale note: tombstones broadcast at probe time, so this path is
+    sized for erasure sets up to broadcast scale (~10M ids); a larger
+    backlog is the signal to run ``apply_erasures``, which resets the
+    tombstone set to empty."""
+    post_t, terms_t, scal_t = postings_table_names(prefix)
+    tomb_t = tombstones_table_name(prefix)
+    ids = erased_doc_ids.select("doc_id").localCheckpoint(eager=True)
+    erased_postings = (
+        spark.table(post_t)
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    erased_terms, erased_scalars = _df_and_scalars(erased_postings)
+
+    merged_terms = (
+        spark.table(terms_t)
+        .unionByName(erased_terms.select("tok", (-F.col("df")).alias("df")))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+        .localCheckpoint(eager=True)
+    )
+    merged_scalars = (
+        spark.table(scal_t)
+        .unionByName(
+            erased_scalars.select(
+                (-F.col("n_docs")).alias("n_docs"),
+                (-F.col("total_len")).alias("total_len"),
+            )
+        )
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_len").alias("total_len"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wt = (
+        merged_terms.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "tok")
+        .sortBy("tok")
+    )
+    if location:
+        wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
+    wt.saveAsTable(terms_t)
+    ws = merged_scalars.write.mode("overwrite").format("parquet")
+    if location:
+        ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
+    ws.saveAsTable(scal_t)
+    wb = ids.write.mode("append").format("parquet")
+    if location:
+        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
+    wb.saveAsTable(tomb_t)
+
+
+def apply_erasures(
+    spark: SparkSession,
+    prefix: str,
+    num_buckets: int = NUM_POSTING_BUCKETS,
+    location: str | None = None,
+) -> dict[str, int]:
+    """Physically drop tombstoned rows from the postings table and reset
+    the tombstone set — the deferred compaction half of the merge-on-read
+    erasure contract. One pass over the postings relation: anti-join the
+    broadcast tombstones, rewrite under the SAME bucket spec (the
+    ``repartition(n, col)``/``bucketBy(n, col)`` Murmur3 alignment from
+    operators/compaction.py, so each task emits one file per bucket),
+    truncate tombstones. df/scalars were already decremented at erase
+    time, so probes are bit-identical before and after — pinned in
+    tests. Returns row counts ``{"dropped": n, "kept": m}``."""
+    post_t, _, _ = postings_table_names(prefix)
+    tomb_t = tombstones_table_name(prefix)
+    tomb = spark.table(tomb_t).localCheckpoint(eager=True)
+    snap = (
+        spark.table(post_t)
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    before = spark.table(post_t).count()
+    kept = snap.count()
+    w = (
+        snap.repartition(num_buckets, F.col("tok"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "tok")
+        .sortBy("tok")
+    )
+    if location:
+        w = w.option("path", os.path.join(location, POSTINGS_SUBDIR))
+    w.saveAsTable(post_t)
+    wb = tomb.filter(F.lit(False)).write.mode("overwrite").format("parquet")
+    if location:
+        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
+    wb.saveAsTable(tomb_t)
+    return {"dropped": before - kept, "kept": kept}
+
+
 def probe_postings_index(
     spark: SparkSession,
     prefix: str,
@@ -200,9 +351,20 @@ def probe_postings_index(
     those rows to the terms table BUCKET-LOCALLY (shared tok bucket spec,
     no Exchange on either side); the <= n_queries*query_terms selected
     terms broadcast into the candidate postings scan so the corpus-sized
-    relation never shuffles; scalars ride a 1-row broadcast."""
+    relation never shuffles; scalars ride a 1-row broadcast.
+
+    Merge-on-read: when the store carries a tombstone table (a logical
+    erasure ran and ``apply_erasures`` hasn't yet), every postings read
+    anti-joins the broadcast deletion vector — one BroadcastHashJoin on
+    the scan, no shuffle, and the probe answers as if the erased docs
+    were never indexed."""
     post_t, terms_t, scal_t = postings_table_names(prefix)
     postings = spark.table(post_t)
+    tomb_t = tombstones_table_name(prefix)
+    if spark.catalog.tableExists(tomb_t):
+        postings = postings.join(
+            F.broadcast(spark.table(tomb_t)), "doc_id", "left_anti"
+        )
     terms = spark.table(terms_t)
     scalars = spark.table(scal_t)
 

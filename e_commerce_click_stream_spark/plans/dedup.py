@@ -1065,6 +1065,13 @@ def is_new_source():
     )
 
 
+def sql_is_new(col: str = "source") -> str:
+    """``is_new_source``'s DuckDB twin, as a composable SQL fragment —
+    one definition so oracle-side ingest splits can't drift from the
+    Spark predicate (same TRY_CAST + coalesce(…, false) NULL handling)."""
+    return f"coalesce(TRY_CAST(substr({col}, 4) AS INT) >= {NEW_SRC_MIN}, false)"
+
+
 def _incremental_minhash_sql() -> str:
     mh_cols = ",\n           ".join(
         f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(NUM_HASHES)
@@ -1082,7 +1089,7 @@ def _incremental_minhash_sql() -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           coalesce(TRY_CAST(substr(source, 4) AS INT) >= {NEW_SRC_MIN}, false)
+           {sql_is_new()}
                AS is_new,
            string_split_regex(trim(text), '\\s+') AS t
     FROM documents
@@ -1141,7 +1148,7 @@ SELECT d.doc_id,
        b.jaccard AS jaccard
 FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.probe_id = d.doc_id
-WHERE coalesce(TRY_CAST(substr(d.source, 4) AS INT) >= {NEW_SRC_MIN}, false)
+WHERE {sql_is_new('d.source')}
 """
 
 

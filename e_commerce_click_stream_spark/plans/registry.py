@@ -57,10 +57,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r12 window (VERDICT r11 #1): LEADS with the 8 r5-proof overflow
     # queries from the r11 rotation (the repo's oldest staleness — after
     # this round no proof older than r9 remains anywhere), then the
-    # brand-new r12 operators (8 after the late stored-weights probe
-    # and band-store compaction), then 34 of the 43 r7-proof queries
-    # (the next-oldest band); the remaining 9 r7 queries lead
-    # _VERIFY_NEXT for r13.
+    # brand-new r12 operators (9 after the late stored-weights probe,
+    # band-store compaction, and postings erasure), then 33 of the 43
+    # r7-proof queries (the next-oldest band); the remaining 10 r7
+    # queries lead _VERIFY_NEXT for r13.
     # the 8 r5 proofs — refresh FIRST
     "pipeline_status_union",
     "session_event_paths",
@@ -79,7 +79,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_stored_compact",
     "ann_ivf_compact",
     "dedup_stored_compact",
-    # rotation: 34 of the 43 r7-proof queries
+    "bm25_stored_erase",
+    # rotation: 33 of the 43 r7-proof queries
     "ann_hard_negatives",
     "corpus_quality_drift",
     "customer_order_gaps",
@@ -113,19 +114,20 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "purchase_attribution_window",
     "q12_priority_shipping",
     "q18_large_volume_customers",
-    "q6_forecast_revenue",
 )
 
 
 # Overflow preference: emitted immediately AFTER the verify window. The
 # driver checks "a bounded prefix (~50)" — if its window runs past 50,
 # these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the 9 r7-proof queries the
-# r12 window could not fit (quality_weighted_sample and
-# recent_events_window were displaced late by the eighth and seventh
-# new operators, dedup_stored_compact and quality_nb_probe_only — new
-# ops outrank refreshes) — they lead the r13 window.
+# fixture-current ever-green row). These are the 10 r7-proof queries the
+# r12 window could not fit (q6_forecast_revenue, quality_weighted_sample
+# and recent_events_window were displaced late by the ninth, eighth and
+# seventh new operators — bm25_stored_erase, dedup_stored_compact,
+# quality_nb_probe_only; new ops outrank refreshes) — they lead the r13
+# window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "q6_forecast_revenue",
     "quality_weighted_sample",
     "recent_events_window",
     "running_customer_revenue",

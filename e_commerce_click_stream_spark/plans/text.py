@@ -3406,13 +3406,16 @@ _BM25_SCALE = 1_000_000          # micro-units for the order-free integer sum
 
 # Shared CTE prefix: postings (tf per doc-term), document lengths carried
 # through the explode (dl computed BEFORE the explode — no extra shuffle),
-# document frequency, and the 1-row corpus scalars.
-_BM25_CORE_SQL = f"""
+# document frequency, and the 1-row corpus scalars. ``docs_pred``
+# restricts the scored corpus (the erasure oracle appends the NOT-is_new
+# split); default "" keeps the full-corpus oracle byte-identical.
+def _bm25_core_sql(docs_pred: str = "") -> str:
+    return f"""
 docs AS (
     SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts
     FROM documents
-    WHERE text IS NOT NULL AND trim(text) <> ''
+    WHERE text IS NOT NULL AND trim(text) <> ''{docs_pred}
 ),
 toked AS (
     SELECT doc_id, ts, len(ts)::BIGINT AS dl FROM docs WHERE len(ts) > 0
@@ -3461,6 +3464,9 @@ bm_ranked AS (
                               ORDER BY score_micro DESC, doc_id ASC) AS rank
     FROM scored
 )"""
+
+
+_BM25_CORE_SQL = _bm25_core_sql()
 
 _BM25_TOPK_SQL = f"""
 WITH {_BM25_CORE_SQL}
@@ -5388,6 +5394,64 @@ def bm25_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_bucketed_table(
         spark, post_t, "tok", NUM_POSTING_BUCKETS,
         location=_os.path.join(index_dir, POSTINGS_SUBDIR), sort_col="tok",
+    )
+    downgrade_to_shared(index_dir)
+    return _bm25_probe(spark, prefix)
+
+
+# Erasure oracle: BM25 retrieval over the SURVIVING corpus only — a
+# rebuild with the erased ingest batch never indexed. The store query
+# must reach the same rows via tombstones + decremented counts.
+from e_commerce_click_stream_spark.plans.dedup import sql_is_new  # noqa: E402
+
+_BM25_ERASE_SQL = f"""
+WITH {_bm25_core_sql(f" AND NOT {sql_is_new()}")}
+SELECT query_id, doc_id, n_terms, score_micro, bm25, rank::BIGINT AS rank
+FROM bm_ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+@register("bm25_stored_erase", oracle=_BM25_ERASE_SQL,
+          tags=("text", "retrieval", "bm25", "stored-index", "erasure"))
+def bm25_stored_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure against a warm postings store, driver-proven: build
+    the index over the FULL corpus, ERASE the ingest batch (the same
+    is_new split the append op folds in — erasure is append run in
+    reverse), then probe merge-on-read. The oracle rebuilds BM25 on the
+    surviving corpus only, so the green row proves the whole logical-
+    deletion contract at once: tombstoned docs vanish as candidates AND
+    as query docs, per-term df decrements land exactly on the surviving
+    corpus' dfrel, and the corpus scalars subtract — down to every
+    micro-rounded score.
+
+    Scale shape (operators/bm25_index.py): the erase pass reads the
+    erased docs' postings FROM the store via a broadcast semi-join
+    (never re-tokenizes them) and rewrites only the tok-count tables
+    (|terms| rows) + the 1-row scalars + the tombstone deletion vector;
+    the corpus-sized postings table is untouched. The probe pays one
+    extra BroadcastHashJoin (anti) on each postings scan — no new
+    shuffle. The physical rewrite is ``apply_erasures``, deferred off
+    the erasure path and pinned probe-identical in tests. Own store
+    kind ("bm25e"): this query leaves the store eroded by design, which
+    the shared warm bm25 store must never observe."""
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        build_postings_index,
+        erase_from_postings_index,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+
+    index_dir, prefix = store_location("bm25e", sf_dir)
+    docs = _bm25_docs_with_flag(spark, sf_dir)
+
+    acquire_build_lock(index_dir)
+    build_postings_index(docs.select("doc_id", "ts"), prefix, location=index_dir)
+    erase_from_postings_index(
+        spark, docs.filter("is_new").select("doc_id"), prefix,
+        location=index_dir,
     )
     downgrade_to_shared(index_dir)
     return _bm25_probe(spark, prefix)

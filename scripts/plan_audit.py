@@ -1061,6 +1061,18 @@ EXPECTATIONS: dict[str, dict] = {
                          "Generate"],
         "max_exchanges": 3,
     },
+    # erase-then-probe (r12): merge-on-read over the eroded store — the
+    # tombstone deletion vector must reach each postings read as a
+    # BroadcastHashJoin LeftAnti (never a shuffled anti-join), and the
+    # probe keeps the warm-probe contract: no corpus tokenization
+    # (Generate banned), rank pushdown, same 3-shuffle budget
+    "bm25_stored_erase": {
+        "contains": ["WindowGroupLimit", "LeftAnti", "BroadcastHashJoin",
+                     "Scan parquet spark_catalog.default.bm25e_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Generate"],
+        "max_exchanges": 3,
+    },
     # hybrid-retrieval overlap: every join over the <= Q*k top-k
     # relations broadcasts onto the union-derived id grid — no full-outer
     # or sort-merge shuffle join anywhere

@@ -115,6 +115,7 @@ REPRESENTATIVE = (
     "bm25_stored_compact",
     "ann_ivf_compact",
     "dedup_stored_compact",
+    "bm25_stored_erase",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

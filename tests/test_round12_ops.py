@@ -614,3 +614,77 @@ def test_band_store_compaction_collapses_files_and_keeps_probe_identical(spark):
         "compaction changed the probe plan:\n"
         f"BEFORE:\n{plan_before}\nAFTER:\n{plan_after}"
     )
+
+
+def test_bm25_erase_merge_on_read_matches_survivor_rebuild(spark):
+    """The erasure contract end to end on a controlled split: (A) a
+    fresh build on the surviving half is ground truth; (B) full build +
+    logical erase (tombstones + count decrements) probes bit-identically
+    to A, and the decremented terms/scalars EQUAL the survivor build's;
+    (C) apply_erasures physically drops the rows, keeps the probe
+    bit-identical, and resets the tombstone set; (D) erasing a never-
+    indexed id is a no-op beyond its tombstone row; (E) a rebuild at the
+    same prefix resets stale tombstones."""
+    import e_commerce_click_stream_spark.plans.text as textplans
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        apply_erasures,
+        build_postings_index,
+        erase_from_postings_index,
+        postings_table_names,
+        tombstones_table_name,
+    )
+    from tests.conftest import SF_SMOKE
+
+    index_dir, prefix = textplans._bm25_store_location(SF_SMOKE)
+    ref_prefix, ref_dir = prefix + "_ersref", index_dir + "_ersref"
+    prefix, index_dir = prefix + "_ers", index_dir + "_ers"
+    docs = textplans._bm25_docs(spark, SF_SMOKE).localCheckpoint(eager=True)
+    keep = docs.filter("doc_id % 2 = 0")
+    gone = docs.filter("doc_id % 2 = 1")
+
+    # A: ground truth — the store a survivor-only corpus would build
+    build_postings_index(keep, ref_prefix, location=ref_dir)
+    ref_rows = sorted(map(tuple, textplans._bm25_probe(spark, ref_prefix).collect()))
+    assert ref_rows, "survivor rebuild probe must produce rows"
+
+    # B: full build, then logical erase of the other half
+    build_postings_index(docs, prefix, location=index_dir)
+    erase_from_postings_index(spark, gone.select("doc_id"), prefix,
+                              location=index_dir)
+    mor_rows = sorted(map(tuple, textplans._bm25_probe(spark, prefix).collect()))
+    assert mor_rows == ref_rows, "merge-on-read probe != survivor rebuild"
+
+    post_t, terms_t, scal_t = postings_table_names(prefix)
+    rpost_t, rterms_t, rscal_t = postings_table_names(ref_prefix)
+    assert sorted(map(tuple, spark.table(terms_t).collect())) == sorted(
+        map(tuple, spark.table(rterms_t).collect())
+    ), "decremented df table != survivor rebuild's dfrel"
+    assert spark.table(scal_t).collect() == spark.table(rscal_t).collect()
+
+    # C: physical apply — rows drop, probe identical, tombstones reset
+    gone_n = gone.count()
+    tomb_t = tombstones_table_name(prefix)
+    assert spark.table(tomb_t).count() == gone_n
+    stats = apply_erasures(spark, prefix, location=index_dir)
+    assert stats["dropped"] > 0
+    assert stats["kept"] == spark.table(rpost_t).count()
+    assert spark.table(tomb_t).count() == 0
+    assert (
+        spark.table(post_t)
+        .join(gone.select("doc_id"), "doc_id", "left_semi")
+        .count()
+        == 0
+    ), "physically applied store still holds erased postings"
+    rows_after = sorted(map(tuple, textplans._bm25_probe(spark, prefix).collect()))
+    assert rows_after == mor_rows, "physical apply changed probe results"
+
+    # D: erasing an id the store never indexed decrements nothing
+    ghost = spark.range(1).selectExpr("-999999 AS doc_id")
+    erase_from_postings_index(spark, ghost, prefix, location=index_dir)
+    assert spark.table(tomb_t).count() == 1
+    assert spark.table(scal_t).collect() == spark.table(rscal_t).collect()
+    assert sorted(map(tuple, textplans._bm25_probe(spark, prefix).collect())) == mor_rows
+
+    # E: a rebuild at this prefix must reset the stale tombstone set
+    build_postings_index(docs, prefix, location=index_dir)
+    assert spark.table(tomb_t).count() == 0
