@@ -150,6 +150,101 @@ def band_table_names(prefix: str) -> tuple[str, str]:
     return f"{prefix}_bands", f"{prefix}_shingles"
 
 
+def band_tombstones_table_name(prefix: str) -> str:
+    return f"{prefix}_tombstones"
+
+
+TOMBSTONES_SUBDIR = "tombstones"
+
+
+def erase_from_band_index_tables(
+    spark: SparkSession,
+    erased_doc_ids: DataFrame,
+    prefix: str,
+    location: str | None = None,
+) -> None:
+    """Logically erase doc_ids from the band store (GDPR
+    right-to-be-forgotten) — the band-store twin of
+    ``bm25_index.erase_from_postings_index``, simpler because this store
+    carries NO mergeable global statistics: erasure is purely a
+    ``<prefix>_tombstones`` deletion-vector append. Probes anti-join the
+    broadcast tombstone set on both stored tables (bands: erased docs
+    stop being candidates; shingles: their sets are never read for
+    verification), so the store answers as if the docs were never
+    indexed; ``apply_band_erasures`` physically drops the rows later,
+    off the erasure path."""
+    tomb_t = band_tombstones_table_name(prefix)
+    ids = erased_doc_ids.select("doc_id").localCheckpoint(eager=True)
+    wb = ids.write.mode("append").format("parquet")
+    if location:
+        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
+    wb.saveAsTable(tomb_t)
+
+
+def apply_band_erasures(
+    spark: SparkSession,
+    prefix: str,
+    num_buckets: int = NUM_STORE_BUCKETS,
+    location: str | None = None,
+) -> dict[str, int]:
+    """Physically drop tombstoned rows from BOTH band-store tables and
+    reset the tombstone set — the deferred half of the merge-on-read
+    erasure contract. Each table rewrites under its exact original spec
+    (bands: partitioned by band + bucketed/sorted on bucket; shingles:
+    bucketed/sorted on doc_id), with the repartition-by-bucket-column
+    alignment from operators/compaction.py so each task emits one file
+    per bucket. Returns dropped-row counts per table."""
+    bands_t, shingles_t = band_table_names(prefix)
+    tomb_t = band_tombstones_table_name(prefix)
+    tomb = spark.table(tomb_t).localCheckpoint(eager=True)
+    out: dict[str, int] = {}
+
+    bands_before = spark.table(bands_t).count()
+    bands_snap = (
+        spark.table(bands_t)
+        .select("doc_id", "band", "bucket")
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    out["dropped_bands"] = bands_before - bands_snap.count()
+    w = (
+        bands_snap.repartition(num_buckets, F.col("bucket"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("band")
+        .bucketBy(num_buckets, "bucket")
+        .sortBy("bucket")
+    )
+    if location:
+        w = w.option("path", os.path.join(location, BANDS_SUBDIR))
+    w.saveAsTable(bands_t)
+
+    sh_before = spark.table(shingles_t).count()
+    sh_snap = (
+        spark.table(shingles_t)
+        .select("doc_id", "s")
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    out["dropped_shingles"] = sh_before - sh_snap.count()
+    ws = (
+        sh_snap.repartition(num_buckets, F.col("doc_id"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "doc_id")
+        .sortBy("doc_id")
+    )
+    if location:
+        ws = ws.option("path", os.path.join(location, SHINGLES_SUBDIR))
+    ws.saveAsTable(shingles_t)
+
+    wb = tomb.filter(F.lit(False)).write.mode("overwrite").format("parquet")
+    if location:
+        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
+    wb.saveAsTable(tomb_t)
+    return out
+
+
 def build_band_index_tables(
     index_docs: DataFrame,
     prefix: str,
@@ -184,6 +279,17 @@ def build_band_index_tables(
     if location:
         ws = ws.option("path", os.path.join(location, SHINGLES_SUBDIR))
     ws.saveAsTable(shingles_t)
+    # a fresh build has no erasures: reset any tombstones a previous
+    # generation of this store left behind (same hygiene as the BM25
+    # store — stale deletion vectors must not erode the new corpus)
+    spark = index_docs.sparkSession
+    tomb_t = band_tombstones_table_name(prefix)
+    if spark.catalog.tableExists(tomb_t):
+        empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint(eager=True)
+        wb = empty.write.mode("overwrite").format("parquet")
+        if location:
+            wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
+        wb.saveAsTable(tomb_t)
 
 
 def append_to_band_index_tables(
@@ -266,13 +372,23 @@ def probe_band_index_tables(
     scanned in its bucket layout: no Exchange on the store, only the
     |batch|-sized probe side shuffles (pinned in tests/test_bucketing.py).
     A catalog table also keeps its schema when empty, so the zero-doc
-    store needs no explicit-schema workaround."""
+    store needs no explicit-schema workaround.
+
+    Merge-on-read: when the store carries a tombstone table (a logical
+    erasure ran and ``apply_band_erasures`` hasn't yet), both stored
+    reads anti-join the broadcast deletion vector — erased docs stop
+    being candidates and their shingle sets are never read."""
     batch_bands, batch_sh = sign_docs(batch_docs, num_hashes, num_bands)
     bands_t, shingles_t = band_table_names(prefix)
     # partition columns come last in a table scan's order — reproject to
     # the probe's expected column order
     stored_bands = spark.table(bands_t).select("doc_id", "band", "bucket")
     stored_sh = spark.table(shingles_t).select("doc_id", "s")
+    tomb_t = band_tombstones_table_name(prefix)
+    if spark.catalog.tableExists(tomb_t):
+        tomb = spark.table(tomb_t)
+        stored_bands = stored_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
+        stored_sh = stored_sh.join(F.broadcast(tomb), "doc_id", "left_anti")
     return _probe_against(
         batch_bands, batch_sh, stored_bands, stored_sh, all_batch_ids,
         jaccard_threshold,

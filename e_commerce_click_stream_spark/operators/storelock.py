@@ -37,8 +37,8 @@ _HELD: dict[str, int] = {}
 
 def store_location(kind: str, sf_dir: str) -> tuple[str, str]:
     """Deterministic per-fixture store root + catalog-table prefix for a
-    persisted index family (``kind`` in {"band", "ivf", "bm25", "bm25e",
-    "nbw"}): repeated
+    persisted index family (``kind`` in {"band", "bande", "ivf", "ivfe",
+    "bm25", "bm25e", "nbw"}): repeated
     gate/bench invocations reuse ONE location instead of leaking a
     corpus-sized tree per run; ``SPARK_GRAFT_STORE_NS`` (below) isolates
     passive consumers. One definition for every store family so path
@@ -48,12 +48,13 @@ def store_location(kind: str, sf_dir: str) -> tuple[str, str]:
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     tag += store_namespace()
-    # bm25e: the erasure query's own store — it leaves the corpus eroded
-    # by design, which the shared warm "bm25" store (probe_only reuses it
-    # expecting the FULL corpus) must never observe
+    # bm25e / bande / ivfe: the erasure queries' own stores — they leave
+    # the index eroded by design, which the shared warm "bm25" / "band" /
+    # "ivf" stores (the probe_only queries reuse them expecting the full
+    # index corpus) must never observe
     prefix = {
-        "band": "bidx", "ivf": "ivf", "bm25": "bm25", "bm25e": "bm25e",
-        "nbw": "nbw",
+        "band": "bidx", "bande": "bide", "ivf": "ivf", "ivfe": "ivfe",
+        "bm25": "bm25", "bm25e": "bm25e", "nbw": "nbw",
     }[kind]
     return (
         os.path.join(tempfile.gettempdir(), f"{kind}_index_{tag}"),

@@ -1072,7 +1072,10 @@ def sql_is_new(col: str = "source") -> str:
     return f"coalesce(TRY_CAST(substr({col}, 4) AS INT) >= {NEW_SRC_MIN}, false)"
 
 
-def _incremental_minhash_sql() -> str:
+def _incremental_minhash_sql(index_excl: str = "") -> str:
+    """``index_excl`` appends an extra predicate to the candidate join's
+    ON clause (the erasure oracle excludes tombstoned INDEX docs from the
+    match side); default "" keeps the shared oracle byte-identical."""
     mh_cols = ",\n           ".join(
         f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(NUM_HASHES)
     )
@@ -1122,7 +1125,7 @@ cand AS (
     FROM fb p JOIN fb m
       ON p.bucket = m.bucket
      AND p.is_new
-     AND (NOT m.is_new OR m.doc_id < p.doc_id)
+     AND (NOT m.is_new OR m.doc_id < p.doc_id){index_excl}
 ),
 scored AS (
     SELECT c.probe_id, c.match_id, c.match_is_new,
@@ -1357,6 +1360,54 @@ def dedup_stored_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a second documents scan per probe batch
     return probe_band_index_tables(
         spark, batch_sh, batch_sh.select("doc_id"), prefix,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+    )
+
+
+# Erasure oracle: incremental dedup where every THIRD index doc was
+# erased (m.doc_id % 3 = 0) — the candidate join must never match a
+# tombstoned index doc, while in-batch matches are untouched.
+_BAND_ERASE_EXCL = "\n     AND (m.is_new OR m.doc_id % 3 != 0)"
+
+
+@register("dedup_stored_erase", oracle=_incremental_minhash_sql(_BAND_ERASE_EXCL),
+          tags=("dedup", "minhash", "lsh", "incremental", "stored-index", "erasure"))
+def dedup_stored_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure against the warm band store, driver-proven: build the
+    index over the already-indexed corpus half, ERASE every third index
+    doc (deletion-vector tombstones — operators/dedup_index.py), then
+    probe the incoming batch merge-on-read. The oracle re-runs the
+    one-pass incremental dedup with those index docs excluded from the
+    candidate join, so the green row proves the logical-deletion
+    contract: tombstoned docs stop matching (probes that matched them
+    re-verdict to their next-best candidate or to novel), in-batch
+    matches are untouched, and every verdict/jaccard is bit-identical
+    to a store that never indexed the erased docs.
+
+    Scale shape: the band store carries no global statistics, so
+    erasure is ONE tombstone-table append — nothing corpus-sized moves;
+    the probe pays one BroadcastHashJoin LeftAnti on each stored read
+    (bands: erased docs leave the candidate space; shingles: their sets
+    are never read for verification). The physical rewrite is
+    ``apply_band_erasures`` (both tables, original partition+bucket
+    specs), deferred off the erasure path and pinned probe-identical in
+    tests. Own store kind ("bande"): this query erodes the index by
+    design, which the shared warm band store must never observe."""
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        erase_from_band_index_tables,
+        probe_band_index_tables,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import store_location
+
+    index_dir, prefix = store_location("bande", sf_dir)
+    sh, batch_sh, all_batch_ids = _band_store_build(spark, sf_dir, index_dir, prefix)
+    erase_from_band_index_tables(
+        spark,
+        sh.filter(~F.col("is_new") & (F.col("doc_id") % 3 == 0)).select("doc_id"),
+        prefix, location=index_dir,
+    )
+    return probe_band_index_tables(
+        spark, batch_sh, all_batch_ids, prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
     )
 

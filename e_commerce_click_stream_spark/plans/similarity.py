@@ -540,7 +540,11 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # End-to-end IVF-flat search: assign -> probe -> rank (completes the ANN
 # story: ann_cosine_topk is the exact baseline, ann_ivf_topk the scale path)
 
-_IVF_TOPK_SQL = f"""
+# ``cand_excl`` appends an extra predicate to the candidate WHERE (the
+# erasure oracle excludes tombstoned vectors from the searchable set);
+# default "" keeps the shared oracle byte-identical.
+def _ivf_topk_sql(cand_excl: str = "") -> str:
+    return f"""
 WITH {_IVF_N_CENT_CTE},
 {_IVF_ASSIGN_WIDE_CTE},
 {_IVF_PROBES_CTE},
@@ -548,7 +552,7 @@ cand AS (
     SELECT p.query_id, a.vec_id AS neighbor_id, a.v, a.nrm
     FROM (SELECT query_id, cell FROM probes WHERE probe_rank <= {N_PROBE}) p
     JOIN assign a ON a.cell = p.cell
-    WHERE a.vec_id != p.query_id
+    WHERE a.vec_id != p.query_id{cand_excl}
 ),
 scored AS (
     SELECT cand.query_id, cand.neighbor_id,
@@ -562,6 +566,9 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+_IVF_TOPK_SQL = _ivf_topk_sql()
 
 
 @register("ann_ivf_topk", oracle=_IVF_TOPK_SQL, headline=True, tags=("similarity", "ivf", "topk"))
@@ -2013,7 +2020,8 @@ def _ivf_assignments(n: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _ivf_store_build(
-    spark: SparkSession, sf_dir: str, corpus_filter: "F.Column | None" = None
+    spark: SparkSession, sf_dir: str, corpus_filter: "F.Column | None" = None,
+    loc: "tuple[str, str] | None" = None,
 ) -> str:
     """(Re)build the stored IVF index as catalog tables under the build
     lock: ``<prefix>_assign`` partitioned BY CELL (probe-side dynamic
@@ -2021,13 +2029,15 @@ def _ivf_store_build(
     maintenance join key — append dedup / id lookups are exchange-free on
     the stored side), plus the tiny ``<prefix>_cent`` centroid table.
     ``corpus_filter`` restricts which vectors are indexed (the append
-    path folds the rest in later). Returns the table prefix."""
+    path folds the rest in later); ``loc`` overrides the (index_dir,
+    prefix) pair (the erasure query owns a separate store). Returns the
+    table prefix."""
     from e_commerce_click_stream_spark.operators.storelock import (
         acquire_build_lock,
         downgrade_to_shared,
     )
 
-    index_dir, prefix = _ivf_store_location(sf_dir)
+    index_dir, prefix = loc if loc is not None else _ivf_store_location(sf_dir)
     n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
     cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
@@ -2053,6 +2063,18 @@ def _ivf_store_build(
         .option("path", os.path.join(index_dir, "centroids"))
         .saveAsTable(f"{prefix}_cent")
     )
+    # a fresh build has no erasures: reset any tombstones a previous
+    # generation of this store left behind (same hygiene as the BM25 and
+    # band stores)
+    tomb_t = f"{prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_t):
+        empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint(eager=True)
+        (
+            empty.write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(index_dir, "tombstones"))
+            .saveAsTable(tomb_t)
+        )
     downgrade_to_shared(index_dir)
     return prefix
 
@@ -2089,12 +2111,83 @@ def _ivf_store_append(spark: SparkSession, sf_dir: str, prefix: str,
 def _ivf_store_read(spark: SparkSession, prefix: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) from the catalog store — partition column
     reprojected back into the probe's expected order; a catalog table
-    keeps its schema when empty, so no explicit-schema workaround."""
+    keeps its schema when empty, so no explicit-schema workaround.
+
+    Merge-on-read: when the store carries a tombstone table (a logical
+    erasure ran and ``_apply_ivf_erasures`` hasn't yet), the assignments
+    read anti-joins the broadcast deletion vector — erased vectors leave
+    the searchable set with no shuffle. The centroid table is untouched:
+    erasure does not re-fit the codebook (that is a rebuild), exactly as
+    production IVF deployments defer re-clustering to the rebalance job."""
     stored_cent = spark.table(f"{prefix}_cent").select("cent_id", "cv", "cnrm")
     stored_assign = spark.table(f"{prefix}_assign").select(
         "vec_id", "v", "nrm", "cell"
     )
+    tomb_t = f"{prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_t):
+        stored_assign = stored_assign.join(
+            F.broadcast(spark.table(tomb_t)), "vec_id", "left_anti"
+        )
     return stored_cent, stored_assign
+
+
+def _ivf_erase(
+    spark: SparkSession, erased_vec_ids: DataFrame, prefix: str, index_dir: str
+) -> None:
+    """Logically erase vec_ids from the IVF store: one tombstone-table
+    append (this store's statistics — the centroid table — are not
+    count-mergeable and deliberately stay fixed, see _ivf_store_read).
+    Nothing corpus-sized moves on the erasure path."""
+    import os
+
+    ids = erased_vec_ids.select("vec_id").localCheckpoint(eager=True)
+    (
+        ids.write.mode("append")
+        .format("parquet")
+        .option("path", os.path.join(index_dir, "tombstones"))
+        .saveAsTable(f"{prefix}_tombstones")
+    )
+
+
+def _apply_ivf_erasures(
+    spark: SparkSession, prefix: str, index_dir: str
+) -> dict[str, int]:
+    """Physically drop tombstoned rows from the assignments table and
+    reset the tombstone set — same deferred merge-on-read contract as
+    the BM25 and band stores; the rewrite restates the original
+    partition+bucket spec with the repartition alignment from
+    operators/compaction.py."""
+    import os
+
+    assign_t = f"{prefix}_assign"
+    tomb_t = f"{prefix}_tombstones"
+    tomb = spark.table(tomb_t).localCheckpoint(eager=True)
+    before = spark.table(assign_t).count()
+    snap = (
+        spark.table(assign_t)
+        .select("vec_id", "v", "nrm", "cell")
+        .join(F.broadcast(tomb), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    kept = snap.count()
+    (
+        snap.repartition(_IVF_BUCKETS, F.col("vec_id"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("cell")
+        .bucketBy(_IVF_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .option("path", os.path.join(index_dir, "assignments"))
+        .saveAsTable(assign_t)
+    )
+    empty = tomb.filter(F.lit(False)).localCheckpoint(eager=True)
+    (
+        empty.write.mode("overwrite")
+        .format("parquet")
+        .option("path", os.path.join(index_dir, "tombstones"))
+        .saveAsTable(tomb_t)
+    )
+    return {"dropped": before - kept, "kept": kept}
 
 
 def _ivf_probe_stored(
@@ -2192,6 +2285,43 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins exchange-free on the stored side."""
     prefix = _ivf_store_build(spark, sf_dir, corpus_filter=~_ivf_arrivals())
     _ivf_store_append(spark, sf_dir, prefix, _ivf_arrivals())
+    stored_cent, stored_assign = _ivf_store_read(spark, prefix)
+    return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
+
+
+# Erasure oracle: IVF search where every 4th vector was erased — the
+# candidate set must exclude them while centroids, cell probes, and the
+# query set stay exactly the full-corpus plan's.
+_IVF_ERASE_SQL = _ivf_topk_sql(" AND a.vec_id % 4 != 3")
+
+
+@register("ann_ivf_erase", oracle=_IVF_ERASE_SQL,
+          tags=("similarity", "ivf", "stored-index", "erasure"))
+def ann_ivf_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure against the warm IVF store — the vector-side third of
+    the erasure family (BM25 postings, band store, IVF), run as the
+    append path in reverse: build the store over the FULL corpus, ERASE
+    every 4th vector (the same split ann_ivf_append folds in) via the
+    tombstone deletion vector, then probe merge-on-read. The oracle
+    searches an assignment set that excludes the erased vectors while
+    keeping the full-corpus CODEBOOK — erasure deliberately does not
+    re-fit centroids (that is the rebalance job's rebuild; see
+    _ivf_store_read) — so the green row proves erased vectors leave the
+    searchable set with every surviving cosine/rank bit-identical.
+
+    Scale shape: the erase pass appends |batch| ids to the tombstone
+    table — nothing corpus-sized moves; the probe pays one
+    BroadcastHashJoin LeftAnti on the assignments scan (DPP against the
+    probed cells still applies; no new shuffle). Physical rewrite is
+    ``_apply_ivf_erasures``, deferred and pinned probe-identical in
+    tests. Own store kind ("ivfe"): this query erodes the index by
+    design, which the shared warm IVF store must never observe."""
+    from e_commerce_click_stream_spark.operators.storelock import store_location
+
+    loc = store_location("ivfe", sf_dir)
+    prefix = _ivf_store_build(spark, sf_dir, loc=loc)
+    n = _vecs(spark, sf_dir)
+    _ivf_erase(spark, n.filter(_ivf_arrivals()).select("vec_id"), prefix, loc[0])
     stored_cent, stored_assign = _ivf_store_read(spark, prefix)
     return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
 
@@ -2858,3 +2988,89 @@ def ann_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     downgrade_to_shared(index_dir)
     stored_cent, stored_assign = _ivf_store_read(spark, prefix)
     return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
+
+
+# ---------------------------------------------------------------------------
+# Semantic eval-set decontamination (r12): the embedding-space complement
+# of eval_gram_decontamination (plans/text.py). N-gram fingerprints catch
+# verbatim benchmark leakage; paraphrased or templated leakage survives
+# them — the published mitigation is cosine similarity against the eval
+# set's embeddings (e.g. the contamination audits in the Llama/Phi
+# technical reports). Same deterministic md5-bucket eval/train split as
+# the gram pass, so the two reports describe the SAME split and a
+# curation run can drop the union of both verdicts.
+#
+# SEM_DECON_COSINE is fixture-calibrated (the synthetic embeddings are
+# near-orthogonal, so production-style 0.95+ would make every verdict
+# vacuously false); a deployment tunes it against a labeled leak set.
+SEM_DECON_COSINE = 0.3
+
+_SEM_DECON_SQL = f"""
+WITH n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+           CASE WHEN ascii(substr(md5(vec_id::VARCHAR), 1, 1)) % 10 < 2
+                THEN 'eval' ELSE 'train' END AS split
+    FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
+),
+scored AS (
+    SELECT t.vec_id,
+           e.vec_id AS eval_id,
+           round(list_dot_product(t.v, e.v) / (t.nrm * e.nrm), 6) AS cosine
+    FROM n t JOIN n e ON t.split = 'train' AND e.split = 'eval'
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, eval_id ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, eval_id AS nearest_eval_id, cosine AS eval_cosine,
+       cosine >= {SEM_DECON_COSINE} AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
+@register("eval_semantic_decontamination", oracle=_SEM_DECON_SQL,
+          tags=("similarity", "contamination", "leakage"))
+def eval_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-vector semantic contamination report: nearest eval-split
+    vector by exact cosine and a drop verdict at SEM_DECON_COSINE — the
+    embedding-space complement of eval_gram_decontamination, on the same
+    deterministic md5-bucket split, catching paraphrased leakage that
+    verbatim n-gram fingerprints miss.
+
+    Scale shape: the eval side (a fixed eval suite — small by nature,
+    ~20% of the fixture) BROADCASTS against the train corpus, which
+    never shuffles; per-train best-match is a partial-aggregating
+    max(struct(cosine, -eval_id)) — map-side collapse to one row per
+    train vector, then ONE small shuffle. No corpus x corpus pair ever
+    materializes; at real scale the eval suite stays broadcastable by
+    definition (benchmarks are thousands of rows, not billions)."""
+    split_is_eval = (
+        F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) % 10 < 2
+    )
+    v = _vecs(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    train = v.filter(~split_is_eval).select("vec_id", "v", "nrm")
+    ev = v.filter(split_is_eval).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("enrm"),
+    )
+    scored = train.join(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.round(
+            _dot(F.col("v"), F.col("ev")) / (F.col("nrm") * F.col("enrm")), 6
+        ).alias("cosine"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cosine"), (-F.col("eval_id")).alias("neg_id"))
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg_id")).alias("nearest_eval_id"),
+        F.col("b.cosine").alias("eval_cosine"),
+        (F.col("b.cosine") >= SEM_DECON_COSINE).alias("contaminated"),
+    )

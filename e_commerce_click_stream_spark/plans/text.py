@@ -2029,6 +2029,129 @@ def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney bigram scoring (r12): the smoothing KenLM actually ships —
+# the model behind the CCNet perplexity filter (Wenzek et al. 2020) that
+# doc_bigram_nll approximates with fixed-λ interpolation. Absolute
+# discounting moves mass from observed bigrams to a CONTINUATION
+# distribution (how many distinct contexts a word follows, not how often
+# it occurs), which is what separates KN from every count-interpolation
+# scheme. Trained and applied wholly in-engine:
+#
+#   P_KN(w2|w1) = (C(w1w2) − D)/C(w1·) + D·N1+(w1·)/C(w1·) · N1+(·w2)/N1+(··)
+#
+# with discount D = 0.75 (the textbook fixed-discount variant; KenLM's
+# modified KN fits D per count bucket — a constant-swap away, not a
+# shape change). Scoring the training corpus itself means every scored
+# bigram has C ≥ 1, so max(C−D, 0) never clips. All four statistics —
+# bigram counts, left-context totals, forward/backward continuation type
+# counts, and the global type total — fold out of ONE bigram count table
+# (three key-local aggs + a 1-row broadcast), never a second corpus scan.
+
+KN_DISCOUNT = 0.75
+
+_KN_BIGRAM_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bigrams AS (
+    SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS big
+    FROM toks WHERE len(t) >= 2
+),
+freq2 AS (
+    SELECT big, count(*) AS c12 FROM bigrams GROUP BY big
+),
+fwd AS (
+    SELECT split_part(big, ' ', 1) AS w1, sum(c12) AS c1, count(*) AS n1f
+    FROM freq2 GROUP BY 1
+),
+bwd AS (
+    SELECT split_part(big, ' ', 2) AS w2, count(*) AS n1b
+    FROM freq2 GROUP BY 1
+),
+types AS (SELECT count(*)::DOUBLE AS tt FROM freq2),
+probs AS (
+    SELECT f.big,
+           ((f.c12 - {KN_DISCOUNT}) / m.c1
+            + {KN_DISCOUNT} * m.n1f / m.c1 * (b.n1b / t.tt)) AS p
+    FROM freq2 f
+    JOIN fwd m ON m.w1 = split_part(f.big, ' ', 1)
+    JOIN bwd b ON b.w2 = split_part(f.big, ' ', 2)
+    CROSS JOIN types t
+),
+scored AS (
+    SELECT bg.doc_id, -ln(p.p) AS nll
+    FROM bigrams bg JOIN probs p ON p.big = bg.big
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(nll), 4) AS mean_nll,
+       round(exp(avg(nll)), 2) AS kn_ppl,
+       round(max(nll), 6) AS max_kn_nll
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("doc_kn_bigram_nll", oracle=_KN_BIGRAM_SQL, tags=("text", "quality", "lm"))
+def doc_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram
+    LM trained on the corpus itself — the KenLM-style CCNet quality
+    filter with its real smoothing (absolute discounting + continuation
+    backoff), where doc_bigram_nll uses fixed-λ count interpolation.
+
+    Scale shape: identical to doc_bigram_nll's — the corpus explodes to
+    bigram instances ONCE (checkpointed; it feeds both the count table
+    and the scoring join), the model is three hash aggs folded out of
+    the bigram count table (fwd marginal+type count per w1, bwd type
+    count per w2, 1-row global type total that broadcasts), and scoring
+    is equi-joins with fan-out exactly 1 per bigram instance. No UDF,
+    no model artifact leaves the engine. The arithmetic composes in the
+    SAME textual order as the oracle so 6-decimal max-nll survives the
+    cross-engine double comparison (the avg-derived columns round to
+    4/2 per the registry contract)."""
+    toks = table(spark, sf_dir, "documents").select("doc_id", tokens().alias("t"))
+    bigrams = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', slice(t, i, 2)))"
+                )
+            ).alias("big"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    freq2 = bigrams.groupBy("big").agg(F.count("*").alias("c12"))
+    w1 = F.split(F.col("big"), " ").getItem(0)
+    w2 = F.split(F.col("big"), " ").getItem(1)
+    fwd = freq2.groupBy(w1.alias("w1")).agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    bwd = freq2.groupBy(w2.alias("w2")).agg(F.count("*").alias("n1b"))
+    types = freq2.agg(F.count("*").cast("double").alias("tt"))
+    p = (F.col("c12") - F.lit(KN_DISCOUNT)) / F.col("c1") + F.lit(
+        KN_DISCOUNT
+    ) * F.col("n1f") / F.col("c1") * (F.col("n1b") / F.col("tt"))
+    probs = (
+        freq2.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(fwd, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("big", p.alias("p"))
+    )
+    scored = bigrams.join(probs, "big").select("doc_id", (-F.log("p")).alias("nll"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+        F.round(F.exp(F.avg("nll")), 2).alias("kn_ppl"),
+        F.round(F.max("nll"), 6).alias("max_kn_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # retrieval chunking: overlapping fixed-token windows per document — the
 # materialization step a RAG / retrieval-indexing pipeline runs before
 # embedding; one output row per chunk
@@ -3199,6 +3322,314 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         applied = (
             f"replace({applied}, concat('|', {l}, '||', {r}, '|'),"
             f" concat('|', {l}, {r}, '|'))"
+        )
+    seg = seg.select("doc_id", "chars", F.expr(applied).alias("s2"))
+    syms = F.expr("(length(s2) - length(replace(s2, '||', ''))) div 2 + 1")
+    return seg.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("chars").alias("chars_total"),
+        F.sum(syms).alias("syms_total"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum(syms), 6
+        ).alias("compression_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece merge TRAINING (r12): the THIRD tokenizer-trainer family next
+# to BPE (greedy count argmax) and unigram-LM (EM prune). WordPiece
+# (Schuster & Nakajima 2012; the BERT tokenizer) is BPE's loop with a
+# LIKELIHOOD merge criterion — pick the pair maximizing
+# count(ab) / (count(a) * count(b)) — and the ## continuation-prefix
+# convention (word 'abc' seeds as [a, ##b, ##c]; merging (x, ##y) yields
+# 'xy', merging (##x, ##y) yields '##xy', so non-initial symbols are
+# ##-prefixed by construction at every round). The score is ONE IEEE
+# division of two exactly-representable integers (pair_count and the
+# int64 product of the symbol counts), so both engines rank winners on
+# bit-identical doubles; all OUTPUT columns stay exact integers/strings.
+
+WP_TRAIN_ITERS = 4
+
+
+def _wp_train_ctes(n_iters: int) -> str:
+    """WITH-body of the WordPiece loop (w0/v0, then p{t}/u{t}/t{t}/v{t}
+    per round). Words containing the '|' sentinel OR '#' (which would
+    collide with the ## continuation prefix) are excluded, mirrored in
+    the Spark builder."""
+    ctes = [
+        """w0 AS (
+    SELECT w, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) >= 2 AND NOT contains(w, '|') AND NOT contains(w, '#')
+    GROUP BY w
+),
+v0 AS (
+    SELECT n,
+           '|' || a[1] || '||##' || array_to_string(a[2:], '||##') || '|' AS s
+    FROM (SELECT n, [c FOR c IN string_split(w, '') IF c <> ''] AS a FROM w0)
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        ctes.append(f"""a{t} AS (
+    SELECT n, string_split(substr(s, 2, length(s) - 2), '||') AS a FROM v{t - 1}
+),
+p{t} AS (
+    SELECT pr.a AS lhs, pr.b AS rhs, sum(n)::BIGINT AS pair_count
+    FROM (SELECT n,
+                 unnest([{{'a': a[i], 'b': a[i+1]}} for i in range(1, len(a))]) AS pr
+          FROM a{t})
+    GROUP BY pr.a, pr.b
+),
+u{t} AS (
+    SELECT sym, sum(n)::BIGINT AS c
+    FROM (SELECT n, unnest(a) AS sym FROM a{t})
+    GROUP BY sym
+),
+t{t} AS (
+    SELECT p.lhs, p.rhs, p.pair_count, ua.c AS lhs_count, ub.c AS rhs_count
+    FROM p{t} p
+    JOIN u{t} ua ON ua.sym = p.lhs
+    JOIN u{t} ub ON ub.sym = p.rhs
+    ORDER BY CAST(p.pair_count AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) DESC,
+             p.lhs, p.rhs
+    LIMIT 1
+),
+v{t} AS (
+    SELECT n, replace(s, '|' || t.lhs || '||' || t.rhs || '|',
+                         '|' || t.lhs || substr(t.rhs, 3) || '|') AS s
+    FROM v{t - 1}, t{t} t
+)""")
+    return ",\n".join(ctes)
+
+
+_WP_TRAIN_SQL = (
+    "WITH "
+    + _wp_train_ctes(WP_TRAIN_ITERS)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {t} AS iter, lhs, rhs, lhs || substr(rhs, 3) AS merged,"
+        f" pair_count, lhs_count, rhs_count FROM t{t}"
+        for t in range(1, WP_TRAIN_ITERS + 1)
+    )
+)
+
+
+@register("wordpiece_train_merges", oracle=_WP_TRAIN_SQL,
+          tags=("text", "tokenizer", "wordpiece", "iterative"))
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece training loop, 4 rounds: count adjacent symbol-pair
+    AND per-symbol frequencies over the word-frequency table, pick the
+    LIKELIHOOD argmax count(ab)/(count(a)*count(b)) (ties lexicographic),
+    merge it everywhere (leftmost non-overlapping, the shared wrapped-
+    string replace), recount. Emits the learned merge table (iter, lhs,
+    rhs, merged, pair_count, lhs_count, rhs_count) — the denominators
+    ride along so the readout stays all-integer (the score itself is
+    derived, never stored).
+
+    Distinct from bpe_train_merges in exactly the two ways WordPiece is
+    distinct from BPE: the merge criterion (likelihood ratio, which
+    prefers RELIABLE pairs over merely frequent ones) and the ##
+    continuation convention (merged = lhs || substr(rhs, 3) — every
+    non-initial symbol is ##-prefixed by construction, so rhs always
+    carries the prefix and the merge strips it once).
+
+    Scale shape: identical to the BPE trainer — training state is the
+    word-frequency table, each round is one pair-explode agg + one
+    symbol agg folded from the SAME exploded relation, two vocab-keyed
+    joins onto the pair table, a 1-row winner broadcast into the merge
+    projection, and a checkpoint so round plans stay flat. Cross-engine
+    exactness: the ranking double is one division of two exact int64s
+    (both < 2^53 at any per-symbol count a single corpus shard can
+    produce; the count tables themselves are exact at any scale)."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(
+            (F.length("w") >= 2)
+            & (~F.col("w").contains("|"))
+            & (~F.col("w").contains("#"))
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    chars = F.split("w", "")
+    vocab = words.select(
+        "n",
+        F.concat(
+            F.lit("|"),
+            F.element_at(chars, 1),
+            F.lit("||##"),
+            F.array_join(F.expr("slice(split(w, ''), 2, size(split(w, '')) - 1)"), "||##"),
+            F.lit("|"),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    out = None
+    for t in range(1, WP_TRAIN_ITERS + 1):
+        arr = F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\|\|")
+        syms = vocab.select("n", arr.alias("a")).localCheckpoint(eager=True)
+        pairs = (
+            syms.filter(F.size("a") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " i -> struct(element_at(a, i) AS lhs,"
+                        "             element_at(a, i + 1) AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        counts = (
+            syms.select("n", F.explode("a").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("n").alias("c"))
+        )
+        score = F.col("pair_count").cast("double") / (
+            F.col("lhs_count") * F.col("rhs_count")
+        ).cast("double")
+        top = (
+            pairs.join(
+                counts.select(F.col("sym").alias("lhs"), F.col("c").alias("lhs_count")),
+                "lhs",
+            )
+            .join(
+                counts.select(F.col("sym").alias("rhs"), F.col("c").alias("rhs_count")),
+                "rhs",
+            )
+            .orderBy(F.desc(score), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top.select("lhs", "rhs")))
+            .select(
+                "n",
+                F.expr(
+                    "replace(s, concat('|', lhs, '||', rhs, '|'),"
+                    "           concat('|', lhs, substring(rhs, 3), '|'))"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = top.select(
+            F.lit(t).alias("iter"),
+            "lhs",
+            "rhs",
+            F.concat("lhs", F.expr("substring(rhs, 3)")).alias("merged"),
+            "pair_count",
+            "lhs_count",
+            "rhs_count",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _wp_segment_sql(n_iters: int) -> str:
+    """Apply-path oracle: replay the learned WordPiece merges in training
+    order over every document's words — the wordpiece twin of
+    _bpe_segment_sql (same wrapped-string replace, ## stripped once per
+    merge; rounds the trainer never filled coalesce to a no-op pattern)."""
+    applied = "s"
+    for t in range(1, n_iters + 1):
+        l, r = f"coalesce(m.l{t}, '')", f"coalesce(m.r{t}, '')"
+        applied = (
+            f"replace({applied}, '|' || {l} || '||' || {r} || '|',"
+            f" '|' || {l} || substr({r}, 3) || '|')"
+        )
+    m_cols = ", ".join(
+        f"(SELECT lhs FROM t{t}) AS l{t}, (SELECT rhs FROM t{t}) AS r{t}"
+        for t in range(1, n_iters + 1)
+    )
+    syms = "(length(s2) - length(replace(s2, '||', ''))) // 2 + 1"
+    return f"""WITH {_wp_train_ctes(n_iters)},
+m AS (SELECT {m_cols}),
+wd AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(translate(text, 'İΣ', 'iσ'))), '\\s+')) AS w
+          FROM documents)
+    WHERE length(w) >= 2 AND NOT contains(w, '|') AND NOT contains(w, '#')
+),
+seg AS (
+    SELECT doc_id, length(w)::BIGINT AS chars, {applied} AS s2
+    FROM (SELECT doc_id, w,
+                 '|' || a[1] || '||##' || array_to_string(a[2:], '||##') || '|' AS s
+          FROM (SELECT doc_id, w,
+                       [c FOR c IN string_split(w, '') IF c <> ''] AS a
+                FROM wd)), m
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(chars)::BIGINT AS chars_total,
+       sum({syms})::BIGINT AS syms_total,
+       round(sum(chars)::DOUBLE / sum({syms}), 6) AS compression_ratio
+FROM seg
+GROUP BY doc_id
+"""
+
+
+_WP_SEGMENT_SQL = _wp_segment_sql(WP_TRAIN_ITERS)
+
+
+@register("wordpiece_segment_docs", oracle=_WP_SEGMENT_SQL,
+          tags=("text", "tokenizer", "wordpiece"))
+def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned WordPiece merges back to every document — the
+    inference half, completing train→apply for the THIRD tokenizer
+    family (BPE and unigram-LM both already ship theirs). Each word is
+    re-seeded with the ## continuation prefix and the 4 merges replay IN
+    TRAINING ORDER (sequential wrapped-string replace, ## stripped once
+    per merge — exactly the trainer's application), then per document:
+    word count, character total, post-merge symbol total, and the
+    chars-per-symbol compression ratio.
+
+    Scale shape: identical to bpe_segment_docs — learned winners pivot
+    into ONE broadcast row, segmentation is a zero-shuffle projection
+    over the exploded words, one groupBy(doc) re-agg; no Python."""
+    mtab = wordpiece_train_merges(spark, sf_dir)
+    onerow = mtab.agg(
+        *[
+            F.max(F.when(F.col("iter") == t, F.col(c))).alias(f"{c[0]}{t}")
+            for t in range(1, WP_TRAIN_ITERS + 1)
+            for c in ("lhs", "rhs")
+        ]
+    )
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(lower_folded(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(
+            (F.length("w") >= 2)
+            & (~F.col("w").contains("|"))
+            & (~F.col("w").contains("#"))
+        )
+    )
+    seg = words.select(
+        "doc_id",
+        F.length("w").cast("long").alias("chars"),
+        F.concat(
+            F.lit("|"),
+            F.expr("element_at(split(w, ''), 1)"),
+            F.lit("||##"),
+            F.array_join(F.expr("slice(split(w, ''), 2, size(split(w, '')) - 1)"), "||##"),
+            F.lit("|"),
+        ).alias("s"),
+    ).crossJoin(F.broadcast(onerow))
+    applied = "s"
+    for t in range(1, WP_TRAIN_ITERS + 1):
+        l, r = f"coalesce(l{t}, '')", f"coalesce(r{t}, '')"
+        applied = (
+            f"replace({applied}, concat('|', {l}, '||', {r}, '|'),"
+            f" concat('|', {l}, substring({r}, 3), '|'))"
         )
     seg = seg.select("doc_id", "chars", F.expr(applied).alias("s2"))
     syms = F.expr("(length(s2) - length(replace(s2, '||', ''))) div 2 + 1")

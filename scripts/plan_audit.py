@@ -54,6 +54,14 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 1,
     },
+    # semantic decontamination (r12): the eval split broadcasts against
+    # the train corpus (which never shuffles for the join); per-train
+    # best match is a partial+final max(struct) — ONE shuffle total
+    "eval_semantic_decontamination": {
+        "contains": ["BroadcastNestedLoopJoin", "partial_max"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 1,
+    },
     # as-of join composition: union + ONE hash shuffle on the key, then
     # linear window work — the whole point vs the O(n·m) inequality join
     "events_asof_orders": {
@@ -516,10 +524,27 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
         "max_exchanges": 0,
     },
+    # WordPiece trainer (r12): same checkpointed-loop discipline as the
+    # BPE trainer — every per-round pair/symbol agg and likelihood argmax
+    # ran at checkpoint time, so the audited plan is flat projections
+    # over ExistingRDD scans unioned per round; nothing Python
+    "wordpiece_train_merges": {
+        "contains": ["Union", "Scan ExistingRDD"],
+        "not_contains": ["Exchange", "BatchEvalPython", "SortMergeJoin"],
+        "max_exchanges": 0,
+    },
     # tokenizer apply: learned winners pivot to ONE broadcast row (BNLJ
     # attach), segmentation is a projection over the exploded words, one
     # groupBy(doc) re-agg; no Python, no sort joins
     "bpe_segment_docs": {
+        "contains": ["HashAggregate", "BroadcastNestedLoopJoin", "Generate"],
+        "not_contains": ["BatchEvalPython", "SortMergeJoin", "CartesianProduct"],
+        "max_exchanges": 3,
+    },
+    # WordPiece apply (r12): same contract as bpe_segment_docs — winners
+    # pivot to one broadcast row, segmentation is a projection, one
+    # per-doc re-agg
+    "wordpiece_segment_docs": {
         "contains": ["HashAggregate", "BroadcastNestedLoopJoin", "Generate"],
         "not_contains": ["BatchEvalPython", "SortMergeJoin", "CartesianProduct"],
         "max_exchanges": 3,
@@ -674,6 +699,19 @@ EXPECTATIONS: dict[str, dict] = {
         "contains": ["HashAggregate", "BroadcastNestedLoopJoin"],
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 7,
+    },
+    # Kneser-Ney bigram (r12): same join-chain shape as doc_bigram_nll —
+    # bigram explode runs ONCE behind a checkpoint (Scan ExistingRDD),
+    # the model is hash aggs folded out of the count table, the 1-row
+    # type total broadcasts, and scoring is equi-joins with fan-out 1.
+    # One exchange MORE than doc_bigram_nll: KN's backward continuation
+    # table (distinct left contexts per w2) is a second vocab-keyed agg
+    # the fixed-λ model doesn't have
+    "doc_kn_bigram_nll": {
+        "contains": ["HashAggregate", "BroadcastNestedLoopJoin",
+                     "Scan ExistingRDD"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 8,
     },
     # RAG chunking is sequence→explode→slice per row: zero shuffles,
     # no join, no Python
@@ -1133,6 +1171,16 @@ EXPECTATIONS: dict[str, dict] = {
         # signature stages to one; best-verdict join broadcasts
         "max_exchanges": 2,
     },
+    # erase-then-probe (r12): merge-on-read over the eroded band store —
+    # the tombstone deletion vector reaches both stored reads as a
+    # BroadcastHashJoin LeftAnti (never a shuffled anti-join); otherwise
+    # the warm-probe contract holds (2-shuffle budget, no window)
+    "dedup_stored_erase": {
+        "contains": ["SortAggregate", "LeftAnti", "BroadcastHashJoin",
+                     "Scan parquet spark_catalog.default.bide_"],
+        "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
     # compact-then-probe (r12): after both band-store tables are
     # rewritten in place, the probe plan must be THE SAME warm-probe
     # plan — compaction invisible to the planner (byte-stability
@@ -1225,6 +1273,16 @@ EXPECTATIONS: dict[str, dict] = {
     # pre-shuffle per-query top-k
     "ann_ivf_probe_only": {
         "contains": ["dynamicpruning", "BroadcastHashJoin", "WindowGroupLimit", "Scan parquet"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
+    # erase-then-probe (r12): merge-on-read over the eroded IVF store —
+    # the tombstone deletion vector reaches the assignments scan as a
+    # BroadcastHashJoin LeftAnti; DPP cell pruning and the pre-shuffle
+    # per-query top-k keep the warm-probe contract
+    "ann_ivf_erase": {
+        "contains": ["dynamicpruning", "LeftAnti", "BroadcastHashJoin",
+                     "WindowGroupLimit", "Scan parquet"],
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
         "max_exchanges": 3,
     },

@@ -116,6 +116,12 @@ REPRESENTATIVE = (
     "ann_ivf_compact",
     "dedup_stored_compact",
     "bm25_stored_erase",
+    "eval_semantic_decontamination",
+    "doc_kn_bigram_nll",
+    "dedup_stored_erase",
+    "ann_ivf_erase",
+    "wordpiece_train_merges",
+    "wordpiece_segment_docs",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

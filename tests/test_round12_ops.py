@@ -688,3 +688,358 @@ def test_bm25_erase_merge_on_read_matches_survivor_rebuild(spark):
     # E: a rebuild at this prefix must reset the stale tombstone set
     build_postings_index(docs, prefix, location=index_dir)
     assert spark.table(tomb_t).count() == 0
+
+
+def test_semantic_decontamination_matches_numpy_reference(spark):
+    """Independent brute-force reference for eval_semantic_decontamination:
+    recompute the md5 split, every train x eval cosine (float64, rounded
+    6), and the (cosine DESC, eval_id ASC) arg-max in NumPy, then compare
+    nearest ids, cosines, and verdicts row for row."""
+    import hashlib
+
+    import numpy as np
+
+    from e_commerce_click_stream_spark.plans.similarity import (
+        SEM_DECON_COSINE,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = SPECS["eval_semantic_decontamination"].builder(spark, SF_SMOKE).collect()
+    got = {r.vec_id: (r.nearest_eval_id, r.eval_cosine, r.contaminated) for r in rows}
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    vecs = {}
+    for vid, emb in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        if emb is None or len(emb) != 64 or any(e is None for e in emb):
+            continue
+        a = np.asarray(emb, dtype=np.float64)
+        if not np.any(a != 0):
+            continue
+        vecs[vid] = a
+
+    def is_eval(vid):
+        return ord(hashlib.md5(str(vid).encode()).hexdigest()[0]) % 10 < 2
+
+    ev = sorted(v for v in vecs if is_eval(v))
+    tr = sorted(v for v in vecs if not is_eval(v))
+    assert ev and tr, "smoke fixture must populate both splits"
+    assert set(got) == set(tr), "every train vector must appear exactly once"
+
+    for vid in tr:
+        a = vecs[vid]
+        na = math.sqrt(float(np.dot(a, a)))
+        best = None
+        for eid in ev:
+            b = vecs[eid]
+            # BLAS dot, NOT the committed _dot's left fold — rounding at
+            # 6 decimals absorbs the sum-order difference at dim 64
+            cos = round(float(np.dot(a, b)) / (na * math.sqrt(float(np.dot(b, b)))), 6)
+            if best is None or cos > best[1] or (cos == best[1] and eid < best[0]):
+                best = (eid, cos)
+        exp = (best[0], best[1], best[1] >= SEM_DECON_COSINE)
+        assert got[vid] == exp, f"vec {vid}: {got[vid]} != {exp}"
+
+
+def test_kn_bigram_matches_python_reference(spark):
+    """Independent pure-Python Kneser-Ney reference on a constructed
+    corpus with known count structure: recompute bigram counts, forward
+    marginals/type counts, backward continuation counts, the global type
+    total, every P_KN, and the per-doc readout, then compare row for
+    row. The corpus is built so discount clipping, continuation mass,
+    and repeated bigrams are all exercised (repeated 'a b', hub word 'x'
+    with many left contexts, a two-token doc)."""
+    import tempfile as _tf
+
+    from e_commerce_click_stream_spark.plans.text import KN_DISCOUNT
+
+    docs = [
+        (0, "a b a b c x"),
+        (1, "b x c x a"),
+        (2, "q x"),
+        (3, "a b"),
+        (4, "singleton"),   # no bigram: must not appear in the output
+    ]
+    with _tf.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "src01") for i, t in docs], "doc_id long, text string, source string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = SPECS["doc_kn_bigram_nll"].builder(spark, d).collect()
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll, r.kn_ppl, r.max_kn_nll) for r in rows
+    }
+
+    # reference
+    from collections import Counter
+
+    bigrams_by_doc = {}
+    c12 = Counter()
+    for i, t in docs:
+        ws = t.split()
+        bs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if bs:
+            bigrams_by_doc[i] = bs
+            c12.update(bs)
+    c1 = Counter(); n1f = Counter(); n1b = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    tt = float(len(c12))
+
+    def p_kn(w1, w2):
+        return (c12[(w1, w2)] - KN_DISCOUNT) / c1[w1] + (
+            KN_DISCOUNT * n1f[w1] / c1[w1] * (n1b[w2] / tt)
+        )
+
+    assert set(got) == set(bigrams_by_doc)
+    for i, bs in bigrams_by_doc.items():
+        nlls = [-math.log(p_kn(w1, w2)) for w1, w2 in bs]
+        mean = sum(nlls) / len(nlls)
+        exp = (
+            len(nlls),
+            round(mean, 4),
+            round(math.exp(mean), 2),
+            round(max(nlls), 6),
+        )
+        assert got[i] == exp, f"doc {i}: {got[i]} != {exp}"
+
+    # probability mass sanity: sum_w2 P_KN(w2|w1) == 1 for every seen w1
+    vocab_r = set(n1b)  # continuation distribution support
+    for w1 in c1:
+        mass = sum(
+            (max(c12[(w1, w2)] - KN_DISCOUNT, 0.0)) / c1[w1]
+            + KN_DISCOUNT * n1f[w1] / c1[w1] * (n1b[w2] / tt)
+            for w2 in vocab_r
+        )
+        assert abs(mass - 1.0) < 1e-9, f"KN mass for {w1!r} = {mass}"
+
+
+def test_band_erase_merge_on_read_matches_survivor_rebuild(spark):
+    """Band-store erasure contract: (A) a store built WITHOUT the erased
+    index docs is ground truth; (B) full index build + logical erase
+    (tombstones only — this store has no global statistics) probes
+    bit-identically to A; (C) apply_band_erasures physically drops the
+    rows from BOTH tables, keeps the probe bit-identical, and resets the
+    tombstone set; (D) a rebuild at the same prefix resets stale
+    tombstones."""
+    import e_commerce_click_stream_spark.plans.dedup as dedupplans
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        apply_band_erasures,
+        band_table_names,
+        band_tombstones_table_name,
+        build_band_index_tables,
+        erase_from_band_index_tables,
+        probe_band_index_tables,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import store_location
+    from e_commerce_click_stream_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+        NUM_BANDS,
+        NUM_HASHES,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    index_dir, prefix = store_location("bande", SF_SMOKE)
+    prefix, index_dir = prefix + "_t", index_dir + "_t"
+    ref_prefix, ref_dir = prefix + "ref", index_dir + "ref"
+    sh, batch_sh, ids = dedupplans._band_store_build(
+        spark, SF_SMOKE, index_dir, prefix
+    )
+    erased = sh.filter(~F.col("is_new") & (F.col("doc_id") % 3 == 0)).select("doc_id")
+    survivors = sh.filter(
+        ~F.col("is_new") & (F.col("doc_id") % 3 != 0)
+    ).select("doc_id", "s")
+
+    probe = lambda pfx: sorted(
+        map(
+            tuple,
+            probe_band_index_tables(
+                spark, batch_sh, ids, pfx, NUM_HASHES, NUM_BANDS,
+                JACCARD_THRESHOLD,
+            ).collect(),
+        )
+    )
+
+    # A: ground truth — the store that never indexed the erased docs
+    build_band_index_tables(
+        survivors, ref_prefix, NUM_HASHES, NUM_BANDS, location=ref_dir
+    )
+    ref_rows = probe(ref_prefix)
+
+    # B: logical erase on the full index store
+    erase_from_band_index_tables(spark, erased, prefix, location=index_dir)
+    mor_rows = probe(prefix)
+    assert mor_rows == ref_rows, "merge-on-read probe != survivor rebuild"
+    tomb_t = band_tombstones_table_name(prefix)
+    n_erased = erased.count()
+    assert spark.table(tomb_t).count() == n_erased > 0
+
+    # C: physical apply — rows drop from both tables, probe identical
+    bands_t, shingles_t = band_table_names(prefix)
+    stats = apply_band_erasures(spark, prefix, location=index_dir)
+    assert stats["dropped_shingles"] > 0 and stats["dropped_bands"] > 0
+    assert spark.table(tomb_t).count() == 0
+    for t in (bands_t, shingles_t):
+        assert (
+            spark.table(t).join(erased, "doc_id", "left_semi").count() == 0
+        ), f"{t} still holds erased rows after apply"
+    assert probe(prefix) == mor_rows, "physical apply changed probe verdicts"
+
+    # D: a rebuild at this prefix must reset a stale tombstone set
+    erase_from_band_index_tables(spark, erased.limit(1), prefix, location=index_dir)
+    assert spark.table(tomb_t).count() == 1
+    build_band_index_tables(
+        sh.filter(~F.col("is_new")).select("doc_id", "s"),
+        prefix, NUM_HASHES, NUM_BANDS, location=index_dir,
+    )
+    assert spark.table(tomb_t).count() == 0
+
+
+def test_ivf_erase_merge_on_read_matches_survivor_rebuild(spark):
+    """IVF erasure contract: (A) a survivors-only store with the SAME
+    full-corpus codebook is ground truth — _ivf_store_build derives cent
+    from the corpus BEFORE applying corpus_filter, which matters here
+    because centroid seeds 3 and 7 are themselves erased (%4==3) yet
+    must stay centroids (erasure never re-fits the codebook); (B) full
+    build + logical erase probes bit-identically to A; (C) physical
+    apply keeps the probe bit-identical and resets tombstones; (D) a
+    rebuild resets stale tombstones."""
+    import e_commerce_click_stream_spark.plans.similarity as simplans
+    from e_commerce_click_stream_spark.operators.storelock import store_location
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    loc = store_location("ivfe", SF_SMOKE)
+    loc = (loc[0] + "_t", loc[1] + "_t")
+    prefix = simplans._ivf_store_build(spark, SF_SMOKE, loc=loc)
+    n = simplans._vecs(spark, SF_SMOKE)
+    erased = n.filter(simplans._ivf_arrivals()).select("vec_id")
+    n_erased = erased.count()
+    assert n_erased > 0
+
+    probe = lambda: sorted(
+        map(
+            tuple,
+            simplans._ivf_probe_stored(
+                spark, SF_SMOKE, *simplans._ivf_store_read(spark, prefix)
+            ).collect(),
+        )
+    )
+
+    # A: ground truth — same codebook, survivors-only assignment set
+    # (corpus_filter keeps the centroid derivation on the FULL corpus
+    # inside _ivf_store_build: cent is computed from n BEFORE the filter)
+    ref_loc = (loc[0] + "ref", loc[1] + "ref")
+    ref_prefix = simplans._ivf_store_build(
+        spark, SF_SMOKE, corpus_filter=~simplans._ivf_arrivals(), loc=ref_loc
+    )
+    ref_rows = sorted(
+        map(
+            tuple,
+            simplans._ivf_probe_stored(
+                spark, SF_SMOKE, *simplans._ivf_store_read(spark, ref_prefix)
+            ).collect(),
+        )
+    )
+
+    # B: logical erase on the full store
+    simplans._ivf_erase(spark, erased, prefix, loc[0])
+    mor_rows = probe()
+    assert mor_rows == ref_rows, "merge-on-read probe != survivor rebuild"
+    assert spark.table(f"{prefix}_tombstones").count() == n_erased
+
+    # C: physical apply
+    stats = simplans._apply_ivf_erasures(spark, prefix, loc[0])
+    assert stats["dropped"] == n_erased
+    assert spark.table(f"{prefix}_tombstones").count() == 0
+    assert (
+        spark.table(f"{prefix}_assign")
+        .join(erased, "vec_id", "left_semi")
+        .count()
+        == 0
+    )
+    assert probe() == mor_rows, "physical apply changed probe results"
+
+    # D: rebuild resets a stale tombstone set
+    simplans._ivf_erase(spark, erased.limit(1), prefix, loc[0])
+    assert spark.table(f"{prefix}_tombstones").count() == 1
+    simplans._ivf_store_build(spark, SF_SMOKE, loc=loc)
+    assert spark.table(f"{prefix}_tombstones").count() == 0
+
+
+def test_wordpiece_matches_python_reference(spark):
+    """Independent pure-Python WordPiece trainer on a constructed corpus
+    whose count argmax and likelihood argmax DIFFER: 'zq' appears in 3
+    words (z and q appear nowhere else — likelihood 3/(3*3)=0.333) while
+    'ab' appears 6 times but a and b are everywhere (6/(14*10)=0.043), so
+    BPE would merge ab first and WordPiece must merge z+##q first. The
+    reference replays seeding (##-prefix), pair/symbol counting,
+    likelihood argmax with (lhs, rhs) tie-break, and the leftmost
+    non-overlapping merge for all 4 rounds."""
+    import tempfile as _tf
+
+    from e_commerce_click_stream_spark.plans.text import WP_TRAIN_ITERS
+
+    texts = [
+        "zqa zqb zqab abab ababa baba",
+        "ab ba aab abb aa bb",
+    ]
+    with _tf.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "src01") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = [
+            tuple(r)
+            for r in SPECS["wordpiece_train_merges"].builder(spark, d)
+            .orderBy("iter")
+            .collect()
+        ]
+
+    # reference
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if len(w) >= 2 and "|" not in w and "#" not in w:
+                words[w] += 1
+    vocab = {
+        tuple([w[0]] + ["##" + c for c in w[1:]]): n for w, n in words.items()
+    }
+    exp = []
+    for it in range(1, WP_TRAIN_ITERS + 1):
+        pairs, syms = Counter(), Counter()
+        for seq, n in vocab.items():
+            for s in seq:
+                syms[s] += n
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(
+            pairs.items(),
+            key=lambda kv: (-kv[1] / (syms[kv[0][0]] * syms[kv[0][1]]), kv[0]),
+        )
+        (lhs, rhs), pc = best
+        merged = lhs + rhs[2:]
+        exp.append((it, lhs, rhs, merged, pc, syms[lhs], syms[rhs]))
+        new_vocab = Counter()
+        for seq, n in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == lhs and seq[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    assert got == exp, f"\ngot: {got}\nexp: {exp}"
+    assert exp[0][1:3] == ("z", "##q"), (
+        "corpus must make likelihood and count argmax diverge: " + str(exp)
+    )
