@@ -5774,6 +5774,144 @@ def corpus_mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mix REALIZATION (r12): corpus_mix_temperature_sweep plans per-source
+# token targets; this op turns ONE alpha's plan into the per-document
+# artifact a data loader actually consumes — how many times each doc is
+# seen in the epoch. Copies = whole-epoch repeats (planned DIV available)
+# plus a hash-sampled fractional epoch: doc d joins the fractional pass
+# iff h(d) * tokens_available < remainder * 2^32 — an exact BIGINT
+# cross-multiplication of the Bernoulli rate remainder/available, so
+# both engines select the identical doc set with zero per-source
+# coordination (no cumulative window over a source's documents — a
+# source at web scale has billions of docs and a per-source running sum
+# would serialize on one reducer; threshold sampling realizes the
+# fractional mass in expectation, the standard trade). Widths: h < 2^32
+# and remainder < available, so both products stay under 2^63 until
+# available exceeds ~2^31 tokens per source — a deployment shards
+# sources long before that.
+
+MIX_MANIFEST_ALPHA = 0.5  # one realized temperature; the sweep grades all
+
+
+_MIX_MANIFEST_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+    FROM documents
+    WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\\s+')) > 0
+),
+per_src AS (
+    SELECT source, sum(n_tokens)::BIGINT AS tokens_available
+    FROM docs GROUP BY source
+),
+tot AS (SELECT sum(tokens_available)::BIGINT AS total_tokens FROM per_src),
+wts AS (
+    SELECT source, tokens_available,
+           floor(pow(tokens_available, {MIX_MANIFEST_ALPHA}) * 1000000 + 0.5)::BIGINT
+               AS weight_micro
+    FROM per_src
+),
+wtot AS (SELECT sum(weight_micro)::BIGINT AS w_total FROM wts),
+plan AS (
+    SELECT w.source, w.tokens_available,
+           least(w.tokens_available * {MAX_REPEAT_EPOCHS},
+                 (w.weight_micro * ({BUDGET_TOKEN_MULT} * tt.total_tokens)) // t.w_total)
+               AS planned_tokens
+    FROM wts w, wtot t, tot tt
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+       p.planned_tokens // p.tokens_available AS full_epochs,
+       (CAST(('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+            * p.tokens_available
+        < (p.planned_tokens % p.tokens_available) * 4294967296)
+           AS in_fractional,
+       (p.planned_tokens // p.tokens_available
+        + CASE WHEN CAST(('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8)) AS BIGINT)
+                    * p.tokens_available
+                    < (p.planned_tokens % p.tokens_available) * 4294967296
+               THEN 1 ELSE 0 END)::BIGINT AS n_copies
+FROM docs d JOIN plan p USING (source)
+"""
+
+
+@register("corpus_mix_sampled_manifest", oracle=_MIX_MANIFEST_SQL,
+          tags=("sampling", "governance", "mixing", "manifest"))
+def corpus_mix_sampled_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document realization of the alpha=0.5 mix plan: every
+    non-empty doc reports its source's whole-epoch repeat count and
+    whether it joins the hash-sampled fractional epoch, summing to
+    ``n_copies`` — the training-manifest artifact a loader consumes to
+    materialize the mix (corpus_mix_temperature_sweep plans the targets;
+    this op assigns them to documents).
+
+    Exactness: the plan half reuses the sweep's integer discipline
+    (pow() micro-rounded ONCE, targets by BIGINT DIV); the fractional
+    membership is an exact integer cross-multiplication of the Bernoulli
+    rate (h * available < remainder * 2^32) on a 32-bit md5 prefix — no
+    float compare anywhere, both engines select identical docs.
+
+    Scale shape: one groupBy(source) shuffle for the per-source token
+    relation (map-side partials); the n_sources-row plan broadcasts back
+    onto the doc scan, so the manifest itself is a ZERO-shuffle
+    projection — no per-source window, no global order, parallel at any
+    corpus size."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.size(tokens()).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .localCheckpoint(eager=True)  # feeds the plan agg AND the manifest
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_available")
+    )
+    wts = per_src.withColumn(
+        "weight_micro",
+        F.floor(
+            F.pow(F.col("tokens_available"), F.lit(MIX_MANIFEST_ALPHA))
+            * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    # both scalars fold out of ONE agg over the weighted per-source rows
+    wtot = wts.agg(
+        F.sum("weight_micro").alias("w_total"),
+        F.sum("tokens_available").cast("long").alias("total_tokens"),
+    )
+    plan = (
+        wts.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "tokens_available",
+            F.least(
+                F.col("tokens_available") * MAX_REPEAT_EPOCHS,
+                F.expr(
+                    f"(weight_micro * ({BUDGET_TOKEN_MULT} * total_tokens)) DIV w_total"
+                ),
+            ).alias("planned_tokens"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    in_frac = (
+        h * F.col("tokens_available")
+        < (F.col("planned_tokens") % F.col("tokens_available")) * F.lit(4294967296)
+    )
+    full = F.expr("planned_tokens DIV tokens_available")
+    return docs.join(F.broadcast(plan), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        full.alias("full_epochs"),
+        in_frac.alias("in_fractional"),
+        (full + F.when(in_frac, 1).otherwise(0)).cast("long").alias("n_copies"),
+    )
+
+
 @register("bm25_stored_compact", oracle=_BM25_TOPK_SQL,
           tags=("text", "retrieval", "bm25", "stored-index", "compaction"))
 def bm25_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -549,6 +549,17 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["BatchEvalPython", "SortMergeJoin", "CartesianProduct"],
         "max_exchanges": 3,
     },
+    # mix-realizing manifest (r12): one groupBy(source) shuffle for the
+    # per-source relation + one tiny scalar agg (w_total and the corpus
+    # total fold out of ONE agg), then the n_sources-row plan broadcasts
+    # onto the doc scan — the manifest itself is a zero-shuffle
+    # projection (no per-source window)
+    "corpus_mix_sampled_manifest": {
+        "contains": ["BroadcastHashJoin", "Scan ExistingRDD"],
+        "not_contains": ["Window", "CartesianProduct", "SortMergeJoin",
+                         "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
     # Gopher rule battery: pure zero-shuffle projection — token/line
     # arrays live inside one codegen stage
     "doc_gopher_quality_flags": {

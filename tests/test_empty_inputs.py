@@ -122,6 +122,7 @@ REPRESENTATIVE = (
     "ann_ivf_erase",
     "wordpiece_train_merges",
     "wordpiece_segment_docs",
+    "corpus_mix_sampled_manifest",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

@@ -1043,3 +1043,64 @@ def test_wordpiece_matches_python_reference(spark):
     assert exp[0][1:3] == ("z", "##q"), (
         "corpus must make likelihood and count argmax diverge: " + str(exp)
     )
+
+
+def test_mix_manifest_matches_python_reference(spark):
+    """Full pure-Python reference for corpus_mix_sampled_manifest on the
+    smoke fixture: per-source token sums, the alpha-power micro-rounded
+    weight, the BIGINT-division planned target with repeat ceiling, the
+    whole-epoch count, and the per-doc h*available < remainder*2^32
+    fractional membership — every output column recomputed and compared
+    row for row. Also pins the realization properties: full_epochs is
+    uniform within a source and bounded by MAX_REPEAT_EPOCHS, and
+    n_copies decomposes exactly as full + fractional."""
+    import pyarrow.parquet as pq
+
+    from e_commerce_click_stream_spark.plans.text import (
+        BUDGET_TOKEN_MULT,
+        MAX_REPEAT_EPOCHS,
+        MIX_MANIFEST_ALPHA,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = SPECS["corpus_mix_sampled_manifest"].builder(spark, SF_SMOKE).collect()
+    got = {r.doc_id: r for r in rows}
+
+    t = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"))
+    docs = []
+    for doc_id, text, source in zip(
+        t["doc_id"].to_pylist(), t["text"].to_pylist(), t["source"].to_pylist()
+    ):
+        if text is None:
+            continue
+        n = len([w for w in re.split(r"\s+", text.strip(" "), flags=re.ASCII) if w])
+        if n > 0:
+            docs.append((doc_id, source, n))
+    avail = {}
+    for _d, s, n in docs:
+        avail[s] = avail.get(s, 0) + n
+    total = sum(avail.values())
+    wm = {
+        s: math.floor(math.pow(a, MIX_MANIFEST_ALPHA) * 1_000_000 + 0.5)
+        for s, a in avail.items()
+    }
+    w_total = sum(wm.values())
+    planned = {
+        s: min(
+            avail[s] * MAX_REPEAT_EPOCHS,
+            (wm[s] * (BUDGET_TOKEN_MULT * total)) // w_total,
+        )
+        for s in avail
+    }
+    assert set(got) == {d for d, _s, _n in docs}
+    for doc_id, s, n in docs:
+        full = planned[s] // avail[s]
+        rem = planned[s] % avail[s]
+        h = int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:8], 16)
+        frac = h * avail[s] < rem * 4294967296
+        r = got[doc_id]
+        assert (r.source, r.n_tokens) == (s, n), doc_id
+        assert r.full_epochs == full, doc_id
+        assert r.in_fractional == frac, doc_id
+        assert r.n_copies == full + (1 if frac else 0), doc_id
+        assert 0 <= full <= MAX_REPEAT_EPOCHS
