@@ -560,11 +560,10 @@ GROUP BY component_id
 """
 
 
-def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, label) min-label fixpoint over the MinHash-LSH pair graph —
-    shared by dedup_connected_components (cluster report) and
-    dedup_quality_keep (canonical selection)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+def _cc_fixpoint(pairs: DataFrame) -> DataFrame:
+    """(node, label) min-label fixpoint over an undirected pair relation
+    (doc_a, doc_b) — the shared CC kernel: one edges⋈labels join + min
+    groupBy per round, checkpointed, exact-fixpoint terminated."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
@@ -596,6 +595,53 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) min-label fixpoint over the MinHash-LSH pair graph —
+    shared by dedup_connected_components (cluster report) and
+    dedup_quality_keep (canonical selection)."""
+    return _cc_fixpoint(dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
+
+
+def _cc_incremental_merge(stored: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Fold a batch of undirected edges (doc_a, doc_b) into stored CC
+    labels (node, label): project each edge onto its endpoints' base
+    labels (stored label, or the node itself when unlabeled), run the
+    min-label fixpoint on that QUOTIENT graph — bounded by the new-edge
+    count, never the corpus — and broadcast the resolution back over the
+    stored labels. Returns (node, label) identical to a from-scratch
+    fixpoint over old+new edges (pinned by randomized-graph equivalence
+    in tests and the shared driver oracle)."""
+    la = stored.select(F.col("node").alias("doc_a"), F.col("label").alias("la"))
+    lb = stored.select(F.col("node").alias("doc_b"), F.col("label").alias("lb"))
+    base_edges = (
+        new_pairs.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("lb", F.col("doc_b")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    resolution = _cc_fixpoint(base_edges).select(
+        F.col("node").alias("label"), F.col("label").alias("merged")
+    )
+    # every clustered node: stored-labeled, plus new-edge endpoints that
+    # had no stored label (self-labeled until the resolution remaps them)
+    new_nodes = (
+        new_pairs.select(F.col("doc_a").alias("node"))
+        .union(new_pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    all_nodes = stored.unionByName(
+        new_nodes.join(stored, "node", "left_anti").select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    return all_nodes.join(F.broadcast(resolution), "label", "left").select(
+        "node", F.coalesce("merged", F.col("label")).alias("label")
+    )
+
+
 @register("dedup_connected_components", oracle=_cc_sql(), tags=("dedup", "graph", "iterative"))
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: transitive closure of the MinHash-LSH pair
@@ -611,6 +657,74 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _cc_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+    )
+
+
+@register("dedup_cc_incremental", oracle=_cc_sql(),
+          tags=("dedup", "graph", "iterative", "incremental"))
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components: fold an ingest batch's near-dup
+    edges into stored cluster labels WITHOUT re-clustering the corpus —
+    the maintenance operator every incremental dedup deployment needs
+    once it keeps cluster state (the stored band index answers "which
+    doc does this match"; this answers "which CLUSTER is it, after the
+    batch's edges may have bridged old clusters"). Sharing
+    dedup_connected_components' from-scratch oracle makes the merge
+    algebra the theorem: stored labels + new edges must reproduce the
+    full re-clustering exactly, including min-member component ids.
+
+    Merge algebra: project each new edge onto its endpoints' BASE labels
+    (stored component id, or the node itself when previously unlabeled)
+    — equal-label edges vanish; run the min-label fixpoint on that
+    QUOTIENT graph, whose size is bounded by the new-edge count, never
+    the corpus; broadcast the ≤2·|new edges| resolution rows back over
+    the stored labels. Per-ingest incremental work is therefore O(|new
+    edges|) plus one broadcast relabel projection — the from-scratch
+    labeler revisits every edge of the corpus every ingest, and its
+    round count is bound by the full graph's diameter instead of the
+    quotient's (typically 1-2). The old-pair fixpoint computed here
+    plays the stored-label table a deployment reads from its catalog
+    (the same amortized-build convention as the stored-index queries).
+
+    The split is the shared ingest convention: sources src16+ are the
+    batch; old-old pairs build the stored labels, pairs touching ≥1 new
+    doc are the batch's edges — their union is exactly the full pair
+    set, which is why the from-scratch oracle applies verbatim."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    flags = table(spark, sf_dir, "documents").select(
+        "doc_id", is_new_source().alias("is_new")
+    )
+    p = (
+        pairs.join(
+            flags.select(F.col("doc_id").alias("doc_a"), F.col("is_new").alias("a_new")),
+            "doc_a",
+        )
+        .join(
+            flags.select(F.col("doc_id").alias("doc_b"), F.col("is_new").alias("b_new")),
+            "doc_b",
+        )
+        .localCheckpoint(eager=True)  # feeds the old split AND the new split
+    )
+    old_pairs = p.filter(~F.col("a_new") & ~F.col("b_new")).select("doc_a", "doc_b")
+    new_pairs = (
+        p.filter(F.col("a_new") | F.col("b_new"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds base-label edges AND the node set
+    )
+
+    stored = _cc_fixpoint(old_pairs)  # the catalog state a deployment reads
+    final = _cc_incremental_merge(stored, new_pairs)
+    return (
+        final.groupBy(F.col("label").alias("component_id"))
         .agg(
             F.count("*").alias("n_docs"),
             F.array_join(

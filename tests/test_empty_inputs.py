@@ -123,6 +123,7 @@ REPRESENTATIVE = (
     "wordpiece_train_merges",
     "wordpiece_segment_docs",
     "corpus_mix_sampled_manifest",
+    "dedup_cc_incremental",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

@@ -1104,3 +1104,55 @@ def test_mix_manifest_matches_python_reference(spark):
         assert r.in_fractional == frac, doc_id
         assert r.n_copies == full + (1 if frac else 0), doc_id
         assert 0 <= full <= MAX_REPEAT_EPOCHS
+
+
+def test_cc_incremental_merge_equals_from_scratch(spark):
+    """Randomized-graph equivalence for the incremental CC merge: for
+    several seeded random splits of a random edge set into OLD and NEW,
+    stored-labels(old) folded with merge(new) must equal the from-scratch
+    fixpoint over ALL edges — including the hard cases a fixture can't
+    guarantee: a new edge bridging two distinct old components, chains of
+    bridges, brand-new nodes joining old clusters, and new-only
+    components. A deterministic hand case pins the two-component bridge
+    explicitly."""
+    import random
+
+    from e_commerce_click_stream_spark.plans.dedup import (
+        _cc_fixpoint,
+        _cc_incremental_merge,
+    )
+
+    def run(old_edges, new_edges):
+        old_df = spark.createDataFrame(
+            old_edges or [(-1, -1)], "doc_a long, doc_b long"
+        )
+        if not old_edges:
+            old_df = old_df.filter("doc_a >= 0")
+        new_df = spark.createDataFrame(new_edges, "doc_a long, doc_b long")
+        stored = _cc_fixpoint(old_df)
+        got = sorted(
+            map(tuple, _cc_incremental_merge(stored, new_df).collect())
+        )
+        all_df = old_df.unionByName(new_df)
+        exp = sorted(map(tuple, _cc_fixpoint(all_df).collect()))
+        return got, exp
+
+    # hand case: {1,2} and {5,6} are old components; new doc 9 bridges
+    # them through 2 and 5, and 7-8 is a new-only component
+    got, exp = run([(1, 2), (5, 6)], [(2, 9), (9, 5), (7, 8)])
+    assert got == exp
+    assert (9, 1) in got and (5, 1) in got, f"bridge not merged: {got}"
+    assert (8, 7) in got, f"new-only component mislabeled: {got}"
+
+    rng = random.Random(12)
+    for _trial in range(4):
+        n = 24
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(6, 20))
+        }
+        edges = [(a, b) for a, b in edges]
+        k = rng.randint(0, len(edges))
+        rng.shuffle(edges)
+        got, exp = run(edges[:k], edges[k:])
+        assert got == exp, f"old={edges[:k]} new={edges[k:]}"
