@@ -62,20 +62,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from e_commerce_click_stream_spark.operators.tombstones import (
+    TOMBSTONES_SUBDIR,
+    anti_join_tombstones,
+    append_tombstones,
+    reset_tombstones,
+    tombstones_table_name,
+    truncate_tombstones,
+)
+
 POSTINGS_SUBDIR = "postings"
 TERMS_SUBDIR = "terms"
 SCALARS_SUBDIR = "scalars"
-TOMBSTONES_SUBDIR = "tombstones"
 # bucket count shared by postings and terms so their join is bucket-local
 NUM_POSTING_BUCKETS = 8
 
 
 def postings_table_names(prefix: str) -> tuple[str, str, str]:
     return f"{prefix}_postings", f"{prefix}_terms", f"{prefix}_scalars"
-
-
-def tombstones_table_name(prefix: str) -> str:
-    return f"{prefix}_tombstones"
 
 
 def corpus_postings(docs: DataFrame) -> DataFrame:
@@ -139,16 +143,10 @@ def build_postings_index(
         ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
     ws.saveAsTable(scal_t)
     # a fresh build has no erasures: reset any tombstones a previous
-    # generation of this store left behind, or probes would wrongly
-    # anti-join deletion vectors that no longer describe this corpus
-    spark = docs.sparkSession
-    tomb_t = tombstones_table_name(prefix)
-    if spark.catalog.tableExists(tomb_t):
-        empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint(eager=True)
-        wb = empty.write.mode("overwrite").format("parquet")
-        if location:
-            wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
-        wb.saveAsTable(tomb_t)
+    # generation of this store left behind (catalog AND directory, or a
+    # later session's erase would resurrect stale deletion vectors —
+    # operators/tombstones.py)
+    reset_tombstones(docs.sparkSession, prefix, location)
 
 
 def append_to_postings_index(
@@ -235,13 +233,21 @@ def erase_from_postings_index(
     store never indexed is a no-op beyond the tombstone row (the
     semi-join finds nothing to decrement).
 
+    Idempotent and crash-ordered: ids already tombstoned are excluded
+    BEFORE the decrement (a repeated GDPR request or retried batch whose
+    physical rows still await ``apply_erasures`` must not subtract its
+    df/scalar contributions twice), and the tombstone append commits
+    FIRST — an interruption before the statistics overwrite leaves the
+    benign state (docs hidden, stats momentarily stale, the re-run
+    no-ops on the dedup) instead of the inverse (stats decremented,
+    docs still retrievable).
+
     Scale note: tombstones broadcast at probe time, so this path is
     sized for erasure sets up to broadcast scale (~10M ids); a larger
     backlog is the signal to run ``apply_erasures``, which resets the
     tombstone set to empty."""
     post_t, terms_t, scal_t = postings_table_names(prefix)
-    tomb_t = tombstones_table_name(prefix)
-    ids = erased_doc_ids.select("doc_id").localCheckpoint(eager=True)
+    ids = append_tombstones(spark, erased_doc_ids, prefix, location, "doc_id")
     erased_postings = (
         spark.table(post_t)
         .join(F.broadcast(ids), "doc_id", "left_semi")
@@ -284,10 +290,6 @@ def erase_from_postings_index(
     if location:
         ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
     ws.saveAsTable(scal_t)
-    wb = ids.write.mode("append").format("parquet")
-    if location:
-        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
-    wb.saveAsTable(tomb_t)
 
 
 def apply_erasures(
@@ -325,10 +327,7 @@ def apply_erasures(
     if location:
         w = w.option("path", os.path.join(location, POSTINGS_SUBDIR))
     w.saveAsTable(post_t)
-    wb = tomb.filter(F.lit(False)).write.mode("overwrite").format("parquet")
-    if location:
-        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
-    wb.saveAsTable(tomb_t)
+    truncate_tombstones(spark, prefix, location)
     return {"dropped": before - kept, "kept": kept}
 
 
@@ -359,12 +358,7 @@ def probe_postings_index(
     the scan, no shuffle, and the probe answers as if the erased docs
     were never indexed."""
     post_t, terms_t, scal_t = postings_table_names(prefix)
-    postings = spark.table(post_t)
-    tomb_t = tombstones_table_name(prefix)
-    if spark.catalog.tableExists(tomb_t):
-        postings = postings.join(
-            F.broadcast(spark.table(tomb_t)), "doc_id", "left_anti"
-        )
+    postings = anti_join_tombstones(spark, spark.table(post_t), prefix, "doc_id")
     terms = spark.table(terms_t)
     scalars = spark.table(scal_t)
 

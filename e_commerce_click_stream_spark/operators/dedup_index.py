@@ -150,11 +150,13 @@ def band_table_names(prefix: str) -> tuple[str, str]:
     return f"{prefix}_bands", f"{prefix}_shingles"
 
 
-def band_tombstones_table_name(prefix: str) -> str:
-    return f"{prefix}_tombstones"
-
-
-TOMBSTONES_SUBDIR = "tombstones"
+from e_commerce_click_stream_spark.operators.tombstones import (  # noqa: E402
+    anti_join_tombstones,
+    append_tombstones,
+    reset_tombstones,
+    tombstones_table_name as band_tombstones_table_name,
+    truncate_tombstones,
+)
 
 
 def erase_from_band_index_tables(
@@ -167,18 +169,14 @@ def erase_from_band_index_tables(
     right-to-be-forgotten) — the band-store twin of
     ``bm25_index.erase_from_postings_index``, simpler because this store
     carries NO mergeable global statistics: erasure is purely a
-    ``<prefix>_tombstones`` deletion-vector append. Probes anti-join the
+    ``<prefix>_tombstones`` deletion-vector append (deduped against the
+    existing vector — operators/tombstones.py). Probes anti-join the
     broadcast tombstone set on both stored tables (bands: erased docs
     stop being candidates; shingles: their sets are never read for
     verification), so the store answers as if the docs were never
     indexed; ``apply_band_erasures`` physically drops the rows later,
     off the erasure path."""
-    tomb_t = band_tombstones_table_name(prefix)
-    ids = erased_doc_ids.select("doc_id").localCheckpoint(eager=True)
-    wb = ids.write.mode("append").format("parquet")
-    if location:
-        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
-    wb.saveAsTable(tomb_t)
+    append_tombstones(spark, erased_doc_ids, prefix, location, "doc_id")
 
 
 def apply_band_erasures(
@@ -238,10 +236,7 @@ def apply_band_erasures(
         ws = ws.option("path", os.path.join(location, SHINGLES_SUBDIR))
     ws.saveAsTable(shingles_t)
 
-    wb = tomb.filter(F.lit(False)).write.mode("overwrite").format("parquet")
-    if location:
-        wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
-    wb.saveAsTable(tomb_t)
+    truncate_tombstones(spark, prefix, location)
     return out
 
 
@@ -280,16 +275,9 @@ def build_band_index_tables(
         ws = ws.option("path", os.path.join(location, SHINGLES_SUBDIR))
     ws.saveAsTable(shingles_t)
     # a fresh build has no erasures: reset any tombstones a previous
-    # generation of this store left behind (same hygiene as the BM25
-    # store — stale deletion vectors must not erode the new corpus)
-    spark = index_docs.sparkSession
-    tomb_t = band_tombstones_table_name(prefix)
-    if spark.catalog.tableExists(tomb_t):
-        empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint(eager=True)
-        wb = empty.write.mode("overwrite").format("parquet")
-        if location:
-            wb = wb.option("path", os.path.join(location, TOMBSTONES_SUBDIR))
-        wb.saveAsTable(tomb_t)
+    # generation of this store left behind (catalog AND directory —
+    # operators/tombstones.py)
+    reset_tombstones(index_docs.sparkSession, prefix, location)
 
 
 def append_to_band_index_tables(
@@ -382,13 +370,12 @@ def probe_band_index_tables(
     bands_t, shingles_t = band_table_names(prefix)
     # partition columns come last in a table scan's order — reproject to
     # the probe's expected column order
-    stored_bands = spark.table(bands_t).select("doc_id", "band", "bucket")
-    stored_sh = spark.table(shingles_t).select("doc_id", "s")
-    tomb_t = band_tombstones_table_name(prefix)
-    if spark.catalog.tableExists(tomb_t):
-        tomb = spark.table(tomb_t)
-        stored_bands = stored_bands.join(F.broadcast(tomb), "doc_id", "left_anti")
-        stored_sh = stored_sh.join(F.broadcast(tomb), "doc_id", "left_anti")
+    stored_bands = anti_join_tombstones(
+        spark, spark.table(bands_t).select("doc_id", "band", "bucket"), prefix, "doc_id"
+    )
+    stored_sh = anti_join_tombstones(
+        spark, spark.table(shingles_t).select("doc_id", "s"), prefix, "doc_id"
+    )
     return _probe_against(
         batch_bands, batch_sh, stored_bands, stored_sh, all_batch_ids,
         jaccard_threshold,

@@ -560,10 +560,17 @@ GROUP BY component_id
 """
 
 
-def _cc_fixpoint(pairs: DataFrame) -> DataFrame:
+def _cc_fixpoint(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     """(node, label) min-label fixpoint over an undirected pair relation
     (doc_a, doc_b) — the shared CC kernel: one edges⋈labels join + min
-    groupBy per round, checkpointed, exact-fixpoint terminated."""
+    groupBy per round, checkpointed, exact-fixpoint terminated.
+
+    Convergence needs ~graph-diameter rounds; the LSH fixture graphs
+    converge in <=4 but dedup_cc_incremental feeds this kernel quotient
+    graphs whose diameter is bounded only by an ingest batch's edge
+    count, so non-convergence within ``max_rounds`` RAISES instead of
+    silently returning split components (a chain of >max_rounds bridge
+    edges would otherwise emit wrong labels with no error)."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
@@ -572,7 +579,7 @@ def _cc_fixpoint(pairs: DataFrame) -> DataFrame:
         "label", F.col("node")
     ).localCheckpoint(eager=True)
 
-    for _ in range(12):  # >= max cluster diameter; fixtures converge in <=4
+    for _ in range(max_rounds):
         via_edges = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -591,8 +598,13 @@ def _cc_fixpoint(pairs: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"min-label propagation did not converge within {max_rounds} rounds "
+        f"({changed} labels still changing) — graph diameter exceeds the "
+        f"round budget; raise max_rounds or switch this component family "
+        f"to the O(log n) large-star/small-star scheme"
+    )
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,15 +1523,24 @@ def dedup_stored_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         erase_from_band_index_tables,
         probe_band_index_tables,
     )
-    from e_commerce_click_stream_spark.operators.storelock import store_location
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
 
     index_dir, prefix = store_location("bande", sf_dir)
     sh, batch_sh, all_batch_ids = _band_store_build(spark, sf_dir, index_dir, prefix)
+    # the tombstone append is a store WRITE: re-upgrade this process's
+    # shared lock for it (same discipline as the compaction rewrite), or
+    # a concurrent reader could probe a half-committed deletion vector
+    acquire_build_lock(index_dir)
     erase_from_band_index_tables(
         spark,
         sh.filter(~F.col("is_new") & (F.col("doc_id") % 3 == 0)).select("doc_id"),
         prefix, location=index_dir,
     )
+    downgrade_to_shared(index_dir)
     return probe_band_index_tables(
         spark, batch_sh, all_batch_ids, prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,

@@ -2064,17 +2064,11 @@ def _ivf_store_build(
         .saveAsTable(f"{prefix}_cent")
     )
     # a fresh build has no erasures: reset any tombstones a previous
-    # generation of this store left behind (same hygiene as the BM25 and
-    # band stores)
-    tomb_t = f"{prefix}_tombstones"
-    if spark.catalog.tableExists(tomb_t):
-        empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint(eager=True)
-        (
-            empty.write.mode("overwrite")
-            .format("parquet")
-            .option("path", os.path.join(index_dir, "tombstones"))
-            .saveAsTable(tomb_t)
-        )
+    # generation of this store left behind (catalog AND directory —
+    # operators/tombstones.py)
+    from e_commerce_click_stream_spark.operators.tombstones import reset_tombstones
+
+    reset_tombstones(spark, prefix, index_dir)
     downgrade_to_shared(index_dir)
     return prefix
 
@@ -2119,15 +2113,17 @@ def _ivf_store_read(spark: SparkSession, prefix: str) -> tuple[DataFrame, DataFr
     the searchable set with no shuffle. The centroid table is untouched:
     erasure does not re-fit the codebook (that is a rebuild), exactly as
     production IVF deployments defer re-clustering to the rebalance job."""
-    stored_cent = spark.table(f"{prefix}_cent").select("cent_id", "cv", "cnrm")
-    stored_assign = spark.table(f"{prefix}_assign").select(
-        "vec_id", "v", "nrm", "cell"
+    from e_commerce_click_stream_spark.operators.tombstones import (
+        anti_join_tombstones,
     )
-    tomb_t = f"{prefix}_tombstones"
-    if spark.catalog.tableExists(tomb_t):
-        stored_assign = stored_assign.join(
-            F.broadcast(spark.table(tomb_t)), "vec_id", "left_anti"
-        )
+
+    stored_cent = spark.table(f"{prefix}_cent").select("cent_id", "cv", "cnrm")
+    stored_assign = anti_join_tombstones(
+        spark,
+        spark.table(f"{prefix}_assign").select("vec_id", "v", "nrm", "cell"),
+        prefix,
+        "vec_id",
+    )
     return stored_cent, stored_assign
 
 
@@ -2135,18 +2131,13 @@ def _ivf_erase(
     spark: SparkSession, erased_vec_ids: DataFrame, prefix: str, index_dir: str
 ) -> None:
     """Logically erase vec_ids from the IVF store: one tombstone-table
-    append (this store's statistics — the centroid table — are not
-    count-mergeable and deliberately stay fixed, see _ivf_store_read).
-    Nothing corpus-sized moves on the erasure path."""
-    import os
+    append (deduped against the existing vector —
+    operators/tombstones.py; this store's statistics — the centroid
+    table — are not count-mergeable and deliberately stay fixed, see
+    _ivf_store_read). Nothing corpus-sized moves on the erasure path."""
+    from e_commerce_click_stream_spark.operators.tombstones import append_tombstones
 
-    ids = erased_vec_ids.select("vec_id").localCheckpoint(eager=True)
-    (
-        ids.write.mode("append")
-        .format("parquet")
-        .option("path", os.path.join(index_dir, "tombstones"))
-        .saveAsTable(f"{prefix}_tombstones")
-    )
+    append_tombstones(spark, erased_vec_ids, prefix, index_dir, "vec_id")
 
 
 def _apply_ivf_erasures(
@@ -2159,9 +2150,12 @@ def _apply_ivf_erasures(
     operators/compaction.py."""
     import os
 
+    from e_commerce_click_stream_spark.operators.tombstones import (
+        tombstones_table_name,
+    )
+
     assign_t = f"{prefix}_assign"
-    tomb_t = f"{prefix}_tombstones"
-    tomb = spark.table(tomb_t).localCheckpoint(eager=True)
+    tomb = spark.table(tombstones_table_name(prefix)).localCheckpoint(eager=True)
     before = spark.table(assign_t).count()
     snap = (
         spark.table(assign_t)
@@ -2180,13 +2174,11 @@ def _apply_ivf_erasures(
         .option("path", os.path.join(index_dir, "assignments"))
         .saveAsTable(assign_t)
     )
-    empty = tomb.filter(F.lit(False)).localCheckpoint(eager=True)
-    (
-        empty.write.mode("overwrite")
-        .format("parquet")
-        .option("path", os.path.join(index_dir, "tombstones"))
-        .saveAsTable(tomb_t)
+    from e_commerce_click_stream_spark.operators.tombstones import (
+        truncate_tombstones,
     )
+
+    truncate_tombstones(spark, prefix, index_dir)
     return {"dropped": before - kept, "kept": kept}
 
 
@@ -2316,12 +2308,20 @@ def ann_ivf_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_apply_ivf_erasures``, deferred and pinned probe-identical in
     tests. Own store kind ("ivfe"): this query erodes the index by
     design, which the shared warm IVF store must never observe."""
-    from e_commerce_click_stream_spark.operators.storelock import store_location
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
 
     loc = store_location("ivfe", sf_dir)
     prefix = _ivf_store_build(spark, sf_dir, loc=loc)
     n = _vecs(spark, sf_dir)
+    # the tombstone append is a store WRITE: re-upgrade this process's
+    # shared lock for it (same discipline as the compaction rewrite)
+    acquire_build_lock(loc[0])
     _ivf_erase(spark, n.filter(_ivf_arrivals()).select("vec_id"), prefix, loc[0])
+    downgrade_to_shared(loc[0])
     stored_cent, stored_assign = _ivf_store_read(spark, prefix)
     return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
 

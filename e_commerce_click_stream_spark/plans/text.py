@@ -5797,9 +5797,11 @@ MIX_MANIFEST_ALPHA = 0.5  # one realized temperature; the sweep grades all
 _MIX_MANIFEST_SQL = f"""
 WITH docs AS (
     SELECT doc_id, source,
-           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))::BIGINT
+               AS n_tokens
     FROM documents
-    WHERE text IS NOT NULL AND len(string_split_regex(trim(text), '\\s+')) > 0
+    WHERE text IS NOT NULL
+      AND len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) > 0
 ),
 per_src AS (
     SELECT source, sum(n_tokens)::BIGINT AS tokens_available
@@ -5856,10 +5858,19 @@ def corpus_mix_sampled_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the doc scan, so the manifest itself is a ZERO-shuffle
     projection — no per-source window, no global order, parallel at any
     corpus size."""
+    # NON-EMPTY token count: trim() strips spaces only, so whitespace-only
+    # or \n-trailing text would otherwise contribute phantom empty tokens
+    # to tokens_available (and the test reference counts real words)
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .select("doc_id", "source", F.size(tokens()).cast("long").alias("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.filter(tokens(), lambda t: t != ""))
+            .cast("long")
+            .alias("n_tokens"),
+        )
         .filter(F.col("n_tokens") > 0)
         .localCheckpoint(eager=True)  # feeds the plan agg AND the manifest
     )

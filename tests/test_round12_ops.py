@@ -661,6 +661,18 @@ def test_bm25_erase_merge_on_read_matches_survivor_rebuild(spark):
     ), "decremented df table != survivor rebuild's dfrel"
     assert spark.table(scal_t).collect() == spark.table(rscal_t).collect()
 
+    # B2: erasure is IDEMPOTENT — repeating the SAME erase batch while
+    # the physical rows still await apply must not decrement df/scalars
+    # a second time (the dedup against the existing vector no-ops it)
+    erase_from_postings_index(spark, gone.select("doc_id"), prefix,
+                              location=index_dir)
+    assert spark.table(scal_t).collect() == spark.table(rscal_t).collect(), (
+        "repeated erase double-decremented the corpus scalars"
+    )
+    assert sorted(map(tuple, spark.table(terms_t).collect())) == sorted(
+        map(tuple, spark.table(rterms_t).collect())
+    ), "repeated erase double-decremented df"
+
     # C: physical apply — rows drop, probe identical, tombstones reset
     gone_n = gone.count()
     tomb_t = tombstones_table_name(prefix)
@@ -685,9 +697,13 @@ def test_bm25_erase_merge_on_read_matches_survivor_rebuild(spark):
     assert spark.table(scal_t).collect() == spark.table(rscal_t).collect()
     assert sorted(map(tuple, textplans._bm25_probe(spark, prefix).collect())) == mor_rows
 
-    # E: a rebuild at this prefix must reset the stale tombstone set
+    # E: a rebuild at this prefix must reset the stale tombstone set —
+    # catalog AND directory (the table is dropped outright, so a later
+    # session can't resurrect the files; operators/tombstones.py)
     build_postings_index(docs, prefix, location=index_dir)
-    assert spark.table(tomb_t).count() == 0
+    assert not spark.catalog.tableExists(tomb_t)
+    import glob as _glob
+    assert not _glob.glob(os.path.join(index_dir, "tombstones", "*.parquet"))
 
 
 def test_semantic_decontamination_matches_numpy_reference(spark):
@@ -888,14 +904,15 @@ def test_band_erase_merge_on_read_matches_survivor_rebuild(spark):
         ), f"{t} still holds erased rows after apply"
     assert probe(prefix) == mor_rows, "physical apply changed probe verdicts"
 
-    # D: a rebuild at this prefix must reset a stale tombstone set
+    # D: a rebuild at this prefix must reset a stale tombstone set —
+    # the table is dropped outright (catalog AND directory)
     erase_from_band_index_tables(spark, erased.limit(1), prefix, location=index_dir)
     assert spark.table(tomb_t).count() == 1
     build_band_index_tables(
         sh.filter(~F.col("is_new")).select("doc_id", "s"),
         prefix, NUM_HASHES, NUM_BANDS, location=index_dir,
     )
-    assert spark.table(tomb_t).count() == 0
+    assert not spark.catalog.tableExists(tomb_t)
 
 
 def test_ivf_erase_merge_on_read_matches_survivor_rebuild(spark):
@@ -963,11 +980,12 @@ def test_ivf_erase_merge_on_read_matches_survivor_rebuild(spark):
     )
     assert probe() == mor_rows, "physical apply changed probe results"
 
-    # D: rebuild resets a stale tombstone set
+    # D: rebuild resets a stale tombstone set — the table is dropped
+    # outright (catalog AND directory)
     simplans._ivf_erase(spark, erased.limit(1), prefix, loc[0])
     assert spark.table(f"{prefix}_tombstones").count() == 1
     simplans._ivf_store_build(spark, SF_SMOKE, loc=loc)
-    assert spark.table(f"{prefix}_tombstones").count() == 0
+    assert not spark.catalog.tableExists(f"{prefix}_tombstones")
 
 
 def test_wordpiece_matches_python_reference(spark):
