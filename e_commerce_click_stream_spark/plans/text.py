@@ -5884,7 +5884,7 @@ def corpus_mix_sampled_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1_000_000)
             + F.lit(0.5)
         ).cast("long"),
-    )
+    ).localCheckpoint(eager=True)  # feeds the plan rows AND the scalar agg
     # both scalars fold out of ONE agg over the weighted per-source rows
     wtot = wts.agg(
         F.sum("weight_micro").alias("w_total"),
