@@ -57,12 +57,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r12 window (VERDICT r11 #1): LEADS with the 8 r5-proof overflow
     # queries from the r11 rotation (the repo's oldest staleness — after
     # this round no proof older than r9 remains anywhere), then the
-    # brand-new r12 operators (17 after the late stored-weights probe,
+    # brand-new r12 operators (18 after the late stored-weights probe,
     # band-store compaction, the erasure trio, semantic decontamination,
     # the Kneser-Ney bigram LM, the WordPiece train+apply pair, the
-    # mix-realizing manifest, and incremental CC), then 25 of the 43
-    # r7-proof queries (the next-oldest band); the remaining 18 r7
-    # queries lead _VERIFY_NEXT for r13.
+    # mix-realizing manifest, incremental CC, and the NB ROC curve),
+    # then 24 of the 43 r7-proof queries (the next-oldest band); the
+    # remaining 19 r7 queries lead _VERIFY_NEXT for r13.
     # the 8 r5 proofs — refresh FIRST
     "pipeline_status_union",
     "session_event_paths",
@@ -90,7 +90,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "wordpiece_segment_docs",
     "corpus_mix_sampled_manifest",
     "dedup_cc_incremental",
-    # rotation: 25 of the 43 r7-proof queries
+    "quality_nb_roc_curve",
+    # rotation: 24 of the 43 r7-proof queries
     "ann_hard_negatives",
     "corpus_quality_drift",
     "customer_order_gaps",
@@ -115,26 +116,26 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "order_date_functions",
     "order_price_dispersion",
     "order_value_percentiles",
-    "orders_monthly_trend",
 )
 
 
 # Overflow preference: emitted immediately AFTER the verify window. The
 # driver checks "a bounded prefix (~50)" — if its window runs past 50,
 # these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the 18 r7-proof queries the
-# r12 window could not fit (orders_status_pivot, orders_with_returns,
-# pagerank_bipartite, part_type_rollup, parts_above_avg_price,
-# purchase_attribution_window, q12_priority_shipping,
-# q18_large_volume_customers, q6_forecast_revenue,
-# quality_weighted_sample and recent_events_window were displaced late
-# by the seventeenth through seventh new operators — incremental CC,
-# the mix-realizing manifest, the WordPiece train+apply pair,
-# ann_ivf_erase, dedup_stored_erase, doc_kn_bigram_nll,
-# eval_semantic_decontamination, bm25_stored_erase,
+# fixture-current ever-green row). These are the 19 r7-proof queries the
+# r12 window could not fit (orders_monthly_trend, orders_status_pivot,
+# orders_with_returns, pagerank_bipartite, part_type_rollup,
+# parts_above_avg_price, purchase_attribution_window,
+# q12_priority_shipping, q18_large_volume_customers,
+# q6_forecast_revenue, quality_weighted_sample and recent_events_window
+# were displaced late by the eighteenth through seventh new operators —
+# the NB ROC curve, incremental CC, the mix-realizing manifest, the
+# WordPiece train+apply pair, ann_ivf_erase, dedup_stored_erase,
+# doc_kn_bigram_nll, eval_semantic_decontamination, bm25_stored_erase,
 # dedup_stored_compact, quality_nb_probe_only; new ops outrank
 # refreshes) — they lead the r13 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "orders_monthly_trend",
     "orders_status_pivot",
     "orders_with_returns",
     "pagerank_bipartite",

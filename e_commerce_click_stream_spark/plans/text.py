@@ -5284,6 +5284,154 @@ def quality_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NB classifier ROC curve (r12): quality_nb_confusion grades ONE
+# operating point (log_odds > 0); every deployed quality filter is
+# instead tuned by sweeping the threshold — the ROC/precision readout.
+# The sweep is exact and scale-safe: scores bin into NB_ROC_BINS
+# integer-edged buckets between the corpus min/max log-odds (pure BIGINT
+# math — no float boundary can disagree between engines), one hash agg
+# counts (pos, neg) per bin, and suffix sums over the <= NB_ROC_BINS
+# rows turn bin counts into per-threshold TP/FP — the same
+# histogram-then-tiny-window discipline as doc_length_percentile_filter,
+# so no per-threshold corpus fan-out and no corpus-sized sort.
+
+NB_ROC_BINS = 16
+
+_NB_ROC_SQL = f"""
+WITH {_NB_CORE_CTES},
+sc AS (
+    SELECT p.label, (p.dot_micro + r.prior_micro)::BIGINT AS lo
+    FROM perdoc p, prior r
+),
+mm AS (
+    SELECT min(lo) AS lo_min, max(lo) AS lo_max,
+           sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS pos_total,
+           sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS neg_total
+    FROM sc
+),
+binned AS (
+    SELECT ((s.lo - m.lo_min) * {NB_ROC_BINS})
+               // (m.lo_max - m.lo_min + 1) AS bin,
+           sum(CASE WHEN s.label THEN 1 ELSE 0 END)::BIGINT AS pos_n,
+           sum(CASE WHEN s.label THEN 0 ELSE 1 END)::BIGINT AS neg_n
+    FROM sc s, mm m
+    GROUP BY 1
+),
+grid AS (
+    SELECT g.k, m.lo_min, m.lo_max, m.pos_total, m.neg_total
+    FROM (SELECT unnest(range({NB_ROC_BINS})) AS k) g, mm m
+    WHERE m.lo_min IS NOT NULL
+),
+curve AS (
+    SELECT g.k,
+           (g.lo_min + (g.k * (g.lo_max - g.lo_min + 1)) // {NB_ROC_BINS})::BIGINT
+               AS threshold_micro,
+           g.pos_total, g.neg_total,
+           sum(coalesce(b.pos_n, 0)) OVER (ORDER BY g.k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+           sum(coalesce(b.neg_n, 0)) OVER (ORDER BY g.k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp
+    FROM grid g LEFT JOIN binned b ON b.bin = g.k
+)
+SELECT k::BIGINT AS k, threshold_micro, tp, fp,
+       (pos_total - tp)::BIGINT AS fn,
+       (neg_total - fp)::BIGINT AS tn,
+       CASE WHEN pos_total > 0 THEN round(tp * 1.0 / pos_total, 6) END AS tpr,
+       CASE WHEN neg_total > 0 THEN round(fp * 1.0 / neg_total, 6) END AS fpr,
+       CASE WHEN tp + fp > 0 THEN round(tp * 1.0 / (tp + fp), 6) END
+           AS precision_at_k
+FROM curve
+"""
+
+
+@register("quality_nb_roc_curve", oracle=_NB_ROC_SQL,
+          tags=("text", "quality", "classifier", "nb", "eval"))
+def quality_nb_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep calibration for the trained NB classifier: 16
+    integer-edged score bins between the corpus min/max log-odds, one
+    (tp, fp, fn, tn, tpr, fpr, precision) row per threshold — the ROC
+    readout a deployed quality filter is tuned by, completing the
+    classifier family (fit → score → single-point confusion → curve).
+    Bin edges and thresholds are pure BIGINT arithmetic on the exact
+    micro log-odds (both engines bin identically; rates round once at
+    the readout); ``pred = lo >= threshold``, so k=0 keeps everything
+    and higher k tightens the filter.
+
+    Scale shape: the fit+score chain is quality_nb_classifier's; the
+    sweep adds ONE hash agg to bin the per-doc scores (map-side
+    partials collapse to <= NB_ROC_BINS rows per partition — never a
+    per-threshold corpus fan-out), a 1-row min/max/total broadcast, and
+    a window over the NB_ROC_BINS-row grid. Empty corpus ⇒ empty curve
+    (the grid derives from the guarded min/max row)."""
+    scored = _nb_scored(spark, sf_dir)
+    sc = scored.select(
+        "label", (F.col("dot_micro") + F.col("prior_micro")).alias("lo")
+    ).localCheckpoint(eager=True)  # feeds min/max AND the bin agg
+    mm = sc.agg(
+        F.min("lo").alias("lo_min"),
+        F.max("lo").alias("lo_max"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("pos_total"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("neg_total"),
+    )
+    binned = (
+        sc.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(
+                f"((lo - lo_min) * {NB_ROC_BINS}) DIV (lo_max - lo_min + 1)"
+            ).alias("bin"),
+            "label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("pos_n"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("neg_n"),
+        )
+    )
+    grid = (
+        mm.filter(F.col("lo_min").isNotNull())
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(NB_ROC_BINS - 1))).alias("k"),
+            "lo_min",
+            "lo_max",
+            "pos_total",
+            "neg_total",
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = grid.join(F.broadcast(binned), grid.k == binned.bin, "left").select(
+        "k",
+        F.expr(
+            f"CAST(lo_min + (k * (lo_max - lo_min + 1)) DIV {NB_ROC_BINS} AS BIGINT)"
+        ).alias("threshold_micro"),
+        "pos_total",
+        "neg_total",
+        F.sum(F.coalesce("pos_n", F.lit(0))).over(w).cast("long").alias("tp"),
+        F.sum(F.coalesce("neg_n", F.lit(0))).over(w).cast("long").alias("fp"),
+    )
+    return curve.select(
+        F.col("k").cast("long").alias("k"),
+        "threshold_micro",
+        "tp",
+        "fp",
+        (F.col("pos_total") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("neg_total") - F.col("fp")).cast("long").alias("tn"),
+        F.when(
+            F.col("pos_total") > 0, F.round(F.col("tp") * 1.0 / F.col("pos_total"), 6)
+        ).alias("tpr"),
+        F.when(
+            F.col("neg_total") > 0, F.round(F.col("fp") * 1.0 / F.col("neg_total"), 6)
+        ).alias("fpr"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end curation pipeline (VERDICT r11 #4): the one-line-per-stage
 # readout every real curation run is judged by. Chains the engine's
 # existing stages over a SINGLE corpus scan — line-level boilerplate

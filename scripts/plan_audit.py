@@ -1030,6 +1030,18 @@ EXPECTATIONS: dict[str, dict] = {
                          "Window", "Generate", "Scan parquet"],
         "max_exchanges": 1,
     },
+    # NB ROC curve (r12): the sweep is a histogram-then-tiny-window —
+    # one hash agg bins the checkpointed per-doc scores (never a
+    # per-threshold corpus fan-out), min/max/totals broadcast, and the
+    # only Window runs over the 16-row grid. Exchanges: the score agg
+    # off the checkpointed dtb, the bin agg, the grid window's
+    # single-partition exchange, and the 1-row min/max agg
+    "quality_nb_roc_curve": {
+        "contains": ["Scan ExistingRDD", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Scan parquet"],
+        "max_exchanges": 5,
+    },
     # alpha-power mix sweep (r12): the audited plan starts at the
     # checkpointed per-source token relation (the single corpus scan +
     # groupBy ran at checkpoint time); the 4-alpha grid is a zero-

@@ -124,6 +124,7 @@ REPRESENTATIVE = (
     "wordpiece_segment_docs",
     "corpus_mix_sampled_manifest",
     "dedup_cc_incremental",
+    "quality_nb_roc_curve",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

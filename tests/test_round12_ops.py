@@ -1174,3 +1174,53 @@ def test_cc_incremental_merge_equals_from_scratch(spark):
         rng.shuffle(edges)
         got, exp = run(edges[:k], edges[k:])
         assert got == exp, f"old={edges[:k]} new={edges[k:]}"
+
+
+def test_quality_nb_roc_matches_reference(spark):
+    """ROC-curve reference on the constructed disjoint-vocabulary corpus:
+    recompute the per-doc log-odds with _ref_nb, bin them with the same
+    BIGINT edge math, suffix-sum TP/FP per threshold, and compare every
+    row. Also pins the curve properties: tp/fp monotone non-increasing
+    in k, k=0 keeps everything (tpr = fpr = 1), and on this perfectly
+    separable corpus some threshold achieves tpr = 1 with fpr = 0."""
+    from e_commerce_click_stream_spark.plans.text import NB_ROC_BINS
+
+    rows = _nb_corpus()
+    out = tempfile.mkdtemp(prefix="nbr_")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else 0) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    got = {
+        r.k: (r.threshold_micro, r.tp, r.fp, r.fn, r.tn, r.tpr, r.fpr,
+              r.precision_at_k)
+        for r in SPECS["quality_nb_roc_curve"].builder(spark, out).collect()
+    }
+
+    ref = _ref_nb(rows)
+    scores = [(lo, label) for label, _n, _nb, lo, _p in ref.values()]
+    lo_min = min(s for s, _ in scores)
+    lo_max = max(s for s, _ in scores)
+    pos_total = sum(1 for _s, l in scores if l)
+    neg_total = len(scores) - pos_total
+    span = lo_max - lo_min + 1
+    exp = {}
+    for k in range(NB_ROC_BINS):
+        thr = lo_min + (k * span) // NB_ROC_BINS
+        tp = sum(1 for s, l in scores if l and ((s - lo_min) * NB_ROC_BINS) // span >= k)
+        fp = sum(1 for s, l in scores if not l and ((s - lo_min) * NB_ROC_BINS) // span >= k)
+        exp[k] = (
+            thr, tp, fp, pos_total - tp, neg_total - fp,
+            round(tp / pos_total, 6), round(fp / neg_total, 6),
+            round(tp / (tp + fp), 6) if tp + fp else None,
+        )
+    assert got == exp, f"\ngot: {got}\nexp: {exp}"
+    tps = [got[k][1] for k in range(NB_ROC_BINS)]
+    fps = [got[k][2] for k in range(NB_ROC_BINS)]
+    assert tps == sorted(tps, reverse=True) and fps == sorted(fps, reverse=True)
+    assert got[0][5] == 1.0 and got[0][6] == 1.0
+    assert any(t == 1.0 and f == 0.0 for _th, _tp, _fp, _fn, _tn, t, f, _p in got.values()), (
+        "separable corpus must have a perfect operating point"
+    )
