@@ -11,10 +11,13 @@ families from drifting (and fixed two shared bugs in one place — see
 Session scope: catalog tables are per-session while the store root is
 filesystem-persistent. Every registered store query REBUILDS on a cold
 start (``tableExists`` on the main table gates it), so tombstones are
-always re-created in the same session that reads them; a library caller
-reusing a prior session's store directory without rebuilding must
-re-register the tombstone table before probing, or erasures from that
-prior session are invisible to ``anti_join_tombstones``.
+always re-created in the same session that reads them. A library caller
+reusing a prior session's store directory WITHOUT rebuilding must
+re-register the tombstone table before probing or erasing: prior-session
+vectors are invisible to ``anti_join_tombstones`` (no catalog entry),
+and the next ``append_tombstones`` would run as CREATE — Spark's
+append-on-missing-table REPLACES the files at the path, deleting the
+prior vector outright (pinned in tests/test_tombstones.py).
 """
 
 from __future__ import annotations
