@@ -54,87 +54,13 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r12 window (VERDICT r11 #1): LEADS with the 8 r5-proof overflow
-    # queries from the r11 rotation (the repo's oldest staleness — after
-    # this round no proof older than r9 remains anywhere), then the
-    # brand-new r12 operators (18 after the late stored-weights probe,
-    # band-store compaction, the erasure trio, semantic decontamination,
-    # the Kneser-Ney bigram LM, the WordPiece train+apply pair, the
-    # mix-realizing manifest, incremental CC, and the NB ROC curve),
-    # then 24 of the 43 r7-proof queries (the next-oldest band); the
-    # remaining 19 r7 queries lead _VERIFY_NEXT for r13.
-    # the 8 r5 proofs — refresh FIRST
-    "pipeline_status_union",
-    "session_event_paths",
-    "session_first_event",
-    "skew_salted_fact_join",
-    "streaming_top_users",
-    "user_activity_profile",
-    "user_activity_similarity",
-    "order_value_histogram",
-    # brand-new r12 operators — no prior proof at all
-    "quality_nb_classifier",
-    "quality_nb_confusion",
-    "quality_nb_probe_only",
-    "corpus_curation_run",
-    "corpus_mix_temperature_sweep",
-    "bm25_stored_compact",
-    "ann_ivf_compact",
-    "dedup_stored_compact",
-    "bm25_stored_erase",
-    "eval_semantic_decontamination",
-    "doc_kn_bigram_nll",
-    "dedup_stored_erase",
-    "ann_ivf_erase",
-    "wordpiece_train_merges",
-    "wordpiece_segment_docs",
-    "corpus_mix_sampled_manifest",
-    "dedup_cc_incremental",
-    "quality_nb_roc_curve",
-    # rotation: 24 of the 43 r7-proof queries
-    "ann_hard_negatives",
-    "corpus_quality_drift",
-    "customer_order_gaps",
-    "customer_order_stats",
-    "customer_revenue_quartiles",
-    "customers_without_orders",
-    "dedup_simhash",
-    "doc_bigram_nll",
-    "doc_hashed_tf_vectors",
-    "embedding_coreset_kcenter",
-    "embedding_jl_projection",
-    "embedding_norms",
-    "events_asof_orders",
-    "events_countmin_heavy_hitters",
-    "events_enriched",
-    "graph_triangle_count",
-    "kmv_audience_overlap",
-    "lineitem_cube",
-    "lineitem_grouping_sets",
-    "lineitem_price_quantile_sketch",
-    "nation_set_ops",
-    "order_date_functions",
-    "order_price_dispersion",
-    "order_value_percentiles",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the 19 r7-proof queries the
-# r12 window could not fit (orders_monthly_trend, orders_status_pivot,
-# orders_with_returns, pagerank_bipartite, part_type_rollup,
-# parts_above_avg_price, purchase_attribution_window,
-# q12_priority_shipping, q18_large_volume_customers,
-# q6_forecast_revenue, quality_weighted_sample and recent_events_window
-# were displaced late by the eighteenth through seventh new operators —
-# the NB ROC curve, incremental CC, the mix-realizing manifest, the
-# WordPiece train+apply pair, ann_ivf_erase, dedup_stored_erase,
-# doc_kn_bigram_nll, eval_semantic_decontamination, bm25_stored_erase,
-# dedup_stored_compact, quality_nb_probe_only; new ops outrank
-# refreshes) — they lead the r13 window.
-_VERIFY_NEXT: tuple[str, ...] = (
+    # r13 window (VERDICT r12 #1): LEADS with the 19 r7-proof queries the
+    # r12 window could not fit (they led _VERIFY_NEXT last round — the
+    # repo's oldest oracle staleness; after this round's gate no proof
+    # older than r8 remains anywhere), then the brand-new r13 operators,
+    # then the oldest r8-proof queries with the remaining slots; the r8
+    # overflow leads _VERIFY_NEXT for r14.
+    # the 19 r7 proofs — refresh FIRST
     "orders_monthly_trend",
     "orders_status_pivot",
     "orders_with_returns",
@@ -154,6 +80,58 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "top_orders_per_customer",
     "training_shard_manifest",
     "weighted_reservoir_sample",
+    # brand-new r13 operators — no prior proof at all (inserted here as
+    # they land; each insertion displaces the newest r8 refresh below
+    # into _VERIFY_NEXT)
+    # rotation: the 31 oldest r8-proof queries (alphabetical)
+    "ann_cosine_topk",
+    "ann_ivf_append",
+    "ann_ivf_stored",
+    "corpus_source_stats",
+    "dedup_cross_source_contamination",
+    "dedup_lsh_vs_exact_eval",
+    "dedup_minhash_lsh",
+    "dedup_simhash_groups",
+    "deterministic_sample",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_token_counts",
+    "doc_unigram_nll",
+    "embedding_cosine_pairs",
+    "events_json_deadletter",
+    "events_zorder_stats",
+    "ivf_cell_balance_audit",
+    "lineitem_math_functions",
+    "multimodal_decode_meta",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "pii_detection_report",
+    "pii_redacted_docs",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+)
+
+
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these benefit first; if not, they cost nothing (every one holds a
+# fixture-current ever-green row). These are the r8-proof queries the
+# r13 window could not fit — they lead the r14 window.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "stratified_sample",
+    "streaming_dashboard_metrics",
+    "streaming_stateful_sessions",
+    "token_array_functions",
+    "train_eval_split_leakage",
 )
 
 
