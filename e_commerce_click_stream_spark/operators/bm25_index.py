@@ -237,10 +237,15 @@ def erase_from_postings_index(
     BEFORE the decrement (a repeated GDPR request or retried batch whose
     physical rows still await ``apply_erasures`` must not subtract its
     df/scalar contributions twice), and the tombstone append commits
-    FIRST — an interruption before the statistics overwrite leaves the
-    benign state (docs hidden, stats momentarily stale, the re-run
-    no-ops on the dedup) instead of the inverse (stats decremented,
-    docs still retrievable).
+    FIRST — an interruption before the statistics overwrite leaves docs
+    hidden but stats at full-corpus values, and because the idempotent
+    dedup makes every RETRY of the same batch return an empty id set,
+    the decrements are never re-attempted: the stats stay stale until
+    ``apply_erasures`` (which recomputes terms/scalars from the
+    surviving postings snapshot — the self-healing half of this
+    contract, ADVICE r12) or a full rebuild. The inverse ordering would
+    be worse (stats decremented, docs still retrievable, nothing heals
+    probe scores).
 
     Scale note: tombstones broadcast at probe time, so this path is
     sized for erasure sets up to broadcast scale (~10M ids); a larger
@@ -298,18 +303,30 @@ def apply_erasures(
     num_buckets: int = NUM_POSTING_BUCKETS,
     location: str | None = None,
 ) -> dict[str, int]:
-    """Physically drop tombstoned rows from the postings table and reset
+    """Physically drop tombstoned rows from the postings table, restate
+    the term/corpus statistics from the surviving snapshot, and reset
     the tombstone set — the deferred compaction half of the merge-on-read
     erasure contract. One pass over the postings relation: anti-join the
     broadcast tombstones, rewrite under the SAME bucket spec (the
     ``repartition(n, col)``/``bucketBy(n, col)`` Murmur3 alignment from
     operators/compaction.py, so each task emits one file per bucket),
-    truncate tombstones. df/scalars were already decremented at erase
-    time, so probes are bit-identical before and after — pinned in
-    tests. Returns row counts ``{"dropped": n, "kept": m}``."""
-    post_t, _, _ = postings_table_names(prefix)
+    recompute terms/scalars FROM the surviving snapshot, truncate
+    tombstones. The recompute is self-healing (ADVICE r12): normally
+    ``erase_from_postings_index`` already decremented the stats and the
+    recompute restates identical values (probes bit-identical before and
+    after — pinned in tests), but if an erase crashed after its tombstone
+    append and before its stats overwrite, retries no-op on the
+    idempotent dedup and ONLY this pass reconciles the stats with the
+    deletion vector. No-ops (``{"dropped": 0}``) when the store carries
+    no deletion vector (ADVICE r12 — a fresh session reusing the
+    directory must not raise). Returns ``{"dropped": n, "kept": m}``."""
+    post_t, terms_t, scal_t = postings_table_names(prefix)
     tomb_t = tombstones_table_name(prefix)
+    if not spark.catalog.tableExists(tomb_t):
+        return {"dropped": 0, "kept": spark.table(post_t).count()}
     tomb = spark.table(tomb_t).localCheckpoint(eager=True)
+    if tomb.isEmpty():
+        return {"dropped": 0, "kept": spark.table(post_t).count()}
     snap = (
         spark.table(post_t)
         .join(F.broadcast(tomb), "doc_id", "left_anti")
@@ -327,6 +344,24 @@ def apply_erasures(
     if location:
         w = w.option("path", os.path.join(location, POSTINGS_SUBDIR))
     w.saveAsTable(post_t)
+    # self-heal: terms/scalars restated from the surviving snapshot (snap
+    # is checkpointed, so overwriting the tables it no longer reads from
+    # is safe); identical to the erase-time decrements when those landed,
+    # the only reconciliation path when they did not
+    heal_terms, heal_scalars = _df_and_scalars(snap)
+    wt = (
+        heal_terms.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "tok")
+        .sortBy("tok")
+    )
+    if location:
+        wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
+    wt.saveAsTable(terms_t)
+    ws = heal_scalars.write.mode("overwrite").format("parquet")
+    if location:
+        ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
+    ws.saveAsTable(scal_t)
     truncate_tombstones(spark, prefix, location)
     return {"dropped": before - kept, "kept": kept}
 

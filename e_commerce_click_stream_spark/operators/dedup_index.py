@@ -191,10 +191,16 @@ def apply_band_erasures(
     (bands: partitioned by band + bucketed/sorted on bucket; shingles:
     bucketed/sorted on doc_id), with the repartition-by-bucket-column
     alignment from operators/compaction.py so each task emits one file
-    per bucket. Returns dropped-row counts per table."""
+    per bucket. No-ops when the store carries no deletion vector
+    (ADVICE r12 — a session with no erasures must not raise on the
+    missing tombstone table). Returns dropped-row counts per table."""
     bands_t, shingles_t = band_table_names(prefix)
     tomb_t = band_tombstones_table_name(prefix)
+    if not spark.catalog.tableExists(tomb_t):
+        return {"dropped_bands": 0, "dropped_shingles": 0}
     tomb = spark.table(tomb_t).localCheckpoint(eager=True)
+    if tomb.isEmpty():
+        return {"dropped_bands": 0, "dropped_shingles": 0}
     out: dict[str, int] = {}
 
     bands_before = spark.table(bands_t).count()

@@ -15,9 +15,12 @@ always re-created in the same session that reads them. A library caller
 reusing a prior session's store directory WITHOUT rebuilding must
 re-register the tombstone table before probing or erasing: prior-session
 vectors are invisible to ``anti_join_tombstones`` (no catalog entry),
-and the next ``append_tombstones`` would run as CREATE — Spark's
+and an unguarded ``append_tombstones`` would run as CREATE — Spark's
 append-on-missing-table REPLACES the files at the path, deleting the
-prior vector outright (pinned in tests/test_tombstones.py).
+prior vector outright. ``append_tombstones`` therefore REFUSES to run
+when the directory exists on disk but the table is not in the session
+catalog (VERDICT r12 #7 — the one store invariant that was enforced by
+convention is now enforced in code; pinned in tests/test_tombstones.py).
 """
 
 from __future__ import annotations
@@ -63,9 +66,29 @@ def append_tombstones(
     statistics are decremented from the erased docs' stored rows (the
     BM25 family) would otherwise double-decrement df/scalars on a
     repeated id whose physical rows still await ``apply``. Callers
-    must decrement from the RETURNED subset only."""
+    must decrement from the RETURNED subset only. Duplicates WITHIN the
+    incoming batch are collapsed too (``.distinct()``): without it a
+    repeated id in one request would land as duplicate tombstone rows —
+    the semi-join decrement is unaffected but the broadcast vector
+    inflates and count-based accounting breaks (ADVICE r12).
+
+    Refuses (RuntimeError) when the tombstone directory exists on disk
+    but the table is not registered in this session: appending would run
+    as CREATE and silently REPLACE the prior session's deletion vector
+    (VERDICT r12 #7). Rebuild the store (which resets tombstones) or
+    re-register the table over the directory before erasing."""
     tomb_t = tombstones_table_name(prefix)
-    ids = erased_ids.select(id_col)
+    if location and not spark.catalog.tableExists(tomb_t):
+        tomb_dir = os.path.join(location, TOMBSTONES_SUBDIR)
+        if os.path.isdir(tomb_dir):
+            raise RuntimeError(
+                f"tombstone directory {tomb_dir!r} exists but table "
+                f"{tomb_t!r} is not registered in this session: appending "
+                "would CREATE over the prior deletion vector, deleting it. "
+                "Rebuild the store or re-register the tombstone table over "
+                "the directory before erasing."
+            )
+    ids = erased_ids.select(id_col).distinct()
     if spark.catalog.tableExists(tomb_t):
         ids = ids.join(F.broadcast(spark.table(tomb_t)), id_col, "left_anti")
     ids = ids.localCheckpoint(eager=True)

@@ -80,10 +80,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "top_orders_per_customer",
     "training_shard_manifest",
     "weighted_reservoir_sample",
-    # brand-new r13 operators — no prior proof at all (inserted here as
-    # they land; each insertion displaces the newest r8 refresh below
-    # into _VERIFY_NEXT)
-    # rotation: the 31 oldest r8-proof queries (alphabetical)
+    # new/CHANGED r13 operators — no fixture-current proof of the
+    # current behavior (inserted here as they land; each insertion
+    # displaces the newest r8 refresh below into _VERIFY_NEXT)
+    "quality_nb_roc_curve",  # changed r13: threshold_micro is now the
+    #                          true (ceil) bin lower edge — ADVICE r12
+    # rotation: the oldest r8-proof queries (alphabetical)
     "ann_cosine_topk",
     "ann_ivf_append",
     "ann_ivf_stored",
@@ -114,7 +116,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q11_important_stock",
     "q13_order_count_distribution",
     "q2_min_cost_supplier",
-    "q4_order_priority",
 )
 
 
@@ -124,6 +125,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r8-proof queries the
 # r13 window could not fit — they lead the r14 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",

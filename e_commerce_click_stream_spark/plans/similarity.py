@@ -2147,7 +2147,9 @@ def _apply_ivf_erasures(
     reset the tombstone set — same deferred merge-on-read contract as
     the BM25 and band stores; the rewrite restates the original
     partition+bucket spec with the repartition alignment from
-    operators/compaction.py."""
+    operators/compaction.py. No-ops when the store carries no deletion
+    vector (ADVICE r12 — must not raise on the missing tombstone
+    table)."""
     import os
 
     from e_commerce_click_stream_spark.operators.tombstones import (
@@ -2155,7 +2157,12 @@ def _apply_ivf_erasures(
     )
 
     assign_t = f"{prefix}_assign"
-    tomb = spark.table(tombstones_table_name(prefix)).localCheckpoint(eager=True)
+    tomb_t = tombstones_table_name(prefix)
+    if not spark.catalog.tableExists(tomb_t):
+        return {"dropped": 0, "kept": spark.table(assign_t).count()}
+    tomb = spark.table(tomb_t).localCheckpoint(eager=True)
+    if tomb.isEmpty():
+        return {"dropped": 0, "kept": spark.table(assign_t).count()}
     before = spark.table(assign_t).count()
     snap = (
         spark.table(assign_t)

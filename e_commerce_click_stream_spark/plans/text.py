@@ -5324,7 +5324,9 @@ grid AS (
 ),
 curve AS (
     SELECT g.k,
-           (g.lo_min + (g.k * (g.lo_max - g.lo_min + 1)) // {NB_ROC_BINS})::BIGINT
+           (g.lo_min
+            + (g.k * (g.lo_max - g.lo_min + 1) + {NB_ROC_BINS - 1})
+              // {NB_ROC_BINS})::BIGINT
                AS threshold_micro,
            g.pos_total, g.neg_total,
            sum(coalesce(b.pos_n, 0)) OVER (ORDER BY g.k DESC
@@ -5354,8 +5356,12 @@ def quality_nb_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier family (fit → score → single-point confusion → curve).
     Bin edges and thresholds are pure BIGINT arithmetic on the exact
     micro log-odds (both engines bin identically; rates round once at
-    the readout); ``pred = lo >= threshold``, so k=0 keeps everything
-    and higher k tightens the filter.
+    the readout); ``threshold_micro`` is the TRUE lower edge of bin k —
+    ``lo_min + ceil(k*span/bins)``, the smallest score the bin admits —
+    so ``pred = lo >= threshold_micro`` holds exactly (ADVICE r12: the
+    earlier floor edge excluded scores in the floor..ceil gap from tp/fp
+    when ``k*span % bins != 0``); k=0 keeps everything and higher k
+    tightens the filter.
 
     Scale shape: the fit+score chain is quality_nb_classifier's; the
     sweep adds ONE hash agg to bin the per-doc scores (map-side
@@ -5404,7 +5410,8 @@ def quality_nb_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = grid.join(F.broadcast(binned), grid.k == binned.bin, "left").select(
         "k",
         F.expr(
-            f"CAST(lo_min + (k * (lo_max - lo_min + 1)) DIV {NB_ROC_BINS} AS BIGINT)"
+            f"CAST(lo_min + (k * (lo_max - lo_min + 1) + {NB_ROC_BINS - 1})"
+            f" DIV {NB_ROC_BINS} AS BIGINT)"
         ).alias("threshold_micro"),
         "pos_total",
         "neg_total",

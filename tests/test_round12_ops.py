@@ -1208,7 +1208,9 @@ def test_quality_nb_roc_matches_reference(spark):
     span = lo_max - lo_min + 1
     exp = {}
     for k in range(NB_ROC_BINS):
-        thr = lo_min + (k * span) // NB_ROC_BINS
+        # true lower edge of bin k (ceil — ADVICE r12): the smallest
+        # score with ((s - lo_min) * bins) // span >= k
+        thr = lo_min + (k * span + NB_ROC_BINS - 1) // NB_ROC_BINS
         tp = sum(1 for s, l in scores if l and ((s - lo_min) * NB_ROC_BINS) // span >= k)
         fp = sum(1 for s, l in scores if not l and ((s - lo_min) * NB_ROC_BINS) // span >= k)
         exp[k] = (

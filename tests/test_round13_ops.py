@@ -1,0 +1,145 @@
+"""Round-13 pins: ADVICE r12 hardening of the store-erasure lifecycle
+(self-healing apply, missing-vector no-op guards) ahead of the round's
+driver-gated apply-erase queries."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from e_commerce_click_stream_spark.plans.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_apply_erasures_heals_crashed_stats(spark):
+    """ADVICE r12 (medium): if an erase dies after its tombstone append
+    commits but before the terms/scalars overwrite, every RETRY of the
+    same batch returns an empty id set (idempotent dedup), so the
+    decrements are never re-attempted — the stats stay at full-corpus
+    values. apply_erasures must reconcile them by recomputing
+    terms/scalars from the surviving postings snapshot.
+
+    Simulated crash: append the tombstones directly (the committed
+    half), skip the decrement, retry the real erase (must no-op on the
+    dedup), then apply — after which terms/scalars and the probe must
+    equal a fresh survivor-only build's."""
+    import e_commerce_click_stream_spark.plans.text as textplans
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        apply_erasures,
+        build_postings_index,
+        erase_from_postings_index,
+        postings_table_names,
+    )
+    from e_commerce_click_stream_spark.operators.tombstones import (
+        append_tombstones,
+    )
+    from tests.conftest import SF_SMOKE
+
+    index_dir, prefix = textplans._bm25_store_location(SF_SMOKE)
+    ref_prefix, ref_dir = prefix + "_healref", index_dir + "_healref"
+    prefix, index_dir = prefix + "_heal", index_dir + "_heal"
+    docs = textplans._bm25_docs(spark, SF_SMOKE).localCheckpoint(eager=True)
+    keep = docs.filter("doc_id % 2 = 0")
+    gone = docs.filter("doc_id % 2 = 1")
+
+    build_postings_index(keep, ref_prefix, location=ref_dir)
+    ref_rows = sorted(
+        map(tuple, textplans._bm25_probe(spark, ref_prefix).collect())
+    )
+    _, rterms_t, rscal_t = postings_table_names(ref_prefix)
+
+    build_postings_index(docs, prefix, location=index_dir)
+    post_t, terms_t, scal_t = postings_table_names(prefix)
+    full_scalars = spark.table(scal_t).collect()
+
+    # the crash: tombstones commit, stats overwrite never runs
+    append_tombstones(spark, gone.select("doc_id"), prefix, index_dir, "doc_id")
+    assert spark.table(scal_t).collect() == full_scalars, (
+        "crash simulation must leave stats at full-corpus values"
+    )
+    # probes already hide the docs (merge-on-read) but score against the
+    # STALE full-corpus stats — the divergence the advice names
+    assert (
+        sorted(map(tuple, textplans._bm25_probe(spark, prefix).collect()))
+        != ref_rows
+    ), "stale-stats probe unexpectedly matched the survivor rebuild"
+
+    # the retry: idempotent dedup returns an empty set, decrements still
+    # never land — the gap is real, not self-fixing
+    erase_from_postings_index(
+        spark, gone.select("doc_id"), prefix, location=index_dir
+    )
+    assert spark.table(scal_t).collect() == full_scalars, (
+        "retried erase must not decrement (idempotent dedup)"
+    )
+
+    # the heal: apply recomputes terms/scalars from the surviving
+    # snapshot — store and probe now equal the survivor-only build
+    stats = apply_erasures(spark, prefix, location=index_dir)
+    assert stats["dropped"] > 0 and stats["kept"] > 0  # postings rows
+    assert spark.table(scal_t).collect() == spark.table(rscal_t).collect()
+    assert sorted(map(tuple, spark.table(terms_t).collect())) == sorted(
+        map(tuple, spark.table(rterms_t).collect())
+    )
+    assert (
+        sorted(map(tuple, textplans._bm25_probe(spark, prefix).collect()))
+        == ref_rows
+    )
+
+
+def test_apply_paths_noop_without_deletion_vector(spark):
+    """ADVICE r12 (low): all three apply paths must no-op — not raise
+    AnalysisException — on a store that has seen no erasures this
+    session (no tombstone table in the catalog)."""
+    import e_commerce_click_stream_spark.plans.text as textplans
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        apply_erasures,
+        build_postings_index,
+        postings_table_names,
+    )
+    from tests.conftest import SF_SMOKE
+
+    index_dir, prefix = textplans._bm25_store_location(SF_SMOKE)
+    prefix, index_dir = prefix + "_noop", index_dir + "_noop"
+    docs = textplans._bm25_docs(spark, SF_SMOKE).localCheckpoint(eager=True)
+    build_postings_index(docs, prefix, location=index_dir)
+    post_t, _, _ = postings_table_names(prefix)
+    n = spark.table(post_t).count()
+    assert apply_erasures(spark, prefix, location=index_dir) == {
+        "dropped": 0,
+        "kept": n,
+    }
+    # the postings table was not rewritten (same file set)
+    assert spark.table(post_t).count() == n
+
+
+def test_band_apply_noop_without_deletion_vector(spark):
+    """Band-store twin of the missing-vector guard: a fresh build
+    carries no tombstone table; apply must return a zero-drop readout
+    instead of raising."""
+    import tempfile
+
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        apply_band_erasures,
+        band_table_names,
+        build_band_index_tables,
+    )
+    from e_commerce_click_stream_spark.plans.dedup import (
+        NUM_BANDS,
+        NUM_HASHES,
+        _docs_shingled,
+    )
+    from tests.conftest import SF_SMOKE
+
+    prefix = "r13noopband"
+    loc = tempfile.mkdtemp(prefix="r13noopband_")
+    docs = _docs_shingled(spark, SF_SMOKE).select("doc_id", "s").limit(40)
+    build_band_index_tables(docs, prefix, NUM_HASHES, NUM_BANDS, location=loc)
+    assert apply_band_erasures(spark, prefix, location=loc) == {
+        "dropped_bands": 0,
+        "dropped_shingles": 0,
+    }
+    bands_t, _ = band_table_names(prefix)
+    assert spark.table(bands_t).count() > 0

@@ -9,6 +9,7 @@ import glob
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.operators.tombstones import (
@@ -40,6 +41,14 @@ def test_append_dedupes_and_returns_only_new_ids(spark):
     assert sorted(r.doc_id for r in second.collect()) == [4]
     tomb = spark.table(tombstones_table_name(prefix))
     assert sorted(r.doc_id for r in tomb.collect()) == [1, 2, 3, 4]
+    # duplicates WITHIN one batch collapse too (ADVICE r12): the vector
+    # must hold each id exactly once or count-based accounting breaks
+    third = append_tombstones(
+        spark, _ids(spark, [5, 5, 6, 5]), prefix, loc, "doc_id"
+    )
+    assert sorted(r.doc_id for r in third.collect()) == [5, 6]
+    tomb = spark.table(tombstones_table_name(prefix))
+    assert sorted(r.doc_id for r in tomb.collect()) == [1, 2, 3, 4, 5, 6]
 
 
 def test_anti_join_filters_only_when_vector_exists(spark):
@@ -89,16 +98,18 @@ def test_reset_drops_catalog_and_directory(spark):
 
     # simulate the fresh session: DROP the catalog entry only (as a new
     # session's empty catalog would present) and re-append. Spark's
-    # append-on-missing-table runs as CREATE, which REPLACES the files
-    # at the path — so a prior session's vector is LOST, never merged
-    # (pinning the real semantics behind the module docstring's
-    # caveat: cross-session store reuse without a rebuild must
-    # re-register the tombstone table first, or prior erasures are
-    # gone both from the catalog AND from disk after the next append)
+    # append-on-missing-table would run as CREATE, REPLACING the files
+    # at the path and silently deleting the prior session's vector —
+    # append_tombstones must REFUSE instead (VERDICT r12 #7: the guard
+    # flips this pin from documenting the hazard to asserting the
+    # refusal)
     append_tombstones(spark, _ids(spark, [9]), prefix, loc, "doc_id")
     spark.sql(f"DROP TABLE IF EXISTS {tombstones_table_name(prefix)}")
-    append_tombstones(spark, _ids(spark, [3]), prefix, loc, "doc_id")
-    rows = sorted(
-        r.doc_id for r in spark.table(tombstones_table_name(prefix)).collect()
-    )
-    assert rows == [3]
+    with pytest.raises(RuntimeError, match="not registered in this session"):
+        append_tombstones(spark, _ids(spark, [3]), prefix, loc, "doc_id")
+    # the prior vector's files are untouched by the refused append
+    assert glob.glob(os.path.join(tomb_dir, "*.parquet"))
+    # a store rebuild (reset) clears the hazard and appends work again
+    reset_tombstones(spark, prefix, loc)
+    nxt = append_tombstones(spark, _ids(spark, [3]), prefix, loc, "doc_id")
+    assert [r.doc_id for r in nxt.collect()] == [3]
