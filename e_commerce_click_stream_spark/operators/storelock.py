@@ -37,8 +37,8 @@ _HELD: dict[str, int] = {}
 
 def store_location(kind: str, sf_dir: str) -> tuple[str, str]:
     """Deterministic per-fixture store root + catalog-table prefix for a
-    persisted index family (``kind`` in {"band", "bande", "ivf", "ivfe",
-    "bm25", "bm25e", "nbw"}): repeated
+    persisted index family (``kind`` in {"band", "bande", "bandea",
+    "ivf", "ivfe", "ivfea", "bm25", "bm25e", "bm25ea", "nbw"}): repeated
     gate/bench invocations reuse ONE location instead of leaking a
     corpus-sized tree per run; ``SPARK_GRAFT_STORE_NS`` (below) isolates
     passive consumers. One definition for every store family so path
@@ -51,10 +51,14 @@ def store_location(kind: str, sf_dir: str) -> tuple[str, str]:
     # bm25e / bande / ivfe: the erasure queries' own stores — they leave
     # the index eroded by design, which the shared warm "bm25" / "band" /
     # "ivf" stores (the probe_only queries reuse them expecting the full
-    # index corpus) must never observe
+    # index corpus) must never observe. The *ea kinds are the
+    # apply-erase queries' stores: eroded AND physically rewritten, so
+    # they get their own roots too.
     prefix = {
-        "band": "bidx", "bande": "bide", "ivf": "ivf", "ivfe": "ivfe",
-        "bm25": "bm25", "bm25e": "bm25e", "nbw": "nbw",
+        "band": "bidx", "bande": "bide", "bandea": "bidea",
+        "ivf": "ivf", "ivfe": "ivfe", "ivfea": "ivfea",
+        "bm25": "bm25", "bm25e": "bm25e", "bm25ea": "bm25ea",
+        "nbw": "nbw",
     }[kind]
     return (
         os.path.join(tempfile.gettempdir(), f"{kind}_index_{tag}"),

@@ -1547,6 +1547,61 @@ def dedup_stored_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_stored_apply_erase", oracle=_incremental_minhash_sql(_BAND_ERASE_EXCL),
+          tags=("dedup", "minhash", "lsh", "incremental", "stored-index", "erasure"))
+def dedup_stored_apply_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-store erase→APPLY→probe cycle under the oracle hash
+    (VERDICT r12 #2): build over the indexed half, tombstone every third
+    index doc, run ``apply_band_erasures`` (both stored tables rewritten
+    under their original partition+bucket specs, tombstones truncated),
+    then probe the incoming batch. Shares ``dedup_stored_erase``'s
+    oracle, so the green row proves the physical rewrite changes no
+    verdict/jaccard. The builder RAISES unless rows physically dropped
+    from BOTH tables, no erased id survives in either, and the tombstone
+    vector is truncated — physical state the oracle hash cannot see.
+
+    Scale shape: ``dedup_stored_erase`` plus one broadcast-anti-join
+    rewrite per stored table (bands, shingles), each repartition-aligned
+    to its bucket spec. Own store kind ("bandea")."""
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        apply_band_erasures,
+        band_table_names,
+        band_tombstones_table_name,
+        erase_from_band_index_tables,
+        probe_band_index_tables,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+
+    index_dir, prefix = store_location("bandea", sf_dir)
+    sh, batch_sh, all_batch_ids = _band_store_build(spark, sf_dir, index_dir, prefix)
+    erased = sh.filter(
+        ~F.col("is_new") & (F.col("doc_id") % 3 == 0)
+    ).select("doc_id")
+    acquire_build_lock(index_dir)
+    erase_from_band_index_tables(spark, erased, prefix, location=index_dir)
+    stats = apply_band_erasures(spark, prefix, location=index_dir)
+    downgrade_to_shared(index_dir)
+
+    # vacuous on an empty fixture (nothing was indexed, so nothing drops)
+    if erased.limit(1).count() > 0 and (
+        stats["dropped_bands"] <= 0 or stats["dropped_shingles"] <= 0
+    ):
+        raise RuntimeError(f"apply_band_erasures dropped nothing: {stats}")
+    for t in band_table_names(prefix):
+        if spark.table(t).join(erased, "doc_id", "left_semi").count() != 0:
+            raise RuntimeError(f"{t} still holds erased doc_ids after apply")
+    if spark.table(band_tombstones_table_name(prefix)).count() != 0:
+        raise RuntimeError("tombstone vector not truncated after apply")
+    return probe_band_index_tables(
+        spark, batch_sh, all_batch_ids, prefix,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality-aware canonical selection: which document each near-dup cluster
 # KEEPS. Min-id keeps (the CC label) are what toy dedups do; production

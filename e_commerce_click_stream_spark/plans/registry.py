@@ -85,6 +85,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # displaces the newest r8 refresh below into _VERIFY_NEXT)
     "quality_nb_roc_curve",  # changed r13: threshold_micro is now the
     #                          true (ceil) bin lower edge — ADVICE r12
+    "bm25_stored_apply_erase",
+    "dedup_stored_apply_erase",
+    "ann_ivf_apply_erase",
     # rotation: the oldest r8-proof queries (alphabetical)
     "ann_cosine_topk",
     "ann_ivf_append",
@@ -113,9 +116,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pii_detection_report",
     "pii_redacted_docs",
     "q10_returned_items",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q2_min_cost_supplier",
 )
 
 
@@ -125,6 +125,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r8-proof queries the
 # r13 window could not fit — they lead the r14 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",

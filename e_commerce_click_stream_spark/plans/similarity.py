@@ -2333,6 +2333,53 @@ def ann_ivf_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
 
 
+@register("ann_ivf_apply_erase", oracle=_IVF_ERASE_SQL,
+          tags=("similarity", "ivf", "stored-index", "erasure"))
+def ann_ivf_apply_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF erase→APPLY→probe cycle under the oracle hash (VERDICT
+    r12 #2): build over the full corpus, tombstone every 4th vector, run
+    ``_apply_ivf_erasures`` (assignments rewritten under the original
+    cell-partition+bucket spec, tombstones truncated; the codebook stays
+    fixed — erasure never re-fits centroids), then probe. Shares
+    ``ann_ivf_erase``'s surviving-assignments oracle, so the green row
+    proves the physical rewrite keeps every surviving cosine/rank
+    bit-identical. The builder RAISES unless assignment rows physically
+    dropped, no erased vec_id survives, and the tombstone vector is
+    truncated — physical state the oracle hash cannot see.
+
+    Scale shape: ``ann_ivf_erase`` plus one broadcast-anti-join rewrite
+    of the assignments table (repartition-aligned to the vec_id bucket
+    spec within cell partitions). Own store kind ("ivfea")."""
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+    from e_commerce_click_stream_spark.operators.tombstones import (
+        tombstones_table_name,
+    )
+
+    loc = store_location("ivfea", sf_dir)
+    prefix = _ivf_store_build(spark, sf_dir, loc=loc)
+    n = _vecs(spark, sf_dir)
+    erased = n.filter(_ivf_arrivals()).select("vec_id")
+    acquire_build_lock(loc[0])
+    _ivf_erase(spark, erased, prefix, loc[0])
+    stats = _apply_ivf_erasures(spark, prefix, loc[0])
+    downgrade_to_shared(loc[0])
+
+    assign_t = f"{prefix}_assign"
+    # vacuous on an empty fixture (no vectors, so nothing drops)
+    if erased.limit(1).count() > 0 and stats["dropped"] <= 0:
+        raise RuntimeError(f"_apply_ivf_erasures dropped nothing: {stats}")
+    if spark.table(assign_t).join(erased, "vec_id", "left_semi").count() != 0:
+        raise RuntimeError("assignments still hold erased vec_ids after apply")
+    if spark.table(tombstones_table_name(prefix)).count() != 0:
+        raise RuntimeError("tombstone vector not truncated after apply")
+    stored_cent, stored_assign = _ivf_store_read(spark, prefix)
+    return _ivf_probe_stored(spark, sf_dir, stored_cent, stored_assign)
+
+
 _CELL_BALANCE_SQL = f"""
 WITH n AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,

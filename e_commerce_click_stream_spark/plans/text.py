@@ -6192,6 +6192,69 @@ def bm25_stored_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_probe(spark, prefix)
 
 
+@register("bm25_stored_apply_erase", oracle=_BM25_ERASE_SQL,
+          tags=("text", "retrieval", "bm25", "stored-index", "erasure"))
+def bm25_stored_apply_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full erase→APPLY→probe cycle under the oracle hash (VERDICT
+    r12 #2): build over the full corpus, logically erase the ingest
+    batch, run ``apply_erasures`` (the physical merge-on-read rewrite —
+    tombstoned postings dropped under the original bucket spec,
+    terms/scalars restated from the surviving snapshot, tombstones
+    truncated), then probe. Shares ``bm25_stored_erase``'s surviving-
+    corpus oracle, so the green row proves the physical rewrite is a
+    score-level no-op on top of the logical contract — a fixture
+    regeneration can never silently break the rewrite-under-bucket-spec
+    step while only the logical twin is gated. The builder additionally
+    RAISES unless the apply physically happened: postings rows dropped,
+    no erased id surviving in the postings table, and the tombstone
+    vector truncated to zero — assertions the oracle hash alone cannot
+    see (the probe would also pass merge-on-read).
+
+    Scale shape: everything in ``bm25_stored_erase`` plus ONE deferred
+    compaction-style pass over the postings relation (broadcast
+    anti-join, repartition aligned to the bucket spec so each task emits
+    one file per bucket) and a |terms|-sized restate — the rewrite cost
+    a production store pays once per erasure epoch, off the request
+    path. Own store kind ("bm25ea")."""
+    from e_commerce_click_stream_spark.operators.bm25_index import (
+        apply_erasures,
+        build_postings_index,
+        erase_from_postings_index,
+        postings_table_names,
+        tombstones_table_name,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+
+    index_dir, prefix = store_location("bm25ea", sf_dir)
+    docs = _bm25_docs_with_flag(spark, sf_dir)
+    erased = docs.filter("is_new").select("doc_id")
+
+    acquire_build_lock(index_dir)
+    build_postings_index(docs.select("doc_id", "ts"), prefix, location=index_dir)
+    erase_from_postings_index(spark, erased, prefix, location=index_dir)
+    stats = apply_erasures(spark, prefix, location=index_dir)
+    downgrade_to_shared(index_dir)
+
+    post_t, _, _ = postings_table_names(prefix)
+    # only a tokenizable erased doc contributes postings rows to drop
+    # (and an empty fixture has none at all — the physical assertions
+    # are vacuous there by design)
+    any_erased_postings = (
+        docs.filter("is_new").filter(F.size("ts") > 0).limit(1).count() > 0
+    )
+    if any_erased_postings and stats["dropped"] <= 0:
+        raise RuntimeError(f"apply_erasures dropped nothing: {stats}")
+    if spark.table(post_t).join(erased, "doc_id", "left_semi").count() != 0:
+        raise RuntimeError("postings still hold erased doc_ids after apply")
+    if spark.table(tombstones_table_name(prefix)).count() != 0:
+        raise RuntimeError("tombstone vector not truncated after apply")
+    return _bm25_probe(spark, prefix)
+
+
 @register("quality_nb_probe_only", oracle=_NB_CLASSIFIER_SQL,
           tags=("text", "quality", "classifier", "nb", "stored-index"))
 def quality_nb_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:

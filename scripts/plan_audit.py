@@ -1134,6 +1134,17 @@ EXPECTATIONS: dict[str, dict] = {
                          "Generate"],
         "max_exchanges": 3,
     },
+    # erase-then-APPLY-then-probe (r13): after the physical rewrite the
+    # probe keeps the warm-probe contract over the rewritten store; the
+    # truncated (empty) tombstone vector still anti-joins as a broadcast
+    # (tableExists stays true post-apply — the cheap-probe contract)
+    "bm25_stored_apply_erase": {
+        "contains": ["WindowGroupLimit", "LeftAnti", "BroadcastHashJoin",
+                     "Scan parquet spark_catalog.default.bm25ea_"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython",
+                         "Generate"],
+        "max_exchanges": 3,
+    },
     # hybrid-retrieval overlap: every join over the <= Q*k top-k
     # relations broadcasts onto the union-derived id grid — no full-outer
     # or sort-merge shuffle join anywhere
@@ -1201,6 +1212,14 @@ EXPECTATIONS: dict[str, dict] = {
     "dedup_stored_erase": {
         "contains": ["SortAggregate", "LeftAnti", "BroadcastHashJoin",
                      "Scan parquet spark_catalog.default.bide_"],
+        "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
+        "max_exchanges": 2,
+    },
+    # erase-then-APPLY-then-probe (r13): post-rewrite probe keeps the
+    # warm-probe contract; the truncated vector still anti-joins
+    "dedup_stored_apply_erase": {
+        "contains": ["SortAggregate", "LeftAnti", "BroadcastHashJoin",
+                     "Scan parquet spark_catalog.default.bidea_"],
         "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 2,
     },
@@ -1304,6 +1323,14 @@ EXPECTATIONS: dict[str, dict] = {
     # BroadcastHashJoin LeftAnti; DPP cell pruning and the pre-shuffle
     # per-query top-k keep the warm-probe contract
     "ann_ivf_erase": {
+        "contains": ["dynamicpruning", "LeftAnti", "BroadcastHashJoin",
+                     "WindowGroupLimit", "Scan parquet"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],
+        "max_exchanges": 3,
+    },
+    # erase-then-APPLY-then-probe (r13): post-rewrite probe keeps the
+    # DPP warm-probe contract; the truncated vector still anti-joins
+    "ann_ivf_apply_erase": {
         "contains": ["dynamicpruning", "LeftAnti", "BroadcastHashJoin",
                      "WindowGroupLimit", "Scan parquet"],
         "not_contains": ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"],

@@ -125,6 +125,10 @@ REPRESENTATIVE = (
     "corpus_mix_sampled_manifest",
     "dedup_cc_incremental",
     "quality_nb_roc_curve",
+    # round-13 families: driver-gated physical erasure apply
+    "bm25_stored_apply_erase",
+    "dedup_stored_apply_erase",
+    "ann_ivf_apply_erase",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input
