@@ -88,6 +88,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_stored_apply_erase",
     "dedup_stored_apply_erase",
     "ann_ivf_apply_erase",
+    "dedup_cc_stored",
     # rotation: the oldest r8-proof queries (alphabetical)
     "ann_cosine_topk",
     "ann_ivf_append",
@@ -115,7 +116,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "multimodal_resize_plan",
     "pii_detection_report",
     "pii_redacted_docs",
-    "q10_returned_items",
 )
 
 
@@ -125,6 +125,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r8-proof queries the
 # r13 window could not fit — they lead the r14 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "q10_returned_items",
     "q11_important_stock",
     "q13_order_count_distribution",
     "q2_min_cost_supplier",

@@ -1215,6 +1215,16 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Window", "CartesianProduct", "BatchEvalPython"],
         "max_exchanges": 2,
     },
+    # stored cluster labels (r13): the component report reads the
+    # bucketed catalog label table (the merge/rewrite ran eagerly at
+    # store time) — one groupBy(label) shuffle over the store scan,
+    # nothing re-derives pairs or edges in the audited plan
+    "dedup_cc_stored": {
+        "contains": ["Scan parquet spark_catalog.default.ccl_"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython",
+                         "BroadcastNestedLoopJoin"],
+        "max_exchanges": 1,
+    },
     # erase-then-APPLY-then-probe (r13): post-rewrite probe keeps the
     # warm-probe contract; the truncated vector still anti-joins
     "dedup_stored_apply_erase": {

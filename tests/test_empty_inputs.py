@@ -129,6 +129,7 @@ REPRESENTATIVE = (
     "bm25_stored_apply_erase",
     "dedup_stored_apply_erase",
     "ann_ivf_apply_erase",
+    "dedup_cc_stored",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input
