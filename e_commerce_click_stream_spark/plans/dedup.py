@@ -530,14 +530,17 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drops rounds to O(log n) with the same join-groupBy primitives). Oracle:
 # DuckDB recursive CTE over the identical pair set.
 
-def _cc_sql() -> str:
+def _cc_sql(pair_filter: str = "") -> str:
     mh = _minhash_sql().strip()
-    # reuse the full minhash pipeline as the edge source; wrap its SELECT
+    # reuse the full minhash pipeline as the edge source; wrap its SELECT.
+    # ``pair_filter`` splices extra conjuncts onto the pair relation's
+    # final WHERE (e.g. the erasure twin's surviving-pairs predicate);
+    # the default empty string keeps every existing oracle byte-identical.
     body = mh[len("WITH") :].rsplit("SELECT", 1)
     return f"""
 WITH RECURSIVE {body[0].rstrip().rstrip(',')},
 pairs AS (
-    SELECT{body[1]}
+    SELECT{body[1]}{pair_filter}
 ),
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -755,6 +758,43 @@ def _cc_store_location(sf_dir: str) -> tuple[str, str]:
     return store_location("ccl", sf_dir)
 
 
+def _cc_erase_relabel(
+    stored: DataFrame, surviving_pairs: DataFrame, erased: DataFrame
+) -> DataFrame:
+    """Erase nodes from persisted cluster labels — the CC store's
+    rightful erasure is NOT a deletion vector alone: removing a bridge
+    node SPLITS its component, and removing the min-id member changes
+    the component id, so hidden-row reads would emit labels no
+    surviving-corpus re-cluster produces. The honest contract: drop the
+    erased nodes, RE-CLUSTER only the AFFECTED components (those that
+    contained an erased node) from their surviving edges, and keep every
+    untouched component verbatim. Returns the new (node, label) state ≡
+    a from-scratch fixpoint over the surviving pair set (pinned by a
+    constructed component-split test and the driver oracle).
+
+    Scale shape: ``affected`` is the erased nodes' label set (broadcast
+    — erasure batches are small); untouched labels pass through a
+    broadcast anti-join; the re-clustered edge set is bounded by the
+    affected components' sizes, never the corpus."""
+    affected = (
+        stored.join(F.broadcast(erased), "node", "left_semi")
+        .select("label")
+        .distinct()
+    )
+    keep = stored.join(F.broadcast(affected), "label", "left_anti")
+    # pairs inside affected components (every pair endpoint is clustered,
+    # so doc_a's stored label decides membership), both endpoints alive
+    la = stored.select(F.col("node").alias("doc_a"), "label")
+    aff_pairs = (
+        surviving_pairs.join(la, "doc_a")
+        .join(F.broadcast(affected), "label", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    # the USING-column anti-join moved `label` first; restate the
+    # (node, label) order every label relation carries
+    return keep.select("node", "label").unionByName(_cc_fixpoint(aff_pairs))
+
+
 def _cc_labels_table(prefix: str) -> str:
     return f"{prefix}_labels"
 
@@ -855,6 +895,11 @@ def dedup_cc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_cc_labels(merged, labels_t, index_dir)
     downgrade_to_shared(index_dir)
 
+    return _cc_store_report(spark, labels_t)
+
+
+def _cc_store_report(spark: SparkSession, labels_t: str) -> DataFrame:
+    """Component report read FROM a persisted label table."""
     return (
         spark.table(labels_t)
         .groupBy(F.col("label").alias("component_id"))
@@ -868,6 +913,114 @@ def dedup_cc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("members"),
         )
     )
+
+
+# Erasure split for the CC store: every 7th doc (mod residue 3) is the
+# GDPR batch; the oracle re-clusters from scratch over pairs whose BOTH
+# endpoints survive.
+_CC_ERASE_FILTER = " AND doc_a % 7 != 3 AND doc_b % 7 != 3"
+
+
+@register("dedup_cc_stored_erase", oracle=_cc_sql(_CC_ERASE_FILTER),
+          tags=("dedup", "graph", "iterative", "stored-index", "erasure"))
+def dedup_cc_stored_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure against the persisted cluster-label store — the CC
+    family's lifecycle twin of the three index stores' erase queries,
+    but with the contract deletion vectors alone CANNOT honor: erasing a
+    bridge node must SPLIT its component, and erasing a min-id member
+    must renumber it, so the store re-clusters the AFFECTED components
+    from their surviving edges (``_cc_erase_relabel``) and keeps every
+    untouched component verbatim. The oracle re-clusters the whole
+    corpus from scratch with the erased docs' pairs excluded, so the
+    green row proves erase ≡ never-clustered down to every component id
+    and member list. Tombstones still commit FIRST (the crash-ordering
+    discipline: a death before the rewrite leaves the erased ids hidden
+    from any merge-on-read reader) and truncate after the rewrite.
+
+    Scale shape: tombstone append + two broadcast anti-joins + a
+    fixpoint bounded by the affected components' edge counts + one
+    |labels| bucketed rewrite; the corpus' pair relation is filtered,
+    never re-derived per component. Own store kind ("ccle")."""
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+    from e_commerce_click_stream_spark.operators.tombstones import (
+        append_tombstones,
+        reset_tombstones,
+        tombstones_table_name,
+        truncate_tombstones,
+    )
+
+    index_dir, prefix = store_location("ccle", sf_dir)
+    labels_t = _cc_labels_table(prefix)
+
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # feeds the cold build AND survivors
+    )
+    acquire_build_lock(index_dir)
+    if not spark.catalog.tableExists(labels_t):
+        _write_cc_labels(
+            _cc_fixpoint(pairs).localCheckpoint(eager=True), labels_t, index_dir
+        )
+        reset_tombstones(spark, prefix, index_dir)
+    stored = spark.table(labels_t)
+    erased = stored.filter(F.col("node") % 7 == 3).select("node")
+    append_tombstones(spark, erased, prefix, index_dir, "node")
+    tomb = spark.table(tombstones_table_name(prefix))
+    surviving = pairs.join(
+        F.broadcast(tomb.withColumnRenamed("node", "doc_a")), "doc_a", "left_anti"
+    ).join(
+        F.broadcast(tomb.withColumnRenamed("node", "doc_b")), "doc_b", "left_anti"
+    )
+    new_state = _cc_erase_relabel(stored, surviving, tomb).localCheckpoint(
+        eager=True
+    )
+    _write_cc_labels(new_state, labels_t, index_dir)
+    truncate_tombstones(spark, prefix, index_dir)
+    downgrade_to_shared(index_dir)
+    return _cc_store_report(spark, labels_t)
+
+
+@register("dedup_cc_stored_compact", oracle=_cc_sql(),
+          tags=("dedup", "graph", "stored-index", "compaction"))
+def dedup_cc_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction for the CC label store, completing the family's
+    lifecycle (build/merge/probe/erase/COMPACT): the per-ingest merged
+    rewrite leaves up to one file per (task, bucket) —
+    ``compact_bucketed_table`` collapses the label table to one file per
+    bucket under the same Murmur3-aligned repartition as the other three
+    stores. Shares the from-scratch oracle with ``dedup_cc_stored``
+    (whose build+merge flow runs first here, against the shared "ccl"
+    store — compaction is content-preserving by contract), so the green
+    row proves the rewrite is a report-level no-op; file collapse is
+    pinned in tests."""
+    from e_commerce_click_stream_spark.operators.compaction import (
+        compact_bucketed_table,
+    )
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        NUM_STORE_BUCKETS,
+    )
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+    )
+    import os as _os
+
+    # ensure the store exists and carries this run's merged state
+    dedup_cc_stored(spark, sf_dir)
+    index_dir, prefix = _cc_store_location(sf_dir)
+    labels_t = _cc_labels_table(prefix)
+    acquire_build_lock(index_dir)
+    compact_bucketed_table(
+        spark, labels_t, "node", NUM_STORE_BUCKETS,
+        location=_os.path.join(index_dir, "labels"), sort_col="node",
+    )
+    downgrade_to_shared(index_dir)
+    return _cc_store_report(spark, labels_t)
 
 
 # ---------------------------------------------------------------------------

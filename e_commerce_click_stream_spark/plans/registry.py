@@ -89,6 +89,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_stored_apply_erase",
     "ann_ivf_apply_erase",
     "dedup_cc_stored",
+    "dedup_cc_stored_erase",
+    "dedup_cc_stored_compact",
     # rotation: the oldest r8-proof queries (alphabetical)
     "ann_cosine_topk",
     "ann_ivf_append",
@@ -114,8 +116,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
-    "pii_detection_report",
-    "pii_redacted_docs",
 )
 
 
@@ -125,6 +125,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r8-proof queries the
 # r13 window could not fit — they lead the r14 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "pii_detection_report",
+    "pii_redacted_docs",
     "q10_returned_items",
     "q11_important_stock",
     "q13_order_count_distribution",

@@ -1225,6 +1225,23 @@ EXPECTATIONS: dict[str, dict] = {
                          "BroadcastNestedLoopJoin"],
         "max_exchanges": 1,
     },
+    # CC-store erasure (r13): the affected-component re-cluster and the
+    # bucketed rewrite ran eagerly at store time; the audited report
+    # keeps dedup_cc_stored's one-shuffle contract over the eroded store
+    "dedup_cc_stored_erase": {
+        "contains": ["Scan parquet spark_catalog.default.ccle_"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython",
+                         "BroadcastNestedLoopJoin"],
+        "max_exchanges": 1,
+    },
+    # CC-store compaction (r13): post-compaction report = the same
+    # one-shuffle store-scan plan (compaction invisible to the planner)
+    "dedup_cc_stored_compact": {
+        "contains": ["Scan parquet spark_catalog.default.ccl_"],
+        "not_contains": ["CartesianProduct", "BatchEvalPython",
+                         "BroadcastNestedLoopJoin"],
+        "max_exchanges": 1,
+    },
     # erase-then-APPLY-then-probe (r13): post-rewrite probe keeps the
     # warm-probe contract; the truncated vector still anti-joins
     "dedup_stored_apply_erase": {

@@ -130,6 +130,8 @@ REPRESENTATIVE = (
     "dedup_stored_apply_erase",
     "ann_ivf_apply_erase",
     "dedup_cc_stored",
+    "dedup_cc_stored_erase",
+    "dedup_cc_stored_compact",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

@@ -168,6 +168,79 @@ def test_cc_stored_matches_from_scratch_idempotent_and_on_disk(spark):
     assert from_disk == r1, "label state not fully materialized on disk"
 
 
+def test_cc_erase_relabel_splits_and_renumbers(spark):
+    """The property deletion vectors cannot express (the reason the CC
+    store's erasure re-clusters): erasing a bridge node SPLITS its
+    component, and erasing a min-id member RENUMBERS the component. Hand
+    graph: edges 2-1, 1-3, 2-4, 3-5 form ONE component labeled 1; erasing
+    node 1 must yield components {2,4} and {3,5} — and node 1 (the old
+    label) must vanish. A randomized sweep then pins erase ≡ from-scratch
+    on the surviving edge set."""
+    import random
+
+    from e_commerce_click_stream_spark.plans.dedup import (
+        _cc_erase_relabel,
+        _cc_fixpoint,
+    )
+
+    def run(edges, erased_ids):
+        edf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        stored = _cc_fixpoint(edf)
+        er = spark.createDataFrame([(i,) for i in erased_ids], "node long")
+        surviving = (
+            edf.join(er.withColumnRenamed("node", "doc_a"), "doc_a", "left_anti")
+            .join(er.withColumnRenamed("node", "doc_b"), "doc_b", "left_anti")
+        )
+        got = sorted(map(tuple, _cc_erase_relabel(stored, surviving, er).collect()))
+        exp = sorted(map(tuple, _cc_fixpoint(surviving).collect()))
+        return got, exp
+
+    got, exp = run([(2, 1), (1, 3), (2, 4), (3, 5)], [1])
+    assert got == exp
+    assert got == [(2, 2), (3, 3), (4, 2), (5, 3)], f"split/renumber wrong: {got}"
+
+    rng = random.Random(13)
+    for _trial in range(4):
+        n = 20
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(rng.randint(5, 18))
+        })
+        erased = rng.sample(range(n), rng.randint(1, 5))
+        got, exp = run(edges, erased)
+        assert got == exp, f"edges={edges} erased={erased}"
+
+
+def test_cc_stored_compact_collapses_files(spark):
+    """Compaction of the label store is a report-level no-op (the shared
+    driver oracle proves that); here: the file count per bucket actually
+    collapses to one and the on-disk state is unchanged."""
+    from e_commerce_click_stream_spark.operators.compaction import (
+        bucket_file_counts,
+    )
+    from e_commerce_click_stream_spark.plans.dedup import (
+        _cc_labels_table,
+        _cc_store_location,
+    )
+    from tests.conftest import SF_SMOKE
+
+    before = sorted(
+        map(tuple, SPECS["dedup_cc_stored"].builder(spark, SF_SMOKE).collect())
+    )
+    out = sorted(
+        map(tuple, SPECS["dedup_cc_stored_compact"].builder(spark, SF_SMOKE).collect())
+    )
+    assert out == before
+    index_dir, prefix = _cc_store_location(SF_SMOKE)
+    after = bucket_file_counts(os.path.join(index_dir, "labels"))
+    assert after and all(n == 1 for n in after.values()), f"not compacted: {after}"
+    # state unchanged on disk
+    disk = spark.read.parquet(os.path.join(index_dir, "labels"))
+    labels_t = _cc_labels_table(prefix)
+    assert sorted(map(tuple, disk.collect())) == sorted(
+        map(tuple, spark.table(labels_t).collect())
+    )
+
+
 def test_band_apply_noop_without_deletion_vector(spark):
     """Band-store twin of the missing-vector guard: a fresh build
     carries no tombstone table; apply must return a zero-drop readout
