@@ -5804,6 +5804,613 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental curation run (VERDICT r12 #4): corpus_curation_run is the
+# batch job; this is the INGEST path a deployment actually runs per
+# micro-batch once the base corpus is curated — new docs flow
+# scrub (against merged line statistics) -> exact-dedup-against-store ->
+# structural gate -> NB keep from STORED weights -> DSIR keep from the
+# STORED lambda grid and corpus totals -> pack-manifest append that
+# CONTINUES the per-source sequence ids from the stored tails. The
+# stored models are FROZEN at base-fit time (the production contract:
+# ingest scoring never re-fits; re-fitting is the batch job's rebuild),
+# while the line-df statistics MERGE (they are counts, like BM25 df).
+# The oracle recomputes the whole thing from the raw table in one SQL —
+# base fit and batch score — so the green row proves the store-routed
+# incremental path ≡ a from-scratch recompute of the final state.
+#
+# Batch split: doc_id % 7 = 2. Deliberately NOT the per-source is_new
+# split every other ingest op uses — sources span base and batch here,
+# because this op's machinery (pack-tail continuation, dedup-vs-store,
+# line-df merge) is only exercised when a batch doc lands in a source
+# the base already curated. (7 because the fixture assigns source as
+# doc_id % 20: any modulus sharing a factor with 20 would select whole
+# sources and silently degenerate back to a per-source split — %5 did.)
+#
+# Model storage is the FULL weight grid (every bucket, unseen buckets
+# at the smoothed default the fit formula assigns to zero counts) — the
+# dense-vector shape a deployed scorer broadcasts; a sparse stored
+# model would silently score unseen buckets as 0 instead of the
+# model's actual smoothed log-ratio.
+
+_CUR_INC_BATCH = "doc_id % 7 = 2"
+
+_CUR_INC_SQL = f"""
+WITH ls AS (
+    SELECT doc_id, lang, source, ({_CUR_INC_BATCH}) AS is_batch,
+           string_split(text, chr(10)) AS ls
+    FROM documents WHERE text IS NOT NULL
+),
+clines AS (
+    SELECT doc_id, lang, source, is_batch, s.i AS i, s.l AS line,
+           {_LINE_SCRUB_NORM} AS norm
+    FROM (SELECT doc_id, lang, source, is_batch,
+                 unnest([{{'i': i, 'l': ls[i + 1]}}
+                         for i in range(0, len(ls))]) AS s
+          FROM ls)
+),
+keyed AS (
+    SELECT doc_id, lang, source, is_batch, i, line,
+           CASE WHEN norm = '' THEN NULL ELSE md5(norm) END AS fp
+    FROM clines
+),
+fqb AS (
+    SELECT fp, count(DISTINCT doc_id)::BIGINT AS ndocs
+    FROM keyed WHERE NOT is_batch AND fp IS NOT NULL GROUP BY fp
+),
+fqa AS (
+    SELECT fp, count(DISTINCT doc_id)::BIGINT AS ndocs
+    FROM keyed WHERE fp IS NOT NULL GROUP BY fp
+),
+b1 AS (
+    SELECT k.doc_id, k.lang, k.source,
+           string_agg(CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
+                           THEN k.line END, chr(10) ORDER BY k.i) AS text
+    FROM keyed k LEFT JOIN fqb f USING (fp)
+    WHERE NOT k.is_batch
+    GROUP BY k.doc_id, k.lang, k.source
+),
+b1k AS (SELECT * FROM b1 WHERE text IS NOT NULL),
+b2 AS (
+    SELECT * FROM b1k
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5({_EXACT_FP_NORM}))
+),
+gphb AS ({_gopher_sql("b2")}),
+b3 AS (
+    SELECT b2.* FROM b2 JOIN gphb g USING (doc_id)
+    WHERE g.words_in_range AND g.mean_len_ok AND g.symbol_ok
+      AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok
+),
+nlab AS (
+    SELECT g.doc_id,
+           coalesce(g.words_in_range AND g.mean_len_ok AND g.symbol_ok
+                    AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok,
+                    false) AS label,
+           d.text
+    FROM gphb g JOIN b2 d USING (doc_id)
+),
+ntoks AS (
+    SELECT doc_id, label,
+           unnest(string_split_regex(trim({sql_lower_folded("text")}), '\\s+')) AS w
+    FROM nlab WHERE text IS NOT NULL AND trim(text) <> ''
+),
+ndtb AS (
+    SELECT doc_id, label,
+           ('0x' || substr(md5(w), 1, 4))::BIGINT % {NB_BUCKETS} AS bucket,
+           count(*)::BIGINT AS tf
+    FROM ntoks WHERE w <> '' GROUP BY doc_id, label, bucket
+),
+nbst AS (
+    SELECT bucket,
+           sum(CASE WHEN label THEN tf ELSE 0 END)::BIGINT AS pos_cnt,
+           sum(CASE WHEN label THEN 0 ELSE tf END)::BIGINT AS neg_cnt
+    FROM ndtb GROUP BY bucket
+),
+nbtot AS (
+    SELECT coalesce(sum(pos_cnt), 0)::BIGINT AS p_total,
+           coalesce(sum(neg_cnt), 0)::BIGINT AS n_total
+    FROM nbst
+),
+nbwg AS (
+    SELECT g.bucket,
+           floor(ln(((coalesce(b.pos_cnt, 0) + 1) * (t.n_total + {NB_BUCKETS}))
+                    / ((coalesce(b.neg_cnt, 0) + 1.0) * (t.p_total + {NB_BUCKETS})))
+                 * 1000000 + 0.5)::BIGINT AS w_micro
+    FROM (SELECT unnest(range({NB_BUCKETS})) AS bucket) g
+    LEFT JOIN nbst b USING (bucket), nbtot t
+),
+nprior AS (
+    SELECT floor(ln((sum(CASE WHEN label THEN 1 ELSE 0 END) + 1.0)
+                    / (sum(CASE WHEN label THEN 0 ELSE 1 END) + 1))
+                 * 1000000 + 0.5)::BIGINT AS prior_micro
+    FROM (SELECT DISTINCT doc_id, label FROM ndtb) x
+),
+btoks AS (
+    SELECT doc_id, lang, source,
+           unnest(string_split_regex(trim({sql_lower_folded("text")}), '\\s+')) AS w
+    FROM b3
+),
+bdtb AS (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(w), 1, 4))::BIGINT % {DSIR_BUCKETS} AS bucket,
+           count(*)::BIGINT AS tf
+    FROM btoks WHERE w <> '' GROUP BY doc_id, lang, source, bucket
+),
+bbst AS (
+    SELECT bucket,
+           sum(tf)::BIGINT AS raw_cnt,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)::BIGINT
+               AS tgt_cnt
+    FROM bdtb GROUP BY bucket
+),
+bbtot AS (
+    SELECT coalesce(sum(raw_cnt), 0)::BIGINT AS r_total,
+           coalesce(sum(tgt_cnt), 0)::BIGINT AS t_total
+    FROM bbst
+),
+lamg AS (
+    SELECT g.bucket,
+           floor(ln(((coalesce(b.tgt_cnt, 0) + 1) * (t.r_total + {DSIR_BUCKETS}))
+                    / ((coalesce(b.raw_cnt, 0) + 1.0) * (t.t_total + {DSIR_BUCKETS})))
+                 * 1000000 + 0.5)::BIGINT AS lam_micro
+    FROM (SELECT unnest(range({DSIR_BUCKETS})) AS bucket) g
+    LEFT JOIN bbst b USING (bucket), bbtot t
+),
+bpd AS (
+    SELECT d.doc_id, d.source,
+           sum(d.tf)::BIGINT AS n_tokens,
+           sum(d.tf * l.lam_micro)::BIGINT AS logratio_micro
+    FROM bdtb d JOIN lamg l USING (bucket)
+    GROUP BY d.doc_id, d.source
+),
+bpt AS (
+    SELECT coalesce(sum(n_tokens), 0)::BIGINT AS nt_total,
+           coalesce(sum(logratio_micro), 0)::BIGINT AS lr_total
+    FROM bpd
+),
+b4 AS (
+    SELECT p.doc_id, p.source, p.n_tokens
+    FROM bpd p, bpt t
+    WHERE p.logratio_micro * t.nt_total > p.n_tokens * t.lr_total
+),
+btail AS (
+    SELECT source, sum(n_tokens)::BIGINT AS tail FROM b4 GROUP BY source
+),
+n1 AS (
+    SELECT k.doc_id, k.lang, k.source,
+           string_agg(CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
+                           THEN k.line END, chr(10) ORDER BY k.i) AS text
+    FROM keyed k LEFT JOIN fqa f USING (fp)
+    WHERE k.is_batch
+    GROUP BY k.doc_id, k.lang, k.source
+),
+n1k AS (SELECT * FROM n1 WHERE text IS NOT NULL),
+bfp AS (SELECT DISTINCT md5({_EXACT_FP_NORM}) AS xfp FROM b1k),
+n2a AS (
+    SELECT *, md5({_EXACT_FP_NORM}) AS xfp FROM n1k
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5({_EXACT_FP_NORM}))
+),
+n2 AS (
+    SELECT n2a.doc_id, n2a.lang, n2a.source, n2a.text
+    FROM n2a LEFT JOIN bfp ON bfp.xfp = n2a.xfp
+    WHERE bfp.xfp IS NULL
+),
+gphn AS ({_gopher_sql("n2")}),
+n3 AS (
+    SELECT n2.* FROM n2 JOIN gphn g USING (doc_id)
+    WHERE g.words_in_range AND g.mean_len_ok AND g.symbol_ok
+      AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok
+),
+qtoks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim({sql_lower_folded("text")}), '\\s+')) AS w
+    FROM n3
+),
+qdtb AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(w), 1, 4))::BIGINT % {NB_BUCKETS} AS bucket,
+           count(*)::BIGINT AS tf
+    FROM qtoks WHERE w <> '' GROUP BY doc_id, bucket
+),
+qnb AS (
+    SELECT d.doc_id, sum(d.tf * w.w_micro)::BIGINT AS dot_micro
+    FROM qdtb d JOIN nbwg w USING (bucket)
+    GROUP BY d.doc_id
+),
+n4 AS (
+    SELECT n3.* FROM n3 JOIN qnb s USING (doc_id), nprior r
+    WHERE s.dot_micro + r.prior_micro > 0
+),
+q2toks AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex(trim({sql_lower_folded("text")}), '\\s+')) AS w
+    FROM n4
+),
+q2dtb AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(w), 1, 4))::BIGINT % {DSIR_BUCKETS} AS bucket,
+           count(*)::BIGINT AS tf
+    FROM q2toks WHERE w <> '' GROUP BY doc_id, source, bucket
+),
+qpd AS (
+    SELECT d.doc_id, d.source,
+           sum(d.tf)::BIGINT AS n_tokens,
+           sum(d.tf * l.lam_micro)::BIGINT AS logratio_micro
+    FROM q2dtb d JOIN lamg l USING (bucket)
+    GROUP BY d.doc_id, d.source
+),
+n5 AS (
+    SELECT p.doc_id, p.source, p.n_tokens
+    FROM qpd p, bpt t
+    WHERE p.logratio_micro * t.nt_total > p.n_tokens * t.lr_total
+),
+cumn AS (
+    SELECT source, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM n5
+)
+SELECT c.doc_id, c.source, c.n_tokens,
+       floor((coalesce(t.tail, 0) + c.cum_tok - c.n_tokens)
+             / {SEQ_TOKEN_BUDGET})::BIGINT AS seq_id
+FROM cumn c LEFT JOIN btail t USING (source)
+"""
+
+_CUR_GATE_COLS = (
+    "words_in_range", "mean_len_ok", "symbol_ok",
+    "bullet_ok", "ellipsis_ok", "alpha_ok",
+)
+
+
+def _cur_gate() -> "F.Column":
+    g = F.col(_CUR_GATE_COLS[0])
+    for c in _CUR_GATE_COLS[1:]:
+        g = g & F.col(c)
+    return g
+
+
+def _cur_lines_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, i, line, fp) — the scrub's line explosion
+    with the shared normalization key (doc_line_boilerplate_scrub)."""
+    norm = lower_folded(F.trim(F.regexp_replace("line", r"\s+", " ")))
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", "source",
+            F.posexplode(F.split("text", "\n", -1)).alias("i", "line"),
+        )
+        .withColumn("fp", F.when(norm != "", F.md5(norm)))
+    )
+
+
+def _cur_scrub(lines: DataFrame, freq: DataFrame) -> DataFrame:
+    """Rebuild each doc's text from lines whose document frequency (per
+    ``freq``: fp -> ndocs) stays under the boilerplate threshold; docs
+    with no kept line drop out."""
+    keep = F.col("fp").isNotNull() & (F.col("ndocs") < LINE_DF_DOCS)
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(keep, F.struct(F.col("i"), F.col("line"))))
+    )
+    return (
+        lines.join(freq, "fp", "left")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum(keep.cast("long")).alias("kept_lines"),
+            kept_structs.alias("kept"),
+        )
+        .select(
+            "doc_id", "lang", "source",
+            F.when(
+                F.col("kept_lines") > 0,
+                F.concat_ws("\n", F.expr("transform(kept, s -> s.line)")),
+            ).alias("text"),
+        )
+        .filter(F.col("text").isNotNull())
+    )
+
+
+def _cur_nb_bucket(col: str = "w") -> "F.Column":
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long") % NB_BUCKETS
+
+
+def _cur_dsir_bucket(col: str = "w") -> "F.Column":
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS
+
+
+def _cur_tokens(df: DataFrame, *carry: str) -> DataFrame:
+    return (
+        df.select(
+            "doc_id", *carry,
+            F.explode(
+                F.split(F.trim(lower_folded(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+
+
+@register("corpus_curation_incremental", oracle=_CUR_INC_SQL,
+          tags=("text", "pipeline", "curation", "incremental", "stored-index"))
+def corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch ingest through the curation pipeline against STORED
+    state (see the section comment above for the full contract): cold
+    start fits the base corpus once into the "cur" catalog store —
+    line-df counts, the base fingerprint set, the FULL NB weight grid +
+    prior, the FULL DSIR lambda grid + corpus totals, and the per-source
+    pack tails — then every run scores ONLY the batch: scrub against
+    merged line statistics, dedup against the broadcast stored
+    fingerprints (plus in-batch min-id), structural gate, NB keep from
+    the broadcast stored weights, DSIR keep from the broadcast stored
+    grid against the stored corpus totals, and a pack-manifest append
+    whose seq_ids continue from the stored per-source tails. Returns the
+    batch's manifest rows (doc_id, source, n_tokens, seq_id) — the
+    artifact a loader consumes. The from-scratch oracle recomputes base
+    fit + batch score from the raw table, so the green row proves the
+    store-routed path ≡ recompute; warm runs are idempotent by
+    construction (stores are read-only on the probe path — state
+    advancement is the batch job's rebuild, the probe_only convention).
+
+    Scale shape: per batch, |batch| docs explode/tokenize exactly three
+    times (scrub lines, NB buckets, DSIR buckets — each one hash agg);
+    every model artifact broadcasts (<= 4096-row grids, 1-row scalars,
+    per-source tails); the base corpus is NEVER re-read on the probe
+    path. The only windows run per (batch fp) and per (source) over
+    DSIR survivors. Nothing doc x doc, nothing Python, nothing
+    collected."""
+    import os as _os
+
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+
+    index_dir, prefix = store_location("cur", sf_dir)
+    linedf_t = f"{prefix}_linedf"
+    fps_t = f"{prefix}_fps"
+    nbw_t = f"{prefix}_nbw"
+    prior_t = f"{prefix}_nbprior"
+    lam_t = f"{prefix}_lam"
+    tot_t = f"{prefix}_dsirtot"
+    tail_t = f"{prefix}_packtail"
+
+    def wtbl(df: DataFrame, name: str, subdir: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", _os.path.join(index_dir, subdir))
+            .saveAsTable(name)
+        )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    is_batch = F.expr(_CUR_INC_BATCH)
+
+    acquire_build_lock(index_dir)
+    if not spark.catalog.tableExists(lam_t):
+        base_lines = _cur_lines_of(docs.filter(~is_batch)).localCheckpoint(
+            eager=True
+        )
+        base_freq = (
+            base_lines.filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("ndocs"))
+            .localCheckpoint(eager=True)  # feeds the store AND the scrub
+        )
+        wtbl(base_freq, linedf_t, "linedf")
+        b1k = _cur_scrub(base_lines, base_freq).localCheckpoint(eager=True)
+        wtbl(b1k.select(fingerprint().alias("xfp")).distinct(), fps_t, "fps")
+        fpw = Window.partitionBy(fingerprint())
+        b2 = (
+            b1k.withColumn("min_doc", F.min("doc_id").over(fpw))
+            .filter(F.col("doc_id") == F.col("min_doc"))
+            .drop("min_doc")
+        )
+        flags = gopher_flags_df(
+            b2, keep_text=True, keep_cols=("lang", "source")
+        ).localCheckpoint(eager=True)  # feeds the NB fit AND the gate
+        # NB fit on the deduped base, label = the structural conjunction
+        lab = flags.select(
+            "doc_id", F.coalesce(_cur_gate(), F.lit(False)).alias("label"), "text"
+        ).filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        ndtb = (
+            _cur_tokens(lab, "label")
+            .select("doc_id", "label", _cur_nb_bucket().alias("bucket"))
+            .groupBy("doc_id", "label", "bucket")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)  # feeds weights AND the prior
+        )
+        nbst = ndtb.groupBy("bucket").agg(
+            F.sum(F.when(F.col("label"), F.col("tf")).otherwise(0)).alias("pos_cnt"),
+            F.sum(F.when(F.col("label"), 0).otherwise(F.col("tf"))).alias("neg_cnt"),
+        )
+        nbtot = nbst.agg(
+            F.coalesce(F.sum("pos_cnt"), F.lit(0)).alias("p_total"),
+            F.coalesce(F.sum("neg_cnt"), F.lit(0)).alias("n_total"),
+        )
+        w_micro = F.floor(
+            F.log(
+                ((F.coalesce(F.col("pos_cnt"), F.lit(0)) + 1)
+                 * (F.col("n_total") + F.lit(NB_BUCKETS)))
+                / ((F.coalesce(F.col("neg_cnt"), F.lit(0)) + F.lit(1.0))
+                   * (F.col("p_total") + F.lit(NB_BUCKETS)))
+            )
+            * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("long")
+        nbwg = (
+            spark.range(NB_BUCKETS)
+            .select(F.col("id").alias("bucket"))
+            .join(nbst, "bucket", "left")
+            .crossJoin(F.broadcast(nbtot))
+            .select("bucket", w_micro.alias("w_micro"))
+        )
+        wtbl(nbwg, nbw_t, "nbw")
+        prior = (
+            ndtb.select("doc_id", "label")
+            .distinct()
+            .agg(
+                F.floor(
+                    F.log(
+                        (F.sum(F.when(F.col("label"), 1).otherwise(0)) + F.lit(1.0))
+                        / (F.sum(F.when(F.col("label"), 0).otherwise(1)) + 1)
+                    )
+                    * F.lit(1_000_000)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("prior_micro")
+            )
+        )
+        wtbl(prior, prior_t, "nbprior")
+        # DSIR fit on the gate survivors
+        b3 = flags.filter(_cur_gate()).select("doc_id", "lang", "source", "text")
+        bdtb = (
+            _cur_tokens(b3, "lang", "source")
+            .select("doc_id", "lang", "source", _cur_dsir_bucket().alias("bucket"))
+            .groupBy("doc_id", "lang", "source", "bucket")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)  # feeds the fit AND base scoring
+        )
+        bbst = bdtb.groupBy("bucket").agg(
+            F.sum("tf").alias("raw_cnt"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+            ).alias("tgt_cnt"),
+        )
+        bbtot = bbst.agg(
+            F.coalesce(F.sum("raw_cnt"), F.lit(0)).alias("r_total"),
+            F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("t_total"),
+        )
+        lam_micro = F.floor(
+            F.log(
+                ((F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1)
+                 * (F.col("r_total") + F.lit(DSIR_BUCKETS)))
+                / ((F.coalesce(F.col("raw_cnt"), F.lit(0)) + F.lit(1.0))
+                   * (F.col("t_total") + F.lit(DSIR_BUCKETS)))
+            )
+            * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("long")
+        lamg = (
+            spark.range(DSIR_BUCKETS)
+            .select(F.col("id").alias("bucket"))
+            .join(bbst, "bucket", "left")
+            .crossJoin(F.broadcast(bbtot))
+            .select("bucket", lam_micro.alias("lam_micro"))
+            .localCheckpoint(eager=True)  # feeds the store AND base scoring
+        )
+        wtbl(lamg, lam_t, "lam")
+        bpd = (
+            bdtb.join(F.broadcast(lamg), "bucket")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.sum("tf").alias("n_tokens"),
+                F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
+            )
+            .localCheckpoint(eager=True)  # feeds totals AND base selection
+        )
+        bpt = bpd.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("nt_total"),
+            F.coalesce(F.sum("logratio_micro"), F.lit(0)).alias("lr_total"),
+        ).localCheckpoint(eager=True)  # feeds the store AND base selection
+        wtbl(bpt, tot_t, "dsirtot")
+        b4 = bpd.crossJoin(F.broadcast(bpt)).filter(
+            F.col("logratio_micro") * F.col("nt_total")
+            > F.col("n_tokens") * F.col("lr_total")
+        )
+        wtbl(
+            b4.groupBy("source").agg(F.sum("n_tokens").alias("tail")),
+            tail_t, "packtail",
+        )
+    downgrade_to_shared(index_dir)
+
+    # ---- the per-batch probe: stores are read-only from here
+    batch_lines = _cur_lines_of(docs.filter(is_batch)).localCheckpoint(eager=True)
+    batch_freq = (
+        batch_lines.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+    )
+    merged_freq = (
+        spark.table(linedf_t)
+        .unionByName(batch_freq)
+        .groupBy("fp")
+        .agg(F.sum("ndocs").alias("ndocs"))
+    )
+    n1k = _cur_scrub(batch_lines, merged_freq).localCheckpoint(eager=True)
+    n2 = (
+        n1k.withColumn("xfp", fingerprint())
+        .withColumn("min_doc", F.min("doc_id").over(Window.partitionBy("xfp")))
+        .filter(F.col("doc_id") == F.col("min_doc"))
+        .join(F.broadcast(spark.table(fps_t)), "xfp", "left_anti")
+        .select("doc_id", "lang", "source", "text")
+    )
+    n3 = (
+        gopher_flags_df(n2, keep_text=True, keep_cols=("lang", "source"))
+        .filter(_cur_gate())
+        .select("doc_id", "lang", "source", "text")
+        .localCheckpoint(eager=True)  # feeds the NB score AND DSIR score
+    )
+    qdtb = (
+        _cur_tokens(n3)
+        .select("doc_id", _cur_nb_bucket().alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    dot = (
+        qdtb.join(F.broadcast(spark.table(nbw_t)), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w_micro")).alias("dot_micro"))
+    )
+    n4 = (
+        n3.join(dot, "doc_id")
+        .crossJoin(F.broadcast(spark.table(prior_t)))
+        .filter(F.col("dot_micro") + F.col("prior_micro") > 0)
+        .select("doc_id", "source", "text")
+    )
+    q2dtb = (
+        _cur_tokens(n4, "source")
+        .select("doc_id", "source", _cur_dsir_bucket().alias("bucket"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    qpd = (
+        q2dtb.join(F.broadcast(spark.table(lam_t)), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
+        )
+    )
+    n5 = (
+        qpd.crossJoin(F.broadcast(spark.table(tot_t)))
+        .filter(
+            F.col("logratio_micro") * F.col("nt_total")
+            > F.col("n_tokens") * F.col("lr_total")
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+    packw = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        n5.withColumn("cum_tok", F.sum("n_tokens").over(packw))
+        .join(F.broadcast(spark.table(tail_t)), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(
+                (F.coalesce(F.col("tail"), F.lit(0))
+                 + F.col("cum_tok") - F.col("n_tokens"))
+                / SEQ_TOKEN_BUDGET
+            ).alias("seq_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Source-mixing temperature sweep (VERDICT r11 #5): the knob every
 # pretraining mix actually tunes. UniMax / alpha-power sampling scales
 # each source's share to n_s^alpha / sum(n^alpha) — alpha 1.0 is

@@ -132,6 +132,7 @@ REPRESENTATIVE = (
     "dedup_cc_stored",
     "dedup_cc_stored_erase",
     "dedup_cc_stored_compact",
+    "corpus_curation_incremental",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

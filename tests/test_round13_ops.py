@@ -5,6 +5,7 @@ driver-gated apply-erase queries."""
 from __future__ import annotations
 
 import os
+import tempfile
 
 import pytest
 
@@ -239,6 +240,111 @@ def test_cc_stored_compact_collapses_files(spark):
     assert sorted(map(tuple, disk.collect())) == sorted(
         map(tuple, spark.table(labels_t).collect())
     )
+
+
+_CUR_A = ("alpha", "bravo", "carta", "delta", "ember", "fjord",
+          "gleam", "haven", "inlet", "joule", "karma", "lumen")
+_CUR_B = ("click", "free", "winner", "prize", "claim", "bonus",
+          "urgent", "offer", "deal", "cash")
+_CUR_C = ("zephyr", "quartz", "vortex", "nimbus", "raster",
+          "tundra", "umbral", "velour", "wicker", "xylem")
+_CUR_L = "contact us at example dot com"
+
+
+def _cur_words(vocab, seed, k):
+    return " ".join(vocab[(seed + j) % len(vocab)] for j in range(k))
+
+
+def _cur_inc_corpus():
+    """Constructed corpus where EVERY incremental stage cuts (the real
+    fixture only exercises the gate, DSIR, and tail continuation —
+    unique single-line docs give dedup and NB nothing to drop). Batch
+    ids are ≡ 2 (mod 7); the split-lines trick (same collapsed
+    fingerprint, different lines) keeps exact-dup pairs alive through
+    the line scrub so the dedup stages are the ones that cut."""
+    a700 = lambda seed: _cur_words(_CUR_A, seed, 700)
+    split2 = lambda t: (lambda w: " ".join(w[:350]) + "\n" + " ".join(w[350:]))(
+        t.split(" ")
+    )
+    k1 = a700(0)
+    d2 = a700(5)
+    rows = [
+        # base (ids not ≡ 2 mod 7)
+        (0, k1, "en", "sA"),                       # keep-class
+        (1, a700(1), "en", "sA"),
+        (3, a700(3), "en", "sA"),
+        (4, _cur_words(_CUR_C, 0, 100), "xx", "sA"),   # DSIR-low class
+        (5, _cur_words(_CUR_B, 0, 12), "en", "sA"),    # gate-fail -> NB neg
+        (6, _cur_words(_CUR_B, 1, 12), "en", "sA"),
+        (7, _CUR_L + "\n" + _cur_words(_CUR_A, 7, 60), "en", "sA"),  # holds L
+        # batch (ids ≡ 2 mod 7)
+        (2, split2(k1), "en", "sA"),    # fp == base doc 0 -> store dedup
+        (9, d2, "en", "sA"),            # SURVIVOR
+        (16, split2(d2), "en", "sA"),   # fp == doc 9 -> in-batch dedup
+        (23, _cur_words(_CUR_A, 2, 12), "en", "sA"),   # gate fail
+        (30, _cur_words(_CUR_B, 2, 700), "en", "sA"),  # NB cut
+        (37, _cur_words(_CUR_C, 3, 100), "en", "sA"),  # DSIR cut
+        (44, _CUR_L, "en", "sA"),       # merged line-df kills at scrub
+        (51, a700(9), "en", "sA"),      # SURVIVOR
+    ]
+    return rows
+
+
+def test_curation_incremental_every_stage_cuts(spark):
+    """Spark store-routed path vs the independent DuckDB from-scratch
+    oracle on the constructed corpus, plus per-stage cut assertions the
+    driver's fixture run can't provide: the merged line statistics kill
+    a batch doc whose only line the BASE kept (df crossed the threshold
+    only with the batch), dedup-vs-store and in-batch dedup each drop an
+    exact duplicate the scrub cannot see, the gate/NB/DSIR each cut one
+    doc, and both survivors' seq_ids continue from the nonzero stored
+    base tail."""
+    import duckdb
+
+    from e_commerce_click_stream_spark.plans.text import _CUR_INC_SQL
+
+    rows = _cur_inc_corpus()
+    out = tempfile.mkdtemp(prefix="curinc_")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t) if t else 0) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            SPECS["corpus_curation_incremental"].builder(spark, out).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a directory; DuckDB needs the part-file glob
+        f"CREATE VIEW documents AS SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    exp = sorted(map(tuple, con.execute(_CUR_INC_SQL).fetchall()))
+    assert got == exp, f"\ngot: {got}\nexp: {exp}"
+
+    # survivors and tail continuation: without the stored base tail both
+    # seq_ids would be 0 (each survivor is only 700 tokens)
+    assert [(r[0], r[3]) for r in got] == [(9, 1), (51, 1)], got
+
+    # per-stage cuts, read off the oracle's own CTEs
+    base = _CUR_INC_SQL[: _CUR_INC_SQL.rindex("SELECT c.doc_id")]
+    cnt = lambda rel: con.execute(base + f"SELECT count(*) FROM {rel}").fetchone()[0]
+    assert cnt("n1k") == 7, "merged line-df must kill doc 44 at the scrub"
+    assert cnt("n2a") == 6, "in-batch dedup must drop doc 16"
+    assert cnt("n2") == 5, "dedup-vs-store must drop doc 2"
+    assert cnt("n3") == 4, "gate must drop doc 23"
+    assert cnt("n4") == 3, "stored-NB scoring must drop doc 30"
+    assert cnt("n5") == 2, "stored-DSIR scoring must drop doc 37"
+    # the asymmetry that makes the merge real: the base KEPT the shared
+    # line (base-only df was 1) while the batch doc died on merged df
+    (m1_text,) = con.execute(
+        base + "SELECT text FROM b1k WHERE doc_id = 7"
+    ).fetchone()
+    assert _CUR_L in m1_text
 
 
 def test_band_apply_noop_without_deletion_vector(spark):
