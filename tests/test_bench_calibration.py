@@ -99,3 +99,67 @@ def test_ratio_stable_where_raw_seconds_move():
         f"query/probe ratio moved {ratio_drift:.2f}x across the synthetic "
         f"host change (fast {ratio_fast:.2f}, slow {ratio_slow:.2f})"
     )
+
+
+def test_ratio_drift_flags_moves_and_reads_all_artifact_shapes(tmp_path):
+    """VERDICT r12 #6: the artifact reads itself — _ratio_drift diffs the
+    current sweep's per-query probe-ratios against a prior BENCH artifact
+    and flags >1.5x moves either way; it must understand bench.py's own
+    output shape AND the driver wrapper whose 'tail' is the truncated
+    last-2000-chars (queries_ratio survives there, the calibration
+    version often does not)."""
+    import json
+
+    import bench
+
+    base = {
+        "queries_ratio": {"a": 1.0, "b": 0.5},
+        "calibration": {"version": bench.CAL_VERSION},
+    }
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(base))
+    out = bench._ratio_drift(
+        {"a": 1.6, "b": 0.5, "c": 2.0}, bench.CAL_VERSION, str(p)
+    )
+    assert out["flagged"] == {
+        "a": {"prev_ratio": 1.0, "cur_ratio": 1.6, "move_x": 1.6}
+    }
+    assert out["new_queries"] == ["c"] and out["dropped_queries"] == []
+    # a shrink past 1/1.5 flags too (an accidental speedup on an
+    # untouched line is the same "ratio moved" signal)
+    out_dn = bench._ratio_drift({"a": 0.6, "b": 0.5}, bench.CAL_VERSION, str(p))
+    assert out_dn["flagged"]["a"]["move_x"] == 0.6
+    # in-band moves do not flag
+    assert bench._ratio_drift(
+        {"a": 1.4, "b": 0.4}, bench.CAL_VERSION, str(p)
+    )["flagged"] == {}
+
+    # driver-wrapper tail shape with the version truncated away
+    tail = 'x": 1.2}, "queries_ratio": {"a": 1.0}, "value_ratio": 9.0}'
+    p2 = tmp_path / "BENCH_r98.json"
+    p2.write_text(json.dumps({"tail": tail, "parsed": None}))
+    out2 = bench._ratio_drift({"a": 0.5}, bench.CAL_VERSION, str(p2))
+    assert out2["flagged"]["a"]["move_x"] == 0.5
+    assert out2["baseline_cal_version_unverified"] is True
+
+    # calibration-version mismatch -> not a comparable baseline
+    assert bench._ratio_drift({"a": 9.0}, bench.CAL_VERSION + 1, str(p)) is None
+
+
+def test_ratio_drift_skips_cross_sf_baselines(tmp_path):
+    """Ratios cancel host speed, not data volume — a baseline taken at a
+    different scale factor must not be compared (an sf0.001 smoke sweep
+    against the sf0.1 driver artifact flagged 12 phantom moves)."""
+    import json
+
+    import bench
+
+    base = {
+        "queries_ratio": {"a": 1.0},
+        "calibration": {"version": bench.CAL_VERSION},
+        "sf": 0.1,
+    }
+    p = tmp_path / "BENCH_r97.json"
+    p.write_text(json.dumps(base))
+    assert bench._ratio_drift({"a": 9.0}, bench.CAL_VERSION, str(p), 0.001) is None
+    assert bench._ratio_drift({"a": 9.0}, bench.CAL_VERSION, str(p), 0.1) is not None
