@@ -375,3 +375,36 @@ def test_band_apply_noop_without_deletion_vector(spark):
     }
     bands_t, _ = band_table_names(prefix)
     assert spark.table(bands_t).count() > 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_PROBE"),
+    reason="scale probe is a ~6 min opt-in sweep: SPARK_GRAFT_SCALE_PROBE=1",
+)
+def test_headline_queries_survive_3x_scale(spark):
+    """VERDICT r12 #5 as a committed runnable (the committed artifact is
+    SCALEPROBE_r13.json): build the 3x re-keyed concatenation of sf0.1
+    and run a representative headline slice builder-vs-oracle at
+    ~sf0.3-equivalent — catching constants-that-should-be-functions
+    before the driver regenerates bigger fixtures."""
+    import subprocess
+    import sys as _sys
+
+    out = "/tmp/spark_graft_scale_x3_test"
+    r = subprocess.run(
+        [_sys.executable, "scripts/scale_probe.py", "3",
+         "/root/testdata/sf0.1", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    names = [
+        "q1_pricing_summary", "hourly_metrics", "dedup_minhash_lsh",
+        "bm25_stored_probe_only", "ann_ivf_probe_only", "session_metrics",
+    ]
+    env = dict(os.environ, SPARK_GRAFT_STORE_NS="scaletest")
+    r2 = subprocess.run(
+        [_sys.executable, "scripts/driver_sim.py", out, *names],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+        env=env,
+    )
+    assert r2.returncode == 0 and "0 failures" in r2.stdout, r2.stdout[-3000:]
