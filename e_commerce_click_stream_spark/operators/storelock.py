@@ -39,7 +39,7 @@ def store_location(kind: str, sf_dir: str) -> tuple[str, str]:
     """Deterministic per-fixture store root + catalog-table prefix for a
     persisted index family (``kind`` in {"band", "bande", "bandea",
     "ivf", "ivfe", "ivfea", "bm25", "bm25e", "bm25ea", "nbw", "ccl",
-    "ccle", "cur"}): repeated
+    "ccle", "cur", "curs"}): repeated
     gate/bench invocations reuse ONE location instead of leaking a
     corpus-sized tree per run; ``SPARK_GRAFT_STORE_NS`` (below) isolates
     passive consumers. One definition for every store family so path
@@ -60,6 +60,7 @@ def store_location(kind: str, sf_dir: str) -> tuple[str, str]:
         "ivf": "ivf", "ivfe": "ivfe", "ivfea": "ivfea",
         "bm25": "bm25", "bm25e": "bm25e", "bm25ea": "bm25ea",
         "nbw": "nbw", "ccl": "ccl", "ccle": "ccle", "cur": "cur",
+        "curs": "curs",
     }[kind]
     return (
         os.path.join(tempfile.gettempdir(), f"{kind}_index_{tag}"),

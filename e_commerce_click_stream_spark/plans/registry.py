@@ -92,6 +92,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_cc_stored_erase",
     "dedup_cc_stored_compact",
     "corpus_curation_incremental",
+    "streaming_curation_ingest",
     # rotation: the oldest r8-proof queries (alphabetical)
     "ann_cosine_topk",
     "ann_ivf_append",
@@ -115,7 +116,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "lineitem_math_functions",
     "multimodal_decode_meta",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
 )
 
 
@@ -125,6 +125,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r8-proof queries the
 # r13 window could not fit — they lead the r14 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "multimodal_frame_sample",
     "multimodal_resize_plan",
     "pii_detection_report",
     "pii_redacted_docs",

@@ -5834,7 +5834,12 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUR_INC_BATCH = "doc_id % 7 = 2"
 
-_CUR_INC_SQL = f"""
+# The oracle is composed from three fragments so the streaming twin can
+# swap ONLY the batch-scrub CTE (its line-df statistics accumulate per
+# micro-batch instead of merging the whole batch at once):
+# _CUR_BASE_SQL (base fit + stored state) + a batch-scrub n1 fragment +
+# _CUR_SCORE_SQL (dedup -> gate -> stored-NB -> stored-DSIR -> pack).
+_CUR_BASE_SQL = f"""
 WITH ls AS (
     SELECT doc_id, lang, source, ({_CUR_INC_BATCH}) AS is_batch,
            string_split(text, chr(10)) AS ls
@@ -5974,7 +5979,10 @@ b4 AS (
 ),
 btail AS (
     SELECT source, sum(n_tokens)::BIGINT AS tail FROM b4 GROUP BY source
-),
+),"""
+
+# one-shot batch scrub: the WHOLE ingest batch's line stats merge at once
+_CUR_N1_ONESHOT_SQL = f"""
 n1 AS (
     SELECT k.doc_id, k.lang, k.source,
            string_agg(CASE WHEN k.fp IS NOT NULL AND f.ndocs < {LINE_DF_DOCS}
@@ -5982,7 +5990,9 @@ n1 AS (
     FROM keyed k LEFT JOIN fqa f USING (fp)
     WHERE k.is_batch
     GROUP BY k.doc_id, k.lang, k.source
-),
+),"""
+
+_CUR_SCORE_SQL = f"""
 n1k AS (SELECT * FROM n1 WHERE text IS NOT NULL),
 bfp AS (SELECT DISTINCT md5({_EXACT_FP_NORM}) AS xfp FROM b1k),
 n2a AS (
@@ -6054,6 +6064,8 @@ SELECT c.doc_id, c.source, c.n_tokens,
              / {SEQ_TOKEN_BUDGET})::BIGINT AS seq_id
 FROM cumn c LEFT JOIN btail t USING (source)
 """
+
+_CUR_INC_SQL = _CUR_BASE_SQL + _CUR_N1_ONESHOT_SQL + _CUR_SCORE_SQL
 
 _CUR_GATE_COLS = (
     "words_in_range", "mean_len_ok", "symbol_ok",
@@ -6165,162 +6177,15 @@ def corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     index_dir, prefix = store_location("cur", sf_dir)
-    linedf_t = f"{prefix}_linedf"
-    fps_t = f"{prefix}_fps"
-    nbw_t = f"{prefix}_nbw"
-    prior_t = f"{prefix}_nbprior"
-    lam_t = f"{prefix}_lam"
-    tot_t = f"{prefix}_dsirtot"
-    tail_t = f"{prefix}_packtail"
-
-    def wtbl(df: DataFrame, name: str, subdir: str) -> None:
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .option("path", _os.path.join(index_dir, subdir))
-            .saveAsTable(name)
-        )
+    t = _cur_table_names(prefix)
+    linedf_t, fps_t, nbw_t, prior_t, lam_t, tot_t, tail_t = t
 
     docs = spread(table(spark, sf_dir, "documents"))
     is_batch = F.expr(_CUR_INC_BATCH)
 
     acquire_build_lock(index_dir)
     if not spark.catalog.tableExists(lam_t):
-        base_lines = _cur_lines_of(docs.filter(~is_batch)).localCheckpoint(
-            eager=True
-        )
-        base_freq = (
-            base_lines.filter(F.col("fp").isNotNull())
-            .groupBy("fp")
-            .agg(F.countDistinct("doc_id").alias("ndocs"))
-            .localCheckpoint(eager=True)  # feeds the store AND the scrub
-        )
-        wtbl(base_freq, linedf_t, "linedf")
-        b1k = _cur_scrub(base_lines, base_freq).localCheckpoint(eager=True)
-        wtbl(b1k.select(fingerprint().alias("xfp")).distinct(), fps_t, "fps")
-        fpw = Window.partitionBy(fingerprint())
-        b2 = (
-            b1k.withColumn("min_doc", F.min("doc_id").over(fpw))
-            .filter(F.col("doc_id") == F.col("min_doc"))
-            .drop("min_doc")
-        )
-        flags = gopher_flags_df(
-            b2, keep_text=True, keep_cols=("lang", "source")
-        ).localCheckpoint(eager=True)  # feeds the NB fit AND the gate
-        # NB fit on the deduped base, label = the structural conjunction
-        lab = flags.select(
-            "doc_id", F.coalesce(_cur_gate(), F.lit(False)).alias("label"), "text"
-        ).filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-        ndtb = (
-            _cur_tokens(lab, "label")
-            .select("doc_id", "label", _cur_nb_bucket().alias("bucket"))
-            .groupBy("doc_id", "label", "bucket")
-            .agg(F.count("*").alias("tf"))
-            .localCheckpoint(eager=True)  # feeds weights AND the prior
-        )
-        nbst = ndtb.groupBy("bucket").agg(
-            F.sum(F.when(F.col("label"), F.col("tf")).otherwise(0)).alias("pos_cnt"),
-            F.sum(F.when(F.col("label"), 0).otherwise(F.col("tf"))).alias("neg_cnt"),
-        )
-        nbtot = nbst.agg(
-            F.coalesce(F.sum("pos_cnt"), F.lit(0)).alias("p_total"),
-            F.coalesce(F.sum("neg_cnt"), F.lit(0)).alias("n_total"),
-        )
-        w_micro = F.floor(
-            F.log(
-                ((F.coalesce(F.col("pos_cnt"), F.lit(0)) + 1)
-                 * (F.col("n_total") + F.lit(NB_BUCKETS)))
-                / ((F.coalesce(F.col("neg_cnt"), F.lit(0)) + F.lit(1.0))
-                   * (F.col("p_total") + F.lit(NB_BUCKETS)))
-            )
-            * F.lit(1_000_000)
-            + F.lit(0.5)
-        ).cast("long")
-        nbwg = (
-            spark.range(NB_BUCKETS)
-            .select(F.col("id").alias("bucket"))
-            .join(nbst, "bucket", "left")
-            .crossJoin(F.broadcast(nbtot))
-            .select("bucket", w_micro.alias("w_micro"))
-        )
-        wtbl(nbwg, nbw_t, "nbw")
-        prior = (
-            ndtb.select("doc_id", "label")
-            .distinct()
-            .agg(
-                F.floor(
-                    F.log(
-                        (F.sum(F.when(F.col("label"), 1).otherwise(0)) + F.lit(1.0))
-                        / (F.sum(F.when(F.col("label"), 0).otherwise(1)) + 1)
-                    )
-                    * F.lit(1_000_000)
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("prior_micro")
-            )
-        )
-        wtbl(prior, prior_t, "nbprior")
-        # DSIR fit on the gate survivors
-        b3 = flags.filter(_cur_gate()).select("doc_id", "lang", "source", "text")
-        bdtb = (
-            _cur_tokens(b3, "lang", "source")
-            .select("doc_id", "lang", "source", _cur_dsir_bucket().alias("bucket"))
-            .groupBy("doc_id", "lang", "source", "bucket")
-            .agg(F.count("*").alias("tf"))
-            .localCheckpoint(eager=True)  # feeds the fit AND base scoring
-        )
-        bbst = bdtb.groupBy("bucket").agg(
-            F.sum("tf").alias("raw_cnt"),
-            F.sum(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
-            ).alias("tgt_cnt"),
-        )
-        bbtot = bbst.agg(
-            F.coalesce(F.sum("raw_cnt"), F.lit(0)).alias("r_total"),
-            F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("t_total"),
-        )
-        lam_micro = F.floor(
-            F.log(
-                ((F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1)
-                 * (F.col("r_total") + F.lit(DSIR_BUCKETS)))
-                / ((F.coalesce(F.col("raw_cnt"), F.lit(0)) + F.lit(1.0))
-                   * (F.col("t_total") + F.lit(DSIR_BUCKETS)))
-            )
-            * F.lit(1_000_000)
-            + F.lit(0.5)
-        ).cast("long")
-        lamg = (
-            spark.range(DSIR_BUCKETS)
-            .select(F.col("id").alias("bucket"))
-            .join(bbst, "bucket", "left")
-            .crossJoin(F.broadcast(bbtot))
-            .select("bucket", lam_micro.alias("lam_micro"))
-            .localCheckpoint(eager=True)  # feeds the store AND base scoring
-        )
-        wtbl(lamg, lam_t, "lam")
-        bpd = (
-            bdtb.join(F.broadcast(lamg), "bucket")
-            .groupBy("doc_id", "source")
-            .agg(
-                F.sum("tf").alias("n_tokens"),
-                F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
-            )
-            .localCheckpoint(eager=True)  # feeds totals AND base selection
-        )
-        bpt = bpd.agg(
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("nt_total"),
-            F.coalesce(F.sum("logratio_micro"), F.lit(0)).alias("lr_total"),
-        ).localCheckpoint(eager=True)  # feeds the store AND base selection
-        wtbl(bpt, tot_t, "dsirtot")
-        b4 = bpd.crossJoin(F.broadcast(bpt)).filter(
-            F.col("logratio_micro") * F.col("nt_total")
-            > F.col("n_tokens") * F.col("lr_total")
-        )
-        wtbl(
-            b4.groupBy("source").agg(F.sum("n_tokens").alias("tail")),
-            tail_t, "packtail",
-        )
+        _cur_store_build(spark, sf_dir, index_dir, prefix)
     downgrade_to_shared(index_dir)
 
     # ---- the per-batch probe: stores are read-only from here
@@ -6344,6 +6209,24 @@ def corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(spark.table(fps_t)), "xfp", "left_anti")
         .select("doc_id", "lang", "source", "text")
     )
+    n5 = _cur_score_batch(spark, n2, prefix)
+    return _cur_pack_append(spark, n5, prefix)
+
+
+def _cur_table_names(prefix: str) -> tuple[str, ...]:
+    """(linedf, fps, nbw, nbprior, lam, dsirtot, packtail) table names."""
+    return tuple(
+        f"{prefix}_{s}"
+        for s in ("linedf", "fps", "nbw", "nbprior", "lam", "dsirtot", "packtail")
+    )
+
+
+def _cur_score_batch(spark: SparkSession, n2: DataFrame, prefix: str) -> DataFrame:
+    """Gate → stored-NB keep → stored-DSIR keep for a (deduped, scrubbed)
+    batch relation (doc_id, lang, source, text); returns the DSIR
+    survivors (doc_id, source, n_tokens). Every model artifact reads
+    from the catalog store and broadcasts; models never re-fit."""
+    _, _, nbw_t, prior_t, lam_t, tot_t, _ = _cur_table_names(prefix)
     n3 = (
         gopher_flags_df(n2, keep_text=True, keep_cols=("lang", "source"))
         .filter(_cur_gate())
@@ -6381,7 +6264,7 @@ def corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
         )
     )
-    n5 = (
+    return (
         qpd.crossJoin(F.broadcast(spark.table(tot_t)))
         .filter(
             F.col("logratio_micro") * F.col("nt_total")
@@ -6389,6 +6272,12 @@ def corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_tokens")
     )
+
+
+def _cur_pack_append(spark: SparkSession, n5: DataFrame, prefix: str) -> DataFrame:
+    """Manifest rows for DSIR survivors, seq_ids continuing the stored
+    per-source pack tails."""
+    tail_t = _cur_table_names(prefix)[6]
     packw = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -6407,6 +6296,374 @@ def corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / SEQ_TOKEN_BUDGET
             ).alias("seq_id"),
         )
+    )
+
+
+def _cur_store_build(
+    spark: SparkSession, sf_dir: str, index_dir: str, prefix: str
+) -> None:
+    """Cold-build the curation state store (the base fit); caller holds
+    the build lock. See corpus_curation_incremental for the contract."""
+    import os as _os
+
+    linedf_t, fps_t, nbw_t, prior_t, lam_t, tot_t, tail_t = _cur_table_names(
+        prefix
+    )
+
+    def wtbl(df: DataFrame, name: str, subdir: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", _os.path.join(index_dir, subdir))
+            .saveAsTable(name)
+        )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    is_batch = F.expr(_CUR_INC_BATCH)
+    base_lines = _cur_lines_of(docs.filter(~is_batch)).localCheckpoint(
+        eager=True
+    )
+    base_freq = (
+        base_lines.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .localCheckpoint(eager=True)  # feeds the store AND the scrub
+    )
+    wtbl(base_freq, linedf_t, "linedf")
+    b1k = _cur_scrub(base_lines, base_freq).localCheckpoint(eager=True)
+    wtbl(b1k.select(fingerprint().alias("xfp")).distinct(), fps_t, "fps")
+    fpw = Window.partitionBy(fingerprint())
+    b2 = (
+        b1k.withColumn("min_doc", F.min("doc_id").over(fpw))
+        .filter(F.col("doc_id") == F.col("min_doc"))
+        .drop("min_doc")
+    )
+    flags = gopher_flags_df(
+        b2, keep_text=True, keep_cols=("lang", "source")
+    ).localCheckpoint(eager=True)  # feeds the NB fit AND the gate
+    # NB fit on the deduped base, label = the structural conjunction
+    lab = flags.select(
+        "doc_id", F.coalesce(_cur_gate(), F.lit(False)).alias("label"), "text"
+    ).filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    ndtb = (
+        _cur_tokens(lab, "label")
+        .select("doc_id", "label", _cur_nb_bucket().alias("bucket"))
+        .groupBy("doc_id", "label", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds weights AND the prior
+    )
+    nbst = ndtb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("label"), F.col("tf")).otherwise(0)).alias("pos_cnt"),
+        F.sum(F.when(F.col("label"), 0).otherwise(F.col("tf"))).alias("neg_cnt"),
+    )
+    nbtot = nbst.agg(
+        F.coalesce(F.sum("pos_cnt"), F.lit(0)).alias("p_total"),
+        F.coalesce(F.sum("neg_cnt"), F.lit(0)).alias("n_total"),
+    )
+    w_micro = F.floor(
+        F.log(
+            ((F.coalesce(F.col("pos_cnt"), F.lit(0)) + 1)
+             * (F.col("n_total") + F.lit(NB_BUCKETS)))
+            / ((F.coalesce(F.col("neg_cnt"), F.lit(0)) + F.lit(1.0))
+               * (F.col("p_total") + F.lit(NB_BUCKETS)))
+        )
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    nbwg = (
+        spark.range(NB_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .join(nbst, "bucket", "left")
+        .crossJoin(F.broadcast(nbtot))
+        .select("bucket", w_micro.alias("w_micro"))
+    )
+    wtbl(nbwg, nbw_t, "nbw")
+    prior = (
+        ndtb.select("doc_id", "label")
+        .distinct()
+        .agg(
+            F.floor(
+                F.log(
+                    (F.sum(F.when(F.col("label"), 1).otherwise(0)) + F.lit(1.0))
+                    / (F.sum(F.when(F.col("label"), 0).otherwise(1)) + 1)
+                )
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior_micro")
+        )
+    )
+    wtbl(prior, prior_t, "nbprior")
+    # DSIR fit on the gate survivors
+    b3 = flags.filter(_cur_gate()).select("doc_id", "lang", "source", "text")
+    bdtb = (
+        _cur_tokens(b3, "lang", "source")
+        .select("doc_id", "lang", "source", _cur_dsir_bucket().alias("bucket"))
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds the fit AND base scoring
+    )
+    bbst = bdtb.groupBy("bucket").agg(
+        F.sum("tf").alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+        ).alias("tgt_cnt"),
+    )
+    bbtot = bbst.agg(
+        F.coalesce(F.sum("raw_cnt"), F.lit(0)).alias("r_total"),
+        F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("t_total"),
+    )
+    lam_micro = F.floor(
+        F.log(
+            ((F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1)
+             * (F.col("r_total") + F.lit(DSIR_BUCKETS)))
+            / ((F.coalesce(F.col("raw_cnt"), F.lit(0)) + F.lit(1.0))
+               * (F.col("t_total") + F.lit(DSIR_BUCKETS)))
+        )
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    lamg = (
+        spark.range(DSIR_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .join(bbst, "bucket", "left")
+        .crossJoin(F.broadcast(bbtot))
+        .select("bucket", lam_micro.alias("lam_micro"))
+        .localCheckpoint(eager=True)  # feeds the store AND base scoring
+    )
+    wtbl(lamg, lam_t, "lam")
+    bpd = (
+        bdtb.join(F.broadcast(lamg), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND base selection
+    )
+    bpt = bpd.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("nt_total"),
+        F.coalesce(F.sum("logratio_micro"), F.lit(0)).alias("lr_total"),
+    ).localCheckpoint(eager=True)  # feeds the store AND base selection
+    wtbl(bpt, tot_t, "dsirtot")
+    b4 = bpd.crossJoin(F.broadcast(bpt)).filter(
+        F.col("logratio_micro") * F.col("nt_total")
+        > F.col("n_tokens") * F.col("lr_total")
+    )
+    wtbl(
+        b4.groupBy("source").agg(F.sum("n_tokens").alias("tail")),
+        tail_t, "packtail",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation ingest: corpus_curation_incremental run as a REAL
+# Structured Streaming job — the batch docs replay as ordered micro-
+# batches (arrival_order_replay, one file per trigger) through a
+# foreachBatch that ADVANCES the mutable store state per batch (line-df
+# counts merge, the fingerprint set appends, the pack tails advance)
+# while the fitted models stay frozen, exactly a production ingest
+# daemon. The semantic difference from the one-shot twin is REAL and the
+# oracle encodes it: a document's scrub uses the line statistics as of
+# ITS OWN micro-batch (base + batches <= its wb), so a boilerplate line
+# that crosses the threshold mid-stream is scrubbed only from documents
+# that arrive after the crossing — earlier emissions are immutable, the
+# same seniority asymmetry the base/batch split already has. Micro-batch
+# count is fixed (CUR_STREAM_NBATCHES) rather than batch size, so the
+# per-run micro-batch overhead is bounded at every scale factor; wb =
+# ((rank-1) * NBATCHES) DIV total over doc_id order, identical integer
+# math in both engines. Because wb is monotone in doc_id, the dedup
+# min-id and pack orderings are unchanged from the one-shot oracle —
+# only the n1 scrub CTE swaps (fqa -> per-wb cumulative counts).
+
+CUR_STREAM_NBATCHES = 4
+
+_CUR_N1_STREAM_SQL = f"""
+bwb AS (
+    SELECT doc_id,
+           ((row_number() OVER (ORDER BY doc_id) - 1) * {CUR_STREAM_NBATCHES})
+               // greatest(count(*) OVER (), 1) AS wb
+    FROM documents WHERE {_CUR_INC_BATCH}
+),
+bl AS (
+    SELECT k.fp, b.wb, count(DISTINCT k.doc_id)::BIGINT AS c
+    FROM keyed k JOIN bwb b USING (doc_id)
+    WHERE k.is_batch AND k.fp IS NOT NULL
+    GROUP BY k.fp, b.wb
+),
+blc AS (
+    SELECT fp, wb,
+           sum(c) OVER (PARTITION BY fp ORDER BY wb
+                        ROWS UNBOUNDED PRECEDING) AS cb
+    FROM bl
+),
+n1 AS (
+    SELECT k.doc_id, k.lang, k.source,
+           string_agg(CASE WHEN k.fp IS NOT NULL
+                           AND coalesce(f.ndocs, 0) + c.cb < {LINE_DF_DOCS}
+                           THEN k.line END, chr(10) ORDER BY k.i) AS text
+    FROM keyed k
+    JOIN bwb b USING (doc_id)
+    LEFT JOIN fqb f USING (fp)
+    LEFT JOIN blc c ON c.fp = k.fp AND c.wb = b.wb
+    WHERE k.is_batch
+    GROUP BY k.doc_id, k.lang, k.source
+),"""
+
+_CUR_STREAM_SQL = _CUR_BASE_SQL + _CUR_N1_STREAM_SQL + _CUR_SCORE_SQL
+
+_CUR_MAN_SCHEMA = "doc_id long, source string, n_tokens long, seq_id long"
+
+
+@register("streaming_curation_ingest", oracle=_CUR_STREAM_SQL,
+          tags=("text", "pipeline", "curation", "incremental", "streaming",
+                "stored-index"))
+def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental curation pipeline as a REAL streaming ingest (see
+    the section comment): cold-build the base state, replay the batch
+    docs as {CUR_STREAM_NBATCHES} ordered micro-batches, and per batch —
+    inside foreachBatch — merge the batch's line statistics into the
+    store, scrub against the UPDATED store, dedup against the stored
+    fingerprints (then fold the batch's fingerprints in, so later
+    micro-batches dedup against earlier ones), gate + score against the
+    frozen models, append manifest rows whose seq_ids continue the
+    stored tails, and advance the tails. The oracle recomputes the
+    whole replay from the raw table with per-micro-batch cumulative
+    line statistics, so the green row proves the store-advancing
+    streaming path ≡ a from-scratch recompute of every emission.
+
+    Scale shape: per micro-batch, three bounded store writes (|linedf|
+    count merge, fingerprint dedup-append, per-source tail row) plus
+    the one-shot probe's scoring chain over just that batch; models
+    broadcast; nothing corpus-sized moves after the base fit. Each run
+    REBUILDS the store first — the stream erodes/advances state by
+    design, so it owns store kind "curs" (the batch twin's "cur" store
+    stays read-only warm)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from e_commerce_click_stream_spark.operators.storelock import (
+        acquire_build_lock,
+        downgrade_to_shared,
+        store_location,
+    )
+    from e_commerce_click_stream_spark.streaming.jobs import (
+        arrival_order_replay,
+    )
+
+    index_dir, prefix = store_location("curs", sf_dir)
+    linedf_t, fps_t = _cur_table_names(prefix)[:2]
+    tail_t = _cur_table_names(prefix)[6]
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    batch_docs = docs.filter(F.expr(_CUR_INC_BATCH))
+    total = batch_docs.count()
+
+    acquire_build_lock(index_dir)
+    # every run replays the stream from the base fit: the replay ADVANCES
+    # the store, so a warm reuse would double-apply the batch
+    _cur_store_build(spark, sf_dir, index_dir, prefix)
+    if total == 0:
+        downgrade_to_shared(index_dir)
+        return spark.createDataFrame([], _CUR_MAN_SCHEMA)
+
+    staged = batch_docs.select("doc_id", "lang", "source", "text").withColumn(
+        "wb",
+        F.expr(
+            f"CAST(((row_number() OVER (ORDER BY doc_id) - 1)"
+            f" * {CUR_STREAM_NBATCHES}) DIV {total} AS BIGINT)"
+        ),
+    )
+    sink_dir = _tf.mkdtemp(prefix="curs_sink_")
+    stream, stage_root = arrival_order_replay(spark, staged, "wb")
+
+    def _ingest(bdf: DataFrame, _bid: int) -> None:
+        bdf = bdf.localCheckpoint(eager=True)
+        lines = _cur_lines_of(bdf).localCheckpoint(eager=True)
+        bfreq = (
+            lines.filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("ndocs"))
+        )
+        merged = (
+            spark.table(linedf_t)
+            .unionByName(bfreq)
+            .groupBy("fp")
+            .agg(F.sum("ndocs").alias("ndocs"))
+            .localCheckpoint(eager=True)  # reads the table it replaces
+        )
+        (
+            merged.write.mode("overwrite")
+            .format("parquet")
+            .option("path", _os.path.join(index_dir, "linedf"))
+            .saveAsTable(linedf_t)
+        )
+        n1k = _cur_scrub(lines, spark.table(linedf_t)).localCheckpoint(
+            eager=True
+        )
+        n2 = (
+            n1k.withColumn("xfp", fingerprint())
+            .withColumn(
+                "min_doc", F.min("doc_id").over(Window.partitionBy("xfp"))
+            )
+            .filter(F.col("doc_id") == F.col("min_doc"))
+            .join(F.broadcast(spark.table(fps_t)), "xfp", "left_anti")
+            .select("doc_id", "lang", "source", "text")
+            .localCheckpoint(eager=True)  # BEFORE the fps advance below
+        )
+        newfps = (
+            n1k.select(fingerprint().alias("xfp"))
+            .distinct()
+            .join(F.broadcast(spark.table(fps_t)), "xfp", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        newfps.write.mode("append").format("parquet").saveAsTable(fps_t)
+        # the append runs through the micro-batch's CLONED session
+        # (newfps descends from bdf), which does not invalidate THIS
+        # session's cached file listing for the table — without the
+        # explicit refresh every later micro-batch deduped against the
+        # base-only fingerprint set (caught by the divergence test's
+        # wb3 twin). The overwrite writes below drop+recreate their
+        # tables, so they never go stale this way.
+        spark.catalog.refreshTable(fps_t)
+        n5 = _cur_score_batch(spark, n2, prefix).localCheckpoint(eager=True)
+        man = _cur_pack_append(spark, n5, prefix).localCheckpoint(eager=True)
+        man.write.mode("append").parquet(sink_dir)
+        newtails = (
+            spark.table(tail_t)
+            .unionByName(n5.groupBy("source").agg(F.sum("n_tokens").alias("tail")))
+            .groupBy("source")
+            .agg(F.sum("tail").alias("tail"))
+            .localCheckpoint(eager=True)  # reads the table it replaces
+        )
+        (
+            newtails.write.mode("overwrite")
+            .format("parquet")
+            .option("path", _os.path.join(index_dir, "packtail"))
+            .saveAsTable(tail_t)
+        )
+
+    ckpt = _tf.mkdtemp(prefix="curs_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _shutil.rmtree(stage_root, ignore_errors=True)
+        downgrade_to_shared(index_dir)
+    return (
+        spark.read.schema(_CUR_MAN_SCHEMA)
+        .parquet(sink_dir)
+        .select("doc_id", "source", "n_tokens", "seq_id")
     )
 
 

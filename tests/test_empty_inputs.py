@@ -133,6 +133,7 @@ REPRESENTATIVE = (
     "dedup_cc_stored_erase",
     "dedup_cc_stored_compact",
     "corpus_curation_incremental",
+    "streaming_curation_ingest",
 )
 
 # readout queries that emit a FIXED number of rows regardless of input

@@ -408,3 +408,83 @@ def test_headline_queries_survive_3x_scale(spark):
         env=env,
     )
     assert r2.returncode == 0 and "0 failures" in r2.stdout, r2.stdout[-3000:]
+
+
+_CUR_L2 = "click here to read the full article"
+
+
+def test_streaming_curation_diverges_from_oneshot_and_matches_oracle(spark):
+    """The streaming ingest's semantics are REAL, not a relabeled
+    one-shot: a boilerplate line absent from the base that appears in
+    micro-batch 0 and again in micro-batch 3 crosses the df threshold
+    MID-STREAM — the early document keeps the line (immutable emission),
+    the late one loses it, while the one-shot run scrubs it from both.
+    Also pins cross-micro-batch dedup THROUGH the fingerprint store (a
+    wb-3 exact dup of a wb-0 doc, split-lines so the scrub can't see
+    it). Corpus: 8 batch docs -> wb = 0,0,1,1,2,2,3,3 under
+    CUR_STREAM_NBATCHES=4."""
+    import duckdb
+
+    from e_commerce_click_stream_spark.plans.text import (
+        _CUR_INC_SQL,
+        _CUR_STREAM_SQL,
+    )
+
+    a700 = lambda seed: _cur_words(_CUR_A, seed, 700)
+    a60 = lambda seed: _cur_words(_CUR_A, seed, 60)
+    dc_text = a60(4)
+    split2 = lambda t: (lambda w: " ".join(w[:30]) + "\n" + " ".join(w[30:]))(
+        t.split(" ")
+    )
+    rows = [
+        # base: three keep-class docs + the DSIR-low contrast
+        (0, a700(0), "en", "sA"),
+        (1, a700(1), "en", "sA"),
+        (3, a700(3), "en", "sA"),
+        (4, _cur_words(_CUR_C, 0, 100), "xx", "sA"),
+        # batch (ids ≡ 2 mod 7; ranks 1..8 -> wb 0,0,1,1,2,2,3,3)
+        (2, _CUR_L2 + "\n" + a60(0), "en", "sA"),    # dA: keeps L2 (wb0)
+        (9, dc_text, "en", "sA"),                     # dC: dup source (wb0)
+        (16, a60(1), "en", "sA"),
+        (23, a60(2), "en", "sA"),
+        (30, a60(3), "en", "sA"),
+        (37, a60(5), "en", "sA"),
+        (44, _CUR_L2 + "\n" + a60(6), "en", "sA"),   # dB: loses L2 (wb3)
+        (51, split2(dc_text), "en", "sA"),           # dD: store-dedup drop (wb3)
+    ]
+    out = tempfile.mkdtemp(prefix="curs_div_")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t) if t else 0) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            SPECS["streaming_curation_ingest"].builder(spark, out).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    exp = sorted(map(tuple, con.execute(_CUR_STREAM_SQL).fetchall()))
+    assert got == exp, f"\ngot: {got}\nexp: {exp}"
+
+    oneshot = sorted(map(tuple, con.execute(_CUR_INC_SQL).fetchall()))
+    assert got != oneshot, (
+        "streaming and one-shot semantics must diverge on the "
+        "mid-stream df crossing"
+    )
+    by_id = {r[0]: r for r in got}
+    one_by_id = {r[0]: r for r in oneshot}
+    # dA (doc 2): streaming keeps L2's 7 tokens, the one-shot scrubs them
+    assert by_id[2][2] == one_by_id[2][2] + len(_CUR_L2.split()), (
+        by_id[2], one_by_id[2],
+    )
+    # dB (doc 44) lost the line in BOTH (cum df already 2 at wb3)
+    assert by_id[44][2] == one_by_id[44][2]
+    # cross-micro-batch store dedup: dC survives, its wb3 twin never emits
+    assert 9 in by_id and 51 not in by_id
