@@ -129,7 +129,21 @@ def pagerank_bipartite(
         edges_deg = edges.join(deg, "src").repartition("src").persist()
         edges_deg.count()  # materialize once, before the rounds
     else:
-        edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+        # DISK_ONLY (r13): the edge list is the one corpus-sized relation
+        # this plan pins in the block manager across every round, and at
+        # the x10 scale probe its MEMORY_AND_DISK default starved the
+        # unified pool of a vanilla 1 GiB local session into
+        # AGGREGATE_OUT_OF_MEMORY. Disk-backing it costs one local read
+        # per round (bench-neutral at sf0.1) and matches the cluster
+        # analogue the docstring names — a persisted TABLE bucketed by
+        # src, which is disk-resident by definition. The per-round rank
+        # checkpoints stay in memory: O(nodes) rows, the thing broadcast
+        # anyway.
+        from pyspark.storagelevel import StorageLevel
+
+        edges_deg = edges.join(deg, "src").localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     # 1 row; without the checkpoint every round's plan recomputes the count
     # from a full edge scan + distinct + two exchanges
