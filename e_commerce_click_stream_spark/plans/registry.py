@@ -93,6 +93,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_cc_stored_compact",
     "corpus_curation_incremental",
     "streaming_curation_ingest",
+    "brand_revenue",  # changed r13: exact BIGINT-cents revenue sum —
+    #                   the x10 probe caught the raw double sum flipping
+    #                   its last cent between engines
     # rotation: the oldest r8-proof queries (alphabetical)
     "ann_cosine_topk",
     "ann_ivf_append",
@@ -115,7 +118,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ivf_cell_balance_audit",
     "lineitem_math_functions",
     "multimodal_decode_meta",
-    "multimodal_feature_extract",
 )
 
 
@@ -125,6 +127,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r8-proof queries the
 # r13 window could not fit — they lead the r14 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize_plan",
     "pii_detection_report",

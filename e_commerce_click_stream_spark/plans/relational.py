@@ -170,10 +170,23 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # broadcast dim join + per-brand rollup of the fact table
 
+# Exactness (r13, found by the x10 scale probe): a raw double
+# sum(price * (1 - disc)) reached ~1.18e10 per brand at x10, where the
+# engines' different summation orders moved the sum across a .005
+# rounding boundary (one of two x10 sweeps hash-mismatched on the last
+# cent). price and discount are integral at cents scale, so the revenue
+# is summed EXACTLY as BIGINT (price_cents * (100 - disc_cents)), with
+# ONE final division + round — bit-identical in any summation order at
+# any scale (the registry's integer-scaled-sum discipline). Headroom:
+# per-row <= 1e9, so 2^63 holds past 1e9 rows per brand; a 100 TB
+# deployment promotes the sum to DECIMAL(38).
 _BRAND_SQL = """
 SELECT p_brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(sum(l_quantity), 2) AS total_qty,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             / 10000.0, 2) AS revenue,
+       round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+           AS total_qty,
        count(*) AS line_count
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -183,17 +196,22 @@ GROUP BY p_brand
 @register("brand_revenue", oracle=_BRAND_SQL, headline=True, tags=("join", "agg"))
 def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dim broadcast join + keyed agg; lineitem never shuffles for
-    the join (only for the final small groupBy)."""
+    the join (only for the final small groupBy). Money math is exact
+    BIGINT cents (see _BRAND_SQL's note — the x10 probe caught the raw
+    double sum flipping its last cent between engines)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(price_c * (F.lit(100) - disc_c)) / F.lit(10000.0), 2
             ).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum(qty_c) / F.lit(100.0), 2).alias("total_qty"),
             F.count("*").alias("line_count"),
         )
     )
