@@ -79,16 +79,27 @@ def _run(extra_cmd: list[str]) -> dict:
 @pytest.mark.skipif(shutil.which("taskset") is None, reason="no taskset")
 @pytest.mark.skipif((os.cpu_count() or 0) < 16, reason="needs >=16 CPUs")
 def test_ratio_stable_where_raw_seconds_move():
-    fast = _run([])
-    slow = _run(["taskset", "-c", "0-3"])
-
-    raw_drift = slow["query"] / fast["query"]
+    # the vacuity precondition (taskset must actually slow the run >1.8x)
+    # is itself host-load-sensitive: on a machine already under load the
+    # "fast" run is slow too and the delta compresses (observed 1.55x at
+    # the tail of a 49-minute full-suite run, 2.0x+ alone). Retry before
+    # concluding, and treat a persistently compressed delta as an
+    # environmental SKIP — a precondition on the measurement host, like
+    # the taskset/CPU-count skips above — not a calibration failure.
+    for _attempt in range(3):
+        fast = _run([])
+        slow = _run(["taskset", "-c", "0-3"])
+        raw_drift = slow["query"] / fast["query"]
+        if raw_drift > 1.8:
+            break
+    else:
+        pytest.skip(
+            f"host under load: taskset moved raw seconds only "
+            f"{raw_drift:.2f}x — the A/B would be vacuous here"
+        )
     ratio_fast = fast["query"] / fast["probe"]
     ratio_slow = slow["query"] / slow["probe"]
     ratio_drift = max(ratio_fast, ratio_slow) / min(ratio_fast, ratio_slow)
-
-    # the synthetic slow host must actually be slow (else the A/B is vacuous)
-    assert raw_drift > 1.8, f"taskset barely moved raw seconds: {raw_drift:.2f}x"
     # the essence: normalization strictly shrinks apparent drift...
     assert ratio_drift < raw_drift, (
         f"ratio drifted {ratio_drift:.2f}x vs raw {raw_drift:.2f}x — "
