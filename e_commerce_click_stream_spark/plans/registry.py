@@ -96,6 +96,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "brand_revenue",  # changed r13: exact BIGINT-cents revenue sum —
     #                   the x10 probe caught the raw double sum flipping
     #                   its last cent between engines
+    "q1_pricing_summary",   # changed r13: same exact-cents promotion
+    "q5_local_supplier_volume",  # (few huge groups — first to drift at sf1)
     # rotation: the oldest r8-proof queries (alphabetical)
     "ann_cosine_topk",
     "ann_ivf_append",
@@ -116,8 +118,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_json_deadletter",
     "events_zorder_stats",
     "ivf_cell_balance_audit",
-    "lineitem_math_functions",
-    "multimodal_decode_meta",
 )
 
 
@@ -127,6 +127,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r8-proof queries the
 # r13 window could not fit — they lead the r14 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "lineitem_math_functions",
+    "multimodal_decode_meta",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize_plan",

@@ -32,16 +32,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: the canonical partial+final hash aggregate
 
+# Exactness (r13, the class the x10 scale probe caught in
+# brand_revenue): Q1's six groups each sum MILLIONS of rows at sf1+, so
+# raw double sums drift with summation order and can cross a rounding
+# boundary between engines. quantity/price/discount/tax are integral at
+# cents scale — every sum is EXACT BIGINT arithmetic (qty/price at 1e2;
+# disc_price at 1e4 = cents x (100-d); charge at 1e6 = cents x (100-d)
+# x (100+t)), and every readout is ONE final division of the identical
+# integer on both engines (identical double -> identical round,
+# regardless of summation order). The avg columns are the same integer
+# sums divided by count — the registry's exact-sum-then-ONE-division
+# discipline. HUGEINT sums are cast back to BIGINT before the division
+# (the driver fetches via pandas, where HUGEINT floats). Headroom: the
+# charge term is <= 1.1e11 per row, so 2^63 holds past 8e7 rows per
+# group (sf10-equivalent); a 100 TB deployment promotes to DECIMAL(38).
 _Q1_SQL = """
 SELECT l_returnflag,
        l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+             / 100.0, 2) AS sum_qty,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+             / 100.0, 2) AS sum_base_price,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT
+             / 10000.0, 2) AS sum_disc_price,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                 * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))::BIGINT
+             / 1000000.0, 2) AS sum_charge,
+       round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+             / (100.0 * count(*)), 4) AS avg_qty,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+             / (100.0 * count(*)), 4) AS avg_price,
+       round(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::BIGINT
+             / (100.0 * count(*)), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -56,16 +80,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tax_c = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    disc_price_e4 = price_c * (F.lit(100) - disc_c)
+    charge_e6 = disc_price_e4 * (F.lit(100) + tax_c)
+    n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.sum(qty_c) / F.lit(100.0), 2).alias("sum_qty"),
+        F.round(F.sum(price_c) / F.lit(100.0), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price_e4) / F.lit(10000.0), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge_e6) / F.lit(1000000.0), 2).alias("sum_charge"),
+        F.round(F.sum(qty_c) / (F.lit(100.0) * n), 4).alias("avg_qty"),
+        F.round(F.sum(price_c) / (F.lit(100.0) * n), 4).alias("avg_price"),
+        F.round(F.sum(disc_c) / (F.lit(100.0) * n), 6).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -121,9 +150,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q5-style 6-way join through the full dimension chain
 
+# revenue as exact BIGINT cents x (100-d) — see _Q1_SQL's note (five
+# nation groups each sum a large fact slice; raw double sums drift with
+# summation order at sf1+)
 _Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT
+             / 10000.0, 2) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -160,10 +194,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
+    rev_e4 = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+    )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(rev_e4) / F.lit(10000.0), 2).alias("revenue")
     )
 
 
