@@ -488,3 +488,53 @@ def test_streaming_curation_diverges_from_oneshot_and_matches_oracle(spark):
     assert by_id[44][2] == one_by_id[44][2]
     # cross-micro-batch store dedup: dC survives, its wb3 twin never emits
     assert 9 in by_id and 51 not in by_id
+
+
+def test_scale_probe_builder_keeps_joins_consistent():
+    """scripts/scale_probe.py is load-bearing (both committed SCALEPROBE
+    artifacts ride on it): a K-copy fixture must scale every fact table
+    by exactly K, keep dims single-copy, and — the part that silently
+    breaks if two columns of one key domain get different offsets —
+    preserve join cardinality: lineitem⋈orders and lineitem⋈part must
+    also scale by exactly K."""
+    import duckdb
+
+    from scripts.scale_probe import build
+
+    src = "/root/testdata/sf0.001"
+    out = tempfile.mkdtemp(prefix="scale_unit_")
+    stats = build(src, out, 2)
+    con = duckdb.connect()
+
+    def n(path, t):
+        return con.execute(f"SELECT count(*) FROM '{path}/{t}.parquet'").fetchone()[0]
+
+    for t in ("documents", "embeddings", "events", "orders", "lineitem",
+              "customer", "supplier", "part"):
+        assert n(out, t) == 2 * n(src, t), t
+    for t in ("nation", "region"):
+        assert n(out, t) == n(src, t), t
+
+    def joined(path, cond):
+        return con.execute(
+            f"SELECT count(*) FROM '{path}/lineitem.parquet' l "
+            f"JOIN '{path}/orders.parquet' o ON {cond}"
+            if "orderkey" in cond
+            else f"SELECT count(*) FROM '{path}/lineitem.parquet' l "
+                 f"JOIN '{path}/part.parquet' p ON {cond}"
+        ).fetchone()[0]
+
+    assert joined(out, "l.l_orderkey = o.o_orderkey") == 2 * joined(
+        src, "l.l_orderkey = o.o_orderkey"
+    )
+    assert joined(out, "l.l_partkey = p.p_partkey") == 2 * joined(
+        src, "l.l_partkey = p.p_partkey"
+    )
+    # copies never collide: key ranges are disjoint per copy
+    hi = con.execute(
+        f"SELECT max(o_orderkey), min(o_orderkey) FROM '{out}/orders.parquet'"
+    ).fetchone()
+    base_hi = con.execute(
+        f"SELECT max(o_orderkey) FROM '{src}/orders.parquet'"
+    ).fetchone()[0]
+    assert hi[0] > stats["offsets"]["orderkey"] >= base_hi
