@@ -156,31 +156,63 @@ def _release_blocks(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+# Ratio moves on lines this small are fixed scheduling overhead flickering
+# through the 1.5x threshold (BENCH_r13 flagged ann_ivf_probe_only at a
+# "2.26x move" three other sweeps contradicted) — exempt them from
+# flagging but keep them visible in the artifact.
+MIN_DRIFT_RAW_SEC = 0.5
+# Median reference across this many newest comparable baselines: one
+# committed sweep is a single sample of host weather.
+MAX_DRIFT_BASELINES = 3
+
+
+def _baseline_paths(here: str) -> list[str]:
+    """Comparable-baseline candidates, newest round first. Files matching
+    the glob but not the numeric round pattern (e.g. BENCH_rerun.json)
+    are SKIPPED, not an AttributeError that kills the sweep's output
+    line (ADVICE r13)."""
+    import glob
+    import re
+
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    return [p for _, p in sorted(cands, reverse=True)]
+
+
 def _ratio_drift(queries_ratio: dict, cal_version: int,
                  baseline_path: str | None = None,
-                 sf: float | None = None) -> dict | None:
+                 sf: float | None = None,
+                 timings: dict | None = None) -> dict | None:
     """Self-reading artifact (VERDICT r12 #6): diff this sweep's
-    per-query probe-ratios against the newest committed BENCH_r*.json of
+    per-query probe-ratios against committed BENCH_r*.json artifacts of
     the SAME calibration version (or an explicit ``baseline_path``) and
     flag >1.5x moves either way — the threshold the slow-host A/B test
     pins ratios inside (a uniformly slowed host moves raw seconds >3x
     while ratios stay within 1.3x, so a 1.5x ratio move on a
-    code-untouched line is a plan signal, not weather). Judges were
-    reading queries_ratio by hand across artifacts; this block does that
-    diff in the artifact itself. Returns None when no comparable
+    code-untouched line is a plan signal, not weather). De-flaked
+    (VERDICT r13 #6): the reference is the per-query MEDIAN across the
+    newest comparable baselines rather than one sweep (single-sweep
+    scheduling flicker tripped the threshold), lines under
+    ``MIN_DRIFT_RAW_SEC`` raw are exempt-but-listed, and a baseline
+    whose ratios are byte-identical to the current sweep is skipped (a
+    re-sweep after the driver records BENCH_r{N}.json would otherwise
+    silently diff against itself). Returns None when no comparable
     baseline exists (first sweep of a calibration version)."""
-    import glob
     import re
+    import statistics as _st
 
     here = os.path.dirname(os.path.abspath(__file__))
     if baseline_path:
         paths = [baseline_path]
+        max_baselines = 1
     else:
-        paths = sorted(
-            glob.glob(os.path.join(here, "BENCH_r*.json")),
-            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
-            reverse=True,
-        )
+        paths = _baseline_paths(here)
+        max_baselines = MAX_DRIFT_BASELINES
+
+    used: list[tuple[str, dict, bool]] = []
     for path in paths:
         try:
             with open(path) as f:
@@ -217,28 +249,47 @@ def _ratio_drift(queries_ratio: dict, cal_version: int,
         prev_sf = prev.get("sf")
         if sf is not None and prev_sf is not None and prev_sf != sf:
             continue
-        flagged = {}
-        for n, r in queries_ratio.items():
-            pr = pq.get(n)
-            if pr and pr > 0 and r > 0:
-                move = r / pr
-                if move > 1.5 or move < 1 / 1.5:
-                    flagged[n] = {
-                        "prev_ratio": pr,
-                        "cur_ratio": r,
-                        "move_x": round(move, 2),
-                    }
-        out = {
-            "baseline": os.path.basename(path),
-            "threshold_x": 1.5,
-            "flagged": flagged,
-            "new_queries": sorted(n for n in queries_ratio if n not in pq),
-            "dropped_queries": sorted(n for n in pq if n not in queries_ratio),
-        }
-        if version_unverified:
-            out["baseline_cal_version_unverified"] = True
-        return out
-    return None
+        if not baseline_path and pq == queries_ratio:
+            continue  # this sweep's own recorded artifact — never self-diff
+        used.append((path, pq, version_unverified))
+        if len(used) >= max_baselines:
+            break
+    if not used:
+        return None
+    ref: dict[str, float] = {}
+    for n in set().union(*(set(pq) for _, pq, _ in used)):
+        vals = [pq[n] for _, pq, _ in used if pq.get(n)]
+        if vals:
+            ref[n] = _st.median(vals)
+    flagged = {}
+    sub_second_exempt = []
+    for n, r in queries_ratio.items():
+        pr = ref.get(n)
+        if pr and pr > 0 and r > 0:
+            move = r / pr
+            if move > 1.5 or move < 1 / 1.5:
+                if timings is not None and timings.get(n, 1.0) < MIN_DRIFT_RAW_SEC:
+                    sub_second_exempt.append(n)
+                    continue
+                flagged[n] = {
+                    "prev_ratio": round(pr, 3),
+                    "cur_ratio": r,
+                    "move_x": round(move, 2),
+                }
+    newest_pq = used[0][1]
+    out = {
+        "baseline": os.path.basename(used[0][0]),
+        "baselines": [os.path.basename(p) for p, _, _ in used],
+        "threshold_x": 1.5,
+        "min_raw_sec": MIN_DRIFT_RAW_SEC,
+        "flagged": flagged,
+        "sub_second_exempt": sorted(sub_second_exempt),
+        "new_queries": sorted(n for n in queries_ratio if n not in ref),
+        "dropped_queries": sorted(n for n in newest_pq if n not in queries_ratio),
+    }
+    if any(vu for _, _, vu in used):
+        out["baseline_cal_version_unverified"] = True
+    return out
 
 
 def main() -> None:
@@ -313,7 +364,8 @@ def main() -> None:
                 "queries_ratio": queries_ratio,
                 "value_ratio": round(total / cal, 2),
                 "ratio_drift": _ratio_drift(
-                    queries_ratio, CAL_VERSION, baseline, _sf_from_dir(SF_DIR)
+                    queries_ratio, CAL_VERSION, baseline,
+                    _sf_from_dir(SF_DIR), timings,
                 ),
                 "host": _host_load(t0_ticks),
                 "sf": _sf_from_dir(SF_DIR),

@@ -1860,8 +1860,19 @@ def dedup_stored_apply_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = apply_band_erasures(spark, prefix, location=index_dir)
     downgrade_to_shared(index_dir)
 
-    # vacuous on an empty fixture (nothing was indexed, so nothing drops)
-    if erased.limit(1).count() > 0 and (
+    # only an erased doc that actually shingles (>= 3 tokens) contributes
+    # band/shingle rows to drop — the physical assertion is vacuous
+    # otherwise (mirrors the bm25 twin's F.size("ts") > 0 guard; a
+    # regenerated fixture where every erased doc is shingle-less must
+    # not spuriously fail the gate — ADVICE r13)
+    any_erased_shingled = (
+        sh.filter(~F.col("is_new") & (F.col("doc_id") % 3 == 0))
+        .filter(F.size("s") > 0)
+        .limit(1)
+        .count()
+        > 0
+    )
+    if any_erased_shingled and (
         stats["dropped_bands"] <= 0 or stats["dropped_shingles"] <= 0
     ):
         raise RuntimeError(f"apply_band_erasures dropped nothing: {stats}")

@@ -6184,7 +6184,12 @@ def corpus_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.expr(_CUR_INC_BATCH)
 
     acquire_build_lock(index_dir)
-    if not spark.catalog.tableExists(lam_t):
+    # cold-build sentinel is ALL seven tables, not any single mid-build
+    # one: _cur_store_build writes dsirtot and packtail AFTER lam, so a
+    # crash in that window would otherwise leave a store the next run
+    # treats as complete and then fails on the missing tail tables
+    # instead of rebuilding (ADVICE r13)
+    if not all(spark.catalog.tableExists(n) for n in t):
         _cur_store_build(spark, sf_dir, index_dir, prefix)
     downgrade_to_shared(index_dir)
 
@@ -6576,7 +6581,14 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {CUR_STREAM_NBATCHES}) DIV {total} AS BIGINT)"
         ),
     )
-    sink_dir = _tf.mkdtemp(prefix="curs_sink_")
+    # deterministic per-store sink, cleared at run start (we hold the
+    # build lock and the store is rebuilt every run anyway) — a fresh
+    # mkdtemp per run leaked one directory per gate/bench invocation
+    # (ADVICE r13); it lives past return because it backs the returned
+    # lazy DataFrame
+    sink_dir = _os.path.join(index_dir, "sink")
+    _shutil.rmtree(sink_dir, ignore_errors=True)
+    _os.makedirs(sink_dir)
     stream, stage_root = arrival_order_replay(spark, staged, "wb")
 
     def _ingest(bdf: DataFrame, _bid: int) -> None:
@@ -6659,6 +6671,10 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _shutil.rmtree(stage_root, ignore_errors=True)
+        # the checkpoint is dead once the availableNow replay terminates
+        # (every run rebuilds the store and replays from scratch) —
+        # leaving it leaked one mkdtemp per invocation (ADVICE r13)
+        _shutil.rmtree(ckpt, ignore_errors=True)
         downgrade_to_shared(index_dir)
     return (
         spark.read.schema(_CUR_MAN_SCHEMA)

@@ -174,3 +174,85 @@ def test_ratio_drift_skips_cross_sf_baselines(tmp_path):
     p.write_text(json.dumps(base))
     assert bench._ratio_drift({"a": 9.0}, bench.CAL_VERSION, str(p), 0.001) is None
     assert bench._ratio_drift({"a": 9.0}, bench.CAL_VERSION, str(p), 0.1) is not None
+
+
+def test_baseline_paths_skips_non_round_filenames(tmp_path):
+    """ADVICE r13: a file matching the BENCH_r*.json glob but not the
+    numeric round pattern (BENCH_rerun.json) must be skipped, not raise
+    AttributeError and kill the sweep's output line."""
+    import bench
+
+    for name in ("BENCH_r07.json", "BENCH_rerun.json", "BENCH_r10.json"):
+        (tmp_path / name).write_text("{}")
+    paths = bench._baseline_paths(str(tmp_path))
+    assert [__import__("os").path.basename(p) for p in paths] == [
+        "BENCH_r10.json",
+        "BENCH_r07.json",
+    ]
+
+
+def test_ratio_drift_sub_second_lines_exempt_but_listed(tmp_path):
+    """VERDICT r13 #6: an in-band scheduling flicker on a sub-second
+    line (fixed overhead dwarfing the work, e.g. BENCH_r13's phantom
+    ann_ivf_probe_only flag) must not flag — it is exempted by current
+    raw seconds and surfaced under sub_second_exempt instead."""
+    import json
+
+    import bench
+
+    base = {
+        "queries_ratio": {"a": 0.2, "b": 1.0},
+        "calibration": {"version": bench.CAL_VERSION},
+    }
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(base))
+    out = bench._ratio_drift(
+        {"a": 0.45, "b": 1.0}, bench.CAL_VERSION, str(p),
+        timings={"a": 0.3, "b": 2.0},
+    )
+    assert out["flagged"] == {}
+    assert out["sub_second_exempt"] == ["a"]
+    # the same move on a >= MIN_DRIFT_RAW_SEC line still flags
+    out2 = bench._ratio_drift(
+        {"a": 0.45, "b": 1.0}, bench.CAL_VERSION, str(p),
+        timings={"a": 0.7, "b": 2.0},
+    )
+    assert out2["flagged"]["a"]["move_x"] == 2.25
+    assert out2["sub_second_exempt"] == []
+
+
+def test_ratio_drift_median_reference_and_self_skip(monkeypatch, tmp_path):
+    """VERDICT r13 #6: the reference is the per-query MEDIAN across the
+    newest comparable baselines, so one freak sweep cannot flag an
+    untouched line; and a baseline byte-identical to the current sweep
+    (a re-sweep diffing against its own recorded artifact — ADVICE r13)
+    is excluded from the candidates."""
+    import json
+
+    import bench
+
+    def wtab(name, ratios):
+        p = tmp_path / name
+        p.write_text(json.dumps({
+            "queries_ratio": ratios,
+            "calibration": {"version": bench.CAL_VERSION},
+        }))
+        return str(p)
+
+    # newest sweep is a freak (a=3.0); the two before agree at 1.0
+    paths = [
+        wtab("BENCH_r19.json", {"a": 3.0}),
+        wtab("BENCH_r18.json", {"a": 1.0}),
+        wtab("BENCH_r17.json", {"a": 1.0}),
+    ]
+    monkeypatch.setattr(bench, "_baseline_paths", lambda here: paths)
+    out = bench._ratio_drift({"a": 1.1}, bench.CAL_VERSION)
+    assert out["flagged"] == {}  # vs median 1.0, not the freak 3.0
+    assert out["baselines"] == [
+        "BENCH_r19.json", "BENCH_r18.json", "BENCH_r17.json",
+    ]
+
+    # a baseline identical to the current sweep is a self-diff: skipped
+    paths.insert(0, wtab("BENCH_r20.json", {"a": 1.1}))
+    out2 = bench._ratio_drift({"a": 1.1}, bench.CAL_VERSION)
+    assert "BENCH_r20.json" not in out2["baselines"]
