@@ -24,6 +24,36 @@ from e_commerce_click_stream_spark.plans.registry import register
 PR_DAMPING = 0.85
 PR_ITERS = 2
 
+# Size-derived edge-checkpoint storage level (VERDICT r13 #5): DISK_ONLY
+# was the r13 fix for the x10 probe OOMing a vanilla 1 GiB session (the
+# corpus-sized edge checkpoint pinned in the block manager starved the
+# unified pool), but it taxes every small-input run with a per-round
+# local read (~0.2-0.7 s at sf0.1). Derive the level from the inputs
+# instead: the edge relation is bounded by 2 x |lineitem| rows of
+# (src, dst, outdeg) UnsafeRows (~64 B each with block overhead), and it
+# may pin at most a quarter of the session's unified pool — execution
+# (the per-round hash agg that actually OOMed) needs the rest.
+PR_EDGE_ROW_BYTES = 64
+PR_STORAGE_CAP_FRAC = 0.25
+
+
+def _edge_checkpoint_level(spark: SparkSession, n_lineitem: int):
+    """MEMORY_AND_DISK when the worst-case edge checkpoint (2 x lineitem
+    rows x ~64 B) fits inside PR_STORAGE_CAP_FRAC of the unified pool
+    (spark.memory.fraction x (heap - 300 MiB reserve)), else DISK_ONLY.
+    Both shapes are result-identical and pinned by
+    tests/test_broadcast_crossovers.py; only the small-input latency /
+    large-input safety trade moves."""
+    from pyspark.storagelevel import StorageLevel
+
+    heap = spark.sparkContext._jvm.Runtime.getRuntime().maxMemory()
+    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    pool = frac * max(heap - 300 * 1024 * 1024, 0)
+    est = 2 * n_lineitem * PR_EDGE_ROW_BYTES
+    if est <= PR_STORAGE_CAP_FRAC * pool:
+        return StorageLevel.MEMORY_AND_DISK
+    return StorageLevel.DISK_ONLY
+
 
 def _pagerank_sql() -> str:
     parts = [
@@ -129,20 +159,24 @@ def pagerank_bipartite(
         edges_deg = edges.join(deg, "src").repartition("src").persist()
         edges_deg.count()  # materialize once, before the rounds
     else:
-        # DISK_ONLY (r13): the edge list is the one corpus-sized relation
-        # this plan pins in the block manager across every round, and at
-        # the x10 scale probe its MEMORY_AND_DISK default starved the
-        # unified pool of a vanilla 1 GiB local session into
-        # AGGREGATE_OUT_OF_MEMORY. Disk-backing it costs one local read
-        # per round (bench-neutral at sf0.1) and matches the cluster
-        # analogue the docstring names — a persisted TABLE bucketed by
-        # src, which is disk-resident by definition. The per-round rank
-        # checkpoints stay in memory: O(nodes) rows, the thing broadcast
-        # anyway.
-        from pyspark.storagelevel import StorageLevel
-
+        # The edge list is the one corpus-sized relation this plan pins in
+        # the block manager across every round; at the r13 x10 scale probe
+        # an unconditional MEMORY_AND_DISK starved the unified pool of a
+        # vanilla 1 GiB local session into AGGREGATE_OUT_OF_MEMORY, while
+        # an unconditional DISK_ONLY taxed every small-input run with a
+        # per-round local read. The level is now derived from the input
+        # size vs the session's pool (see _edge_checkpoint_level): small
+        # inputs keep the in-memory latency, large inputs disk-back —
+        # matching the cluster analogue the docstring names, a persisted
+        # TABLE bucketed by src (disk-resident by definition). The
+        # per-round rank checkpoints stay in memory either way: O(nodes)
+        # rows, the thing broadcast anyway. The lineitem count feeding
+        # the estimate is parquet-metadata cheap next to the join below.
+        level = _edge_checkpoint_level(
+            spark, table(spark, sf_dir, "lineitem").count()
+        )
         edges_deg = edges.join(deg, "src").localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
+            eager=True, storageLevel=level
         )
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     # 1 row; without the checkpoint every round's plan recomputes the count

@@ -66,3 +66,36 @@ def test_triangle_bucketed_close_matches_broadcast(spark):
     # be sorted, and a ShuffledHashJoin is exactly that)
     assert "ShuffledHashJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_pagerank_edge_checkpoint_level_size_derived(spark):
+    """VERDICT r13 #5: the edge-checkpoint storage level derives from
+    input size vs the session pool — small inputs keep MEMORY_AND_DISK's
+    latency, inputs whose worst-case edge relation would pin more than
+    PR_STORAGE_CAP_FRAC of the unified pool disk-back (the x10-probe OOM
+    shape). Pins the chooser at both extremes on the live session, the
+    monotone boundary itself, and that the sf0.001 run lands on the
+    in-memory side (the latency-reclaim this change exists for)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from e_commerce_click_stream_spark.plans.graph import (
+        PR_EDGE_ROW_BYTES,
+        PR_STORAGE_CAP_FRAC,
+        _edge_checkpoint_level,
+    )
+
+    assert _edge_checkpoint_level(spark, 1_000) == StorageLevel.MEMORY_AND_DISK
+    assert _edge_checkpoint_level(spark, 10**13) == StorageLevel.DISK_ONLY
+
+    # exact boundary: the largest row count that still fits the cap
+    heap = spark.sparkContext._jvm.Runtime.getRuntime().maxMemory()
+    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    pool = frac * (heap - 300 * 1024 * 1024)
+    fit = int(PR_STORAGE_CAP_FRAC * pool / (2 * PR_EDGE_ROW_BYTES))
+    assert _edge_checkpoint_level(spark, fit) == StorageLevel.MEMORY_AND_DISK
+    assert _edge_checkpoint_level(spark, fit + 1) == StorageLevel.DISK_ONLY
+
+    from e_commerce_click_stream_spark.io import table
+
+    n_li = table(spark, SF_SMOKE, "lineitem").count()
+    assert _edge_checkpoint_level(spark, n_li) == StorageLevel.MEMORY_AND_DISK
