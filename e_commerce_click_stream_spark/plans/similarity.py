@@ -23,20 +23,49 @@ from e_commerce_click_stream_spark.plans.registry import register
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 
-# Sign-LSH geometry. 32 hyperplanes (the first 32 corpus vectors, so the
-# projection set is deterministic and oracle-reproducible) sliced into
-# 4 bands x 8 bits, OR-of-ANDs candidate semantics a la minhash-LSH:
-# a pair is a candidate iff it agrees on ALL bits of AT LEAST ONE band.
-# Per-band join-key cardinality is 2^BAND_BITS = 256 buckets; candidate
-# volume is bounded by N_BANDS * sum(occupancy^2)/2 per band, NOT n^2.
-# At larger corpora BAND_BITS should grow ~log2(n / target_bucket_size)
-# (e.g. 10^9 vectors, 1e4-row buckets -> ~17 bits/band) — it is a module
-# constant, not adaptive, because the DuckDB oracle must compute the
-# identical banding from a static SQL string; 8 bits matches the 500-2000
-# vector fixtures (expected bucket occupancy 2-8).
-N_PLANES = 32
+# Sign-LSH geometry — DERIVED from the corpus size at build time
+# (VERDICT r13 #3; the phash family's interpolate-into-the-oracle
+# precedent, taken one step further because here the right constant
+# depends on n). N_BANDS stays fixed at 4 (OR-of-ANDs candidate
+# semantics a la minhash-LSH: a pair is a candidate iff it agrees on
+# ALL bits of AT LEAST ONE band); band_bits is the smallest b in
+# [BAND_BITS_MIN, BAND_BITS_MAX] with 2^b * LSH_TARGET_OCCUPANCY >= n —
+# a pure integer comparison the oracle's `geo` CTE computes identically
+# from the same hygiene-filtered corpus, so builder and oracle can
+# never disagree and a regenerated sf10+ fixture can never silently
+# revert to 256 hot buckets. Hyperplanes are the first N_BANDS x
+# band_bits corpus vectors (deterministic, oracle-reproducible); the
+# committed 500-2000-vector fixtures all derive band_bits = 8 (the
+# historical 4 x 8 / 32-plane geometry, result-identical), a 20k-vector
+# x10 probe derives 12, and the clamp at 16 bounds the hyperplane
+# count (a 10^9-vector deployment would raise BAND_BITS_MAX to ~27 and
+# swap the hyperplanes for random projections). Candidate volume is
+# bounded by N_BANDS * sum(occupancy^2)/2 per band, NOT n^2.
 N_BANDS = 4
-BAND_BITS = 8
+BAND_BITS_MIN = 8
+BAND_BITS_MAX = 16
+LSH_TARGET_OCCUPANCY = 8
+
+
+def _band_bits(n: int) -> int:
+    """Smallest b in [BAND_BITS_MIN, BAND_BITS_MAX] with
+    2^b * LSH_TARGET_OCCUPANCY >= n — the same derivation as the
+    oracle's `geo` CTE, in the same integer arithmetic."""
+    for b in range(BAND_BITS_MIN, BAND_BITS_MAX + 1):
+        if (1 << b) * LSH_TARGET_OCCUPANCY >= n:
+            return b
+    return BAND_BITS_MAX
+
+
+# SQL twin of _band_bits, computed from the hygiene-filtered corpus CTE
+# `e` that both LSH oracles define; coalesce is the >MAX clamp (min over
+# an empty set is NULL).
+_GEO_SQL = f"""geo AS (
+    SELECT coalesce(min(b), {BAND_BITS_MAX})::BIGINT AS bb
+    FROM range({BAND_BITS_MIN}, {BAND_BITS_MAX + 1}) t(b),
+         (SELECT count(*) AS n FROM e) c
+    WHERE (1::BIGINT << b) * {LSH_TARGET_OCCUPANCY} >= c.n
+)"""
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,24 +184,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes_row(e: DataFrame) -> DataFrame:
-    """The N_PLANES hyperplanes packed into ONE row as a sorted array of
+def _planes_row(e: DataFrame, n_planes: int) -> DataFrame:
+    """The n_planes hyperplanes packed into ONE row as a sorted array of
     structs. Broadcast-crossJoined against the corpus, the full signature
     becomes a single array expression per vector — no per-plane row
     explosion and no groupBy shuffle to reassemble bits (the r3 shape
     exploded 1 row per plane and shuffled on vec_id to collect them)."""
     return (
-        e.filter(F.col("vec_id") < N_PLANES)
+        e.filter(F.col("vec_id") < n_planes)
         .select(F.struct(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")).alias("p"))
         .agg(F.array_sort(F.collect_list("p")).alias("planes"))
     )
 
 
-def _with_signature(e: DataFrame) -> DataFrame:
-    """Attach the N_PLANES-bit sign signature `sig` to every vector:
+def _with_signature(e: DataFrame, n_planes: int) -> DataFrame:
+    """Attach the n_planes-bit sign signature `sig` to every vector:
     zero shuffles (1-row broadcast crossJoin + array fold)."""
     return (
-        e.crossJoin(F.broadcast(_planes_row(e)))
+        e.crossJoin(F.broadcast(_planes_row(e, n_planes)))
         .withColumn(
             "sig",
             F.array_join(
@@ -189,17 +218,26 @@ def _with_signature(e: DataFrame) -> DataFrame:
     )
 
 
-def _bands() -> Column:
+def _bands(band_bits: int) -> Column:
     """Slice the packed signature into N_BANDS (band_id, band_sig) structs."""
-    return signature_bands("sig", N_BANDS, BAND_BITS)
+    return signature_bands("sig", N_BANDS, band_bits)
+
+
+def _lsh_geometry(e: DataFrame) -> tuple[int, int]:
+    """(band_bits, n_planes) for this corpus — ONE count() over the
+    hygiene-filtered vectors (metadata-cheap next to the signature scan)
+    feeding the same integer rule as the oracle's geo CTE."""
+    bb = _band_bits(e.count())
+    return bb, N_BANDS * bb
 
 
 _LSH_SQL = f"""
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
+{_GEO_SQL},
 planes AS (
-    SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
+    SELECT vec_id AS plane_id, v AS pv FROM e, geo WHERE vec_id < {N_BANDS} * geo.bb
 ),
 bits AS (
     SELECT e.vec_id, p.plane_id,
@@ -211,22 +249,24 @@ sigs AS (
     FROM bits GROUP BY vec_id
 )
 SELECT vec_id, bucket_signature, b.band_id,
-       substr(bucket_signature, b.band_id * {BAND_BITS} + 1, {BAND_BITS}) AS band_sig
-FROM sigs, (SELECT unnest(range({N_BANDS})) AS band_id) b
+       substr(bucket_signature, b.band_id * geo.bb + 1, geo.bb) AS band_sig
+FROM sigs, geo, (SELECT unnest(range({N_BANDS})) AS band_id) b
 """
 
 
 @register("ann_lsh_buckets", oracle=_LSH_SQL, tags=("similarity", "lsh"))
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH signatures, banded: per vector the 32-bit signature plus
-    one row per (band_id, band_sig) — the candidate-join keys at scale
-    (equi-join on (band_id, band_sig), OR-of-bands semantics; see the
-    N_PLANES block comment for the bucket-count math). Hyperplanes = the
-    first 32 corpus vectors, deterministic and oracle-reproducible."""
+    """Sign-LSH signatures, banded: per vector the (N_BANDS x band_bits)-
+    bit signature plus one row per (band_id, band_sig) — the candidate-
+    join keys at scale (equi-join on (band_id, band_sig), OR-of-bands
+    semantics; see the geometry block comment for the size-derived
+    bucket-count math). Hyperplanes = the first N_BANDS x band_bits
+    corpus vectors, deterministic and oracle-reproducible."""
     e = _vecs(spark, sf_dir)
+    bb, n_planes = _lsh_geometry(e)
     return (
-        _with_signature(e)
-        .select("vec_id", F.col("sig").alias("bucket_signature"), F.explode(_bands()).alias("b"))
+        _with_signature(e, n_planes)
+        .select("vec_id", F.col("sig").alias("bucket_signature"), F.explode(_bands(bb)).alias("b"))
         .select("vec_id", "bucket_signature", "b.band_id", "b.band_sig")
     )
 
@@ -300,8 +340,9 @@ WITH e AS (
            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
     FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
+{_GEO_SQL},
 planes AS (
-    SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id < {N_PLANES}
+    SELECT vec_id AS plane_id, v AS pv FROM e, geo WHERE vec_id < {N_BANDS} * geo.bb
 ),
 bits AS (
     SELECT e.vec_id, p.plane_id,
@@ -314,8 +355,8 @@ sigs AS (
 ),
 bands AS (
     SELECT vec_id, b.band_id,
-           substr(sig, b.band_id * {BAND_BITS} + 1, {BAND_BITS}) AS band_sig
-    FROM sigs, (SELECT unnest(range({N_BANDS})) AS band_id) b
+           substr(sig, b.band_id * geo.bb + 1, geo.bb) AS band_sig
+    FROM sigs, geo, (SELECT unnest(range({N_BANDS})) AS band_id) b
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -338,11 +379,12 @@ FROM scored WHERE cosine >= {NEARDUP_COSINE}
 @register("embedding_neardup_lsh", oracle=_NEARDUP_LSH_SQL, headline=True, tags=("similarity", "near-dup", "lsh"))
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus embedding near-dup pairs, banded sign-LSH:
-    4 bands x 8 bits over a 32-bit signature; a pair is a candidate iff it
+    4 bands x band_bits over the size-derived signature (band_bits from
+    _band_bits(n) — 8 on the committed fixtures, wider as the corpus
+    grows; see the geometry block comment); a pair is a candidate iff it
     agrees on all bits of >=1 band, then every candidate is verified with
-    the exact cosine. Per-band join-key cardinality is 2^8 = 256 (see the
-    N_PLANES block comment for the scaling rule — BAND_BITS grows
-    ~log2(n) per deployment), candidates are bounded by
+    the exact cosine. Per-band join-key cardinality is 2^band_bits >=
+    n / LSH_TARGET_OCCUPANCY by construction, candidates are bounded by
     N_BANDS * sum(occupancy²)/2, NOT n². Stages: zero-shuffle signature
     (broadcast planes array), band explode carrying only (vec_id, keys),
     band equi-join, DISTINCT pair dedup (a pair can match several bands),
@@ -357,9 +399,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the fixture result non-trivial; the operator's scale role is
     high-similarity dedup, with IVF as the low-threshold search path."""
     e = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    bb, n_planes = _lsh_geometry(e)
     bands = (
-        _with_signature(e)
-        .select("vec_id", F.explode(_bands()).alias("b"))
+        _with_signature(e, n_planes)
+        .select("vec_id", F.explode(_bands(bb)).alias("b"))
         .select("vec_id", "b.band_id", "b.band_sig")
     )
     cand = (
@@ -1305,9 +1348,10 @@ def embedding_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidate is verified with the exact cosine before emission), so
     the report is per-bucket recall — and the stratification is the whole
     point: sign-LSH recall is sharply similarity-dependent. A bit agrees
-    with probability p = 1 - acos(cos)/pi, a band with p^BAND_BITS, and
-    any-of-N_BANDS with 1-(1-p^8)^4 — ~8% at cosine 0.35, ~74% at 0.9,
-    ~97% at 0.97. This eval documents that the 4x8 banding is the
+    with probability p = 1 - acos(cos)/pi, a band with p^band_bits, and
+    any-of-N_BANDS with 1-(1-p^bb)^4 — at the fixtures' derived bb=8:
+    ~8% at cosine 0.35, ~74% at 0.9,
+    ~97% at 0.97. This eval documents that the banding is the
     HIGH-similarity near-dup path (true duplicates, cosine >= ~0.9);
     low-threshold similarity search belongs to the IVF family
     (ann_ivf_topk / ann_ivf_pq_topk), which partitions by cell instead of

@@ -63,3 +63,76 @@ def test_money_sum_tripwire_trips_on_overlimit_fixture(spark):
         F.lit(1.0).alias("l_quantity"),
     )
     assert _worst_money_accumulation(li) >= ALARM
+
+
+# ---------------------------------------------------------------------------
+# Size-derived sign-LSH band geometry (VERDICT r13 #3)
+
+
+def test_band_bits_derivation_rule():
+    """The integer growth rule at its boundaries: the committed fixtures
+    (500-2000 vectors) keep the historical 8 bits, the rule widens at
+    exactly 2^b * LSH_TARGET_OCCUPANCY + 1, the x10-probe size derives
+    12, and past-MAX corpora clamp at 16."""
+    from e_commerce_click_stream_spark.plans.similarity import (
+        BAND_BITS_MAX,
+        _band_bits,
+    )
+
+    assert _band_bits(500) == 8
+    assert _band_bits(2000) == 8
+    assert _band_bits(2048) == 8  # 2^8 * 8 = 2048 still fits
+    assert _band_bits(2049) == 9  # first count past the boundary widens
+    assert _band_bits(20_000) == 12
+    assert _band_bits(10**9) == BAND_BITS_MAX == 16
+
+
+def _synth_embeddings(tmpdir: str, n: int) -> None:
+    """Deterministic synthetic embeddings fixture (same schema as the
+    driver's: vec_id BIGINT, embedding FLOAT[], label INTEGER)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((n, 64)).astype("float32")
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array([i % 7 for i in range(n)], pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(tmpdir, "embeddings.parquet"))
+
+
+@pytest.mark.parametrize("n,expected_bb", [(600, 8), (2100, 9)])
+def test_lsh_geometry_identical_in_builder_and_oracle(spark, tmp_path, n, expected_bb):
+    """The pin the derivation exists for: at two synthetic corpus sizes
+    STRADDLING a band_bits boundary, the Spark builder and the DuckDB
+    oracle derive the same geometry and produce identical band rows —
+    a fixture regeneration can move the geometry but never desync the
+    two engines."""
+    import duckdb
+
+    from e_commerce_click_stream_spark.plans.registry import all_specs
+
+    d = str(tmp_path / f"n{n}")
+    os.makedirs(d)
+    _synth_embeddings(d, n)
+
+    spec = all_specs()["ann_lsh_buckets"]
+    rows = spec.builder(spark, d).collect()
+    # the derived geometry actually moved with the size
+    assert all(len(r["band_sig"]) == expected_bb for r in rows)
+    assert {r["band_id"] for r in rows} == set(range(4))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    oracle = con.execute(spec.oracle).fetchall()
+    con.close()
+    s_rows = sorted(
+        (r["vec_id"], r["bucket_signature"], r["band_id"], r["band_sig"])
+        for r in rows
+    )
+    assert s_rows == sorted(tuple(r) for r in oracle)
