@@ -54,79 +54,12 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r13 window (VERDICT r12 #1): LEADS with the 19 r7-proof queries the
-    # r12 window could not fit (they led _VERIFY_NEXT last round — the
-    # repo's oldest oracle staleness; after this round's gate no proof
-    # older than r8 remains anywhere), then the brand-new r13 operators,
-    # then the oldest r8-proof queries with the remaining slots; the r8
-    # overflow leads _VERIFY_NEXT for r14.
-    # the 19 r7 proofs — refresh FIRST
-    "orders_monthly_trend",
-    "orders_status_pivot",
-    "orders_with_returns",
-    "pagerank_bipartite",
-    "part_type_rollup",
-    "parts_above_avg_price",
-    "purchase_attribution_window",
-    "q12_priority_shipping",
-    "q18_large_volume_customers",
-    "q6_forecast_revenue",
-    "quality_weighted_sample",
-    "recent_events_window",
-    "running_customer_revenue",
-    "skew_salted_event_counts",
-    "streaming_kmv_distinct",
-    "streaming_user_ewma",
-    "top_orders_per_customer",
-    "training_shard_manifest",
-    "weighted_reservoir_sample",
-    # new/CHANGED r13 operators — no fixture-current proof of the
-    # current behavior (inserted here as they land; each insertion
-    # displaces the newest r8 refresh below into _VERIFY_NEXT)
-    "quality_nb_roc_curve",  # changed r13: threshold_micro is now the
-    #                          true (ceil) bin lower edge — ADVICE r12
-    "bm25_stored_apply_erase",
-    "dedup_stored_apply_erase",
-    "ann_ivf_apply_erase",
-    "dedup_cc_stored",
-    "dedup_cc_stored_erase",
-    "dedup_cc_stored_compact",
-    "corpus_curation_incremental",
-    "streaming_curation_ingest",
-    "brand_revenue",  # changed r13: exact BIGINT-cents revenue sum —
-    #                   the x10 probe caught the raw double sum flipping
-    #                   its last cent between engines
-    "q1_pricing_summary",   # changed r13: same exact-cents promotion
-    "q5_local_supplier_volume",  # (few huge groups — first to drift at sf1)
-    # rotation: the oldest r8-proof queries (alphabetical)
-    "ann_cosine_topk",
-    "ann_ivf_append",
-    "ann_ivf_stored",
-    "corpus_source_stats",
-    "dedup_cross_source_contamination",
-    "dedup_lsh_vs_exact_eval",
-    "dedup_minhash_lsh",
-    "dedup_simhash_groups",
-    "deterministic_sample",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "doc_token_counts",
-    "doc_unigram_nll",
-    "embedding_cosine_pairs",
-    "events_json_deadletter",
-    "events_zorder_stats",
-    "ivf_cell_balance_audit",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the r8-proof queries the
-# r13 window could not fit — they lead the r14 window.
-_VERIFY_NEXT: tuple[str, ...] = (
+    # r14 window (VERDICT r13 #1): LEADS with the 20 r8-proof queries
+    # that led _VERIFY_NEXT last round — after this round's gate no
+    # proof older than r9 remains anywhere — then the queries CHANGED
+    # this round, then the oldest r9-proof queries (alphabetical) with
+    # the remaining slots; the r9 overflow leads _VERIFY_NEXT for r15.
+    # the 20 r8 proofs — refresh FIRST
     "lineitem_math_functions",
     "multimodal_decode_meta",
     "multimodal_feature_extract",
@@ -147,6 +80,67 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "streaming_stateful_sessions",
     "token_array_functions",
     "train_eval_split_leakage",
+    # CHANGED r14 — no fixture-current proof of the current behavior
+    "corpus_curation_incremental",   # all-seven-tables cold-build sentinel
+    "streaming_curation_ingest",     # deterministic sink + ckpt cleanup
+    "dedup_stored_apply_erase",      # shingle-aware vacuity guard
+    "pagerank_bipartite",            # size-derived edge-checkpoint level
+    "q1_pricing_summary",            # money_terms() extraction (tripwire)
+    "q5_local_supplier_volume",      # same
+    "brand_revenue",                 # same
+    "ann_lsh_buckets",               # size-derived band geometry
+    "embedding_neardup_lsh",         # same
+    "embedding_lsh_recall_eval",     # same (composes the neardup path)
+    # rotation: the oldest r9-proof queries (alphabetical)
+    "ann_ivf_cells",
+    "ann_ivf_probe_only",
+    "ann_ivf_range_search",
+    "ann_ivf_topk",
+    "ann_range_search",
+    "corpus_token_budget_plan",
+    "dedup_connected_components",
+    "dedup_exact_substring_spans",
+    "dedup_quality_keep",
+    "dedup_savings_report",
+    "doc_curriculum_manifest",
+    "doc_exact_substring_rewrite",
+    "doc_gopher_quality_flags",
+    "doc_quality_linear_score",
+    "doc_script_profile",
+    "embedding_top_component",
+    "embedding_truncation_recall",
+    "eval_gram_decontamination",
+    "k_anonymity_audit",
+    "neardup_threshold_curve",
+)
+
+
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these benefit first; if not, they cost nothing (every one holds a
+# fixture-current ever-green row). These are the r9-proof queries the
+# r14 window could not fit — they lead the r15 window.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "quality_threshold_sweep",
+    "source_ngram_novelty",
+    "streaming_click_attribution",
+    "streaming_hourly_metrics",
+    "streaming_pii_scrub",
+    "streaming_quality_gate",
+    "streaming_segment_enrichment",
+    "substring_span_clusters",
+    "user_bot_flags",
+    "user_erasure_audit",
+    "user_event_sequences",
+    "vocab_oov_curve",
 )
 
 
