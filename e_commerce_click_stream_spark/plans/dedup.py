@@ -1677,23 +1677,39 @@ def _band_store_location(sf_dir: str) -> tuple[str, str]:
     return store_location("band", sf_dir)
 
 
+SH_EST_BYTES_PER_DOC = 8192  # generous: ~3x the fixtures' avg text size
+
+
 def _band_store_build(spark, sf_dir, index_dir, prefix):
     """Shingle the corpus and (re)build the bucketed band-index tables
     under an exclusive build lock (fail-fast if another process holds the
     store — see operators/storelock.py), downgraded to shared for the
-    probe's lazy reads. Returns (all shingled, batch shingled, batch ids)."""
+    probe's lazy reads. Returns (all shingled, batch shingled, batch ids).
+
+    The shingle checkpoint is corpus-sized (one array of k-word strings
+    per doc, ~3x the text bytes) and outlives the query through the
+    returned relations, so it takes the size-derived storage level
+    (operators/ckptlevel.py): the r14 x10 probe caught a vanilla 1 GiB
+    session failing dedup_stored_apply_erase's broadcast build while
+    this checkpoint pinned the unified pool; small fixtures keep the
+    in-memory latency (bench-neutral at sf0.1 on the 16g session)."""
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        corpus_checkpoint_level,
+    )
     from e_commerce_click_stream_spark.operators.storelock import (
         acquire_build_lock,
         downgrade_to_shared,
     )
 
+    n_docs = table(spark, sf_dir, "documents").count()
+    level = corpus_checkpoint_level(spark, n_docs * SH_EST_BYTES_PER_DOC)
     is_new = is_new_source()
     docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", is_new.alias("is_new"), tokens().alias("toks")
     )
     sh = docs.select(
         "doc_id", "is_new", shingles("toks", 3).alias("s")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=level)
 
     acquire_build_lock(index_dir)
     build_band_index_tables(

@@ -33,26 +33,24 @@ PR_ITERS = 2
 # (src, dst, outdeg) UnsafeRows (~64 B each with block overhead), and it
 # may pin at most a quarter of the session's unified pool — execution
 # (the per-round hash agg that actually OOMed) needs the rest.
+from e_commerce_click_stream_spark.operators.ckptlevel import CAP_FRAC
+
 PR_EDGE_ROW_BYTES = 64
-PR_STORAGE_CAP_FRAC = 0.25
+PR_STORAGE_CAP_FRAC = CAP_FRAC
 
 
 def _edge_checkpoint_level(spark: SparkSession, n_lineitem: int):
     """MEMORY_AND_DISK when the worst-case edge checkpoint (2 x lineitem
     rows x ~64 B) fits inside PR_STORAGE_CAP_FRAC of the unified pool
-    (spark.memory.fraction x (heap - 300 MiB reserve)), else DISK_ONLY.
-    Both shapes are result-identical and pinned by
-    tests/test_broadcast_crossovers.py; only the small-input latency /
-    large-input safety trade moves."""
-    from pyspark.storagelevel import StorageLevel
+    (see operators/ckptlevel.py — the shared chooser this r14 probe
+    round extracted), else DISK_ONLY. Both shapes are result-identical
+    and pinned by tests/test_broadcast_crossovers.py; only the
+    small-input latency / large-input safety trade moves."""
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        corpus_checkpoint_level,
+    )
 
-    heap = spark.sparkContext._jvm.Runtime.getRuntime().maxMemory()
-    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
-    pool = frac * max(heap - 300 * 1024 * 1024, 0)
-    est = 2 * n_lineitem * PR_EDGE_ROW_BYTES
-    if est <= PR_STORAGE_CAP_FRAC * pool:
-        return StorageLevel.MEMORY_AND_DISK
-    return StorageLevel.DISK_ONLY
+    return corpus_checkpoint_level(spark, 2 * n_lineitem * PR_EDGE_ROW_BYTES)
 
 
 def _pagerank_sql() -> str:
@@ -285,6 +283,14 @@ def graph_triangle_count(
     (degree, id) pair comparison is a lexicographic total order, so both
     engines orient identically."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Both corpus-sized checkpoints below (pe: 2 cols, oriented: 3 cols,
+    # each bounded by the per-order pair fan-out ~ 2 x lineitem rows at
+    # the fixtures' basket sizes) take the size-derived storage level:
+    # the r14 x10 probe OOM'd this query on a vanilla 1 GiB session
+    # (AGGREGATE_OUT_OF_MEMORY materializing the second checkpoint while
+    # the first pinned the pool) — the same class the pagerank edge
+    # checkpoint hit at r13 (see operators/ckptlevel.py).
+    ckpt_level = _edge_checkpoint_level(spark, li.count())
     a, b = li.alias("a"), li.alias("b")
     pe = (
         a.join(
@@ -294,7 +300,8 @@ def graph_triangle_count(
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # referenced by deg, oriented, and stats
+        # referenced by deg, oriented, and stats
+        .localCheckpoint(eager=True, storageLevel=ckpt_level)
     )
     deg = (
         pe.select(F.col("u").alias("node"))
@@ -312,7 +319,8 @@ def graph_triangle_count(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    ).localCheckpoint(eager=True)  # wedge join reads it twice, closer once
+        # wedge join reads it twice, closer once
+    ).localCheckpoint(eager=True, storageLevel=ckpt_level)
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("dst1"), F.col("dd").alias("dd1")
     )
