@@ -91,7 +91,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ann_lsh_buckets",               # size-derived band geometry
     "embedding_neardup_lsh",         # same
     "embedding_lsh_recall_eval",     # same (composes the neardup path)
-    # rotation: the oldest r9-proof queries (alphabetical)
+    # size-derived checkpoint level (x10-probe OOM fix; result-neutral
+    # by construction but code-touched, so they re-verify)
+    "graph_triangle_count",
+    "dedup_stored_probe_only",
+    "dedup_incremental_stored",
+    "dedup_stored_erase",
+    "dedup_stored_compact",
+    # rotation: the oldest r9-proof queries (alphabetical; the five the
+    # checkpoint-level insertions displaced lead _VERIFY_NEXT)
     "ann_ivf_cells",
     "ann_ivf_probe_only",
     "ann_ivf_range_search",
@@ -107,11 +115,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_gopher_quality_flags",
     "doc_quality_linear_score",
     "doc_script_profile",
-    "embedding_top_component",
-    "embedding_truncation_recall",
-    "eval_gram_decontamination",
-    "k_anonymity_audit",
-    "neardup_threshold_curve",
 )
 
 
@@ -121,6 +124,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r9-proof queries the
 # r14 window could not fit — they lead the r15 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "embedding_top_component",
+    "embedding_truncation_recall",
+    "eval_gram_decontamination",
+    "k_anonymity_audit",
+    "neardup_threshold_curve",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_diversity",
