@@ -70,6 +70,28 @@ shingled AS (
 """
 
 
+SH_EST_BYTES_PER_DOC = 8192  # generous: ~3x the fixtures' avg text size
+
+
+def _shingle_ckpt_level(spark: SparkSession, sf_dir: str):
+    """Size-derived storage level for the corpus-sized shingle
+    checkpoints (one k-word-string array per doc, ~3x the text bytes;
+    see operators/ckptlevel.py). These checkpoints outlive their query
+    through the returned relations and cannot be evicted, so in a
+    one-session many-query run — the driver gate's shape — they
+    accumulate: the r14 x10 probe (vanilla 1 GiB session) caught
+    dedup_stored_apply_erase's broadcast build and the CC-store family
+    starving under them. Small fixtures keep the in-memory latency
+    (bench-neutral at sf0.1 on the 16g session: 5k docs ~ 40 MiB,
+    inside the quarter-pool cap)."""
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        corpus_checkpoint_level,
+    )
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    return corpus_checkpoint_level(spark, n_docs * SH_EST_BYTES_PER_DOC)
+
+
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize + shingle every document, materialized once.
 
@@ -90,7 +112,9 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cloned into the scan's DataFilters, doubling the monster shingle
     # expression per row (and occasionally falling off the JIT fast path —
     # measured 45× run-to-run swings)
-    return sh.localCheckpoint(eager=True).filter(F.size("s") > 0)
+    return sh.localCheckpoint(
+        eager=True, storageLevel=_shingle_ckpt_level(spark, sf_dir)
+    ).filter(F.size("s") > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1581,7 +1605,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select(
         "doc_id", "is_new", shingles("toks", 3).alias("s")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_shingle_ckpt_level(spark, sf_dir))
     nonempty = sh.filter(F.size("s") > 0)
     ex = nonempty.select("doc_id", "is_new", F.explode("s").alias("sh_"))
     sig = minhash_signature(ex, NUM_HASHES, carry=("is_new",))
@@ -1677,32 +1701,22 @@ def _band_store_location(sf_dir: str) -> tuple[str, str]:
     return store_location("band", sf_dir)
 
 
-SH_EST_BYTES_PER_DOC = 8192  # generous: ~3x the fixtures' avg text size
-
-
 def _band_store_build(spark, sf_dir, index_dir, prefix):
     """Shingle the corpus and (re)build the bucketed band-index tables
     under an exclusive build lock (fail-fast if another process holds the
     store — see operators/storelock.py), downgraded to shared for the
     probe's lazy reads. Returns (all shingled, batch shingled, batch ids).
 
-    The shingle checkpoint is corpus-sized (one array of k-word strings
-    per doc, ~3x the text bytes) and outlives the query through the
-    returned relations, so it takes the size-derived storage level
-    (operators/ckptlevel.py): the r14 x10 probe caught a vanilla 1 GiB
+    The shingle checkpoint takes the size-derived storage level (see
+    ``_shingle_ckpt_level``): the r14 x10 probe caught a vanilla 1 GiB
     session failing dedup_stored_apply_erase's broadcast build while
-    this checkpoint pinned the unified pool; small fixtures keep the
-    in-memory latency (bench-neutral at sf0.1 on the 16g session)."""
-    from e_commerce_click_stream_spark.operators.ckptlevel import (
-        corpus_checkpoint_level,
-    )
+    this checkpoint pinned the unified pool."""
     from e_commerce_click_stream_spark.operators.storelock import (
         acquire_build_lock,
         downgrade_to_shared,
     )
 
-    n_docs = table(spark, sf_dir, "documents").count()
-    level = corpus_checkpoint_level(spark, n_docs * SH_EST_BYTES_PER_DOC)
+    level = _shingle_ckpt_level(spark, sf_dir)
     is_new = is_new_source()
     docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", is_new.alias("is_new"), tokens().alias("toks")

@@ -266,7 +266,7 @@ FROM stats s, ecount e, tri t
 
 @register("graph_triangle_count", oracle=_TRIANGLE_SQL, tags=("graph", "triangles"))
 def graph_triangle_count(
-    spark: SparkSession, sf_dir: str, bucketed_close: bool = False
+    spark: SparkSession, sf_dir: str, bucketed_close: bool | None = None
 ) -> DataFrame:
     """Global triangle count + transitivity of the part co-purchase graph
     (parts are adjacent when some order contains both). Every triangle is
@@ -291,6 +291,18 @@ def graph_triangle_count(
     # the first pinned the pool) — the same class the pagerank edge
     # checkpoint hit at r13 (see operators/ckptlevel.py).
     ckpt_level = _edge_checkpoint_level(spark, li.count())
+    if bucketed_close is None:
+        # The closing-edge broadcast is |E| rows (~2 x lineitem at the
+        # fixtures' basket sizes) — the same size class as the edge
+        # checkpoint, so the SAME derivation picks the documented
+        # crossover: broadcast while the edge list fits the quarter-pool
+        # cap, SHUFFLE_HASH past it. The r14 x10 probe (1 GiB vanilla
+        # session, 12M edges) died in the broadcast build
+        # (notEnoughMemoryToBuildAndBroadcastTable) with the flag left
+        # at its old always-broadcast default.
+        from pyspark.storagelevel import StorageLevel
+
+        bucketed_close = ckpt_level == StorageLevel.DISK_ONLY
     a, b = li.alias("a"), li.alias("b")
     pe = (
         a.join(
