@@ -95,6 +95,21 @@ def main() -> int:
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    def release_dead_blocks() -> None:
+        """Drop blocks pinned by COMPLETED queries (each query is fully
+        collected before the next starts, so its localCheckpoint blocks
+        and broadcasts are dead weight afterwards) and nudge the JVM GC
+        so the ContextCleaner actually frees them — its periodic GC
+        defaults to 30 MINUTES, far longer than a sweep. At the driver's
+        sf0.01 this is a no-op; at probe scales (x10 on this 1 GiB
+        vanilla heap) the accumulation across a 27-heavy-query sweep
+        starved broadcast builds NONDETERMINISTICALLY (different queries
+        failed in different sweeps, r14) — bench.py's _release_blocks
+        discipline, applied between gate queries."""
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     for name, builder in sorted(qs.items()):
@@ -102,6 +117,7 @@ def main() -> int:
             continue
         import pandas as pd
 
+        release_dead_blocks()
         t0 = time.time()
         try:
             sdf = builder(spark, SF_DIR)
