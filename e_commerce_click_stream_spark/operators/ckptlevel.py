@@ -46,3 +46,19 @@ def corpus_checkpoint_level(spark: SparkSession, est_bytes: float):
     if est_bytes <= CAP_FRAC * pool:
         return StorageLevel.MEMORY_AND_DISK
     return StorageLevel.DISK_ONLY
+
+
+def parquet_footprint(sf_dir: str, tbl: str) -> int:
+    """On-disk bytes of a fixture table — the job-free input to a size
+    estimate (a Spark count() measured ~0.3 s per execution, pure
+    overhead for a one-bit level decision). Handles both the driver's
+    single-file fixtures and Spark-written directories."""
+    import glob
+    import os
+
+    p = os.path.join(sf_dir, f"{tbl}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+    return os.path.getsize(p)

@@ -83,12 +83,15 @@ def _shingle_ckpt_level(spark: SparkSession, sf_dir: str):
     dedup_stored_apply_erase's broadcast build and the CC-store family
     starving under them. Small fixtures keep the in-memory latency
     (bench-neutral at sf0.1 on the 16g session: 5k docs ~ 40 MiB,
-    inside the quarter-pool cap)."""
+    inside the quarter-pool cap). Doc count from the parquet footprint
+    (~100 compressed B/doc on every committed fixture, overestimating
+    docs and leaning DISK_ONLY on denser ones) — no Spark job."""
     from e_commerce_click_stream_spark.operators.ckptlevel import (
         corpus_checkpoint_level,
+        parquet_footprint,
     )
 
-    n_docs = table(spark, sf_dir, "documents").count()
+    n_docs = parquet_footprint(sf_dir, "documents") // 100
     return corpus_checkpoint_level(spark, n_docs * SH_EST_BYTES_PER_DOC)
 
 

@@ -53,6 +53,22 @@ def _edge_checkpoint_level(spark: SparkSession, n_lineitem: int):
     return corpus_checkpoint_level(spark, 2 * n_lineitem * PR_EDGE_ROW_BYTES)
 
 
+# lineitem is numeric parquet at ~18 B/row on every committed fixture;
+# 10 B/row overestimates rows (leaning DISK_ONLY, the safe side) if a
+# regenerated fixture compresses better
+_LINEITEM_BYTES_PER_ROW = 10
+
+
+def _lineitem_rows_estimate(sf_dir: str) -> int:
+    """Row-count upper bound from the parquet footprint on disk — ZERO
+    Spark jobs (see operators/ckptlevel.py::parquet_footprint)."""
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        parquet_footprint,
+    )
+
+    return parquet_footprint(sf_dir, "lineitem") // _LINEITEM_BYTES_PER_ROW
+
+
 def _pagerank_sql() -> str:
     parts = [
         """e0 AS (
@@ -168,11 +184,9 @@ def pagerank_bipartite(
         # matching the cluster analogue the docstring names, a persisted
         # TABLE bucketed by src (disk-resident by definition). The
         # per-round rank checkpoints stay in memory either way: O(nodes)
-        # rows, the thing broadcast anyway. The lineitem count feeding
-        # the estimate is parquet-metadata cheap next to the join below.
-        level = _edge_checkpoint_level(
-            spark, table(spark, sf_dir, "lineitem").count()
-        )
+        # rows, the thing broadcast anyway. The row count feeding the
+        # estimate comes from the parquet footprint on disk — no job.
+        level = _edge_checkpoint_level(spark, _lineitem_rows_estimate(sf_dir))
         edges_deg = edges.join(deg, "src").localCheckpoint(
             eager=True, storageLevel=level
         )
@@ -289,8 +303,9 @@ def graph_triangle_count(
     # the r14 x10 probe OOM'd this query on a vanilla 1 GiB session
     # (AGGREGATE_OUT_OF_MEMORY materializing the second checkpoint while
     # the first pinned the pool) — the same class the pagerank edge
-    # checkpoint hit at r13 (see operators/ckptlevel.py).
-    ckpt_level = _edge_checkpoint_level(spark, li.count())
+    # checkpoint hit at r13 (see operators/ckptlevel.py). Row estimate
+    # from the parquet footprint — no job.
+    ckpt_level = _edge_checkpoint_level(spark, _lineitem_rows_estimate(sf_dir))
     if bucketed_close is None:
         # The closing-edge broadcast is |E| rows (~2 x lineitem at the
         # fixtures' basket sizes) — the same size class as the edge
