@@ -44,7 +44,12 @@ def corpus_checkpoint_level(spark: SparkSession, est_bytes: float):
     frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
     pool = frac * max(heap - _RESERVED, 0)
     if est_bytes <= CAP_FRAC * pool:
-        return StorageLevel.MEMORY_AND_DISK
+        # DESER, not PySpark's MEMORY_AND_DISK: the Python constant is
+        # the SERIALIZED variant, while an argless localCheckpoint uses
+        # the JVM default (deserialized) — passing the Python constant
+        # silently added per-reuse deserialization CPU to the fast path
+        # (caught as a pagerank ratio regression in the r14 bench).
+        return StorageLevel.MEMORY_AND_DISK_DESER
     return StorageLevel.DISK_ONLY
 
 

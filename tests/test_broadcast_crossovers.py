@@ -84,7 +84,7 @@ def test_pagerank_edge_checkpoint_level_size_derived(spark):
         _edge_checkpoint_level,
     )
 
-    assert _edge_checkpoint_level(spark, 1_000) == StorageLevel.MEMORY_AND_DISK
+    assert _edge_checkpoint_level(spark, 1_000) == StorageLevel.MEMORY_AND_DISK_DESER
     assert _edge_checkpoint_level(spark, 10**13) == StorageLevel.DISK_ONLY
 
     # exact boundary: the largest row count that still fits the cap
@@ -92,10 +92,10 @@ def test_pagerank_edge_checkpoint_level_size_derived(spark):
     frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
     pool = frac * (heap - 300 * 1024 * 1024)
     fit = int(PR_STORAGE_CAP_FRAC * pool / (2 * PR_EDGE_ROW_BYTES))
-    assert _edge_checkpoint_level(spark, fit) == StorageLevel.MEMORY_AND_DISK
+    assert _edge_checkpoint_level(spark, fit) == StorageLevel.MEMORY_AND_DISK_DESER
     assert _edge_checkpoint_level(spark, fit + 1) == StorageLevel.DISK_ONLY
 
     from e_commerce_click_stream_spark.io import table
 
     n_li = table(spark, SF_SMOKE, "lineitem").count()
-    assert _edge_checkpoint_level(spark, n_li) == StorageLevel.MEMORY_AND_DISK
+    assert _edge_checkpoint_level(spark, n_li) == StorageLevel.MEMORY_AND_DISK_DESER
