@@ -54,76 +54,12 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r14 window (VERDICT r13 #1): LEADS with the 20 r8-proof queries
+    # r15 window (VERDICT r14 #1): LEADS with the 25 r9-proof queries
     # that led _VERIFY_NEXT last round — after this round's gate no
-    # proof older than r9 remains anywhere — then the queries CHANGED
-    # this round, then the oldest r9-proof queries (alphabetical) with
-    # the remaining slots; the r9 overflow leads _VERIFY_NEXT for r15.
-    # the 20 r8 proofs — refresh FIRST
-    "lineitem_math_functions",
-    "multimodal_decode_meta",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "pii_detection_report",
-    "pii_redacted_docs",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "stratified_sample",
-    "streaming_dashboard_metrics",
-    "streaming_stateful_sessions",
-    "token_array_functions",
-    "train_eval_split_leakage",
-    # CHANGED r14 — no fixture-current proof of the current behavior
-    "corpus_curation_incremental",   # all-seven-tables cold-build sentinel
-    "streaming_curation_ingest",     # deterministic sink + ckpt cleanup
-    "dedup_stored_apply_erase",      # shingle-aware vacuity guard
-    "pagerank_bipartite",            # size-derived edge-checkpoint level
-    "q1_pricing_summary",            # money_terms() extraction (tripwire)
-    "q5_local_supplier_volume",      # same
-    "brand_revenue",                 # same
-    "ann_lsh_buckets",               # size-derived band geometry
-    "embedding_neardup_lsh",         # same
-    "embedding_lsh_recall_eval",     # same (composes the neardup path)
-    # size-derived checkpoint level (x10-probe OOM fix; result-neutral
-    # by construction but code-touched, so they re-verify)
-    "graph_triangle_count",
-    "dedup_stored_probe_only",
-    "dedup_incremental_stored",
-    "dedup_stored_erase",
-    "dedup_stored_compact",
-    # rotation: the oldest r9-proof queries (alphabetical; the five the
-    # checkpoint-level insertions displaced lead _VERIFY_NEXT)
-    "ann_ivf_cells",
-    "ann_ivf_probe_only",
-    "ann_ivf_range_search",
-    "ann_ivf_topk",
-    "ann_range_search",
-    "corpus_token_budget_plan",
-    "dedup_connected_components",
-    "dedup_exact_substring_spans",
-    "dedup_quality_keep",
-    "dedup_savings_report",
-    "doc_curriculum_manifest",
-    "doc_exact_substring_rewrite",
-    "doc_gopher_quality_flags",
-    "doc_quality_linear_score",
-    "doc_script_profile",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the r9-proof queries the
-# r14 window could not fit — they lead the r15 window.
-_VERIFY_NEXT: tuple[str, ...] = (
+    # proof older than r10 remains anywhere — then the queries CHANGED
+    # this round, then the oldest r10-proof queries (alphabetical) with
+    # the remaining slots; the r10 overflow leads _VERIFY_NEXT for r16.
+    # the 25 r9 proofs — refresh FIRST
     "embedding_top_component",
     "embedding_truncation_recall",
     "eval_gram_decontamination",
@@ -149,6 +85,73 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "user_erasure_audit",
     "user_event_sequences",
     "vocab_oov_curve",
+    # CHANGED r15 — no fixture-current proof of the current behavior
+    "graph_triangle_count",          # wedge-stream close-join rework
+    "streaming_curation_ingest",     # manifest checkpoint (ADVICE r14 #3)
+    "ann_lsh_buckets",               # LSH geometry past the 16-bit clamp
+    "embedding_neardup_lsh",         # same
+    "embedding_lsh_recall_eval",     # same (composes the neardup path)
+    # ADVICE r14 #1: the r14 shingle-checkpoint-level change touched
+    # these (dedup.py _docs_shingled/_shingle_ckpt_level consumers) but
+    # the r14 window omitted them — the retroactive re-verify. (ADVICE
+    # named dedup_simhash_groups; the actual _docs_shingled consumers
+    # are minhash_lsh / ngram_jaccard / containment — simhash shingles
+    # inline and was not code-touched.)
+    "dedup_incremental_minhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    # rotation: the oldest r10-proof queries (alphabetical; the
+    # remainder leads _VERIFY_NEXT for r16)
+    "ann_ivf_pq_topk",
+    "ann_recall_eval",
+    "bm25_topk_retrieval",
+    "bm25_vs_ann_overlap",
+    "brand_basket_affinity",
+    "corpus_mix_plan",
+    "corpus_vocabulary",
+    "customer_ltv_cohorts",
+    "customer_pareto_abc",
+    "daily_active_users",
+    "dedup_simhash_hamming",
+    "doc_gram_contamination",
+    "doc_winnowing_fingerprints",
+    "dq_constraint_report",
+    "embedding_cluster_quality",
+    "embedding_pq_encode",
+)
+
+
+# Overflow preference: emitted immediately AFTER the verify window. The
+# driver checks "a bounded prefix (~50)" — if its window runs past 50,
+# these benefit first; if not, they cost nothing (every one holds a
+# fixture-current ever-green row). These are the r10-proof queries the
+# r15 window could not fit — they lead the r16 window.
+_VERIFY_NEXT: tuple[str, ...] = (
+    "embedding_sq8_error",
+    "event_type_markov",
+    "events_anomaly_zscore",
+    "events_rollup_hypertable",
+    "events_sliding_windows",
+    "funnel_conversion",
+    "hourly_gapfill_locf",
+    "hybrid_rrf_fusion",
+    "key_skew_profile",
+    "multimodal_phash_neardup",
+    "multimodal_shard_pack",
+    "nation_coverage_full_outer",
+    "orders_backlog_over_time",
+    "session_cart_contents",
+    "session_metrics",
+    "sql_gateway_hourly_revenue",
+    "streaming_exactly_once_dedup",
+    "streaming_late_data_audit",
+    "streaming_session_windows",
+    "streaming_sliding_windows",
+    "tfidf_top_terms",
+    "user_entropy_profile",
+    "user_retention_cohorts",
+    "watermark_delay_calibration",
 )
 
 
