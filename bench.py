@@ -159,8 +159,11 @@ def _release_blocks(spark) -> None:
 # Ratio moves on lines this small are fixed scheduling overhead flickering
 # through the 1.5x threshold (BENCH_r13 flagged ann_ivf_probe_only at a
 # "2.26x move" three other sweeps contradicted) — exempt them from
-# flagging but keep them visible in the artifact.
-MIN_DRIFT_RAW_SEC = 0.5
+# flagging but keep them visible in the artifact. 1.0, not 0.5: the
+# flicker band on these hosts extends to ~0.8 s raw
+# (ann_ivf_probe_only was flagged-and-adjudicated-as-noise at 0.7-0.8 s
+# raw three rounds running — VERDICT r14 #4).
+MIN_DRIFT_RAW_SEC = 1.0
 # Median reference across this many newest comparable baselines: one
 # committed sweep is a single sample of host weather.
 MAX_DRIFT_BASELINES = 3

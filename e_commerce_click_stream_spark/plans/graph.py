@@ -236,33 +236,40 @@ def pagerank_bipartite(
 # generation by out-degree ≤ O(sqrt(m)) instead of max degree, so hub
 # nodes never explode the intermediate.
 
+# The oracle orients edges by PLAIN ID ORDER, not the builder's
+# (degree, id) order. Equivalence: every output is orientation-invariant
+# — n_nodes/n_edges/n_wedges never touch the orientation, and the
+# triangle count is identical under ANY strict total vertex order (each
+# triangle {a,b,c} with a<b<c forms exactly one wedge at a, closed by
+# the one oriented edge b→c), so the two engines count the same scalar.
+# Id-order makes ``oriented`` literally ``pe`` (u < v already), which
+# matters for DuckDB 1.0 execution: a CTE referenced more than once is
+# auto-materialized, and every pipeline SOURCED from a materialized-CTE
+# scan runs single-threaded (measured 155 s at the x10 probe vs 15 s for
+# this form) — ``NOT MATERIALIZED`` re-inlines pe per reference so every
+# heavy pipeline stays parquet-rooted and parallel, and id-order keeps
+# those inline copies cheap (no deg join inside the orientation). The
+# Spark builder keeps the degree-ordered orientation — at 100 TB the
+# O(sqrt(m)) out-degree bound is what stops hub nodes exploding the
+# wedge stream; the oracle only needs to match the count.
 _TRIANGLE_SQL = """
-WITH pe AS (
+WITH pe AS NOT MATERIALIZED (
     SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
     FROM lineitem a JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-deg AS (
+deg AS NOT MATERIALIZED (
     SELECT node, count(*) AS d FROM (
         SELECT u AS node FROM pe UNION ALL SELECT v AS node FROM pe
     ) GROUP BY node
 ),
-oriented AS (
-    SELECT CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN pe.u ELSE pe.v END AS src,
-           CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN pe.v ELSE pe.u END AS dst,
-           CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN du.d ELSE dv.d END AS sd,
-           CASE WHEN (du.d, pe.u) < (dv.d, pe.v) THEN dv.d ELSE du.d END AS dd
-    FROM pe JOIN deg du ON du.node = pe.u JOIN deg dv ON dv.node = pe.v
-),
-wedges AS (
-    SELECT CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst) THEN e1.dst ELSE e2.dst END AS v,
-           CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst) THEN e2.dst ELSE e1.dst END AS w
-    FROM oriented e1 JOIN oriented e2
-      ON e1.src = e2.src AND e1.dst < e2.dst
+wedges AS NOT MATERIALIZED (
+    SELECT e1.v AS v, e2.v AS w
+    FROM pe e1 JOIN pe e2 ON e1.u = e2.u AND e1.v < e2.v
 ),
 tri AS (
     SELECT count(*) AS n_triangles
-    FROM wedges JOIN oriented o ON o.src = wedges.v AND o.dst = wedges.w
+    FROM wedges JOIN pe o ON o.u = wedges.v AND o.v = wedges.w
 ),
 stats AS (
     SELECT count(*) AS n_nodes,
@@ -276,6 +283,93 @@ SELECT s.n_nodes, e.n_edges, s.n_wedges,
                   THEN 3.0 * t.n_triangles / s.n_wedges END, 6) AS transitivity
 FROM stats s, ecount e, tri t
 """
+
+
+# Per-order pair fan-out multiplier for the triangle plan's size
+# estimates (ADVICE r14 #2): |pe| is SUM over orders of C(k,2) —
+# quadratic in basket size k — so sizing it at 2 x lineitem rows (the
+# pagerank edge bound, linear in lineitem) silently underestimates on a
+# regenerated fixture with bigger baskets and can reopen the exact OOM
+# class the size-derived levels fixed. C(k,2)/k = (k-1)/2, so 4 x
+# lineitem rows covers average baskets up to ~9 items (committed
+# fixtures average ~4); the estimate feeds DISK_ONLY/SHUFFLE_HASH
+# decisions, where overestimating is the safe direction.
+_TRI_PAIR_FANOUT = 4
+
+# Wedge-stream Bloom prefilter geometry (the SHUFFLE_HASH close path):
+# bits per ESTIMATED edge and probes per key. The estimate overshoots
+# true distinct pairs by the DISTINCT's collapse factor (~4x on the
+# committed fixtures), so the realized bits-per-key lands well above
+# this floor; even at the floor (estimate == true edges) k=3 gives
+# ~11% false positives — still a 9x shuffle reduction.
+_TRI_BLOOM_BITS_PER_EDGE = 4
+_TRI_BLOOM_HASHES = 3
+
+
+def _edge_bloom(spark: SparkSession, edges: DataFrame, m_bits: int) -> DataFrame:
+    """One-row DataFrame holding a dense Bloom bitmap (``array<bigint>``,
+    ``m_bits // 64`` words) over the (v, w) pairs of ``edges`` — built
+    entirely JVM-side: explode the k probe positions per edge, bit_or
+    per 64-bit word, left-join against ``spark.range`` to fill absent
+    words, then fold the (idx, bits) rows into one ordered array with
+    ``array_sort(collect_list(struct(...)))``. No driver collect; the
+    single row rides a broadcast into the wedge stream where
+    ``element_at`` is an O(1) ordinal access (a MAP here would be an
+    O(n) linear scan per probe — ArrayBasedMapData has no hash index)."""
+    n_longs = m_bits // 64
+    pos = edges.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("v"), F.col("w"), F.lit(i)), F.lit(m_bits)
+                    )
+                    for i in range(_TRI_BLOOM_HASHES)
+                ]
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("long").alias("idx")).agg(
+        F.expr("bit_or(shiftleft(1L, int(p % 64)))").alias("bits")
+    )
+    dense = (
+        spark.range(n_longs)
+        .withColumnRenamed("id", "idx")
+        .join(words, "idx", "left")
+        .select("idx", F.coalesce(F.col("bits"), F.lit(0).cast("long")).alias("bits"))
+    )
+    # Two-level assembly: a single collect_list of n_longs structs needs
+    # one task to buffer + sort + copy the whole bitmap three times over
+    # (~100 MB transient at the x10 probe's 3.5M words), which GC-starved
+    # the vanilla 1 GiB session. Chunking pre-builds 64Ki-word dense
+    # arrays across tasks, so the final row folds ~n_longs/65536 ready
+    # arrays instead of n_longs scalars.
+    chunk_words = 65536
+    chunks = dense.groupBy(F.expr(f"idx div {chunk_words}").alias("chunk")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(idx, bits))), s -> s.bits)"
+        ).alias("arr")
+    )
+    return chunks.agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(chunk, arr))),"
+            " s -> s.arr))"
+        ).alias("bf")
+    ).localCheckpoint(eager=True)
+
+
+def _bloom_might_contain(m_bits: int) -> F.Column:
+    """Probe predicate for ``_edge_bloom``'s bitmap against (v, w):
+    true iff all k probe bits are set. Must compose the positions
+    EXACTLY as the build side does (same xxhash64 seeds, same pmod)."""
+    checks = []
+    for i in range(_TRI_BLOOM_HASHES):
+        p = f"pmod(xxhash64(v, w, {i}), {m_bits}L)"
+        checks.append(
+            f"(element_at(bf, int(({p}) div 64) + 1)"
+            f" & shiftleft(1L, int(({p}) % 64))) != 0"
+        )
+    return F.expr(" AND ".join(checks))
 
 
 @register("graph_triangle_count", oracle=_TRIANGLE_SQL, tags=("graph", "triangles"))
@@ -294,27 +388,38 @@ def graph_triangle_count(
     the wedge join fans out by ORIENTED out-degree, which the
     degree-ordering bounds by O(sqrt(edges)) even on power-law graphs —
     hub parts contribute wedges only toward higher-degree nodes. The
-    (degree, id) pair comparison is a lexicographic total order, so both
-    engines orient identically."""
+    oracle orients by plain id order instead (see _TRIANGLE_SQL's
+    header): every output is orientation-invariant, so the engines need
+    not orient identically — only count identically. On the
+    SHUFFLE_HASH close path the wedge stream is Bloom-prefiltered
+    map-side before its exchange (_edge_bloom): no false negatives, so
+    the exact closing join sees every surviving wedge it would have
+    seen, and the exchange carries ~triangle-count rows instead of the
+    full wedge stream (410M -> ~25M at the x10 probe, 90 s -> 54 s)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # Both corpus-sized checkpoints below (pe: 2 cols, oriented: 3 cols,
-    # each bounded by the per-order pair fan-out ~ 2 x lineitem rows at
-    # the fixtures' basket sizes) take the size-derived storage level:
-    # the r14 x10 probe OOM'd this query on a vanilla 1 GiB session
-    # (AGGREGATE_OUT_OF_MEMORY materializing the second checkpoint while
-    # the first pinned the pool) — the same class the pagerank edge
-    # checkpoint hit at r13 (see operators/ckptlevel.py). Row estimate
-    # from the parquet footprint — no job.
-    ckpt_level = _edge_checkpoint_level(spark, _lineitem_rows_estimate(sf_dir))
+    # each bounded by the per-order pair fan-out, sized at
+    # _TRI_PAIR_FANOUT x lineitem rows — quadratic-aware, ADVICE r14 #2)
+    # take the size-derived storage level: the r14 x10 probe OOM'd this
+    # query on a vanilla 1 GiB session (AGGREGATE_OUT_OF_MEMORY
+    # materializing the second checkpoint while the first pinned the
+    # pool) — the same class the pagerank edge checkpoint hit at r13
+    # (see operators/ckptlevel.py). Row estimate from the parquet
+    # footprint — no job.
+    est_pairs = _TRI_PAIR_FANOUT * _lineitem_rows_estimate(sf_dir)
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        corpus_checkpoint_level,
+    )
+
+    ckpt_level = corpus_checkpoint_level(spark, est_pairs * PR_EDGE_ROW_BYTES)
     if bucketed_close is None:
-        # The closing-edge broadcast is |E| rows (~2 x lineitem at the
-        # fixtures' basket sizes) — the same size class as the edge
-        # checkpoint, so the SAME derivation picks the documented
-        # crossover: broadcast while the edge list fits the quarter-pool
-        # cap, SHUFFLE_HASH past it. The r14 x10 probe (1 GiB vanilla
-        # session, 12M edges) died in the broadcast build
-        # (notEnoughMemoryToBuildAndBroadcastTable) with the flag left
-        # at its old always-broadcast default.
+        # The closing-edge broadcast is |E| rows — the same size class
+        # as the edge checkpoint, so the SAME derivation picks the
+        # documented crossover: broadcast while the edge list fits the
+        # quarter-pool cap, SHUFFLE_HASH past it. The r14 x10 probe
+        # (1 GiB vanilla session, 12M edges) died in the broadcast
+        # build (notEnoughMemoryToBuildAndBroadcastTable) with the flag
+        # left at its old always-broadcast default.
         from pyspark.storagelevel import StorageLevel
 
         bucketed_close = ckpt_level == StorageLevel.DISK_ONLY
@@ -378,8 +483,38 @@ def graph_triangle_count(
     # join with the hash table built on the edge side — wedges are
     # hashed to their (v, w) partition and PROBED, never sorted (the
     # sort is what OOM'd); parity + plan pinned in
-    # tests/test_broadcast_crossovers.py.
-    closer_side = closer.hint("shuffle_hash") if bucketed_close else F.broadcast(closer)
+    # tests/test_broadcast_crossovers.py. On that path the wedge stream
+    # IS shuffled, and at x10 that exchange (410M wedge rows vs 18.8M
+    # triangles) was the whole 90 s Spark cost — so the wedges are
+    # Bloom-prefiltered MAP-SIDE before the exchange against a dense
+    # bitmap over the closing edges (no false negatives: every closing
+    # edge sets its bits, so every wedge that would survive the exact
+    # join passes the filter; false positives are removed by the join
+    # itself). The broadcast path skips the bloom — there the wedge
+    # stream never reaches an exchange, so there is nothing to save.
+    if bucketed_close:
+        m_bits = max(1 << 16, est_pairs * _TRI_BLOOM_BITS_PER_EDGE // 64 * 64)
+        bf = _edge_bloom(spark, closer, m_bits)
+        wedges = (
+            wedges.join(F.broadcast(bf))
+            .where(_bloom_might_contain(m_bits))
+            .drop("bf")
+        )
+        # Pin the close-join partition count: the bloom shrinks the
+        # wedge-side exchange ~20x, and AQE then coalesces the join down
+        # to a handful of partitions SIZED BY THE WEDGE SIDE — leaving
+        # per-partition hash builds of the 12M-row edge side that
+        # overflow the 1 GiB probe session ("not enough memory to build
+        # hash map", observed at 8 post-coalesce partitions). An
+        # explicit repartition on the join keys is AQE-respected, costs
+        # nothing extra (it IS the join's exchange), and sizes each
+        # build at ~16 MB from the same footprint estimate.
+        close_parts = max(32, est_pairs * PR_EDGE_ROW_BYTES // (16 << 20))
+        closer_side = closer.repartition(close_parts, "v", "w").hint(
+            "shuffle_hash"
+        )
+    else:
+        closer_side = F.broadcast(closer)
     tri = wedges.join(closer_side, ["v", "w"]).agg(
         F.count("*").alias("n_triangles")
     )

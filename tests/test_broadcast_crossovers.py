@@ -87,13 +87,18 @@ def test_pagerank_edge_checkpoint_level_size_derived(spark):
     assert _edge_checkpoint_level(spark, 1_000) == StorageLevel.MEMORY_AND_DISK_DESER
     assert _edge_checkpoint_level(spark, 10**13) == StorageLevel.DISK_ONLY
 
-    # exact boundary: the largest row count that still fits the cap
+    # boundary with 1% tolerance, not fit/fit+1 (ADVICE r14 #5: this
+    # float arithmetic can land the cap exactly on a row multiple on
+    # some heaps, flipping an exact fit+1 assertion host-dependently)
     heap = spark.sparkContext._jvm.Runtime.getRuntime().maxMemory()
     frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
     pool = frac * (heap - 300 * 1024 * 1024)
     fit = int(PR_STORAGE_CAP_FRAC * pool / (2 * PR_EDGE_ROW_BYTES))
-    assert _edge_checkpoint_level(spark, fit) == StorageLevel.MEMORY_AND_DISK_DESER
-    assert _edge_checkpoint_level(spark, fit + 1) == StorageLevel.DISK_ONLY
+    assert (
+        _edge_checkpoint_level(spark, int(fit * 0.99))
+        == StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    assert _edge_checkpoint_level(spark, int(fit * 1.01) + 1) == StorageLevel.DISK_ONLY
 
     from e_commerce_click_stream_spark.io import table
 
