@@ -206,16 +206,20 @@ def test_ratio_drift_sub_second_lines_exempt_but_listed(tmp_path):
     }
     p = tmp_path / "BENCH_r99.json"
     p.write_text(json.dumps(base))
+    # 0.8 s raw is inside the exemption (raised to 1.0 s in r15: the
+    # flicker band on these hosts reaches ~0.8 s — ann_ivf_probe_only
+    # was flagged-then-adjudicated-as-noise at 0.7-0.8 s raw three
+    # rounds running, VERDICT r14 #4)
     out = bench._ratio_drift(
         {"a": 0.45, "b": 1.0}, bench.CAL_VERSION, str(p),
-        timings={"a": 0.3, "b": 2.0},
+        timings={"a": 0.8, "b": 2.0},
     )
     assert out["flagged"] == {}
     assert out["sub_second_exempt"] == ["a"]
     # the same move on a >= MIN_DRIFT_RAW_SEC line still flags
     out2 = bench._ratio_drift(
         {"a": 0.45, "b": 1.0}, bench.CAL_VERSION, str(p),
-        timings={"a": 0.7, "b": 2.0},
+        timings={"a": 1.2, "b": 2.0},
     )
     assert out2["flagged"]["a"]["move_x"] == 2.25
     assert out2["sub_second_exempt"] == []
@@ -256,3 +260,114 @@ def test_ratio_drift_median_reference_and_self_skip(monkeypatch, tmp_path):
     paths.insert(0, wtab("BENCH_r20.json", {"a": 1.1}))
     out2 = bench._ratio_drift({"a": 1.1}, bench.CAL_VERSION)
     assert "BENCH_r20.json" not in out2["baselines"]
+
+
+def test_streaming_lines_normalized_by_streaming_probe(tmp_path):
+    """VERDICT r14 #3: micro-batch scheduling cost swings ~3x with host
+    load while batch compute holds, so loaded-host sweeps spuriously
+    flagged streaming_* lines. The streaming probe measures that fixed
+    cost; a streaming line whose move tracks the probe's move must NOT
+    flag, while a batch line with the same move still does."""
+    import json
+
+    import bench
+
+    base = {
+        "queries_ratio": {"streaming_x": 1.0, "batch_y": 1.0},
+        "calibration": {
+            "version": bench.CAL_VERSION,
+            "spark_probe_sec": 1.0,
+            "streaming_probe_sec": 1.0,
+        },
+    }
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(base))
+    # loaded host: streaming probe ratio inflated 2.3x; the streaming
+    # line inflated the same 2.3x (scheduling), the batch line too (a
+    # real regression — batch ratios are load-invariant by design)
+    out = bench._ratio_drift(
+        {"streaming_x": 2.3, "batch_y": 2.3},
+        bench.CAL_VERSION, str(p),
+        timings={"streaming_x": 2.0, "batch_y": 2.0},
+        sprobe_ratio=2.3,
+    )
+    assert "streaming_x" not in out["flagged"]
+    assert out["flagged"]["batch_y"]["move_x"] == 2.3
+    assert out["streaming_norm"]["expected_move_x"] == 2.3
+
+    # a streaming move WELL BEYOND what the probe explains still flags
+    out2 = bench._ratio_drift(
+        {"streaming_x": 4.0, "batch_y": 1.0},
+        bench.CAL_VERSION, str(p),
+        timings={"streaming_x": 2.0, "batch_y": 2.0},
+        sprobe_ratio=2.3,
+    )
+    assert out2["flagged"]["streaming_x"]["threshold_x"] == round(1.5 * 2.3, 2)
+
+
+def test_streaming_threshold_relaxes_but_never_tightens(tmp_path):
+    """A CALMER current host (probe moved down) must not tighten the
+    up-threshold below 1.5x — normalization only excuses moves in the
+    direction the probe explains."""
+    import json
+
+    import bench
+
+    base = {
+        "queries_ratio": {"streaming_x": 1.0},
+        "calibration": {
+            "version": bench.CAL_VERSION,
+            "spark_probe_sec": 1.0,
+            "streaming_probe_sec": 2.0,
+        },
+    }
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(base))
+    # probe halved (expected 0.5): an in-band 1.4x up-move stays clean,
+    # and the down-band stretches to 1/(1.5 x 2) so the line following
+    # the probe down (0.5x) is excused too
+    out = bench._ratio_drift(
+        {"streaming_x": 1.4}, bench.CAL_VERSION, str(p),
+        timings={"streaming_x": 2.0}, sprobe_ratio=1.0,
+    )
+    assert out["flagged"] == {}
+    out2 = bench._ratio_drift(
+        {"streaming_x": 0.5}, bench.CAL_VERSION, str(p),
+        timings={"streaming_x": 2.0}, sprobe_ratio=1.0,
+    )
+    assert out2["flagged"] == {}
+    # but a 1.6x up-move on the calmer host still flags (no tightening,
+    # no loosening either)
+    out3 = bench._ratio_drift(
+        {"streaming_x": 1.6}, bench.CAL_VERSION, str(p),
+        timings={"streaming_x": 2.0}, sprobe_ratio=1.0,
+    )
+    assert "streaming_x" in out3["flagged"]
+
+
+def test_streaming_static_band_without_probe_baseline(tmp_path):
+    """Baselines that predate the streaming probe fall back to the
+    static 2.75x band for streaming_* lines (the observed pure-noise
+    swing was 2.67x) — batch lines keep the 1.5x band."""
+    import json
+
+    import bench
+
+    base = {
+        "queries_ratio": {"streaming_x": 1.0, "batch_y": 1.0},
+        "calibration": {"version": bench.CAL_VERSION},
+    }
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(base))
+    out = bench._ratio_drift(
+        {"streaming_x": 2.5, "batch_y": 2.5}, bench.CAL_VERSION, str(p),
+        timings={"streaming_x": 2.0, "batch_y": 2.0}, sprobe_ratio=1.2,
+    )
+    assert "streaming_x" not in out["flagged"]
+    assert "batch_y" in out["flagged"]
+    assert out["streaming_static_threshold_x"] == bench.STREAMING_STATIC_THRESHOLD_X
+    out2 = bench._ratio_drift(
+        {"streaming_x": 3.0}, bench.CAL_VERSION, str(p),
+        timings={"streaming_x": 2.0}, sprobe_ratio=1.2,
+    )
+    assert "streaming_x" in out2["flagged"]
