@@ -33,17 +33,24 @@ N_QUERIES = 10  # vec_id < 10 are the query vectors
 # a pure integer comparison the oracle's `geo` CTE computes identically
 # from the same hygiene-filtered corpus, so builder and oracle can
 # never disagree and a regenerated sf10+ fixture can never silently
-# revert to 256 hot buckets. Hyperplanes are the first N_BANDS x
-# band_bits corpus vectors (deterministic, oracle-reproducible); the
-# committed 500-2000-vector fixtures all derive band_bits = 8 (the
-# historical 4 x 8 / 32-plane geometry, result-identical), a 20k-vector
-# x10 probe derives 12, and the clamp at 16 bounds the hyperplane
-# count (a 10^9-vector deployment would raise BAND_BITS_MAX to ~27 and
-# swap the hyperplanes for random projections). Candidate volume is
-# bounded by N_BANDS * sum(occupancy^2)/2 per band, NOT n^2.
+# revert to 256 hot buckets. Hyperplanes come from two sources behind
+# the same derivation (r15, VERDICT r14 #6 — previously prose): up to
+# BAND_BITS_CORPUS_PLANES_MAX the planes are the first N_BANDS x
+# band_bits corpus vectors (deterministic, oracle-reproducible — the
+# historical geometry, byte-identical on every committed fixture and
+# the x10 probe: 500-2000 vectors derive band_bits = 8, the 20k x10
+# probe derives 12); past it (n > 2^16 * 8 = 524288 vectors) the
+# derivation keeps widening to BAND_BITS_MAX = 27 (~10^9 vectors at
+# occupancy 8) and the planes switch to seeded Rademacher random
+# projections — md5-parity ±1 components, reproduced bit-identically by
+# the oracle's planes CTE from the same (plane, dim) strings, with no
+# corpus read and no first-k-vectors bias at sizes where "the first 108
+# rows" stops being a meaningful sample. Candidate volume is bounded by
+# N_BANDS * sum(occupancy^2)/2 per band, NOT n^2.
 N_BANDS = 4
 BAND_BITS_MIN = 8
-BAND_BITS_MAX = 16
+BAND_BITS_MAX = 27
+BAND_BITS_CORPUS_PLANES_MAX = 16
 LSH_TARGET_OCCUPANCY = 8
 
 
@@ -65,6 +72,32 @@ _GEO_SQL = f"""geo AS (
     FROM range({BAND_BITS_MIN}, {BAND_BITS_MAX + 1}) t(b),
          (SELECT count(*) AS n FROM e) c
     WHERE (1::BIGINT << b) * {LSH_TARGET_OCCUPANCY} >= c.n
+)"""
+
+# SQL twin of the builder's plane source (see the geometry block
+# comment): corpus vectors while bb fits the corpus-plane clamp,
+# seeded Rademacher projections past it. The projection component for
+# (plane p, dim i) is +1 iff md5('lshp|p|i') starts with a hex digit
+# whose high bit is clear — md5 hex STRINGS are the repo's cross-engine
+# primitive, so both engines materialize identical ±1.0 doubles.
+_RADEMACHER_CASE = (
+    "CASE WHEN substr(md5('lshp|' || {p} || '|' || {i}), 1, 1)"
+    " IN ('0','1','2','3','4','5','6','7')"
+    " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+)
+
+_PLANES_SQL = f"""planes AS (
+    SELECT vec_id AS plane_id, v AS pv
+    FROM e, geo
+    WHERE geo.bb <= {BAND_BITS_CORPUS_PLANES_MAX}
+      AND vec_id < {N_BANDS} * geo.bb
+    UNION ALL
+    SELECT t.p AS plane_id,
+           list_transform(range(0, 64),
+                          i -> {_RADEMACHER_CASE.format(p="t.p::VARCHAR", i="i::VARCHAR")}) AS pv
+    FROM range(0, {N_BANDS * BAND_BITS_MAX}) t(p), geo
+    WHERE geo.bb > {BAND_BITS_CORPUS_PLANES_MAX}
+      AND t.p < {N_BANDS} * geo.bb
 )"""
 
 
@@ -184,24 +217,43 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes_row(e: DataFrame, n_planes: int) -> DataFrame:
+def _planes_row(e: DataFrame, bb: int, n_planes: int) -> DataFrame:
     """The n_planes hyperplanes packed into ONE row as a sorted array of
     structs. Broadcast-crossJoined against the corpus, the full signature
     becomes a single array expression per vector — no per-plane row
     explosion and no groupBy shuffle to reassemble bits (the r3 shape
-    exploded 1 row per plane and shuffled on vec_id to collect them)."""
+    exploded 1 row per plane and shuffled on vec_id to collect them).
+
+    Plane source follows the derived geometry (see the block comment):
+    corpus vectors while bb fits BAND_BITS_CORPUS_PLANES_MAX, seeded
+    Rademacher projections past it — the oracle's _PLANES_SQL branches
+    on the identical condition, so the engines can never mix sources."""
+    if bb <= BAND_BITS_CORPUS_PLANES_MAX:
+        return (
+            e.filter(F.col("vec_id") < n_planes)
+            .select(F.struct(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")).alias("p"))
+            .agg(F.array_sort(F.collect_list("p")).alias("planes"))
+        )
+    case = _RADEMACHER_CASE.format(
+        p="CAST(id AS STRING)", i="CAST(i AS STRING)"
+    )
     return (
-        e.filter(F.col("vec_id") < n_planes)
-        .select(F.struct(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")).alias("p"))
+        e.sparkSession.range(n_planes)
+        .select(
+            F.struct(
+                F.col("id").alias("plane_id"),
+                F.expr(f"transform(sequence(0, 63), i -> {case})").alias("pv"),
+            ).alias("p")
+        )
         .agg(F.array_sort(F.collect_list("p")).alias("planes"))
     )
 
 
-def _with_signature(e: DataFrame, n_planes: int) -> DataFrame:
+def _with_signature(e: DataFrame, bb: int, n_planes: int) -> DataFrame:
     """Attach the n_planes-bit sign signature `sig` to every vector:
     zero shuffles (1-row broadcast crossJoin + array fold)."""
     return (
-        e.crossJoin(F.broadcast(_planes_row(e, n_planes)))
+        e.crossJoin(F.broadcast(_planes_row(e, bb, n_planes)))
         .withColumn(
             "sig",
             F.array_join(
@@ -236,9 +288,7 @@ WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 {_GEO_SQL},
-planes AS (
-    SELECT vec_id AS plane_id, v AS pv FROM e, geo WHERE vec_id < {N_BANDS} * geo.bb
-),
+{_PLANES_SQL},
 bits AS (
     SELECT e.vec_id, p.plane_id,
            CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN '1' ELSE '0' END AS bit
@@ -265,7 +315,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vecs(spark, sf_dir)
     bb, n_planes = _lsh_geometry(e)
     return (
-        _with_signature(e, n_planes)
+        _with_signature(e, bb, n_planes)
         .select("vec_id", F.col("sig").alias("bucket_signature"), F.explode(_bands(bb)).alias("b"))
         .select("vec_id", "bucket_signature", "b.band_id", "b.band_sig")
     )
@@ -341,9 +391,7 @@ WITH e AS (
     FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NOT NULL)) = 64 AND len(list_filter(embedding, x -> x <> 0)) > 0) embeddings
 ),
 {_GEO_SQL},
-planes AS (
-    SELECT vec_id AS plane_id, v AS pv FROM e, geo WHERE vec_id < {N_BANDS} * geo.bb
-),
+{_PLANES_SQL},
 bits AS (
     SELECT e.vec_id, p.plane_id,
            CASE WHEN list_dot_product(e.v, p.pv) > 0 THEN '1' ELSE '0' END AS bit
@@ -401,7 +449,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
     bb, n_planes = _lsh_geometry(e)
     bands = (
-        _with_signature(e, n_planes)
+        _with_signature(e, bb, n_planes)
         .select("vec_id", F.explode(_bands(bb)).alias("b"))
         .select("vec_id", "b.band_id", "b.band_sig")
     )

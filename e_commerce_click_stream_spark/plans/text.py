@@ -6676,10 +6676,17 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # leaving it leaked one mkdtemp per invocation (ADVICE r13)
         _shutil.rmtree(ckpt, ignore_errors=True)
         downgrade_to_shared(index_dir)
+    # Eager checkpoint BEFORE returning (ADVICE r14 #3): the next
+    # invocation clears sink_dir at run start, which would silently
+    # invalidate a still-lazy result a caller held across runs
+    # (use-after-delete). The manifest is batch-sized (thousands of
+    # rows), so severing the parquet dependency costs one tiny
+    # materialization and makes the result self-contained.
     return (
         spark.read.schema(_CUR_MAN_SCHEMA)
         .parquet(sink_dir)
         .select("doc_id", "source", "n_tokens", "seq_id")
+        .localCheckpoint(eager=True)
     )
 
 

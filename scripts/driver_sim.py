@@ -105,7 +105,15 @@ def main() -> int:
         vanilla heap) the accumulation across a 27-heavy-query sweep
         starved broadcast builds NONDETERMINISTICALLY (different queries
         failed in different sweeps, r14) — bench.py's _release_blocks
-        discipline, applied between gate queries."""
+        discipline, applied between gate queries.
+
+        INVARIANT (ADVICE r14 #4): no checkpointed DataFrame may outlive
+        its query. This unpersists locally-checkpointed RDDs whose
+        lineage is truncated and CANNOT be recomputed — safe only
+        because each query is fully collected before the next starts and
+        nothing is shared across queries. A future cross-query memoized
+        checkpoint would fail here unrecoverably (missing-block errors);
+        give such state a real store (operators/storelock.py) instead."""
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
         spark.sparkContext._jvm.System.gc()

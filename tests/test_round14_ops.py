@@ -73,8 +73,12 @@ def test_band_bits_derivation_rule():
     """The integer growth rule at its boundaries: the committed fixtures
     (500-2000 vectors) keep the historical 8 bits, the rule widens at
     exactly 2^b * LSH_TARGET_OCCUPANCY + 1, the x10-probe size derives
-    12, and past-MAX corpora clamp at 16."""
+    12, and past-MAX corpora clamp at BAND_BITS_MAX (raised 16 -> 27 in
+    r15 with the Rademacher-projection plane source; the corpus-plane
+    clamp at 16 is now BAND_BITS_CORPUS_PLANES_MAX, straddled in
+    tests/test_round15_ops.py)."""
     from e_commerce_click_stream_spark.plans.similarity import (
+        BAND_BITS_CORPUS_PLANES_MAX,
         BAND_BITS_MAX,
         _band_bits,
     )
@@ -84,7 +88,11 @@ def test_band_bits_derivation_rule():
     assert _band_bits(2048) == 8  # 2^8 * 8 = 2048 still fits
     assert _band_bits(2049) == 9  # first count past the boundary widens
     assert _band_bits(20_000) == 12
-    assert _band_bits(10**9) == BAND_BITS_MAX == 16
+    # the corpus-plane clamp boundary: last corpus-plane size / first
+    # projection size
+    assert _band_bits(524_288) == BAND_BITS_CORPUS_PLANES_MAX == 16
+    assert _band_bits(524_289) == 17
+    assert _band_bits(10**9) == BAND_BITS_MAX == 27
 
 
 def _synth_embeddings(tmpdir: str, n: int) -> None:

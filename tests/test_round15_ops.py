@@ -184,3 +184,45 @@ def test_footprint_pin_goes_red_on_violating_fixture(spark, tmp_path):
 
     real = _real_bytes_per_row(spark, str(tmp_path), "lineitem")
     assert real < _LINEITEM_BYTES_PER_ROW  # the violation is detected
+
+
+# --- LSH geometry past the corpus-plane clamp (VERDICT r14 #6) ------------
+
+
+def test_lsh_projection_planes_identical_in_builder_and_oracle(spark, tmp_path):
+    """The first corpus size past 2^16 * 8 = 524288 derives band_bits=17
+    and switches the hyperplane source from corpus vectors to seeded
+    Rademacher projections (md5-parity ±1 components). The pin mirrors
+    the r14 boundary test one tier up: at n = 524289 the Spark builder
+    and the DuckDB oracle must derive the same geometry AND produce
+    identical band rows — proving the projection components are
+    bit-identical across engines, not merely same-shaped. (The ≤16-bit
+    corpus-plane tier is pinned at 600/2100 in test_round14_ops.py; the
+    committed fixtures and the x10 probe never leave it.)"""
+    import duckdb
+
+    from e_commerce_click_stream_spark.plans.registry import all_specs
+    from tests.test_round14_ops import _synth_embeddings
+
+    n = 524_289
+    d = str(tmp_path / "proj")
+    os.makedirs(d)
+    _synth_embeddings(d, n)
+
+    spec = all_specs()["ann_lsh_buckets"]
+    rows = spec.builder(spark, d).collect()
+    assert all(len(r["band_sig"]) == 17 for r in rows)
+    assert all(len(r["bucket_signature"]) == 68 for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    oracle = con.execute(spec.oracle).fetchall()
+    con.close()
+    s_rows = sorted(
+        (r["vec_id"], r["bucket_signature"], r["band_id"], r["band_sig"])
+        for r in rows
+    )
+    assert len(s_rows) == len(oracle) == n * 4
+    assert s_rows == sorted(tuple(r) for r in oracle)
