@@ -45,10 +45,42 @@ from pyspark.sql import functions as F
 
 BANDS_SUBDIR = "bands"
 SHINGLES_SUBDIR = "shingles"
-# bucket count for the catalog-backed layout: buckets cap the probe-side
-# shuffle's partition count, so keep it modest at test scale (a cluster
-# deployment sizes this to corpus_bytes / target_file_size)
+# bucket-count FLOOR for the catalog-backed layout: buckets cap the
+# probe-side shuffle's partition count, so keep the floor modest at test
+# scale. The actual count is SIZE-DERIVED at build time
+# (``derived_store_buckets``): the r15 x30 probe caught the constant-8
+# layout putting ~150 MB of shingle arrays in each bucket, which any
+# per-bucket hash build or re-sort then has to hold at once — the
+# cluster sizing rule (corpus_bytes / target_bucket_size) was prose
+# until then.
 NUM_STORE_BUCKETS = 8
+# target on-disk bytes per bucket; shingle-array row estimate shares the
+# 8192 B/doc bound documented at plans/dedup.py::SH_EST_BYTES_PER_DOC
+# (kept in sync by tests/test_round15_ops.py's footprint pins)
+STORE_BUCKET_TARGET_BYTES = 32 << 20
+EST_SHINGLE_BYTES_PER_DOC = 8192
+
+
+def derived_store_buckets(n_docs: int) -> int:
+    """Bucket count for a band store indexing ``n_docs`` documents:
+    ceil(estimated shingle bytes / STORE_BUCKET_TARGET_BYTES), floored
+    at NUM_STORE_BUCKETS and capped at 1024. Derived from an exact doc
+    COUNT, not a parquet footprint — store builds are heavy write jobs
+    where one count() is noise, and footprints underestimate doc counts
+    ~10x on deduplicating fixtures (verbatim-copy scale probes)."""
+    est = n_docs * EST_SHINGLE_BYTES_PER_DOC
+    return min(1024, max(NUM_STORE_BUCKETS, -(-est // STORE_BUCKET_TARGET_BYTES)))
+
+
+def table_bucket_count(spark: SparkSession, table_name: str) -> int:
+    """The bucket count a catalog table was WRITTEN with — appends and
+    erasure rewrites must restate the existing spec exactly (Spark
+    validates appends; a rewrite that silently changed the count would
+    desync the layout from the probe plans)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect():
+        if (r.col_name or "").strip() == "Num Buckets":
+            return int(r.data_type)
+    return NUM_STORE_BUCKETS
 
 
 def minhash_signature(
@@ -182,7 +214,7 @@ def erase_from_band_index_tables(
 def apply_band_erasures(
     spark: SparkSession,
     prefix: str,
-    num_buckets: int = NUM_STORE_BUCKETS,
+    num_buckets: int | None = None,
     location: str | None = None,
 ) -> dict[str, int]:
     """Physically drop tombstoned rows from BOTH band-store tables and
@@ -198,6 +230,10 @@ def apply_band_erasures(
     tomb_t = band_tombstones_table_name(prefix)
     if not spark.catalog.tableExists(tomb_t):
         return {"dropped_bands": 0, "dropped_shingles": 0}
+    if num_buckets is None:
+        # rewrite under the count the store was BUILT with (possibly
+        # size-derived) — read it before the overwrite drops the table
+        num_buckets = table_bucket_count(spark, bands_t)
     tomb = spark.table(tomb_t).localCheckpoint(eager=True)
     if tomb.isEmpty():
         return {"dropped_bands": 0, "dropped_shingles": 0}
@@ -251,14 +287,20 @@ def build_band_index_tables(
     prefix: str,
     num_hashes: int,
     num_bands: int,
-    num_buckets: int = NUM_STORE_BUCKETS,
+    num_buckets: int | None = None,
     location: str | None = None,
 ) -> None:
     """Write the PRIMARY (catalog-backed, bucketed) store layout:
     ``<prefix>_bands`` partitioned by band + bucketed/sorted on the probe
     join key ``bucket``; ``<prefix>_shingles`` bucketed/sorted on
     ``doc_id``. ``location`` makes them external tables rooted there
-    (keeps index data out of the session's warehouse dir)."""
+    (keeps index data out of the session's warehouse dir).
+    ``num_buckets=None`` (the default) size-derives the count from the
+    corpus (``derived_store_buckets``) so per-bucket bytes stay bounded
+    at any store size; pass an explicit count only in tests pinning a
+    specific layout."""
+    if num_buckets is None:
+        num_buckets = derived_store_buckets(index_docs.count())
     bands, sh = sign_docs(index_docs, num_hashes, num_bands)
     bands_t, shingles_t = band_table_names(prefix)
     w = (
@@ -291,13 +333,17 @@ def append_to_band_index_tables(
     prefix: str,
     num_hashes: int,
     num_bands: int,
-    num_buckets: int = NUM_STORE_BUCKETS,
+    num_buckets: int | None = None,
 ) -> None:
     """Table-backed twin of ``append_to_band_index``: fold a verdict-ed
     batch into the bucketed store (the writer spec must restate the
-    table's partition/bucket layout — Spark validates it matches)."""
+    table's partition/bucket layout — Spark validates it matches).
+    ``num_buckets=None`` reads the count the store was built with from
+    the catalog (the build may have size-derived it)."""
     bands, sh = sign_docs(new_docs, num_hashes, num_bands)
     bands_t, shingles_t = band_table_names(prefix)
+    if num_buckets is None:
+        num_buckets = table_bucket_count(new_docs.sparkSession, bands_t)
     (
         bands.write.mode("append")
         .format("parquet")
@@ -323,6 +369,7 @@ def probe_band_index(
     num_hashes: int,
     num_bands: int,
     jaccard_threshold: float,
+    dedupe_candidates: bool = False,
 ) -> DataFrame:
     """One ingest batch against the parquet-directory (fallback) store.
 
@@ -348,7 +395,7 @@ def probe_band_index(
     )
     return _probe_against(
         batch_bands, batch_sh, stored_bands, stored_sh, all_batch_ids,
-        jaccard_threshold,
+        jaccard_threshold, dedupe_candidates=dedupe_candidates,
     )
 
 
@@ -360,6 +407,7 @@ def probe_band_index_tables(
     num_hashes: int,
     num_bands: int,
     jaccard_threshold: float,
+    dedupe_candidates: bool = False,
 ) -> DataFrame:
     """One ingest batch against the bucketed catalog store — same contract
     as ``probe_band_index``, but the stored side of the candidate join is
@@ -384,7 +432,16 @@ def probe_band_index_tables(
     )
     return _probe_against(
         batch_bands, batch_sh, stored_bands, stored_sh, all_batch_ids,
-        jaccard_threshold,
+        jaccard_threshold, dedupe_candidates=dedupe_candidates,
+        # 4x the store's (size-derived) bucket count: ~8 MB of shingle
+        # shuffle bytes per verify partition at STORE_BUCKET_TARGET_BYTES.
+        # Scale regime only (same gate as the candidate dedup): on small
+        # fixtures AQE's own partitioning is faster, and the catalog
+        # DESCRIBE + fixed-width repartition cost ~2x on the sf0.01 gate
+        # lines for no memory benefit.
+        verify_partitions=(
+            4 * table_bucket_count(spark, bands_t) if dedupe_candidates else None
+        ),
     )
 
 
@@ -427,6 +484,8 @@ def _probe_against(
     stored_sh: DataFrame,
     all_batch_ids: DataFrame,
     jaccard_threshold: float,
+    dedupe_candidates: bool = False,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     # the signed batch feeds THREE consumers (store-probe side, batch
     # self-join probe AND match sides) — materialize the signature agg
@@ -471,27 +530,54 @@ def _probe_against(
             F.lit(True).alias("match_is_new"),
         )
     )
-    # NO .distinct() on candidates: a pair colliding in k bands reaches the
-    # verify join k times, but the terminal min_by aggregate
-    # (best_match_per_probe) is invariant to duplicates, so verdicts are
-    # bit-identical. The duplicate verify work is bounded by NUM_BANDS (a
-    # small constant; chance collisions — the volume driver — collide in
-    # ~1 band), while the dedupe was a full extra shuffle + AQE stage
-    # barrier on EVERY probe batch. Measured at sf0.1: −28% probe wall
-    # time, identical output.
+    # By default NO .distinct() on candidates: a pair colliding in k
+    # bands reaches the verify join k times, but the terminal min_by
+    # aggregate (best_match_per_probe) is invariant to duplicates, so
+    # verdicts are bit-identical. The duplicate verify work is bounded by
+    # NUM_BANDS (a small constant; chance collisions — the volume driver
+    # — collide in ~1 band), while the dedupe was a full extra shuffle +
+    # AQE stage barrier on EVERY probe batch (measured at sf0.1: −28%
+    # probe wall time, identical output). ``dedupe_candidates`` flips the
+    # trade for the scale regime callers detect via the shingle-level
+    # chooser: on a duplication-heavy corpus every exact-dup pair
+    # collides in ALL bands, and shrinking the candidate stream 4x
+    # BEFORE it picks up shingle-array payloads (an ids-only shuffle)
+    # is worth far more than it costs — the r15 x30 probe's lesson.
     cand = cand_idx.unionByName(cand_bat)
+    if dedupe_candidates:
+        cand = cand.distinct()
 
     # exact-jaccard verification on candidates only; match shingles come
-    # from the store or the batch according to provenance
+    # from the store or the batch according to provenance. Both verify
+    # joins are SHUFFLE_HASH with the hash built on the SHINGLE side
+    # (bounded: batch-sized resp. bucket-bounded per partition) — as
+    # sort-merge joins they SORTED the candidate stream with its ~6 KB
+    # shingle-array payloads, and at the x30 probe (30 verbatim copies,
+    # candidates quadratic in the copy count) that sort spilled a
+    # vanilla 1 GiB session to death (UnsafeSorterSpillReader OOM). The
+    # hash build never touches the stream, which is partitioned and
+    # PROBED, never sorted — the same wedges-stream/edges-index
+    # invariant as graph_triangle_count's close join.
     match_sh = stored_sh.unionByName(batch_sh).select(
         F.col("doc_id").alias("match_id"), F.col("s").alias("sb")
     )
     sa = batch_sh.select(F.col("doc_id").alias("probe_id"), F.col("s").alias("sa"))
+    if verify_partitions:
+        # pin the join partition counts (callers derive from the store's
+        # size-derived bucket count): AQE sizes partitions by SHUFFLE
+        # bytes, but a hash build holds the whole partition as UnsafeRow
+        # map (~2-3x shuffle bytes with array payloads) x concurrent
+        # tasks — at the x30 probe AQE's choice left ~60 MB builds that
+        # could not acquire pool memory. The repartition rides the
+        # exchange each join needed anyway (same key), so exchange
+        # counts are unchanged.
+        sa = sa.repartition(verify_partitions, "probe_id")
+        match_sh = match_sh.repartition(verify_partitions, "match_id")
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union_sz = F.size("sa") + F.size("sb") - common
     scored = (
-        cand.join(sa, "probe_id")
-        .join(match_sh, "match_id")
+        cand.join(sa.hint("shuffle_hash"), "probe_id")
+        .join(match_sh.hint("shuffle_hash"), "match_id")
         .select(
             "probe_id",
             "match_id",

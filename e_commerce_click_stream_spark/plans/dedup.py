@@ -1693,7 +1693,22 @@ def dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_band_index_tables(
         spark, batch_sh, all_batch_ids, prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+        dedupe_candidates=_band_cand_dedupe(spark, sf_dir),
     )
+
+
+def _band_cand_dedupe(spark: SparkSession, sf_dir: str) -> bool:
+    """Whether band-store probes should dedupe candidate pairs before the
+    verify joins (see operators/dedup_index.py::_probe_against): on in
+    the scale regime the shingle-level chooser already detects — a
+    corpus whose shingle checkpoint is DISK_ONLY is one whose
+    duplication-driven candidate stream is worth shrinking before it
+    picks up array payloads (the r15 x30 probe OOM); small fixtures
+    keep the one-fewer-shuffle fast path, so bench lines are
+    unchanged."""
+    from pyspark.storagelevel import StorageLevel
+
+    return _shingle_ckpt_level(spark, sf_dir) == StorageLevel.DISK_ONLY
 
 
 def _band_store_location(sf_dir: str) -> tuple[str, str]:
@@ -1794,6 +1809,7 @@ def dedup_stored_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_band_index_tables(
         spark, batch_sh, batch_sh.select("doc_id"), prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+        dedupe_candidates=_band_cand_dedupe(spark, sf_dir),
     )
 
 
@@ -1851,6 +1867,7 @@ def dedup_stored_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_band_index_tables(
         spark, batch_sh, all_batch_ids, prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+        dedupe_candidates=_band_cand_dedupe(spark, sf_dir),
     )
 
 
@@ -1917,6 +1934,7 @@ def dedup_stored_apply_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_band_index_tables(
         spark, batch_sh, all_batch_ids, prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+        dedupe_candidates=_band_cand_dedupe(spark, sf_dir),
     )
 
 
@@ -2063,4 +2081,5 @@ def dedup_stored_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_band_index_tables(
         spark, batch_sh, all_batch_ids, prefix,
         NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD,
+        dedupe_candidates=_band_cand_dedupe(spark, sf_dir),
     )

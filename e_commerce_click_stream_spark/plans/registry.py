@@ -101,6 +101,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_containment",
+    # CHANGED r15 (second wave — the x30 probe OOM fix): SHUFFLE_HASH
+    # verify joins + scale-gated candidate dedup in _probe_against and
+    # size-derived store bucket counts (operators/dedup_index.py) touch
+    # every band-store probe path
+    "dedup_incremental_stored",
+    "dedup_stored_probe_only",
+    "dedup_stored_erase",
+    "dedup_stored_apply_erase",
+    "dedup_stored_compact",
     # rotation: the oldest r10-proof queries (alphabetical; the
     # remainder leads _VERIFY_NEXT for r16)
     "ann_ivf_pq_topk",
@@ -114,11 +123,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_pareto_abc",
     "daily_active_users",
     "dedup_simhash_hamming",
-    "doc_gram_contamination",
-    "doc_winnowing_fingerprints",
-    "dq_constraint_report",
-    "embedding_cluster_quality",
-    "embedding_pq_encode",
 )
 
 
@@ -128,6 +132,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r10-proof queries the
 # r15 window could not fit — they lead the r16 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "doc_gram_contamination",
+    "doc_winnowing_fingerprints",
+    "dq_constraint_report",
+    "embedding_cluster_quality",
+    "embedding_pq_encode",
     "embedding_sq8_error",
     "event_type_markov",
     "events_anomaly_zscore",
