@@ -67,3 +67,26 @@ def parquet_footprint(sf_dir: str, tbl: str) -> int:
             os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
         )
     return os.path.getsize(p)
+
+
+def parquet_row_count(sf_dir: str, tbl: str) -> int:
+    """EXACT row count of a fixture table from parquet FOOTERS — still
+    zero Spark jobs (pyarrow reads only the metadata tail of each file,
+    ~ms per call), but immune to the bytes-per-row failure class the
+    r15 x10 sweep exposed: on the verbatim-copy scale fixtures the
+    columns dictionary-compress ~10x, so any bytes//constant estimate
+    UNDERCOUNTS rows by the same factor and flips checkpoint levels to
+    in-memory at exactly the sizes that pin the pool (the x10
+    dedup_incremental_minhash / dedup_ngram_jaccard broadcast-build
+    failures: est 8.7k docs -> MEMORY level for a real 50k-doc / ~400 MB
+    shingle checkpoint on a 1 GiB session)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{tbl}.parquet")
+    files = (
+        glob.glob(os.path.join(p, "*.parquet")) if os.path.isdir(p) else [p]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)

@@ -83,15 +83,18 @@ def _shingle_ckpt_level(spark: SparkSession, sf_dir: str):
     dedup_stored_apply_erase's broadcast build and the CC-store family
     starving under them. Small fixtures keep the in-memory latency
     (bench-neutral at sf0.1 on the 16g session: 5k docs ~ 40 MiB,
-    inside the quarter-pool cap). Doc count from the parquet footprint
-    (~100 compressed B/doc on every committed fixture, overestimating
-    docs and leaning DISK_ONLY on denser ones) — no Spark job."""
+    inside the quarter-pool cap). Doc count EXACT from parquet footers
+    (operators/ckptlevel.py::parquet_row_count — still no Spark job):
+    the former footprint // 100 estimate undercounted docs 5-10x on the
+    dictionary-compressing scale fixtures, handing a MEMORY level to a
+    real ~400 MB checkpoint and starving the r15 x10 sweep's broadcast
+    builds (dedup_incremental_minhash / dedup_ngram_jaccard)."""
     from e_commerce_click_stream_spark.operators.ckptlevel import (
         corpus_checkpoint_level,
-        parquet_footprint,
+        parquet_row_count,
     )
 
-    n_docs = parquet_footprint(sf_dir, "documents") // 100
+    n_docs = parquet_row_count(sf_dir, "documents")
     return corpus_checkpoint_level(spark, n_docs * SH_EST_BYTES_PER_DOC)
 
 
@@ -391,6 +394,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union_sz = F.size("sa") + F.size("sb") - common
+    # Scale regime (same chooser gate as the band-store probe): AQE
+    # auto-broadcasts the post-distinct candidate relation, and at the
+    # x10 probe (duplication-quadratic candidates on a 1 GiB session)
+    # that build died with notEnoughMemoryToBuildAndBroadcastTable.
+    # SHUFFLE_HASH builds on the ids-only candidates (j1) resp. the
+    # per-partition-bounded shingle side (j2) — nothing array-heavy is
+    # broadcast or sorted. Small fixtures keep AQE's broadcast plan.
+    if _band_cand_dedupe(spark, sf_dir):
+        cand = cand.hint("shuffle_hash")
+        sb = sb.hint("shuffle_hash")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -53,20 +53,18 @@ def _edge_checkpoint_level(spark: SparkSession, n_lineitem: int):
     return corpus_checkpoint_level(spark, 2 * n_lineitem * PR_EDGE_ROW_BYTES)
 
 
-# lineitem is numeric parquet at ~18 B/row on every committed fixture;
-# 10 B/row overestimates rows (leaning DISK_ONLY, the safe side) if a
-# regenerated fixture compresses better
-_LINEITEM_BYTES_PER_ROW = 10
-
-
 def _lineitem_rows_estimate(sf_dir: str) -> int:
-    """Row-count upper bound from the parquet footprint on disk — ZERO
-    Spark jobs (see operators/ckptlevel.py::parquet_footprint)."""
+    """EXACT lineitem row count from parquet footers — zero Spark jobs
+    (operators/ckptlevel.py::parquet_row_count). Replaced the
+    footprint // 10 B/row estimate in r15: the x10/x30 scale fixtures
+    dictionary-compress ~5-10x (verbatim copies), so the bytes-based
+    estimate UNDERCOUNTED rows by the same factor — the exact inversion
+    of the conservative bias it was designed for."""
     from e_commerce_click_stream_spark.operators.ckptlevel import (
-        parquet_footprint,
+        parquet_row_count,
     )
 
-    return parquet_footprint(sf_dir, "lineitem") // _LINEITEM_BYTES_PER_ROW
+    return parquet_row_count(sf_dir, "lineitem")
 
 
 def _pagerank_sql() -> str:
@@ -297,12 +295,14 @@ FROM stats s, ecount e, tri t
 _TRI_PAIR_FANOUT = 4
 
 # Wedge-stream Bloom prefilter geometry (the SHUFFLE_HASH close path):
-# bits per ESTIMATED edge and probes per key. The estimate overshoots
-# true distinct pairs by the DISTINCT's collapse factor (~4x on the
-# committed fixtures), so the realized bits-per-key lands well above
-# this floor; even at the floor (estimate == true edges) k=3 gives
-# ~11% false positives — still a 9x shuffle reduction.
-_TRI_BLOOM_BITS_PER_EDGE = 4
+# bits per edge and probes per key, sized from the EXACT edge count
+# (pe is already checkpointed when the bloom is built, so the count is
+# a cheap cached-block scan — and this path only runs in the scale
+# regime, where the triangle query is not bench-hot; sizing from the
+# pair-fanout ESTIMATE instead overshot true distinct pairs 20x on the
+# x10 fixture and ballooned the bitmap to 120 MB). 10 bits/key with
+# k=3 gives ~1% false positives.
+_TRI_BLOOM_BITS_PER_EDGE = 10
 _TRI_BLOOM_HASHES = 3
 
 
@@ -493,7 +493,10 @@ def graph_triangle_count(
     # itself). The broadcast path skips the bloom — there the wedge
     # stream never reaches an exchange, so there is nothing to save.
     if bucketed_close:
-        m_bits = max(1 << 16, est_pairs * _TRI_BLOOM_BITS_PER_EDGE // 64 * 64)
+        n_edges_exact = pe.count()  # cached-block scan, see geometry note
+        m_bits = max(
+            1 << 16, n_edges_exact * _TRI_BLOOM_BITS_PER_EDGE // 64 * 64
+        )
         bf = _edge_bloom(spark, closer, m_bits)
         wedges = (
             wedges.join(F.broadcast(bf))
@@ -509,7 +512,7 @@ def graph_triangle_count(
         # explicit repartition on the join keys is AQE-respected, costs
         # nothing extra (it IS the join's exchange), and sizes each
         # build at ~16 MB from the same footprint estimate.
-        close_parts = max(32, est_pairs * PR_EDGE_ROW_BYTES // (16 << 20))
+        close_parts = max(32, n_edges_exact * PR_EDGE_ROW_BYTES // (16 << 20))
         closer_side = closer.repartition(close_parts, "v", "w").hint(
             "shuffle_hash"
         )

@@ -110,6 +110,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dedup_stored_erase",
     "dedup_stored_apply_erase",
     "dedup_stored_compact",
+    # CHANGED r15 (third wave): exact footer row counts replaced the
+    # bytes-per-row footprint estimates feeding every checkpoint-level
+    # derivation (operators/ckptlevel.py::parquet_row_count) — pagerank
+    # consumes _lineitem_rows_estimate, so it re-verifies too (the
+    # dedup/graph consumers are already above)
+    "pagerank_bipartite",
     # rotation: the oldest r10-proof queries (alphabetical; the
     # remainder leads _VERIFY_NEXT for r16)
     "ann_ivf_pq_topk",
@@ -122,7 +128,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_ltv_cohorts",
     "customer_pareto_abc",
     "daily_active_users",
-    "dedup_simhash_hamming",
 )
 
 
@@ -132,6 +137,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r10-proof queries the
 # r15 window could not fit — they lead the r16 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "dedup_simhash_hamming",
     "doc_gram_contamination",
     "doc_winnowing_fingerprints",
     "dq_constraint_report",

@@ -103,61 +103,59 @@ def test_triangle_shuffle_hash_close_plan_shape(spark):
     assert "CartesianProduct" not in tree
 
 
-# --- footprint-estimate sanity pins (VERDICT r14 #7) ----------------------
-# The size-derived checkpoint levels estimate row/doc counts from parquet
-# footprints with per-fixture-family constants. The SAFE direction is
-# OVERESTIMATING rows (leans DISK_ONLY); a regenerated fixture that
-# compresses better than the constant assumes would silently flip a
-# checkpoint to in-memory at a size that OOMs. Pin, per family, that the
-# constant stays on the conservative side of the REAL footprint ratio on
-# the committed fixtures, and that a constructed violation goes red.
+# --- size-estimate sanity pins (VERDICT r14 #7) ---------------------------
+# The size-derived checkpoint levels need row/doc counts without Spark
+# jobs. r15 opened with bytes-per-row constants over parquet footprints
+# and pinned their conservativeness — then the x10 sweep showed the
+# whole class is unsalvageable on dictionary-compressing fixtures (the
+# verbatim-copy scale probes compress ~5-10x, so any bytes//constant
+# UNDERCOUNTS rows by that factor and flips levels to in-memory at
+# pool-pinning sizes). The estimates now read EXACT row counts from
+# parquet footers (ckptlevel.py::parquet_row_count); these pins hold it
+# to exactness on every fixture shape, including the adversarial
+# ultra-compressed one that broke the old estimates.
 
 
-def _real_bytes_per_row(spark, sf_dir: str, tbl: str) -> float:
+def test_parquet_row_count_exact_on_fixtures(spark):
     from e_commerce_click_stream_spark.io import table
     from e_commerce_click_stream_spark.operators.ckptlevel import (
-        parquet_footprint,
-    )
-
-    return parquet_footprint(sf_dir, tbl) / table(spark, sf_dir, tbl).count()
-
-
-def test_lineitem_bytes_per_row_constant_conservative(spark):
-    """graph.py sizes lineitem rows at footprint // 10: the estimate
-    OVERCOUNTS rows iff real compressed bytes/row >= 10. The x10 probe
-    fixture compresses to ~2.3 B/row (10 verbatim copies dedup
-    beautifully), where the constant UNDERCOUNTS rows 4x — tolerable
-    only because the derived level was DISK_ONLY regardless; the
-    committed sf fixtures are the ones the in-memory fast path relies
-    on, so they are the ones pinned."""
-    from e_commerce_click_stream_spark.plans.graph import (
-        _LINEITEM_BYTES_PER_ROW,
+        parquet_row_count,
     )
 
     for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
-        real = _real_bytes_per_row(spark, sf, "lineitem")
-        assert real >= _LINEITEM_BYTES_PER_ROW, (
-            f"{sf}: lineitem stores {real:.1f} B/row < constant "
-            f"{_LINEITEM_BYTES_PER_ROW} — row estimate would UNDERCOUNT"
-        )
+        for tbl in ("lineitem", "documents"):
+            assert parquet_row_count(sf, tbl) == table(spark, sf, tbl).count()
 
 
-def test_documents_bytes_per_doc_constant_conservative(spark):
-    """dedup.py estimates docs at footprint // 100 and charges
-    SH_EST_BYTES_PER_DOC per doc for the shingle checkpoint. Safe iff
-    (a) real compressed bytes/doc >= 100 (doc count overcounted) and
-    (b) the shingle-array estimate per doc covers the real average text
-    size with room (the checkpoint holds k-word string arrays ~3x the
-    text)."""
+def test_parquet_row_count_exact_on_compressed_dir_fixture(spark, tmp_path):
+    """The shape that broke the bytes-based estimates: a Spark-written
+    DIRECTORY whose constant column dictionary-compresses to ~0 B/row.
+    The footer count must stay exact where footprint // constant was
+    off by orders of magnitude."""
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        parquet_footprint,
+        parquet_row_count,
+    )
+
+    dense = spark.range(200_000).selectExpr(
+        "id AS l_orderkey", "1L AS l_partkey"
+    )
+    out = os.path.join(str(tmp_path), "lineitem.parquet")
+    dense.coalesce(2).write.parquet(out)
+    assert parquet_row_count(str(tmp_path), "lineitem") == 200_000
+    # and the old failure mode is real: bytes//10 UNDERCOUNTS rows here
+    # (~4 B/row after delta+dictionary encoding)
+    assert parquet_footprint(str(tmp_path), "lineitem") // 10 < 200_000
+
+
+def test_shingle_estimate_covers_real_text(spark):
+    """The per-doc byte charge the exact doc count is multiplied by must
+    keep covering the real average text size with room (the checkpoint
+    holds k-word string arrays ~3x the text)."""
     from e_commerce_click_stream_spark.io import table
     from e_commerce_click_stream_spark.plans.dedup import SH_EST_BYTES_PER_DOC
 
     for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
-        real = _real_bytes_per_row(spark, sf, "documents")
-        assert real >= 100, (
-            f"{sf}: documents store {real:.1f} B/doc < 100 — doc estimate "
-            "would UNDERCOUNT"
-        )
         avg_text = (
             table(spark, sf, "documents")
             .agg(F.avg(F.length("text")))
@@ -167,23 +165,6 @@ def test_documents_bytes_per_doc_constant_conservative(spark):
             f"{sf}: avg text {avg_text:.0f} B x3 exceeds "
             f"SH_EST_BYTES_PER_DOC={SH_EST_BYTES_PER_DOC}"
         )
-
-
-def test_footprint_pin_goes_red_on_violating_fixture(spark, tmp_path):
-    """The pin is only worth keeping if a fixture that violates the
-    bound actually fails it: write a parquet that compresses far below
-    10 B/row and assert the lineitem check would reject it."""
-    dense = spark.range(200_000).selectExpr(
-        "id AS l_orderkey", "1L AS l_partkey"  # constant col -> ~0 B/row
-    )
-    out = os.path.join(str(tmp_path), "lineitem.parquet")
-    dense.coalesce(1).write.parquet(out)
-    from e_commerce_click_stream_spark.plans.graph import (
-        _LINEITEM_BYTES_PER_ROW,
-    )
-
-    real = _real_bytes_per_row(spark, str(tmp_path), "lineitem")
-    assert real < _LINEITEM_BYTES_PER_ROW  # the violation is detected
 
 
 # --- LSH geometry past the corpus-plane clamp (VERDICT r14 #6) ------------
