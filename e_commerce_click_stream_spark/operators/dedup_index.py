@@ -575,9 +575,15 @@ def _probe_against(
         match_sh = match_sh.repartition(verify_partitions, "match_id")
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union_sz = F.size("sa") + F.size("sb") - common
+    if dedupe_candidates:
+        # scale regime only — small fixtures keep AQE's broadcast verify
+        # plans (2 exchanges, pinned in plan_audit); forcing SHJ there
+        # added 3 exchanges for no memory benefit
+        sa = sa.hint("shuffle_hash")
+        match_sh = match_sh.hint("shuffle_hash")
     scored = (
-        cand.join(sa.hint("shuffle_hash"), "probe_id")
-        .join(match_sh.hint("shuffle_hash"), "match_id")
+        cand.join(sa, "probe_id")
+        .join(match_sh, "match_id")
         .select(
             "probe_id",
             "match_id",
