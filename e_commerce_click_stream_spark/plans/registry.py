@@ -116,10 +116,17 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # consumes _lineitem_rows_estimate, so it re-verifies too (the
     # dedup/graph consumers are already above)
     "pagerank_bipartite",
+    # CHANGED r15 (optimization round): the line-scrub stage computes
+    # the normalized line relation once behind a size-derived
+    # checkpoint, derives tok_cnt from the collapsed norm string, runs
+    # the df agg as min/max (LINE_DF_DOCS == 2), and the curation dedup
+    # stage became a min_by hash agg (plans/text.py)
+    "corpus_curation_run",
+    "doc_line_boilerplate_scrub",
     # rotation: the oldest r10-proof queries (alphabetical; the
-    # remainder leads _VERIFY_NEXT for r16)
-    "ann_ivf_pq_topk",
-    "ann_recall_eval",
+    # remainder — ann_ivf_pq_topk, ann_recall_eval onward — leads
+    # _VERIFY_NEXT for r16; two rotation slots yielded to the two
+    # optimization-changed queries above)
     "bm25_topk_retrieval",
     "bm25_vs_ann_overlap",
     "brand_basket_affinity",
@@ -137,6 +144,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r10-proof queries the
 # r15 window could not fit — they lead the r16 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    "ann_ivf_pq_topk",
+    "ann_recall_eval",
     "dedup_simhash_hamming",
     "doc_gram_contamination",
     "doc_winnowing_fingerprints",

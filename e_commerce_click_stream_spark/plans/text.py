@@ -1348,31 +1348,57 @@ def doc_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc line counts (total / blank / dropped / kept) and the cleaned
     text's length + fingerprint.
 
-    Scale shape (the doc_passage_dedup discipline at line granularity):
-    zero-shuffle line explode, df agg over uniform md5 keys with
-    COUNT(DISTINCT doc_id) (partial agg collapses a million-doc footer
-    map-side; fan-out is exactly 1 join row per line INSTANCE, so a hub
-    line never explodes into candidate pairs), one join back, one re-agg
-    by doc rebuilding the text via sort_array over (idx, line) structs —
-    three key-local shuffles at any corpus size, no doc×doc joins.
+    Scale shape (the doc_passage_dedup discipline at line granularity;
+    r15 optimization pass, guide §2.3/§2.4): the exploded+normalized
+    line relation is computed ONCE and checkpointed at the size-derived
+    level (the r14 plan ran scan + explode + regex-normalize twice,
+    once per side of the df join); the df agg runs over uniform md5
+    keys as a plain min/max hash agg when LINE_DF_DOCS == 2 (ndocs < 2
+    ⟺ min(doc_id) == max(doc_id) — countDistinct's Expand + double
+    exchange removed; partial agg still collapses a million-doc footer
+    map-side, and fan-out stays exactly 1 join row per line INSTANCE,
+    so a hub line never explodes into candidate pairs), one join back,
+    one re-agg by doc rebuilding the text via sort_array over
+    (idx, line) structs — key-local shuffles at any corpus size, no
+    doc×doc joins.
 
     Cross-engine notes: split keeps trailing empty fields in BOTH engines
     (probed); the normalization key uses the folded lowercase fragment
     (textops.sql_lower_folded) so İ/Σ boilerplate matches identically;
     NULL-text docs have no lines in either engine and drop from the
     output, mirroring doc_passage_dedup."""
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        corpus_checkpoint_level,
+        parquet_row_count,
+    )
+
     norm = lower_folded(F.trim(F.regexp_replace("line", r"\s+", " ")))
     lines = (
         spread(table(spark, sf_dir, "documents"))
         .select("doc_id", F.posexplode(F.split("text", "\n", -1)).alias("i", "line"))
         .withColumn("fp", F.when(norm != "", F.md5(norm)))
+        .localCheckpoint(
+            eager=True,
+            storageLevel=corpus_checkpoint_level(
+                spark, parquet_row_count(sf_dir, "documents") * 8192
+            ),
+        )
     )
-    freq = (
-        lines.filter(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-    )
-    keep = F.col("fp").isNotNull() & (F.col("ndocs") < LINE_DF_DOCS)
+    if LINE_DF_DOCS == 2:
+        freq = (
+            lines.filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        )
+        boiler = F.col("_mn") != F.col("_mx")  # ndocs >= 2
+    else:  # pragma: no cover - general threshold fallback
+        freq = (
+            lines.filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("ndocs"))
+        )
+        boiler = F.col("ndocs") >= LINE_DF_DOCS
+    keep = F.col("fp").isNotNull() & ~boiler
     kept_structs = F.array_sort(
         F.collect_list(F.when(keep, F.struct(F.col("i"), F.col("line"))))
     )
@@ -1383,11 +1409,12 @@ def doc_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_lines"),
             F.sum(F.col("fp").isNull().cast("long")).alias("blank_lines"),
-            # NULL-safe: an all-blank doc has ndocs NULL on every line and
-            # Spark's sum(all-NULL) is NULL where the oracle's CASE sums 0
-            F.sum(
-                F.coalesce((F.col("ndocs") >= LINE_DF_DOCS).cast("long"), F.lit(0))
-            ).alias("dropped_lines"),
+            # NULL-safe: an all-blank doc misses the freq join on every
+            # line and Spark's sum(all-NULL) is NULL where the oracle's
+            # CASE sums 0
+            F.sum(F.coalesce(boiler.cast("long"), F.lit(0))).alias(
+                "dropped_lines"
+            ),
             F.sum(keep.cast("long")).alias("kept_lines"),
             kept_structs.alias("kept"),
         )
@@ -5601,39 +5628,84 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-line counts (folded-lower \\s+ tokens), so stage 0 costs no
     second corpus scan — the only extra touch of the raw table is a
     metadata-only count(*). Stages hand off through eager checkpoints
-    (scrubbed docs, bucket tf, bucket stats, per-doc scores), so no
-    stage recomputes a relation another stage already materialized; at
-    cluster scale each checkpoint is a persisted intermediate table.
+    (exploded lines, scrubbed docs, bucket tf, bucket stats, per-doc
+    scores), so no stage recomputes a relation another stage already
+    materialized; at cluster scale each checkpoint is a persisted
+    intermediate table.
 
-    Scale shape: scrub = 3 key-local shuffles (line df agg, join back,
-    doc re-agg); dedup = ONE window shuffle on the uniform md5 key (no
-    self-join); gate = zero-shuffle projection; DSIR = one tokenize agg
-    + broadcast lambda + broadcast 1-row totals; pack = per-source
-    windows (parallel, no global ordering). Nothing doc x doc, nothing
-    Python, nothing collected."""
+    Scale shape (r15 optimization pass, guide §2.3/§2.4): the exploded
+    line relation is normalized ONCE and checkpointed at the
+    size-derived level (the r14 plan ran the corpus scan + explode +
+    regex-normalize TWICE — once per side of the df join — and computed
+    tok_cnt with a second regex split; tok_cnt now derives from the
+    same collapsed ``norm`` string, and the checkpoint feeds both the
+    df agg and the join probe). Scrub = the df agg (min=max doc test,
+    one exchange — countDistinct's Expand+double-exchange removed; see
+    the LINE_DF_DOCS == 2 branch) + a broadcast-or-shuffle join back +
+    ONE payload exchange for the doc re-agg; dedup = one min_by hash
+    agg on the uniform md5 key (the r14 Window shape paid an extra
+    per-partition Sort of the scrubbed payload; min_by partial-aggs
+    map-side, so duplicate docs drop BEFORE the exchange); gate =
+    zero-shuffle projection; DSIR = one tokenize agg + broadcast
+    lambda + broadcast 1-row totals; pack = per-source windows
+    (parallel, no global ordering). Nothing doc x doc, nothing Python,
+    nothing collected."""
+    from e_commerce_click_stream_spark.operators.ckptlevel import (
+        corpus_checkpoint_level,
+        parquet_row_count,
+    )
+
     docs = spread(table(spark, sf_dir, "documents"))
     norm = lower_folded(F.trim(F.regexp_replace("line", r"\s+", " ")))
-    tok_cnt = F.size(
-        F.filter(
-            F.split(F.trim(lower_folded(F.col("line"))), r"\s+"),
-            lambda x: x != "",
-        )
-    ).cast("long")
+    # tok_cnt from the SAME collapsed-whitespace norm string that keys
+    # the df lookup: norm trims and collapses every \s+ run to one
+    # space, so its single-space split has exactly the tokens the r14
+    # expression counted with a second split+filter pass over the raw
+    # line (empty norm ⟺ zero tokens; oracle-proven identical).
     lines = (
         docs.filter(F.col("text").isNotNull())
         .select(
             "doc_id", "lang", "source",
             F.posexplode(F.split("text", "\n", -1)).alias("i", "line"),
         )
-        .withColumn("tok_cnt", tok_cnt)
-        .withColumn("fp", F.when(norm != "", F.md5(norm)))
+        .withColumn("norm", norm)
+        .select(
+            "doc_id", "lang", "source", "i", "line",
+            F.when(F.col("norm") == "", F.lit(0))
+            .otherwise(F.size(F.split("norm", " ")))
+            .cast("long")
+            .alias("tok_cnt"),
+            F.when(F.col("norm") != "", F.md5("norm")).alias("fp"),
+        )
+        # one normalize pass over the corpus; both scrub consumers (df
+        # agg + join probe) read this instead of re-scanning. Level is
+        # size-derived like every corpus-sized checkpoint (the line
+        # payload ≈ text bytes; same 8192 B/doc bound as the shingle
+        # checkpoints, pinned by the footprint tests).
+        .localCheckpoint(
+            eager=True,
+            storageLevel=corpus_checkpoint_level(
+                spark, parquet_row_count(sf_dir, "documents") * 8192
+            ),
+        )
     )
-    freq = (
-        lines.filter(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-    )
-    keep = F.col("fp").isNotNull() & (F.col("ndocs") < LINE_DF_DOCS)
+    if LINE_DF_DOCS == 2:
+        # ndocs < 2 ⟺ every occurrence is in one doc ⟺ min == max:
+        # a plain min/max hash agg (map-side combinable, ONE exchange)
+        # replaces countDistinct's Expand + distinct-agg double exchange
+        freq = (
+            lines.filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        )
+        keep = F.col("fp").isNotNull() & (F.col("_mn") == F.col("_mx"))
+    else:  # pragma: no cover - general threshold fallback
+        freq = (
+            lines.filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("ndocs"))
+        )
+        keep = F.col("fp").isNotNull() & (F.col("ndocs") < LINE_DF_DOCS)
     kept_structs = F.array_sort(
         F.collect_list(F.when(keep, F.struct(F.col("i"), F.col("line"))))
     )
@@ -5658,11 +5730,25 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds stage-0/1 readouts AND dedup
     )
     s1k = s1.filter(F.col("text").isNotNull())
-    fpw = Window.partitionBy(fingerprint())
+    # min-doc-per-fingerprint via min_by aggregate: same winner the r14
+    # Window.partitionBy(fp) + filter picked (doc_id is unique, so the
+    # min is a unique row), but a hash agg needs no per-partition Sort
+    # of the scrubbed payload and partial-aggs duplicates away map-side
     s2 = (
-        s1k.withColumn("min_doc", F.min("doc_id").over(fpw))
-        .filter(F.col("doc_id") == F.col("min_doc"))
-        .drop("min_doc")
+        s1k.groupBy(fingerprint().alias("_fp"))
+        .agg(
+            F.min_by(
+                F.struct(
+                    "doc_id", "lang", "source", "raw_tokens",
+                    "clean_tokens", "text",
+                ),
+                F.col("doc_id"),
+            ).alias("r")
+        )
+        .select(
+            "r.doc_id", "r.lang", "r.source", "r.raw_tokens",
+            "r.clean_tokens", "r.text",
+        )
         .localCheckpoint(eager=True)  # feeds stage-2 readout AND the gate
     )
     s3 = (

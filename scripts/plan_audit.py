@@ -598,17 +598,19 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_exchanges": 4,
     },
-    # line-boilerplate rewrite (r11): same key-local discipline at line
-    # granularity — zero-shuffle line explode (Generate), COUNT(DISTINCT
-    # doc) df agg (2 exchanges inherent to exact distinct), fan-out-1
-    # equi-join back, doc re-agg; the two extra exchanges are spread()'s
-    # local-parallelism repartition of the tiny fixture scans. No pair
-    # join, no Python, no Window
+    # line-boilerplate rewrite (r11; re-pinned r15 optimization): the
+    # explode + normalize pass runs ONCE at checkpoint time (the r14
+    # plan re-ran scan+Generate+regex on both sides of the df join), so
+    # the audited plan reads the checkpointed line relation twice (Scan
+    # ExistingRDD) — min/max df agg (ONE exchange; countDistinct's
+    # Expand+double-exchange removed under LINE_DF_DOCS == 2), fan-out-1
+    # equi-join back, doc re-agg. No pair join, no Python, no Window, no
+    # in-plan Generate
     "doc_line_boilerplate_scrub": {
-        "contains": ["Generate", "HashAggregate"],
+        "contains": ["Scan ExistingRDD", "HashAggregate"],
         "not_contains": ["CartesianProduct", "BatchEvalPython", "Window",
-                         "SortMergeJoin"],
-        "max_exchanges": 5,
+                         "SortMergeJoin", "Generate", "Expand"],
+        "max_exchanges": 2,
     },
     # explicit runtime filter: the bloom is built ONCE behind a
     # localCheckpoint and rides a 1-row BNLJ broadcast into both union
