@@ -563,22 +563,50 @@ def test_band_store_compaction_collapses_files_and_keeps_probe_identical(spark):
     )
     from tests.conftest import SF_SMOKE
 
-    index_dir, prefix = dedupplans._band_store_location(SF_SMOKE)
-    _sh, batch_sh, ids = dedupplans._band_store_build(
-        spark, SF_SMOKE, index_dir, prefix
+    from pyspark.sql import functions as F
+
+    from e_commerce_click_stream_spark.io import spread, table
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        append_to_band_index_tables,
+        build_band_index_tables,
     )
+    from e_commerce_click_stream_spark.operators.textops import shingles, tokens
+
+    # private store: this test APPENDS to manufacture fragmentation, which
+    # must never leak into the shared per-fixture store other tests reuse
+    index_dir, prefix = dedupplans._band_store_location(SF_SMOKE)
+    index_dir += "_cmp"
+    prefix += "_cmp"
+    docs = (
+        spread(table(spark, SF_SMOKE, "documents"))
+        .select(
+            "doc_id",
+            dedupplans.is_new_source().alias("is_new"),
+            tokens().alias("toks"),
+        )
+        .select("doc_id", "is_new", shingles("toks", 3).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    index_docs = docs.filter(~F.col("is_new")).select("doc_id", "s")
+    batch_sh = docs.filter("is_new").select("doc_id", "s")
+    build_band_index_tables(
+        index_docs, prefix, NUM_HASHES, NUM_BANDS,
+        num_buckets=NUM_STORE_BUCKETS, location=index_dir,
+    )
+    # the build writes are bucket-aligned (one file per bucket — the r15
+    # small-files fix), so fragmentation comes from batch APPENDS: each
+    # append adds a file to every bucket its rows hash into
+    append_to_band_index_tables(batch_sh, prefix, NUM_HASHES, NUM_BANDS)
     bands_t, shingles_t = band_table_names(prefix)
     bands_dir = os.path.join(index_dir, BANDS_SUBDIR)
     shingles_dir = os.path.join(index_dir, SHINGLES_SUBDIR)
-    # the signature agg leaves bands one file per (band, bucket) at this
-    # scale, but the 32-task checkpointed shingle relation fragments its
-    # buckets heavily (measured up to 29 files per bucket at sf0.01)
     before = bucket_file_counts(shingles_dir)
     assert before and any(n >= 2 for n in before.values()), (
-        f"32-task bucketed build should leave multi-file buckets: {before}"
+        f"build + append should leave multi-file buckets: {before}"
     )
     probe = lambda: probe_band_index_tables(
-        spark, batch_sh, ids, prefix, NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD
+        spark, batch_sh, batch_sh.select("doc_id"), prefix,
+        NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD
     )
     rows_before = sorted(map(tuple, probe().collect()))
     plan_before = _normalize_plan(
