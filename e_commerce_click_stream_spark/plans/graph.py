@@ -117,10 +117,13 @@ def pagerank_bipartite(
     center of the purchase network". Symmetric edges mean no dangling
     nodes, so no dangling-mass redistribution term is needed.
 
-    Scale shape: the integer edge list with attached out-degree is built
-    once and localCheckpoint-ed (on a cluster: a persisted table bucketed
-    by src — the checkpoint also keeps the 6 reuses of the edge subplan
-    from re-running the orders⋈lineitem distinct per reuse). Each BSP
+    Scale shape: the distinct (customer, supplier) pair list e0 is
+    checkpointed once (on a cluster: a persisted table bucketed by src);
+    out-degrees are two tiny per-node aggs of it, BROADCAST back onto the
+    symmetric edge list so edges-with-degree is a narrow, exchange-free
+    view of the checkpoint (the pre-r15 shape materialized edges⋈deg
+    instead, which planned the orders⋈lineitem distinct four times and
+    shuffled the full edge list against its own degree agg). Each BSP
     round joins the rank vector against edges on src and partial+final
     aggregates on dst — the canonical Pregel-on-DataFrames step. The
     rank vector is BROADCAST into that join: a checkpoint erases the
@@ -150,6 +153,16 @@ def pagerank_bipartite(
     parity)."""
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # The distinct (customer, supplier) pair list is THE relation every
+    # downstream branch re-reads; checkpoint it FIRST. The r15-measured
+    # alternative (checkpointing edges⋈deg) planned the orders⋈lineitem
+    # + distinct subtree FOUR times in one job (e0 referenced twice by
+    # the union and the whole union again by the degree branch) and then
+    # sort-merge-joined the full edge list against its own degree agg —
+    # one corpus join + distinct here replaces all of that. Storage level
+    # is size-derived (see _edge_checkpoint_level); e0 is HALF the edge
+    # rows, so the pinned footprint also halves vs the old edge ckpt.
+    level = _edge_checkpoint_level(spark, _lineitem_rows_estimate(sf_dir))
     e0 = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select("o_custkey", "l_suppkey")
@@ -158,39 +171,54 @@ def pagerank_bipartite(
             (F.col("o_custkey") * 2).alias("cnode"),
             (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
+        .localCheckpoint(eager=True, storageLevel=level)
     )
-    edges = e0.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).unionAll(
-        e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    # per-node out-degree WITHOUT shuffling the edge list: in the
+    # symmetric bipartite graph outdeg(c) = |distinct suppliers of c| and
+    # outdeg(s) = |distinct customers of s| — two partial+final aggs of
+    # e0 (tiny exchanges: agg buffers, one row per node), never an
+    # edges-sized exchange. The union needs no distinct: even/odd node
+    # encodings are disjoint and each agg's keys are unique by
+    # construction.
+    deg_all = (
+        e0.groupBy(F.col("cnode").alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+        .unionAll(
+            e0.groupBy(F.col("snode").alias("node"))
+            .agg(F.count("*").alias("outdeg"))
+        )
+    ).localCheckpoint(eager=True)
+    # attach out-degree by BROADCAST (deg_all is O(nodes) rows — the same
+    # cardinality bound that justifies broadcasting the rank vector), so
+    # the symmetric edge list with degree attached is a NARROW transform
+    # of the e0 checkpoint: zero exchanges, nothing edge-sized pinned in
+    # the block manager. Each round re-evaluates the two broadcast joins
+    # from the checkpoint — cheap map-side work, measured within noise of
+    # materializing edges_deg at sf0.1 while halving stored blocks.
+    dj = deg_all.select(F.col("node").alias("jn"), "outdeg")
+    edges_deg = (
+        e0.join(F.broadcast(dj), e0.cnode == dj.jn)
+        .select(
+            F.col("cnode").alias("src"), F.col("snode").alias("dst"), "outdeg"
+        )
+        .unionAll(
+            e0.join(F.broadcast(dj), e0.snode == dj.jn)
+            .select(
+                F.col("snode").alias("src"),
+                F.col("cnode").alias("dst"),
+                "outdeg",
+            )
+        )
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     if bucketed_edges:
         # crossover shape: pre-partition on src and persist — the cached
         # relation keeps hashpartitioning(src), so each round's join
         # exchanges only the rank vector (the cluster analogue is a table
         # bucketed by src)
-        edges_deg = edges.join(deg, "src").repartition("src").persist()
+        edges_deg = edges_deg.repartition("src").persist()
         edges_deg.count()  # materialize once, before the rounds
-    else:
-        # The edge list is the one corpus-sized relation this plan pins in
-        # the block manager across every round; at the r13 x10 scale probe
-        # an unconditional MEMORY_AND_DISK starved the unified pool of a
-        # vanilla 1 GiB local session into AGGREGATE_OUT_OF_MEMORY, while
-        # an unconditional DISK_ONLY taxed every small-input run with a
-        # per-round local read. The level is now derived from the input
-        # size vs the session's pool (see _edge_checkpoint_level): small
-        # inputs keep the in-memory latency, large inputs disk-back —
-        # matching the cluster analogue the docstring names, a persisted
-        # TABLE bucketed by src (disk-resident by definition). The
-        # per-round rank checkpoints stay in memory either way: O(nodes)
-        # rows, the thing broadcast anyway. The row count feeding the
-        # estimate comes from the parquet footprint on disk — no job.
-        level = _edge_checkpoint_level(spark, _lineitem_rows_estimate(sf_dir))
-        edges_deg = edges.join(deg, "src").localCheckpoint(
-            eager=True, storageLevel=level
-        )
-    nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+    nodes = deg_all.select("node")
     # 1 row; without the checkpoint every round's plan recomputes the count
-    # from a full edge scan + distinct + two exchanges
     n = nodes.agg(F.count("*").alias("n_nodes")).localCheckpoint(eager=True)
     ranks = nodes.join(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
