@@ -131,13 +131,15 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "max_exchanges": 5,
     },
-    # LSH near-dup: the only nested-loop is the broadcast of the 1-row
-    # packed hyperplane array; the candidate pair scan is an equi-join on
-    # (band_id, band_sig) with a distinct-pair hash aggregate
+    # LSH near-dup: the banded keys are checkpointed before the self-join
+    # (r15 — signature pipeline runs ONCE, at checkpoint time, where its
+    # only nested-loop is the 1-row packed-plane broadcast); the readout
+    # plan is the candidate equi-join on (band_id, band_sig) with a
+    # distinct-pair hash aggregate and the two broadcast verify joins
     "embedding_neardup_lsh": {
-        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
-        "not_contains": ["CartesianProduct"],
-        "max_exchanges": 6,
+        "contains": ["HashAggregate"],
+        "not_contains": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "max_exchanges": 4,
     },
     # EXISTS with inequality correlation: hash semi-join, never a
     # nested-loop; order-date range pushed to the orders scan
