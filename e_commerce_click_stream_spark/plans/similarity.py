@@ -522,37 +522,72 @@ def _ivf_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return n, cent
 
 
+def _cent_row(cent: DataFrame) -> DataFrame:
+    """The centroid codebook packed into ONE row as a cent_id-sorted array
+    of (cent_id, cv, cnrm) structs — broadcast-crossJoined against the
+    corpus so assignment/probing are narrow per-row array folds (the
+    embedding_kmeans_iter packed-plane pattern)."""
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cnrm"))).alias("cents")
+    )
+
+
 def _ivf_assign(n: DataFrame, cent: DataFrame, carry_vec: bool) -> DataFrame:
-    """Nearest-centroid cell per vector (rounded cosine, low-id tiebreak)."""
-    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    """Nearest-centroid cell per vector (rounded cosine, low-id tiebreak).
+
+    ZERO-shuffle: the codebook collapses into one broadcast row and each
+    vector folds over it for its argmax cell — a narrow per-row
+    expression. The r14 shape (crossJoin to n×k rows, then
+    groupBy(vec_id[, v, nrm]).max_by) paid an n×k exchange carrying the
+    64-dim vector; at corpus scale that shuffle, not the FLOPs, was the
+    assignment cost. Scores are identical (same round(·,6), same
+    cent_id·1e-12 tiebreak term, so scores are distinct per centroid and
+    array_max picks exactly max_by's winner)."""
+    sim_of = lambda c: (  # noqa: E731
+        F.round(_dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"]), 6)
+        - c["cent_id"] * 1e-12
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(sim_of(c).alias("score"), c["cent_id"].alias("cell")),
+        )
+    )
     keys = ("vec_id", "v", "nrm") if carry_vec else ("vec_id",)
     return (
-        n.crossJoin(F.broadcast(cent))
-        .groupBy(*keys)
-        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
+        n.crossJoin(F.broadcast(_cent_row(cent)))
+        .select(*keys, best["cell"].alias("cell"))
     )
 
 
 def _ivf_probes(n: DataFrame, cent: DataFrame, carry_query_vec: bool) -> DataFrame:
     """Top-N_PROBE nearest cells per query vector, optionally hauling the
-    query vector/norm along for downstream exact scoring."""
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
+    query vector/norm along for downstream exact scoring.
+
+    Narrow per-row: each query folds over the broadcast packed codebook,
+    sorts its k (−psim, cent_id) structs and explodes the first N_PROBE —
+    same (psim desc, cent_id asc) order the r14 row_number window used,
+    without the window's exchange+sort in the broadcast-build subtree."""
     qcols = ["qv", "qn"] if carry_query_vec else []
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-F.round(_dot(F.col("qv"), c["cv"]) / (F.col("qn") * c["cnrm"]), 6)).alias(
+                "negp"
+            ),
+            c["cent_id"].alias("cell"),
+        ),
+    )
     return (
         n.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-        .crossJoin(F.broadcast(cent))
+        .crossJoin(F.broadcast(_cent_row(cent)))
         .select(
             "query_id",
             *qcols,
-            "cent_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias(
-                "psim"
-            ),
+            F.explode(F.slice(F.array_sort(scored), 1, N_PROBE)).alias("_pr"),
         )
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= N_PROBE)
-        .select("query_id", *qcols, F.col("cent_id").alias("cell"))
+        .select("query_id", *qcols, F.col("_pr.cell").alias("cell"))
     )
 
 
@@ -794,11 +829,12 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume. Per round: the k centroids pack into a 1-row broadcast array
     and every corpus vector computes its argmin cell as a narrow per-row
     expression — the assignment step shuffles NOTHING — then recentering
-    is a per-(cell, dimension) mean: rows = n·d with a key-local shuffle,
-    no single-partition reassembly of anything bigger than k centroid
-    arrays. Centroids are checkpointed per round (k rows) so lineage
-    stays flat; the final assignment is checkpointed once because two
-    consumers read it and a narrow plan has no shuffle output to reuse.
+    is ONE wide hash agg per round (count + d per-dim avgs,
+    partial-aggregated to k rows map-side), so the only exchange per
+    iteration carries k rows per map task. Centroids are checkpointed per
+    round (k rows) so lineage stays flat; the final round's agg emits
+    cell sizes AND centroids together, so the whole query is exactly
+    KMEANS_ITERS corpus passes with no corpus-sized checkpoint.
     Output: final cell sizes + centroid vectors."""
     n = _vecs(spark, sf_dir).select(
         "vec_id",
@@ -857,47 +893,54 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.crossJoin(F.broadcast(cent_row))
             .select("vec_id", "v", best["cell"].alias("cell"))
         )
-        if it == KMEANS_ITERS - 1:
-            # the last assignment is consumed TWICE (recenter for the output
-            # centroids + the final cell-size count); narrow plans have no
-            # shuffle output to reuse, so without this the n×k distance pass
-            # runs twice (measured 2.60 → 2.42 s at sf0.1)
-            assign = assign.localCheckpoint(eager=True)
-        dims = (
-            assign.select("cell", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-        )
-        cent = (
-            dims.groupBy(F.col("cell").alias("cent_id"))
+        # recentering is ONE wide hash agg: per cell, count + an array of
+        # 64 per-dim sums (a single F.expr so plan construction is one
+        # py4j call, and 65 agg buffer fields keeps whole-stage codegen
+        # under spark.sql.codegen.maxFields). Map-side partial
+        # aggregation collapses every task to k rows before the
+        # exchange, so the shuffle carries k rows per map task instead
+        # of the n·d (cell, dim, val) rows the posexplode shape
+        # generated and hash-probed per element; the dims→cent
+        # reassembly agg (second exchange) disappears because the sums
+        # pack straight into the centroid array. round(sum/count, 6) is
+        # exactly round(avg, 6) — Average IS Divide(sum, count cast to
+        # double) — and reduction order is arbitrary in both shapes,
+        # exactly as the oracle's avg.
+        sums = ", ".join(f"sum(v[{d}])" for d in range(_EMB_DIM))
+        recentered = (
+            assign.groupBy(F.col("cell").alias("cent_id"))
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda x: x["m"]
-                ).alias("cv")
+                F.count("*").alias("n_vectors"),
+                F.expr(f"array({sums})").alias("_sums"),
             )
-            .select("cent_id", "cv", cn2_of(F.col("cv")).alias("cn2"))
-            .localCheckpoint(eager=True)
+            .select(
+                "cent_id",
+                "n_vectors",
+                F.expr(
+                    "transform(_sums, s -> round(s / cast(n_vectors AS double), 6))"
+                ).alias("cv"),
+            )
         )
-    return (
-        assign.groupBy("cell")
-        .agg(F.count("*").alias("n_vectors"))
-        # k rows; checkpointed RDDs have no stats, so un-hinted this 8×8
-        # join planned as a full SortMergeJoin (exchange + sort both sides)
-        .join(F.broadcast(cent), F.col("cell") == F.col("cent_id"))
-        .select(
-            "cell",
-            "n_vectors",
-            # gate-safe serialization: pandas canonicalization can't hash list
-            # cells, so the vector is emitted as micro-scaled integers (the
-            # values are already rounded to 6 decimals, so x*1e6 is integral
-            # up to float noise on BOTH engines)
-            F.array_join(
-                F.transform(
-                    "cv", lambda x: F.round(x * 1000000).cast("bigint").cast("string")
-                ),
-                ",",
-            ).alias("centroid"),
-        )
+        if it < KMEANS_ITERS - 1:
+            cent = recentered.select(
+                "cent_id", "cv", cn2_of(F.col("cv")).alias("cn2")
+            ).localCheckpoint(eager=True)
+    # the final round's wide agg already carries BOTH outputs (cell sizes
+    # + recentered centroids), so the n-row final-assignment checkpoint
+    # and the 8×8 readout join are gone — one corpus pass total
+    return recentered.select(
+        F.col("cent_id").alias("cell"),
+        "n_vectors",
+        # gate-safe serialization: pandas canonicalization can't hash list
+        # cells, so the vector is emitted as micro-scaled integers (the
+        # values are already rounded to 6 decimals, so x*1e6 is integral
+        # up to float noise on BOTH engines)
+        F.array_join(
+            F.transform(
+                "cv", lambda x: F.round(x * 1000000).cast("bigint").cast("string")
+            ),
+            ",",
+        ).alias("centroid"),
     )
 
 
@@ -2111,14 +2154,10 @@ def _ivf_store_location(sf_dir: str) -> tuple[str, str]:
 
 
 def _ivf_assignments(n: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid cell per vector: broadcast centroids + argmax —
-    vectors never shuffle for the assignment."""
-    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
-    return (
-        n.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id", "v", "nrm")
-        .agg(F.max_by("cent_id", sim - F.col("cent_id") * 1e-12).alias("cell"))
-    )
+    """Nearest-centroid cell per vector: packed-codebook broadcast +
+    per-row argmax fold — vectors never shuffle for the assignment (one
+    definition with the one-shot queries: ``_ivf_assign``)."""
+    return _ivf_assign(n, cent, carry_vec=True)
 
 
 def _ivf_store_build(
@@ -2151,7 +2190,13 @@ def _ivf_store_build(
 
     acquire_build_lock(index_dir)
     (
-        assign.write.mode("overwrite")
+        # align writer tasks to the bucket layout (Murmur3-pmod on vec_id,
+        # the exact function bucketBy applies — operators/compaction.py
+        # precedent): each task holds exactly one bucket's rows, so the
+        # store materializes one file per (cell, bucket) instead of one
+        # per (upstream task, cell, bucket)
+        assign.repartition(_IVF_BUCKETS, F.col("vec_id"))
+        .write.mode("overwrite")
         .format("parquet")
         .partitionBy("cell")
         .bucketBy(_IVF_BUCKETS, "vec_id")
@@ -2194,7 +2239,10 @@ def _ivf_store_append(spark: SparkSession, sf_dir: str, prefix: str,
     assign = _ivf_assignments(n.filter(arrivals_filter), stored_cent)
     acquire_build_lock(index_dir)
     (
-        assign.write.mode("append")
+        # bucket-aligned like the build: each append adds _IVF_BUCKETS
+        # files per touched cell, not tasks × buckets
+        assign.repartition(_IVF_BUCKETS, F.col("vec_id"))
+        .write.mode("append")
         .format("parquet")
         .partitionBy("cell")
         .bucketBy(_IVF_BUCKETS, "vec_id")
@@ -2295,24 +2343,10 @@ def _ivf_probe_stored(
     spark: SparkSession, sf_dir: str, stored_cent: DataFrame, stored_assign: DataFrame
 ) -> DataFrame:
     n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cent_id"))
-    probes = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-        )
-        .crossJoin(F.broadcast(stored_cent))
-        .select(
-            "query_id", "qv", "qn", "cent_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6)
-            .alias("psim"),
-        )
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= N_PROBE)
-        .select("query_id", "qv", "qn", F.col("cent_id").alias("cell"))
-    )
+    # same narrow per-row probe selection as _ivf_probes, against the
+    # STORED centroid table (sorted-slice of the packed codebook — no
+    # window exchange in the broadcast-build subtree)
+    probes = _ivf_probes(n, stored_cent, carry_query_vec=True)
     scored = (
         stored_assign.join(F.broadcast(probes), on="cell")
         .filter(F.col("vec_id") != F.col("query_id"))

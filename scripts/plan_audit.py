@@ -478,13 +478,17 @@ EXPECTATIONS: dict[str, dict] = {
         "not_contains": ["Join", "CartesianProduct", "SortMergeJoin"],
         "max_exchanges": 2,
     },
-    # k-means final round (earlier rounds sit behind checkpoints): the cell
-    # count is ONE exchange over the checkpointed zero-shuffle assignment;
-    # joining the k-row centroid table must broadcast, never sort-merge
+    # k-means final round (earlier rounds sit behind checkpoints): the
+    # packed-codebook broadcast (1-row BroadcastNestedLoopJoin) feeds a
+    # zero-shuffle per-row assignment, and ONE wide hash agg emits cell
+    # sizes + recentered centroids together — no readout join at all.
+    # 2 exchanges: the corpus-side cell agg + the ≤k-row packed-codebook
+    # collect inside the broadcast build (same shape as the LSH planes
+    # collect)
     "embedding_kmeans_iter": {
-        "contains": ["BroadcastHashJoin", "HashAggregate"],
-        "not_contains": ["CartesianProduct", "SortMergeJoin"],
-        "max_exchanges": 1,
+        "contains": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "not_contains": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+        "max_exchanges": 2,
     },
     # windowed EWMA: one user_id exchange shared by the collect-frame,
     # row_number, and partition count windows; pure expression fold, no
