@@ -3953,7 +3953,23 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds three consumers (df counts, query-term selection, candidate
     # scoring) — materialize once or the explode+agg recompiles per branch
     tf = tf.localCheckpoint(eager=True)
-    dfrel = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # df is only ever consumed for terms that occur in a query document
+    # (qt joins it against the broadcast query postings below): restrict
+    # the agg to those postings with a broadcast semi-join BEFORE the
+    # exchange instead of aggregating the full vocabulary. The df values
+    # that survive are computed over exactly the same posting rows, so
+    # every downstream number is unchanged; the exchange shrinks from
+    # |vocabulary| keys to |query vocabulary| keys (guide §2.3 — shuffle
+    # fewer bytes; at corpus scale the full-vocab agg was the dominant
+    # non-probe shuffle of this query). The broadcast list is the raw
+    # query postings — no distinct: a semi-join only tests existence,
+    # and skipping the dedup exchange beat paying it (A/B 2.30→2.15 s).
+    qtoks = tf.filter(F.col("doc_id") < N_QUERIES).select("tok")
+    dfrel = (
+        tf.join(F.broadcast(qtoks), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
     # corpus scalars from the CHECKPOINTED postings, never a second
     # scan+retokenize of the corpus (every toked doc has >= 1 posting, so
     # the doc set and dl values are identical); partial agg collapses the
