@@ -69,6 +69,39 @@ def stage_file_as_dir(path: str) -> str:
     return stage_dir
 
 
+# Session-conf handoff from the replay readers to the runners: the readers
+# know the replay's input size, the runners own the shuffle clamp.
+_REPLAY_PARTS_KEY = "spark_graft.stream.replayStateParts"
+_REPLAY_BYTES_PER_PART = 8 << 20  # ~8 MiB of replay input per state partition
+
+
+def _note_replay_size(spark: SparkSession, nbytes: int) -> None:
+    """Derive the stateful-shuffle partition count for a finite file
+    replay from its input bytes and record it for the runners. One state
+    store per shuffle partition is opened, checkpoint-committed and
+    re-loaded PER MICRO-BATCH, so a small replay at a fixed count spends
+    more time on store lifecycle than on aggregation (guide §2 —
+    scale-adaptive partitioning; interleaved A/B at sf0.1:
+    streaming_hourly_metrics 1.55 → 1.04 s at 2 MB input). Floor 4 keeps
+    multi-core replay on tiny fixtures; the cap is the session's own
+    configured shuffle parallelism, so a cluster-sized replay keeps
+    cluster parallelism — nothing here is local[32]-specific."""
+    import math
+
+    cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    derived = max(4, math.ceil(nbytes / _REPLAY_BYTES_PER_PART))
+    spark.conf.set(_REPLAY_PARTS_KEY, str(min(derived, cap)))
+
+
+def _replay_parts(spark: SparkSession) -> str:
+    """Partition count the runners clamp to: the size-derived value when a
+    replay reader recorded one, else the historical 32."""
+    try:
+        return spark.conf.get(_REPLAY_PARTS_KEY)
+    except Exception:
+        return "32"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events fixture (finite replay).
 
@@ -79,6 +112,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
+    _note_replay_size(spark, os.path.getsize(src))
     stage_dir = stage_file_as_dir(src)
     # NTZ normalization (io.ntz_to_ltz): the staged fixture may store
     # naive timestamp[us], which would surface as TIMESTAMP_NTZ and be
@@ -97,6 +131,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents stream feeds STATELESS hygiene stages (scrub, fingerprint,
     quality flags) that run in append mode without a watermark."""
     src = os.path.join(sf_dir, "documents.parquet")
+    _note_replay_size(spark, os.path.getsize(src))
     stage_dir = stage_file_as_dir(src)
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(stage_dir)
@@ -275,7 +310,7 @@ def run_with_processing_time(
     name = f"stream_pt_{os.getpid()}_{next(_counter)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", _replay_parts(spark))
     try:
         query = (
             result.writeStream.outputMode(output_mode)
@@ -327,7 +362,7 @@ def run_to_completion(
     # the 200 default a small replay spends more time opening stores than
     # aggregating — clamp for the run, restore after
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", _replay_parts(spark))
     try:
         writer = (
             result.writeStream.outputMode(output_mode)
@@ -509,6 +544,14 @@ def _chunked_replay(spark: SparkSession, df: DataFrame, chunks: int):
     the scratch paths the caller removes when done."""
     stage = tempfile.mkdtemp(prefix="replay_chunks_")
     df.repartition(chunks).write.mode("overwrite").parquet(stage)
+    _note_replay_size(
+        spark,
+        sum(
+            os.path.getsize(os.path.join(stage, f))
+            for f in os.listdir(stage)
+            if f.endswith(".parquet")
+        ),
+    )
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
@@ -534,7 +577,7 @@ def _run_foreach_batch(stream: DataFrame, merge, timeout_s: int = 300) -> str:
     try:
         # clamp inside the try: a start-time failure must not leave the
         # session's shuffle parallelism stuck at 32
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", _replay_parts(spark))
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", ckpt)

@@ -207,3 +207,52 @@ def test_lsh_projection_planes_identical_in_builder_and_oracle(spark, tmp_path):
     )
     assert len(s_rows) == len(oracle) == n * 4
     assert s_rows == sorted(tuple(r) for r in oracle)
+
+
+# --- size-derived streaming replay partitions (r15 optimization) ----------
+
+
+def test_replay_state_partitions_derivation(spark):
+    """The replay readers derive the stateful-shuffle partition count from
+    input bytes (~8 MiB/partition), floored at 4 and capped at the
+    session's configured shuffle parallelism — so a tiny fixture replay
+    stops paying per-micro-batch state-store lifecycle for partitions it
+    does not need, while a cluster-sized replay keeps cluster
+    parallelism (nothing local[32]-specific)."""
+    from e_commerce_click_stream_spark.streaming import jobs as J
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    J._note_replay_size(spark, 2 << 20)  # 2 MiB -> floor
+    assert J._replay_parts(spark) == str(min(4, cap))
+
+    J._note_replay_size(spark, 100 << 20)  # 100 MiB -> 13 parts, capped
+    assert J._replay_parts(spark) == str(min(13, cap))
+
+    J._note_replay_size(spark, 1 << 40)  # 1 TiB -> always the session cap
+    assert J._replay_parts(spark) == str(cap)
+
+
+def test_run_to_completion_uses_derived_parts(spark):
+    """run_to_completion clamps spark.sql.shuffle.partitions to the
+    reader-derived value for the duration of the stream (and restores the
+    session value after): the sink-side parquet/state layout of the tiny
+    fixture replay must come out at the derived width, not the session
+    default."""
+    from tests.conftest import SF_SMOKE
+
+    from e_commerce_click_stream_spark.streaming.jobs import (
+        _replay_parts,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    derived = int(_replay_parts(spark))
+    assert derived == 4  # all committed fixtures are < 8 MiB of events
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_to_completion(
+        stream.groupBy("event_type").count(), "complete"
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert out.count() > 0
