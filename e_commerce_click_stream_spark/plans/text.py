@@ -890,15 +890,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(N/df) with N a 1-row broadcast scalar, then a per-doc
     WindowGroupLimit top-k — no global sort, no driver collection.
 
-    Shuffle shape: (doc,tok) agg and tok agg are both md5-uniform-ish
-    hash aggs; the tf→df join is an equi-join on token with fan-out
+    Shuffle shape (r15): ONE corpus explode+agg builds tf, materialized
+    once; df derives from tf — tf rows are unique per (doc, tok), so a
+    plain count per token over tf IS count_distinct(doc_id) without
+    either the second corpus pass or countDistinct's Expand + double
+    exchange; the tf→df join is an equi-join on token with fan-out
     exactly 1; the final window re-hashes on doc_id only."""
     toks = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(tokens()).alias("tok"))
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # two consumers (df agg + join probe): materialize or the corpus
+    # explode+agg replans per branch
+    tf = tf.localCheckpoint(eager=True)
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "tok")
