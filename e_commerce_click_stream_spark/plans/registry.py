@@ -124,17 +124,28 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_curation_run",
     "doc_line_boilerplate_scrub",
     # rotation: the oldest r10-proof queries (alphabetical; the
-    # remainder — ann_ivf_pq_topk, ann_recall_eval onward — leads
-    # _VERIFY_NEXT for r16; two rotation slots yielded to the two
-    # optimization-changed queries above)
-    "bm25_topk_retrieval",
-    "bm25_vs_ann_overlap",
-    "brand_basket_affinity",
-    "corpus_mix_plan",
-    "corpus_vocabulary",
-    "customer_ltv_cohorts",
-    "customer_pareto_abc",
-    "daily_active_users",
+    # remainder — ann_recall_eval onward — leads _VERIFY_NEXT for r16;
+    # rotation slots yielded to optimization-changed queries)
+    "bm25_topk_retrieval",           # also CHANGED r15 opt: df semi-join
+    "bm25_vs_ann_overlap",           # composes the changed bm25 path
+    # CHANGED r15 (optimization round, second wave) — highest-risk
+    # changed queries hedge into the bounded window (the optimization
+    # driver re-runs the full registry, but if only a prefix lands in
+    # CORRECTNESS_r15 these must be in it): packed-codebook IVF
+    # assignment/probing + bucket-aligned store writes
+    # (plans/similarity.py), one-agg kmeans recentering, tfidf df from
+    # the materialized tf relation (plans/text.py). Remaining changed
+    # twins (ann_ivf_cells/pq_topk/erase/append/compact/range_search,
+    # ivf_cell_balance_audit, the streaming replay-partition family)
+    # verify through the full-registry re-run; six r10-rotation slots
+    # (brand_basket_affinity … daily_active_users) yielded and lead
+    # _VERIFY_NEXT for r16.
+    "embedding_kmeans_iter",
+    "ann_ivf_topk",
+    "ann_ivf_probe_only",
+    "ann_ivf_stored",
+    "ann_ivf_apply_erase",
+    "tfidf_top_terms",
 )
 
 
@@ -144,6 +155,14 @@ _VERIFY_FIRST: tuple[str, ...] = (
 # fixture-current ever-green row). These are the r10-proof queries the
 # r15 window could not fit — they lead the r16 window.
 _VERIFY_NEXT: tuple[str, ...] = (
+    # the six r10-rotation slots the r15 optimization window displaced —
+    # they lead the r16 refresh
+    "brand_basket_affinity",
+    "corpus_mix_plan",
+    "corpus_vocabulary",
+    "customer_ltv_cohorts",
+    "customer_pareto_abc",
+    "daily_active_users",
     "ann_ivf_pq_topk",
     "ann_recall_eval",
     "dedup_simhash_hamming",
@@ -172,7 +191,6 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "streaming_late_data_audit",
     "streaming_session_windows",
     "streaming_sliding_windows",
-    "tfidf_top_terms",
     "user_entropy_profile",
     "user_retention_cohorts",
     "watermark_delay_calibration",
