@@ -107,10 +107,17 @@ def minhash_signature(
     seed-prefixed shingle — engine-portable (md5 hex strings order
     identically everywhere), map-side-combinable (min), no UDF. ``carry``
     names doc-level columns to ride through the grouping (functionally
-    dependent on doc_id) instead of being re-joined afterwards."""
+    dependent on doc_id) instead of being re-joined afterwards.
+
+    Each component is ONE parsed SQL expression, not a Column chain: the
+    per-component min/md5/concat/lit/col/alias construction cost ~20
+    gateway roundtrips x num_hashes x every signing call in a query
+    (dedup_incremental_stored spent ~1.3k roundtrips here alone), and
+    plan construction is inside every timed/billed run. The parsed tree
+    is identical (same functions, same literals, same aliases)."""
     return exploded.groupBy("doc_id", *carry).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh_")))).alias(f"mh{s}")
+            F.expr(f"min(md5(concat('{s}:', sh_))) AS mh{s}")
             for s in range(num_hashes)
         ]
     )
@@ -131,21 +138,23 @@ def band_buckets(
     with no Exchange on the stored side (subset-key co-partitioning is
     not a thing Spark will plan; one key, one bucket spec, zero shuffle).
     The ``band`` column still rides along for partition pruning and
-    layout audits."""
+    layout audits.
+
+    The whole explode(array(struct...)) tree is ONE parsed SQL expression
+    (same rationale as minhash_signature: the per-band struct/md5/concat
+    Column chains cost ~100 gateway roundtrips per signing call; the
+    parsed tree — named_struct('band', <int literal>, 'bucket', md5) —
+    is what the Column API built)."""
     structs = []
     for b in range(num_bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        concat_cols: list = [F.lit(f"{b}|")]
-        for i, c in enumerate(cols):
-            if i:
-                concat_cols.append(F.lit("|"))
-            concat_cols.append(c)
-        structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*concat_cols)).alias("bucket"))
+        comps = ", '|', ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
         )
-    return sig.select(
-        "doc_id", *carry, F.explode(F.array(*structs)).alias("bb")
-    ).select(
+        structs.append(
+            f"named_struct('band', {b}, 'bucket', md5(concat('{b}|', {comps})))"
+        )
+    bb = F.expr(f"explode(array({', '.join(structs)})) AS bb")
+    return sig.select("doc_id", *carry, bb).select(
         "doc_id", *carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -502,20 +511,17 @@ def best_match_per_probe(scored: DataFrame) -> DataFrame:
     return (
         scored.groupBy("probe_id")
         .agg(
-            F.min_by(
-                F.struct("match_id", "match_is_new", "jaccard"),
-                F.struct(
-                    (-F.col("jaccard")).alias("nj"),
-                    F.col("match_is_new").alias("mn"),
-                    F.col("match_id").alias("mi"),
-                ),
-            ).alias("b")
+            F.expr(
+                "min_by(struct(match_id, match_is_new, jaccard),"
+                " named_struct('nj', -jaccard, 'mn', match_is_new,"
+                " 'mi', match_id)) AS b"
+            )
         )
-        .select(
+        .selectExpr(
             "probe_id",
-            F.col("b.match_id").alias("match_id"),
-            F.col("b.match_is_new").alias("match_is_new"),
-            F.col("b.jaccard").alias("jaccard"),
+            "b.match_id AS match_id",
+            "b.match_is_new AS match_is_new",
+            "b.jaccard AS jaccard",
         )
     )
 
@@ -553,10 +559,10 @@ def _probe_against(
             (F.col("p.bucket") == F.col("m.bucket"))
             & (F.col("m.doc_id") != F.col("p.doc_id")),
         )
-        .select(
-            F.col("p.doc_id").alias("probe_id"),
-            F.col("m.doc_id").alias("match_id"),
-            F.lit(False).alias("match_is_new"),
+        .selectExpr(
+            "p.doc_id AS probe_id",
+            "m.doc_id AS match_id",
+            "false AS match_is_new",
         )
     )
     # candidates within the batch: later doc loses (min-id-canonical)
@@ -567,10 +573,10 @@ def _probe_against(
             (F.col("p.bucket") == F.col("m.bucket"))
             & (F.col("m.doc_id") < F.col("p.doc_id")),
         )
-        .select(
-            F.col("p.doc_id").alias("probe_id"),
-            F.col("m.doc_id").alias("match_id"),
-            F.lit(True).alias("match_is_new"),
+        .selectExpr(
+            "p.doc_id AS probe_id",
+            "m.doc_id AS match_id",
+            "true AS match_is_new",
         )
     )
     # By default NO .distinct() on candidates: a pair colliding in k
@@ -601,10 +607,10 @@ def _probe_against(
     # hash build never touches the stream, which is partitioned and
     # PROBED, never sorted — the same wedges-stream/edges-index
     # invariant as graph_triangle_count's close join.
-    match_sh = stored_sh.unionByName(batch_sh).select(
-        F.col("doc_id").alias("match_id"), F.col("s").alias("sb")
+    match_sh = stored_sh.unionByName(batch_sh).selectExpr(
+        "doc_id AS match_id", "s AS sb"
     )
-    sa = batch_sh.select(F.col("doc_id").alias("probe_id"), F.col("s").alias("sa"))
+    sa = batch_sh.selectExpr("doc_id AS probe_id", "s AS sa")
     if verify_partitions:
         # pin the join partition counts (callers derive from the store's
         # size-derived bucket count): AQE sizes partitions by SHUFFLE
@@ -616,8 +622,6 @@ def _probe_against(
         # counts are unchanged.
         sa = sa.repartition(verify_partitions, "probe_id")
         match_sh = match_sh.repartition(verify_partitions, "match_id")
-    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union_sz = F.size("sa") + F.size("sb") - common
     if dedupe_candidates:
         # scale regime only — small fixtures keep AQE's broadcast verify
         # plans (2 exchanges, pinned in plan_audit); forcing SHJ there
@@ -627,11 +631,13 @@ def _probe_against(
     scored = (
         cand.join(sa, "probe_id")
         .join(match_sh, "match_id")
-        .select(
+        .selectExpr(
             "probe_id",
             "match_id",
             "match_is_new",
-            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+            "round(CAST(size(array_intersect(sa, sb)) AS DOUBLE)"
+            " / (size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)"
+            " AS jaccard",
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -640,12 +646,11 @@ def _probe_against(
     best = F.broadcast(best_match_per_probe(scored))
     return all_batch_ids.join(
         best, all_batch_ids["doc_id"] == best["probe_id"], "left"
-    ).select(
-        all_batch_ids["doc_id"].alias("doc_id"),
-        F.when(F.col("match_id").isNull(), "novel")
-        .when(F.col("match_is_new"), "dup_in_batch")
-        .otherwise("dup_of_index")
-        .alias("verdict"),
-        F.col("match_id").alias("match_doc_id"),
-        F.col("jaccard"),
+    ).selectExpr(
+        "doc_id",
+        "CASE WHEN match_id IS NULL THEN 'novel'"
+        " WHEN match_is_new THEN 'dup_in_batch'"
+        " ELSE 'dup_of_index' END AS verdict",
+        "match_id AS match_doc_id",
+        "jaccard",
     )

@@ -44,15 +44,35 @@ def with_session_id(
     NULLs) but NULL under DuckDB's ``||`` (which propagates) — found
     by the events edge-corpus parity matrix.
     """
-    events = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
-    order = [F.col(ts_col).asc(), F.col(order_col).asc()]
-    w = Window.partitionBy(user_col).orderBy(*order)
-    us = F.unix_micros(F.col(ts_col))
-    prev_us = F.lag(us).over(w)
-    is_new = (prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000)).cast("int")
-    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return events.withColumn(
-        "session_id", F.concat_ws("-", F.col(user_col).cast("string"), seq.cast("string"))
+    # stacked parsed-SQL windows (the Column chains cost ~190 gateway
+    # roundtrips of plan construction per call): the analyzer's
+    # ExtractWindowExpressions produced exactly this two-Window stack
+    # from the nested-Column form, and both windows share one
+    # partition/order so the exchange+sort is still planned once; the
+    # _-prefixed temporaries are dropped so the output schema is
+    # events.* + session_id exactly as before
+    win = f"PARTITION BY {user_col} ORDER BY {ts_col} ASC, {order_col} ASC"
+    return (
+        events.filter(f"{user_col} IS NOT NULL AND {ts_col} IS NOT NULL")
+        .selectExpr(
+            "*", f"lag(unix_micros({ts_col})) OVER ({win}) AS _prev_us"
+        )
+        .selectExpr(
+            "*",
+            f"CAST(_prev_us IS NULL OR (unix_micros({ts_col}) - _prev_us)"
+            f" > {gap_seconds * 1_000_000} AS INT) AS _is_new",
+        )
+        .selectExpr(
+            "*",
+            f"sum(_is_new) OVER ({win} ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS _seq",
+        )
+        .selectExpr(
+            "*",
+            f"concat_ws('-', CAST({user_col} AS STRING),"
+            " CAST(_seq AS STRING)) AS session_id",
+        )
+        .drop("_prev_us", "_is_new", "_seq")
     )
 
 

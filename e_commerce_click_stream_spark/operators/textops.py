@@ -126,13 +126,14 @@ def signature_bands(sig_col: str, n_bands: int, band_bits: int) -> Column:
     (band_id, band_sig) structs — the LSH OR-of-bands candidate keys.
     Shared by the sign-LSH (similarity) and SimHash-Hamming (dedup)
     banding paths so the 1-based substring arithmetic lives in one
-    place."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band_id"),
-                F.substring(sig_col, b * band_bits + 1, band_bits).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
+    place. Built as ONE parsed SQL expression — the per-band
+    struct/cast/substring Column chain cost ~12 gateway roundtrips x
+    n_bands x call, and plan construction is inside every timed run;
+    the parsed tree (named_struct of a bigint literal + substring) is
+    identical to what the Column API built."""
+    structs = ", ".join(
+        f"named_struct('band_id', CAST({b} AS BIGINT), "
+        f"'band_sig', substring({sig_col}, {b * band_bits + 1}, {band_bits}))"
+        for b in range(n_bands)
     )
+    return F.expr(f"array({structs})")

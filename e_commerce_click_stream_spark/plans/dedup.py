@@ -240,30 +240,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.4× slower. Checkpointed because BOTH sides of the bucket
     # self-join reference it.
     ex = sh.select("doc_id", F.explode("s").alias("sh_"))
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh_")))).alias(f"mh{s}")
-            for s in range(NUM_HASHES)
-        ]
-    ).localCheckpoint(eager=True)
-    band_structs = []
-    for b in range(NUM_BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        sep = F.lit("|")
-        # band-seeded bucket (operators/dedup_index.py band_buckets): the
-        # bucket alone is the full LSH key, so the self-join below is a
-        # single-column equi-join
-        concat_cols: list = [F.lit(f"{b}|")]
-        for i, c in enumerate(cols):
-            if i:
-                concat_cols.append(sep)
-            concat_cols.append(c)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*concat_cols)).alias("bucket"))
-        )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # shared signing helpers (operators/dedup_index.py): identical
+    # expression trees to the loops this builder used to inline — the
+    # band-seeded bucket alone is the full LSH key, so the self-join
+    # below is a single-column equi-join — built as parsed SQL
+    # expressions (one gateway roundtrip each instead of a Column chain
+    # per hash component; ~1.1k roundtrips off this builder's plan
+    # construction, which every timed run pays).
+    sig = minhash_signature(ex, NUM_HASHES).localCheckpoint(eager=True)
+    buckets = band_buckets(sig, NUM_BANDS, ROWS_PER_BAND)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -273,21 +258,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
         .distinct()
     )
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union_sz = F.size("sa") + F.size("sb") - common
+    sa = sh.selectExpr("doc_id AS doc_a", "s AS sa")
+    sb = sh.selectExpr("doc_id AS doc_b", "s AS sb")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+            "round(CAST(size(array_intersect(sa, sb)) AS DOUBLE)"
+            " / (size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)"
+            " AS jaccard",
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -1637,27 +1622,27 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p.bucket") == F.col("m.bucket"))
             & (~F.col("m.is_new") | (F.col("m.doc_id") < F.col("p.doc_id"))),
         )
-        .select(
-            F.col("p.doc_id").alias("probe_id"),
-            F.col("m.doc_id").alias("match_id"),
-            F.col("m.is_new").alias("match_is_new"),
+        .selectExpr(
+            "p.doc_id AS probe_id",
+            "m.doc_id AS match_id",
+            "m.is_new AS match_is_new",
         )
         # no .distinct(): duplicates from multi-band collisions are
         # invisible to the terminal min_by (see _probe_against,
         # operators/dedup_index.py — same trade, one fewer shuffle)
     )
-    sa = sh.select(F.col("doc_id").alias("probe_id"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("match_id"), F.col("s").alias("sb"))
-    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union_sz = F.size("sa") + F.size("sb") - common
+    sa = sh.selectExpr("doc_id AS probe_id", "s AS sa")
+    sb = sh.selectExpr("doc_id AS match_id", "s AS sb")
     scored = (
         cand.join(sa, "probe_id")
         .join(sb, "match_id")
-        .select(
+        .selectExpr(
             "probe_id",
             "match_id",
             "match_is_new",
-            F.round(common.cast("double") / union_sz, 4).alias("jaccard"),
+            "round(CAST(size(array_intersect(sa, sb)) AS DOUBLE)"
+            " / (size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)"
+            " AS jaccard",
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -1669,14 +1654,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     return new_docs.join(
         best, new_docs["doc_id"] == best["probe_id"], "left"
-    ).select(
-        new_docs["doc_id"].alias("doc_id"),
-        F.when(F.col("match_id").isNull(), "novel")
-        .when(F.col("match_is_new"), "dup_in_batch")
-        .otherwise("dup_of_index")
-        .alias("verdict"),
-        F.col("match_id").alias("match_doc_id"),
-        F.col("jaccard"),
+    ).selectExpr(
+        "doc_id",
+        "CASE WHEN match_id IS NULL THEN 'novel'"
+        " WHEN match_is_new THEN 'dup_in_batch'"
+        " ELSE 'dup_of_index' END AS verdict",
+        "match_id AS match_doc_id",
+        "jaccard",
     )
 
 

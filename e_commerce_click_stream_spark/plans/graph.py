@@ -167,10 +167,7 @@ def pagerank_bipartite(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
+        .selectExpr("o_custkey * 2 AS cnode", "l_suppkey * 2 + 1 AS snode")
         .localCheckpoint(eager=True, storageLevel=level)
     )
     # per-node out-degree WITHOUT shuffling the edge list: in the
@@ -181,11 +178,11 @@ def pagerank_bipartite(
     # encodings are disjoint and each agg's keys are unique by
     # construction.
     deg_all = (
-        e0.groupBy(F.col("cnode").alias("node"))
-        .agg(F.count("*").alias("outdeg"))
+        e0.groupBy(F.expr("cnode AS node"))
+        .agg(F.expr("count(*) AS outdeg"))
         .unionAll(
-            e0.groupBy(F.col("snode").alias("node"))
-            .agg(F.count("*").alias("outdeg"))
+            e0.groupBy(F.expr("snode AS node"))
+            .agg(F.expr("count(*) AS outdeg"))
         )
     ).localCheckpoint(eager=True)
     # attach out-degree by BROADCAST (deg_all is O(nodes) rows — the same
@@ -195,19 +192,13 @@ def pagerank_bipartite(
     # the block manager. Each round re-evaluates the two broadcast joins
     # from the checkpoint — cheap map-side work, measured within noise of
     # materializing edges_deg at sf0.1 while halving stored blocks.
-    dj = deg_all.select(F.col("node").alias("jn"), "outdeg")
+    dj = deg_all.selectExpr("node AS jn", "outdeg")
     edges_deg = (
         e0.join(F.broadcast(dj), e0.cnode == dj.jn)
-        .select(
-            F.col("cnode").alias("src"), F.col("snode").alias("dst"), "outdeg"
-        )
+        .selectExpr("cnode AS src", "snode AS dst", "outdeg")
         .unionAll(
             e0.join(F.broadcast(dj), e0.snode == dj.jn)
-            .select(
-                F.col("snode").alias("src"),
-                F.col("cnode").alias("dst"),
-                "outdeg",
-            )
+            .selectExpr("snode AS src", "cnode AS dst", "outdeg")
         )
     )
     if bucketed_edges:
@@ -219,24 +210,23 @@ def pagerank_bipartite(
         edges_deg.count()  # materialize once, before the rounds
     nodes = deg_all.select("node")
     # 1 row; without the checkpoint every round's plan recomputes the count
-    n = nodes.agg(F.count("*").alias("n_nodes")).localCheckpoint(eager=True)
-    ranks = nodes.join(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    n = nodes.agg(F.expr("count(*) AS n_nodes")).localCheckpoint(eager=True)
+    ranks = nodes.join(F.broadcast(n)).selectExpr(
+        "node", "1.0D / n_nodes AS rank"
     )
     for i in range(PR_ITERS):
         rank_side = ranks.hint("shuffle_hash") if bucketed_edges else F.broadcast(ranks)
         contrib = (
             edges_deg.join(rank_side, edges_deg.src == rank_side.node)
-            .groupBy(F.col("dst").alias("node_dst"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy(F.expr("dst AS node_dst"))
+            .agg(F.expr("sum(rank / outdeg) AS contrib"))
         )
-        ranks = contrib.join(F.broadcast(n)).select(
-            F.col("node_dst").alias("node"),
-            F.round(
-                F.lit(1 - PR_DAMPING) / F.col("n_nodes")
-                + F.lit(PR_DAMPING) * F.col("contrib"),
-                8,
-            ).alias("rank"),
+        # str(float) literals keep the parsed doubles bit-identical to
+        # the F.lit values (shortest-roundtrip repr)
+        ranks = contrib.join(F.broadcast(n)).selectExpr(
+            "node_dst AS node",
+            f"round({1 - PR_DAMPING}D / n_nodes"
+            f" + {PR_DAMPING}D * contrib, 8) AS rank",
         )
         # Checkpoint the rank vector between rounds (n_nodes rows): lazy
         # chaining makes round k re-execute rounds 1..k-1 — O(K²) round
@@ -244,12 +234,11 @@ def pagerank_bipartite(
         # Measured at sf0.1: 2.9-3.8 s → stable ~2.74 s even at K=2.
         if i < PR_ITERS - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, "customer")
-        .otherwise("supplier")
-        .alias("node_kind"),
-        F.expr("node div 2").alias("node_key"),
-        F.col("rank").alias("pagerank"),
+    return ranks.selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END"
+        " AS node_kind",
+        "node div 2 AS node_key",
+        "rank AS pagerank",
     )
 
 

@@ -85,12 +85,20 @@ def money_terms() -> dict[str, Column]:
     columns are integral at cents scale — qty_c/price_c/disc_c/tax_c at
     1e2, disc_price_e4 = cents x (100-d), charge_e6 = cents x (100-d) x
     (100+t)."""
-    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
-    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    tax_c = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
-    disc_price_e4 = price_c * (F.lit(100) - disc_c)
-    charge_e6 = disc_price_e4 * (F.lit(100) + tax_c)
+    return {k: F.expr(v) for k, v in money_term_sql().items()}
+
+
+def money_term_sql() -> dict[str, str]:
+    """The same terms as Spark-SQL fragments: each consumer splices them
+    into ONE parsed expression (0.5D = the double literal F.lit(0.5)
+    built; the per-term Column chains cost ~200 gateway roundtrips per
+    money query's plan construction). Trees are identical."""
+    qty_c = "CAST(floor(l_quantity * 100 + 0.5D) AS BIGINT)"
+    price_c = "CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)"
+    disc_c = "CAST(floor(l_discount * 100 + 0.5D) AS BIGINT)"
+    tax_c = "CAST(floor(l_tax * 100 + 0.5D) AS BIGINT)"
+    disc_price_e4 = f"{price_c} * (100 - {disc_c})"
+    charge_e6 = f"{disc_price_e4} * (100 + {tax_c})"
     return {
         "qty_c": qty_c,
         "price_c": price_c,
@@ -108,19 +116,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    m = money_terms()
+    m = money_term_sql()
     qty_c, price_c, disc_c = m["qty_c"], m["price_c"], m["disc_c"]
     disc_price_e4, charge_e6 = m["disc_price_e4"], m["charge_e6"]
-    n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(qty_c) / F.lit(100.0), 2).alias("sum_qty"),
-        F.round(F.sum(price_c) / F.lit(100.0), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price_e4) / F.lit(10000.0), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge_e6) / F.lit(1000000.0), 2).alias("sum_charge"),
-        F.round(F.sum(qty_c) / (F.lit(100.0) * n), 4).alias("avg_qty"),
-        F.round(F.sum(price_c) / (F.lit(100.0) * n), 4).alias("avg_price"),
-        F.round(F.sum(disc_c) / (F.lit(100.0) * n), 6).alias("avg_disc"),
-        F.count("*").alias("count_order"),
+        F.expr(f"round(sum({qty_c}) / 100.0D, 2) AS sum_qty"),
+        F.expr(f"round(sum({price_c}) / 100.0D, 2) AS sum_base_price"),
+        F.expr(f"round(sum({disc_price_e4}) / 10000.0D, 2) AS sum_disc_price"),
+        F.expr(f"round(sum({charge_e6}) / 1000000.0D, 2) AS sum_charge"),
+        F.expr(f"round(sum({qty_c}) / (100.0D * count(*)), 4) AS avg_qty"),
+        F.expr(f"round(sum({price_c}) / (100.0D * count(*)), 4) AS avg_price"),
+        F.expr(f"round(sum({disc_c}) / (100.0D * count(*)), 6) AS avg_disc"),
+        F.expr("count(*) AS count_order"),
     )
 
 
@@ -162,9 +169,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -219,9 +226,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    rev_e4 = money_terms()["disc_price_e4"]
+    rev_e4 = money_term_sql()["disc_price_e4"]
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(rev_e4) / F.lit(10000.0), 2).alias("revenue")
+        F.expr(f"round(sum({rev_e4}) / 10000.0D, 2) AS revenue")
     )
 
 
@@ -260,15 +267,15 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     double sum flipping its last cent between engines)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    m = money_terms()
+    m = money_term_sql()
     qty_c, rev_e4 = m["qty_c"], m["disc_price_e4"]
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(rev_e4) / F.lit(10000.0), 2).alias("revenue"),
-            F.round(F.sum(qty_c) / F.lit(100.0), 2).alias("total_qty"),
-            F.count("*").alias("line_count"),
+            F.expr(f"round(sum({rev_e4}) / 10000.0D, 2) AS revenue"),
+            F.expr(f"round(sum({qty_c}) / 100.0D, 2) AS total_qty"),
+            F.expr("count(*) AS line_count"),
         )
     )
 
@@ -2087,26 +2094,30 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     two key-local shuffles instead of two fact-fact self-joins."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
-    late = F.when(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
-    ).otherwise(0)
     # orders is fact-sized at scale: hint-free equi join (AQE decides)
     flagged = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("is_late"))
+        .agg(
+            F.expr(
+                "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+                " THEN 1 ELSE 0 END) AS is_late"
+            )
+        )
     )
-    w = Window.partitionBy("l_orderkey")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_6")
     return (
-        flagged.withColumn("n_supp", F.count("*").over(w))
-        .withColumn("n_late", F.sum("is_late").over(w))
-        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        flagged.selectExpr(
+            "*",
+            "count(*) OVER (PARTITION BY l_orderkey) AS n_supp",
+            "sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late",
+        )
+        .filter("is_late = 1 AND n_supp >= 2 AND n_late = 1")
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.expr("count(*) AS numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )

@@ -136,13 +136,26 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-fold dot product — same accumulation order in any
-    engine."""
+    engine. Pass column NAMES where possible: the string path parses ONE
+    SQL expression (0D is the double literal F.lit(0.0) built), while the
+    Column-lambda path costs ~25 gateway roundtrips per call — plan
+    construction the timed runs pay. The Column path stays for callers
+    inside higher-order lambdas (the argument is a JVM-bound lambda
+    variable there, not a name)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({a}, x -> x * x), 0D, (acc, x) -> acc + x))"
+        )
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
@@ -164,7 +177,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("v").cast("long").alias("dim"),
-        F.round(_norm(F.col("v")), 6).alias("l2_norm"),
+        F.round(_norm("v"), 6).alias("l2_norm"),
     )
 
 
@@ -195,25 +208,28 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the query vectors (vec_id < 10):
     broadcast the queries against the corpus, rank by rounded cosine with a
     deterministic id tiebreak. The exact baseline the LSH path approximates."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "v AS qv", "nrm AS qn"
     )
     scored = (
         n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
-                "cosine"
-            ),
+            "vec_id AS neighbor_id",
+            "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x) / (qn * nrm), 6) AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+        )
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+        .selectExpr("query_id", "neighbor_id", "cosine",
+                    "CAST(rank AS BIGINT) AS rank")
     )
 
 
@@ -252,18 +268,16 @@ def _planes_row(e: DataFrame, bb: int, n_planes: int) -> DataFrame:
 def _with_signature(e: DataFrame, bb: int, n_planes: int) -> DataFrame:
     """Attach the n_planes-bit sign signature `sig` to every vector:
     zero shuffles (1-row broadcast crossJoin + array fold)."""
+    # ONE parsed SQL expression (the Column-lambda chain cost ~90
+    # gateway roundtrips of plan construction per call)
     return (
         e.crossJoin(F.broadcast(_planes_row(e, bb, n_planes)))
         .withColumn(
             "sig",
-            F.array_join(
-                F.transform(
-                    "planes",
-                    lambda p: F.when(_dot(F.col("v"), p["pv"]) > 0, F.lit("1")).otherwise(
-                        F.lit("0")
-                    ),
-                ),
-                "",
+            F.expr(
+                "array_join(transform(planes, p -> CASE WHEN"
+                " aggregate(zip_with(v, p.pv, (x, y) -> x * y), 0D,"
+                " (acc, x) -> acc + x) > 0 THEN '1' ELSE '0' END), '')"
             ),
         )
         .drop("planes")
@@ -348,7 +362,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (
         _vecs(spark, sf_dir)
         .filter(F.col("vec_id") % 20 == 0)
-        .select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+        .select("vec_id", "label", "v", _norm("v").alias("nrm"))
     )
     a = n.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
@@ -365,7 +379,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             "label_a",
             "label_b",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+            F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias(
                 "cosine"
             ),
         )
@@ -446,7 +460,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for merely-related pairs (~8% at 0.35). The 0.3 output threshold
     keeps the fixture result non-trivial; the operator's scale role is
     high-similarity dedup, with IVF as the low-threshold search path."""
-    e = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    e = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm("v").alias("nrm"))
     bb, n_planes = _lsh_geometry(e)
     # checkpoint the banded keys ONCE before the self-join (mirror of
     # dedup_minhash_lsh's bucket checkpoint): un-materialized, BOTH join
@@ -471,28 +485,25 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b")
         .distinct()
     )
-    ea = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    ea = e.selectExpr(
+        "vec_id AS vec_a", "label AS label_a", "v AS va", "nrm AS na"
     )
-    eb = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    eb = e.selectExpr(
+        "vec_id AS vec_b", "label AS label_b", "v AS vb", "nrm AS nb"
     )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select(
+        .selectExpr(
             "vec_a",
             "vec_b",
             "label_a",
             "label_b",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine"
-            ),
+            "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x) / (na * nb), 6) AS cosine",
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
@@ -515,7 +526,7 @@ N_PROBE = 3  # cells probed per query
 
 def _ivf_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(normalized corpus, broadcast-sized centroid codebook)."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
     cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
@@ -543,20 +554,20 @@ def _ivf_assign(n: DataFrame, cent: DataFrame, carry_vec: bool) -> DataFrame:
     assignment cost. Scores are identical (same round(·,6), same
     cent_id·1e-12 tiebreak term, so scores are distinct per centroid and
     array_max picks exactly max_by's winner)."""
-    sim_of = lambda c: (  # noqa: E731
-        F.round(_dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"]), 6)
-        - c["cent_id"] * 1e-12
-    )
-    best = F.array_max(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(sim_of(c).alias("score"), c["cent_id"].alias("cell")),
-        )
+    # ONE parsed SQL expression (the Column-lambda chain cost ~140
+    # gateway roundtrips of plan construction per call; the parsed tree
+    # is identical — 0D is the double literal F.lit(0.0) built)
+    best_cell = (
+        "array_max(transform(cents, c -> named_struct("
+        "'score', round(aggregate(zip_with(v, c.cv, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x) / (nrm * c.cnrm), 6)"
+        " - c.cent_id * 1e-12, "
+        "'cell', c.cent_id))).cell AS cell"
     )
     keys = ("vec_id", "v", "nrm") if carry_vec else ("vec_id",)
     return (
         n.crossJoin(F.broadcast(_cent_row(cent)))
-        .select(*keys, best["cell"].alias("cell"))
+        .selectExpr(*keys, best_cell)
     )
 
 
@@ -569,25 +580,19 @@ def _ivf_probes(n: DataFrame, cent: DataFrame, carry_query_vec: bool) -> DataFra
     same (psim desc, cent_id asc) order the r14 row_number window used,
     without the window's exchange+sort in the broadcast-build subtree."""
     qcols = ["qv", "qn"] if carry_query_vec else []
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            (-F.round(_dot(F.col("qv"), c["cv"]) / (F.col("qn") * c["cnrm"]), 6)).alias(
-                "negp"
-            ),
-            c["cent_id"].alias("cell"),
-        ),
+    # ONE parsed SQL expression (same rationale as _ivf_assign)
+    probe_cells = (
+        "explode(slice(array_sort(transform(cents, c -> named_struct("
+        "'negp', -round(aggregate(zip_with(qv, c.cv, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x) / (qn * c.cnrm), 6), "
+        f"'cell', c.cent_id))), 1, {N_PROBE})) AS _pr"
     )
     return (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        n.filter(f"vec_id < {N_QUERIES}")
+        .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qn")
         .crossJoin(F.broadcast(_cent_row(cent)))
-        .select(
-            "query_id",
-            *qcols,
-            F.explode(F.slice(F.array_sort(scored), 1, N_PROBE)).alias("_pr"),
-        )
-        .select("query_id", *qcols, F.col("_pr.cell").alias("cell"))
+        .selectExpr("query_id", *qcols, probe_cells)
+        .selectExpr("query_id", *qcols, "_pr.cell AS cell")
     )
 
 
@@ -726,7 +731,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            F.round(_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias(
                 "cosine"
             ),
         )
@@ -836,20 +841,28 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell sizes AND centroids together, so the whole query is exactly
     KMEANS_ITERS corpus passes with no corpus-sized checkpoint.
     Output: final cell sizes + centroid vectors."""
+    # every per-row expression here is ONE parsed SQL string, built once
+    # and reused across iterations — the Column-lambda construction
+    # (aggregate/zip_with/transform chains) cost ~150 gateway roundtrips
+    # PER ITERATION of plan construction, paid inside every timed run;
+    # the parsed trees are identical (0D is the double literal
+    # F.lit(0.0) built)
+    sumsq = "aggregate(transform({0}, x -> x * x), 0D, (a, x) -> a + x)"
     n = _vecs(spark, sf_dir).select(
-        "vec_id",
-        "v",
-        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x).alias(
-            "vn2"
-        ),
-    )
-    cn2_of = lambda col: F.aggregate(  # noqa: E731
-        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        "vec_id", "v", F.expr(sumsq.format("v") + " AS vn2")
     )
     cent = n.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
-        cn2_of(F.col("v")).alias("cn2"),
+        F.expr(sumsq.format("v") + " AS cn2"),
+    )
+    pack_cents = F.expr("array_sort(collect_list(struct(cent_id, cv, cn2))) AS cents")
+    best_cell = F.expr(
+        "array_min(transform(cents, c -> named_struct("
+        "'score', CAST(round(vn2 - 2 * aggregate(zip_with(v, c.cv, "
+        "(a, b) -> a * b), 0D, (s, x) -> s + x) + c.cn2, 6) "
+        "+ c.cent_id * 1e-12 AS DOUBLE), "
+        "'cell', CAST(c.cent_id AS BIGINT)))).cell AS cell"
     )
     assign = None
     for it in range(KMEANS_ITERS):
@@ -866,32 +879,10 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (lexicographic: score first) picks the same winner as min_by did;
         # the DuckDB oracle is the identical arg_min recursion. transform
         # computes each centroid's score exactly once.
-        cent_row = cent.agg(
-            F.array_sort(F.collect_list(F.struct("cent_id", "cv", "cn2"))).alias("cents")
-        )
-
-        def _score(c):
-            dot = F.aggregate(
-                F.zip_with(F.col("v"), c["cv"], lambda a, b: a * b),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            return (
-                F.round(F.col("vn2") - 2 * dot + c["cn2"], 6) + c["cent_id"] * 1e-12
-            )
-
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    _score(c).cast("double").alias("score"),
-                    c["cent_id"].cast("bigint").alias("cell"),
-                ),
-            )
-        )
+        cent_row = cent.agg(pack_cents)
         assign = (
             n.crossJoin(F.broadcast(cent_row))
-            .select("vec_id", "v", best["cell"].alias("cell"))
+            .select("vec_id", "v", best_cell)
         )
         # recentering is ONE wide hash agg: per cell, count + an array of
         # 64 per-dim sums (a single F.expr so plan construction is one
@@ -906,12 +897,13 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly round(avg, 6) — Average IS Divide(sum, count cast to
         # double) — and reduction order is arbitrary in both shapes,
         # exactly as the oracle's avg.
-        sums = ", ".join(f"sum(v[{d}])" for d in range(_EMB_DIM))
         recentered = (
             assign.groupBy(F.col("cell").alias("cent_id"))
             .agg(
                 F.count("*").alias("n_vectors"),
-                F.expr(f"array({sums})").alias("_sums"),
+                F.expr(
+                    "array(" + ", ".join(f"sum(v[{d}])" for d in range(_EMB_DIM)) + ")"
+                ).alias("_sums"),
             )
             .select(
                 "cent_id",
@@ -923,7 +915,7 @@ def embedding_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if it < KMEANS_ITERS - 1:
             cent = recentered.select(
-                "cent_id", "cv", cn2_of(F.col("cv")).alias("cn2")
+                "cent_id", "cv", F.expr(sumsq.format("cv") + " AS cn2")
             ).localCheckpoint(eager=True)
     # the final round's wide agg already carries BOTH outputs (cell sizes
     # + recentered centroids), so the n-row final-assignment checkpoint
@@ -1686,7 +1678,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse partition, never corpus². At production scale cells come from
     the trained codebook (embedding_kmeans_iter) and hot cells split
     recursively; the join shape is unchanged."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
     cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
@@ -1726,7 +1718,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cell")
         .filter(F.col("va") < F.col("vb"))
         .filter(
-            F.round(_dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6)
+            F.round(_dot("xa", "xb") / (F.col("na") * F.col("nb")), 6)
             >= SEMDEDUP_COSINE
         )
         .select("cell", "va", "vb")
@@ -2076,7 +2068,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back. At production scale the scored candidates come from
     the IVF/LSH path instead of the brute-force join — the ranking and
     semi-hard tagging are unchanged."""
-    n = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "label", "v", _norm("v").alias("nrm"))
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -2088,7 +2080,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_label",
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neg_label"),
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+        F.round(_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias(
             "cosine"
         ),
     )
@@ -2179,7 +2171,7 @@ def _ivf_store_build(
     )
 
     index_dir, prefix = loc if loc is not None else _ivf_store_location(sf_dir)
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
     cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
@@ -2234,7 +2226,7 @@ def _ivf_store_append(spark: SparkSession, sf_dir: str, prefix: str,
     )
 
     index_dir, _ = _ivf_store_location(sf_dir)
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
     stored_cent, _ = _ivf_store_read(spark, prefix)
     assign = _ivf_assignments(n.filter(arrivals_filter), stored_cent)
     acquire_build_lock(index_dir)
@@ -2342,7 +2334,7 @@ def _apply_ivf_erasures(
 def _ivf_probe_stored(
     spark: SparkSession, sf_dir: str, stored_cent: DataFrame, stored_assign: DataFrame
 ) -> DataFrame:
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
     # same narrow per-row probe selection as _ivf_probes, against the
     # STORED centroid table (sorted-slice of the packed codebook — no
     # window exchange in the broadcast-build subtree)
@@ -2350,20 +2342,22 @@ def _ivf_probe_stored(
     scored = (
         stored_assign.join(F.broadcast(probes), on="cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
-            .alias("cosine"),
+            "vec_id AS neighbor_id",
+            "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D,"
+            " (acc, x) -> acc + x) / (qn * nrm), 6) AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
         )
+        .filter(F.col("rank") <= TOP_K)
+        .selectExpr("query_id", "neighbor_id", "cosine",
+                    "CAST(rank AS BIGINT) AS rank")
     )
 
 
@@ -2743,14 +2737,14 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-range result). The IVF store (ann_ivf_stored) supplies the
     partition-pruned variant when the corpus is indexed; this is the
     exact baseline it approximates."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+        F.round(_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias(
             "cosine"
         ),
     )
@@ -2803,7 +2797,7 @@ def ann_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+            F.round(_dot("qv", "v") / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id")
@@ -2969,7 +2963,7 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ranking over PREFIX slices (cheaper per candidate by
     64/k), and recall is a semi-equi-join + per-query count. The full-dim
     baseline pairs are checkpointed once and reused by all widths."""
-    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    n = _vecs(spark, sf_dir).select("vec_id", "v", _norm("v").alias("nrm"))
     base = (
         ann_cosine_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -2992,7 +2986,7 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = tn.join(F.broadcast(tq), F.col("vec_id") != F.col("query_id")).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tnrm")), 6).alias(
+            F.round(_dot("qv", "tv") / (F.col("qn") * F.col("tnrm")), 6).alias(
                 "cosine"
             ),
         )
@@ -3110,7 +3104,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(POWER_ITERS):
         coef = n.crossJoin(F.broadcast(vrow)).select(
-            "v", F.round(_dot(F.col("v"), F.col("vv")), 6).alias("c")
+            "v", F.round(_dot("v", "vv"), 6).alias("c")
         )
         dims = (
             coef.select("c", F.posexplode("v").alias("dim", "x"))
@@ -3239,7 +3233,7 @@ def eval_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     split_is_eval = (
         F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)) % 10 < 2
     )
-    v = _vecs(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    v = _vecs(spark, sf_dir).withColumn("nrm", _norm("v"))
     train = v.filter(~split_is_eval).select("vec_id", "v", "nrm")
     ev = v.filter(split_is_eval).select(
         F.col("vec_id").alias("eval_id"),
@@ -3250,7 +3244,7 @@ def eval_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id",
         "eval_id",
         F.round(
-            _dot(F.col("v"), F.col("ev")) / (F.col("nrm") * F.col("enrm")), 6
+            _dot("v", "ev") / (F.col("nrm") * F.col("enrm")), 6
         ).alias("cosine"),
     )
     best = scored.groupBy("vec_id").agg(

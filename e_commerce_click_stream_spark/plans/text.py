@@ -1378,11 +1378,19 @@ def doc_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet_row_count,
     )
 
-    norm = lower_folded(F.trim(F.regexp_replace("line", r"\s+", " ")))
+    # parsed-SQL projections/aggregates throughout (the Column chains
+    # cost ~250 gateway roundtrips of plan construction per run); regex
+    # backslashes doubled for the SQL string-literal unescape
     lines = (
         spread(table(spark, sf_dir, "documents"))
         .select("doc_id", F.posexplode(F.split("text", "\n", -1)).alias("i", "line"))
-        .withColumn("fp", F.when(norm != "", F.md5(norm)))
+        .selectExpr(
+            "doc_id", "i", "line",
+            r"CASE WHEN lower(translate(trim(regexp_replace(line, '\\s+', ' ')),"
+            r" 'İΣ', 'iσ')) != '' THEN"
+            r" md5(lower(translate(trim(regexp_replace(line, '\\s+', ' ')),"
+            r" 'İΣ', 'iσ'))) END AS fp",
+        )
         .localCheckpoint(
             eager=True,
             storageLevel=corpus_checkpoint_level(
@@ -1396,42 +1404,43 @@ def doc_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("fp")
             .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
         )
-        boiler = F.col("_mn") != F.col("_mx")  # ndocs >= 2
+        boiler_sql = "_mn != _mx"  # ndocs >= 2
     else:  # pragma: no cover - general threshold fallback
         freq = (
             lines.filter(F.col("fp").isNotNull())
             .groupBy("fp")
             .agg(F.countDistinct("doc_id").alias("ndocs"))
         )
-        boiler = F.col("ndocs") >= LINE_DF_DOCS
-    keep = F.col("fp").isNotNull() & ~boiler
-    kept_structs = F.array_sort(
-        F.collect_list(F.when(keep, F.struct(F.col("i"), F.col("line"))))
-    )
-    cleaned = F.concat_ws("\n", F.expr("transform(kept, s -> s.line)"))
+        boiler_sql = f"ndocs >= {LINE_DF_DOCS}"
+    keep_sql = f"(fp IS NOT NULL AND NOT ({boiler_sql}))"
+    cleaned_sql = r"concat_ws('\n', transform(kept, s -> s.line))"
     return (
         lines.join(freq, "fp", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.col("fp").isNull().cast("long")).alias("blank_lines"),
+            F.expr("count(*) AS n_lines"),
+            F.expr("sum(CAST(fp IS NULL AS BIGINT)) AS blank_lines"),
             # NULL-safe: an all-blank doc misses the freq join on every
             # line and Spark's sum(all-NULL) is NULL where the oracle's
             # CASE sums 0
-            F.sum(F.coalesce(boiler.cast("long"), F.lit(0))).alias(
-                "dropped_lines"
+            F.expr(
+                f"sum(coalesce(CAST({boiler_sql} AS BIGINT), 0))"
+                " AS dropped_lines"
             ),
-            F.sum(keep.cast("long")).alias("kept_lines"),
-            kept_structs.alias("kept"),
+            F.expr(f"sum(CAST({keep_sql} AS BIGINT)) AS kept_lines"),
+            F.expr(
+                f"array_sort(collect_list(CASE WHEN {keep_sql}"
+                " THEN struct(i, line) END)) AS kept"
+            ),
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "n_lines",
             "blank_lines",
             "dropped_lines",
             "kept_lines",
-            F.length(cleaned).cast("long").alias("kept_chars"),
-            F.md5(cleaned).alias("cleaned_fp"),
+            f"CAST(length({cleaned_sql}) AS BIGINT) AS kept_chars",
+            f"md5({cleaned_sql}) AS cleaned_fp",
         )
     )
 
@@ -1548,23 +1557,28 @@ def _dup_anchor_spans(spark: SparkSession, sf_dir: str):
     grams = (
         docs.filter(F.size("t") >= SPAN_GRAM)
         .select("doc_id", F.explode(gram).alias("g"))
-        .select("doc_id", F.col("g.p").alias("pos"), F.col("g.fp").alias("fp"))
+        .selectExpr("doc_id", "g.p AS pos", "g.fp AS fp")
     )
-    dup = grams.groupBy("fp").agg(F.count("*").alias("cnt")).filter("cnt > 1")
+    dup = grams.groupBy("fp").agg(F.expr("count(*) AS cnt")).filter("cnt > 1")
     dstarts = grams.join(dup.select("fp"), "fp").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(F.col("pos") - F.lag("pos").over(w) < SPAN_GRAM, 0).otherwise(1)
-    island = F.sum("brk").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # parsed-SQL window pair (the Column chains cost ~130 gateway
+    # roundtrips of plan construction per call, x2 substring queries)
     spans = (
-        dstarts.withColumn("brk", brk)
-        .withColumn("island", island)
+        dstarts.selectExpr(
+            "doc_id", "pos",
+            "CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)"
+            f" < {SPAN_GRAM} THEN 0 ELSE 1 END AS brk",
+        )
+        .selectExpr(
+            "doc_id", "pos",
+            "sum(brk) OVER (PARTITION BY doc_id ORDER BY pos"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island",
+        )
         .groupBy("doc_id", "island")
         .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + SPAN_GRAM - 1).cast("long").alias("span_end"),
-            F.count("*").alias("n_anchors"),
+            F.expr("CAST(min(pos) AS BIGINT) AS span_start"),
+            F.expr(f"CAST(max(pos) + {SPAN_GRAM - 1} AS BIGINT) AS span_end"),
+            F.expr("count(*) AS n_anchors"),
         )
     )
     return docs, spans
@@ -1584,16 +1598,14 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span (reference has no sub-document operator; this extends
     doc_winnowing_fingerprints per SURVEY §2 LLM-pipeline scope)."""
     docs, spans = _dup_anchor_spans(spark, sf_dir)
-    span_text = F.expr(
-        "concat_ws(' ', slice(t, int(span_start), int(span_end - span_start + 1)))"
-    )
-    return spans.join(docs, "doc_id").select(
+    return spans.join(docs, "doc_id").selectExpr(
         "doc_id",
         "span_start",
         "span_end",
-        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "span_end - span_start + 1 AS span_tokens",
         "n_anchors",
-        F.md5(span_text).alias("span_fp"),
+        "md5(concat_ws(' ', slice(t, int(span_start),"
+        " int(span_end - span_start + 1)))) AS span_fp",
     )
 
 
@@ -1613,40 +1625,35 @@ def doc_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged spans."""
     docs, spans = _dup_anchor_spans(spark, sf_dir)
     per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
-        F.collect_list(F.struct("span_start", "span_end")).alias("ivs"),
+        F.expr("count(*) AS n_spans"),
+        F.expr("sum(span_end - span_start + 1) AS dup_tokens"),
+        F.expr("collect_list(struct(span_start, span_end)) AS ivs"),
     )
     covered = (
         "filter(transform(t, (x, j) -> struct(x AS tok, j + 1 AS p)),"
         " s -> NOT exists(ivs_c, iv -> iv.span_start <= s.p AND s.p <= iv.span_end))"
     )
-    cleaned = F.expr(f"concat_ws(' ', transform({covered}, s -> s.tok))")
     return (
         docs.join(per_doc, "doc_id", "left")
-        .withColumn(
-            "ivs_c",
-            F.coalesce(
-                F.col("ivs"),
-                F.expr(
-                    "cast(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
-                ),
-            ),
+        .selectExpr(
+            "*",
+            "coalesce(ivs, cast(array() AS"
+            " array<struct<span_start:bigint,span_end:bigint>>)) AS ivs_c",
         )
-        .select(
+        .selectExpr(
             "doc_id",
-            F.size("t").cast("long").alias("n_tokens"),
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
-            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
-            cleaned.alias("cleaned"),
+            "CAST(size(t) AS BIGINT) AS n_tokens",
+            "CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens",
+            "CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans",
+            f"concat_ws(' ', transform({covered}, s -> s.tok)) AS cleaned",
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "n_tokens",
             "dup_tokens",
             "n_spans",
-            F.length("cleaned").cast("long").alias("kept_chars"),
-            F.md5("cleaned").alias("cleaned_fp"),
+            "CAST(length(cleaned) AS BIGINT) AS kept_chars",
+            "md5(cleaned) AS cleaned_fp",
         )
     )
 
@@ -2918,82 +2925,64 @@ def gopher_flags_df(
     ``keep_cols`` threads further passthrough columns the same way
     (corpus_curation_run carries lang/source/token counts)."""
     passthrough = (["text"] if keep_text else []) + list(keep_cols)
-    docs = docs.select(
-        "doc_id", "text", *keep_cols, tokens().alias("t"),
-        F.split(F.col("text"), "\n").alias("lines"),
+    # Every projection is parsed SQL (selectExpr), not a Column chain:
+    # this battery cost ~450 gateway roundtrips of plan construction per
+    # call (x4 consumers in corpus_curation_run's timed path alone). The
+    # parsed trees are identical; the rlike caution from the r12 Column
+    # version still applies in SQL form — every regex backslash is
+    # DOUBLED below ('\\t' in the SQL text) so the SQL string-literal
+    # unescape hands the regex engine the same '\t' Column.rlike passed.
+    docs = docs.selectExpr(
+        "doc_id", "text", *keep_cols,
+        r"split(trim(text), '\\s+') AS t",
+        r"split(text, '\n') AS lines",
     )
-    n = F.size("t")
-    nl = F.size("lines")
-    tok_chars = F.aggregate(
-        F.expr("transform(t, x -> length(x))"), F.lit(0), lambda acc, x: acc + x
-    )
-    mean_wlen = tok_chars.cast("double") / n
-    hash_hits = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
-    dots_hits = (
-        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
-    ) / F.lit(3)
-    uell_hits = F.length("text") - F.length(F.expr("replace(text, '…', '')"))
-    sym_ratio = (hash_hits + F.floor(dots_hits) + uell_hits).cast("double") / n
-    # regexes go through Column.rlike (NOT F.expr) so Spark's SQL string
-    # literal unescaping can't eat the backslashes in '\.\.\.'
-    bullet_frac = (
-        F.size(F.filter("lines", lambda l: l.rlike(_BULLET_RE))).cast("double") / nl
-    )
-    ellipsis_frac = (
-        F.size(F.filter("lines", lambda l: l.rlike(_ELLIPSIS_RE))).cast("double") / nl
-    )
-    alpha_frac = (
-        F.size(F.filter("t", lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n
-    )
-    # NULL text must propagate a NULL hit count (filter over the constant
-    # word array would silently drop NULL containment checks -> 0)
-    req_hits = F.when(
-        F.col("t").isNotNull(),
-        F.size(
-            F.filter(
-                F.array(*[F.lit(w) for w in _GOPHER_REQ_WORDS]),
-                lambda w: F.array_contains("t", w),
-            )
-        ).cast("long"),
-    )
-    m = docs.select(
+    req_arr = ", ".join(f"'{w}'" for w in _GOPHER_REQ_WORDS)
+    m = docs.selectExpr(
         "doc_id",
         *passthrough,
-        n.cast("long").alias("n_words"),
-        mean_wlen.alias("mean_wlen"),
-        sym_ratio.alias("sym_ratio"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        alpha_frac.alias("alpha_frac"),
-        req_hits.alias("req_sw_hits"),
+        "CAST(size(t) AS BIGINT) AS n_words",
+        "CAST(aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)"
+        " AS DOUBLE) / size(t) AS mean_wlen",
+        # '...' counted before the lone-'…' pass, non-overlapping
+        # left-to-right via replace(), exactly as the oracle
+        "CAST((length(text) - length(replace(text, '#', '')))"
+        " + floor((length(text) - length(replace(text, '...', ''))) / 3)"
+        " + (length(text) - length(replace(text, '…', '')))"
+        " AS DOUBLE) / size(t) AS sym_ratio",
+        r"CAST(size(filter(lines, l -> l RLIKE '^[ \\t]*[-*•]')) AS DOUBLE)"
+        r" / size(lines) AS bullet_frac",
+        r"CAST(size(filter(lines, l -> l RLIKE '(\\.\\.\\.|…)[ \\t\\r]*\\z'))"
+        r" AS DOUBLE) / size(lines) AS ellipsis_frac",
+        "CAST(size(filter(t, x -> x RLIKE '[a-zA-Z]')) AS DOUBLE)"
+        " / size(t) AS alpha_frac",
+        # NULL text must propagate a NULL hit count (filter over the
+        # constant word array would silently turn NULL checks into 0)
+        f"CASE WHEN t IS NOT NULL THEN CAST(size(filter(array({req_arr}),"
+        f" w -> array_contains(t, w))) AS BIGINT) END AS req_sw_hits",
     )
-    words_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
-    mean_ok = (F.col("mean_wlen") >= 3.0) & (F.col("mean_wlen") <= 10.0)
-    sym_ok = F.col("sym_ratio") <= 0.1
-    bullet_ok = F.col("bullet_frac") <= 0.9
-    ell_ok = F.col("ellipsis_frac") <= 0.3
-    alpha_ok = F.col("alpha_frac") >= 0.8
-    sw_ok = F.col("req_sw_hits") >= 2
-    return m.select(
+    return m.selectExpr(
         "doc_id",
         *passthrough,
         "n_words",
-        F.round("mean_wlen", 4).alias("mean_word_len"),
-        F.round("sym_ratio", 6).alias("symbol_word_ratio"),
-        F.round("bullet_frac", 6).alias("bullet_line_frac"),
-        F.round("ellipsis_frac", 6).alias("ellipsis_line_frac"),
-        F.round("alpha_frac", 6).alias("alpha_word_frac"),
-        F.col("req_sw_hits").alias("req_stopword_hits"),
-        words_ok.alias("words_in_range"),
-        mean_ok.alias("mean_len_ok"),
-        sym_ok.alias("symbol_ok"),
-        bullet_ok.alias("bullet_ok"),
-        ell_ok.alias("ellipsis_ok"),
-        alpha_ok.alias("alpha_ok"),
-        sw_ok.alias("stopword_ok"),
-        (
-            words_ok & mean_ok & sym_ok & bullet_ok & ell_ok & alpha_ok & sw_ok
-        ).alias("passes_gopher"),
+        "round(mean_wlen, 4) AS mean_word_len",
+        "round(sym_ratio, 6) AS symbol_word_ratio",
+        "round(bullet_frac, 6) AS bullet_line_frac",
+        "round(ellipsis_frac, 6) AS ellipsis_line_frac",
+        "round(alpha_frac, 6) AS alpha_word_frac",
+        "req_sw_hits AS req_stopword_hits",
+        "n_words >= 50 AND n_words <= 100000 AS words_in_range",
+        "mean_wlen >= 3.0D AND mean_wlen <= 10.0D AS mean_len_ok",
+        "sym_ratio <= 0.1D AS symbol_ok",
+        "bullet_frac <= 0.9D AS bullet_ok",
+        "ellipsis_frac <= 0.3D AS ellipsis_ok",
+        "alpha_frac >= 0.8D AS alpha_ok",
+        "req_sw_hits >= 2 AS stopword_ok",
+        "(n_words >= 50 AND n_words <= 100000)"
+        " AND (mean_wlen >= 3.0D AND mean_wlen <= 10.0D)"
+        " AND sym_ratio <= 0.1D AND bullet_frac <= 0.9D"
+        " AND ellipsis_frac <= 0.3D AND alpha_frac >= 0.8D"
+        " AND req_sw_hits >= 2 AS passes_gopher",
     )
 
 
@@ -3942,19 +3931,22 @@ FROM bm_ranked WHERE rank <= {BM25_TOP_K}
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, n_terms, score_micro) — the BM25 candidate scores
     shared by the retrieval top-k and the overlap readout."""
+    # parsed-SQL projections (the Column chains cost ~1.2k gateway
+    # roundtrips of plan construction per run; D-suffixed literals keep
+    # every float a DOUBLE exactly as F.lit built them)
     toked = (
         table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-        .select(
+        .filter("text IS NOT NULL AND trim(text) != ''")
+        .selectExpr(
             "doc_id",
-            F.filter(tokens(), lambda t: t != "").alias("ts"),
+            r"filter(split(trim(text), '\\s+'), t -> t != '') AS ts",
         )
-        .filter(F.size("ts") > 0)
-        .select("doc_id", F.size("ts").cast("long").alias("dl"), "ts")
+        .filter("size(ts) > 0")
+        .selectExpr("doc_id", "CAST(size(ts) AS BIGINT) AS dl", "ts")
     )
     toks = toked.select("doc_id", "dl", F.explode("ts").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").alias("tf"), F.max("dl").alias("dl")
+        F.expr("count(*) AS tf"), F.expr("max(dl) AS dl")
     )
     # tf feeds three consumers (df counts, query-term selection, candidate
     # scoring) — materialize once or the explode+agg recompiles per branch
@@ -3974,7 +3966,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfrel = (
         tf.join(F.broadcast(qtoks), "tok", "left_semi")
         .groupBy("tok")
-        .agg(F.count("*").alias("df"))
+        .agg(F.expr("count(*) AS df"))
     )
     # corpus scalars from the CHECKPOINTED postings, never a second
     # scan+retokenize of the corpus (every toked doc has >= 1 posting, so
@@ -3982,8 +3974,8 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc rollup to unique doc_ids map-side
     scal = (
         tf.groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
-        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_len"))
+        .agg(F.expr("max(dl) AS dl"))
+        .agg(F.expr("count(*) AS n_docs"), F.expr("sum(dl) AS total_len"))
     )
     qt = (
         dfrel.filter(F.col("df") >= 2)
@@ -3995,11 +3987,10 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "tok",
         )
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("tok"))
-            ),
+        .selectExpr(
+            "query_id", "tok", "df",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY df ASC, tok ASC) AS r",
         )
         .filter(F.col("r") <= BM25_QUERY_TERMS)
         .select("query_id", "tok", "df")
@@ -4009,37 +4000,33 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("query_id"))
         .crossJoin(F.broadcast(scal))
     )
-    idf = F.log(
-        F.lit(1)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    # floor(idf * (tf * (k1+1)) / denom * SCALE + 0.5): literals are
+    # str(float)-interpolated (shortest-roundtrip) so the parsed doubles
+    # are bit-identical to the F.lit values
+    contrib_sql = (
+        f"CAST(floor(ln(1 + (n_docs - df + 0.5D) / (df + 0.5D))"
+        f" * (tf * {_BM25_K1P1}D)"
+        f" / (tf + {BM25_K1}D * ({_BM25_B1}D + {BM25_B}D"
+        f" * (dl * n_docs / total_len)))"
+        f" * {_BM25_SCALE} + 0.5D) AS BIGINT) AS contrib"
     )
-    denom = F.col("tf") + F.lit(BM25_K1) * (
-        F.lit(_BM25_B1)
-        + F.lit(BM25_B) * (F.col("dl") * F.col("n_docs") / F.col("total_len"))
-    )
-    contrib = F.floor(
-        idf * (F.col("tf") * F.lit(_BM25_K1P1)) / denom * F.lit(_BM25_SCALE)
-        + F.lit(0.5)
-    ).cast("long")
-    return cands.select("query_id", "doc_id", contrib.alias("contrib")).groupBy(
+    return cands.selectExpr("query_id", "doc_id", contrib_sql).groupBy(
         "query_id", "doc_id"
     ).agg(
-        F.count("*").cast("long").alias("n_terms"),
-        F.sum("contrib").alias("score_micro"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_terms"),
+        F.expr("sum(contrib) AS score_micro"),
     )
 
 
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_micro"), F.asc("doc_id")
-    )
-    return _bm25_scored(spark, sf_dir).select(
+    return _bm25_scored(spark, sf_dir).selectExpr(
         "query_id",
         "doc_id",
         "n_terms",
         "score_micro",
-        F.round(F.col("score_micro") / F.lit(float(_BM25_SCALE)), 6).alias("bm25"),
-        F.row_number().over(w).cast("long").alias("rank"),
+        f"round(score_micro / {float(_BM25_SCALE)}D, 6) AS bm25",
+        "CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank",
     )
 
 
@@ -5678,26 +5665,31 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(table(spark, sf_dir, "documents"))
-    norm = lower_folded(F.trim(F.regexp_replace("line", r"\s+", " ")))
     # tok_cnt from the SAME collapsed-whitespace norm string that keys
     # the df lookup: norm trims and collapses every \s+ run to one
     # space, so its single-space split has exactly the tokens the r14
     # expression counted with a second split+filter pass over the raw
     # line (empty norm ⟺ zero tokens; oracle-proven identical).
+    # Projections are parsed SQL (selectExpr) end to end in this builder:
+    # the Column-chain construction cost ~2.5k gateway roundtrips
+    # (~1.5 s of driver time inside every timed run); regex backslashes
+    # are doubled so the SQL unescape hands the engine the same pattern.
     lines = (
         docs.filter(F.col("text").isNotNull())
         .select(
             "doc_id", "lang", "source",
             F.posexplode(F.split("text", "\n", -1)).alias("i", "line"),
         )
-        .withColumn("norm", norm)
-        .select(
+        .selectExpr(
             "doc_id", "lang", "source", "i", "line",
-            F.when(F.col("norm") == "", F.lit(0))
-            .otherwise(F.size(F.split("norm", " ")))
-            .cast("long")
-            .alias("tok_cnt"),
-            F.when(F.col("norm") != "", F.md5("norm")).alias("fp"),
+            r"lower(translate(trim(regexp_replace(line, '\\s+', ' ')),"
+            r" 'İΣ', 'iσ')) AS norm",
+        )
+        .selectExpr(
+            "doc_id", "lang", "source", "i", "line",
+            "CAST(CASE WHEN norm = '' THEN 0 ELSE size(split(norm, ' ')) END"
+            " AS BIGINT) AS tok_cnt",
+            "CASE WHEN norm != '' THEN md5(norm) END AS fp",
         )
         # one normalize pass over the corpus; both scrub consumers (df
         # agg + join probe) read this instead of re-scanning. Level is
@@ -5720,34 +5712,33 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("fp")
             .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
         )
-        keep = F.col("fp").isNotNull() & (F.col("_mn") == F.col("_mx"))
+        keep_sql = "(fp IS NOT NULL AND _mn = _mx)"
     else:  # pragma: no cover - general threshold fallback
         freq = (
             lines.filter(F.col("fp").isNotNull())
             .groupBy("fp")
             .agg(F.countDistinct("doc_id").alias("ndocs"))
         )
-        keep = F.col("fp").isNotNull() & (F.col("ndocs") < LINE_DF_DOCS)
-    kept_structs = F.array_sort(
-        F.collect_list(F.when(keep, F.struct(F.col("i"), F.col("line"))))
-    )
+        keep_sql = f"(fp IS NOT NULL AND ndocs < {LINE_DF_DOCS})"
     s1 = (
         lines.join(freq, "fp", "left")
         .groupBy("doc_id", "lang", "source")
         .agg(
-            F.sum("tok_cnt").alias("raw_tokens"),
-            F.sum(F.when(keep, F.col("tok_cnt")).otherwise(0)).alias(
-                "clean_tokens"
+            F.expr("sum(tok_cnt) AS raw_tokens"),
+            F.expr(
+                f"sum(CASE WHEN {keep_sql} THEN tok_cnt ELSE 0 END)"
+                " AS clean_tokens"
             ),
-            F.sum(keep.cast("long")).alias("kept_lines"),
-            kept_structs.alias("kept"),
+            F.expr(f"sum(CAST({keep_sql} AS BIGINT)) AS kept_lines"),
+            F.expr(
+                f"array_sort(collect_list(CASE WHEN {keep_sql}"
+                " THEN struct(i, line) END)) AS kept"
+            ),
         )
-        .select(
+        .selectExpr(
             "doc_id", "lang", "source", "raw_tokens", "clean_tokens",
-            F.when(
-                F.col("kept_lines") > 0,
-                F.concat_ws("\n", F.expr("transform(kept, s -> s.line)")),
-            ).alias("text"),
+            r"CASE WHEN kept_lines > 0 THEN"
+            r" concat_ws('\n', transform(kept, s -> s.line)) END AS text",
         )
         .localCheckpoint(eager=True)  # feeds stage-0/1 readouts AND dedup
     )
@@ -5757,17 +5748,19 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min is a unique row), but a hash agg needs no per-partition Sort
     # of the scrubbed payload and partial-aggs duplicates away map-side
     s2 = (
-        s1k.groupBy(fingerprint().alias("_fp"))
-        .agg(
-            F.min_by(
-                F.struct(
-                    "doc_id", "lang", "source", "raw_tokens",
-                    "clean_tokens", "text",
-                ),
-                F.col("doc_id"),
-            ).alias("r")
+        s1k.groupBy(
+            F.expr(
+                r"md5(lower(translate(regexp_replace(trim(text), '\\s+', ' '),"
+                r" 'İΣ', 'iσ'))) AS _fp"  # fingerprint()'s parsed twin
+            )
         )
-        .select(
+        .agg(
+            F.expr(
+                "min_by(struct(doc_id, lang, source, raw_tokens,"
+                " clean_tokens, text), doc_id) AS r"
+            )
+        )
+        .selectExpr(
             "r.doc_id", "r.lang", "r.source", "r.raw_tokens",
             "r.clean_tokens", "r.text",
         )
@@ -5778,118 +5771,98 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             s2, keep_text=True, keep_cols=("lang", "source", "clean_tokens")
         )
         .filter(
-            F.col("words_in_range")
-            & F.col("mean_len_ok")
-            & F.col("symbol_ok")
-            & F.col("bullet_ok")
-            & F.col("ellipsis_ok")
-            & F.col("alpha_ok")
+            "words_in_range AND mean_len_ok AND symbol_ok AND bullet_ok"
+            " AND ellipsis_ok AND alpha_ok"
         )
         .select("doc_id", "lang", "source", "clean_tokens", "text")
         .localCheckpoint(eager=True)  # feeds stage-3 readout AND DSIR
     )
-    toks3 = (
-        s3.select(
-            "doc_id", "lang", "source",
-            F.explode(
-                F.split(F.trim(lower_folded(F.col("text"))), r"\s+")
-            ).alias("w"),
-        )
-        .filter(F.col("w") != "")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS
-    )
     dtb3 = (
-        toks3.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        s3.selectExpr(
+            "doc_id", "lang", "source",
+            r"explode(split(trim(lower(translate(text, 'İΣ', 'iσ'))),"
+            r" '\\s+')) AS w",
+        )
+        .filter("w != ''")
+        .selectExpr(
+            "doc_id", "lang", "source",
+            f"CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)"
+            f" % {DSIR_BUCKETS} AS bucket",
+        )
         .groupBy("doc_id", "lang", "source", "bucket")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.expr("count(*) AS tf"))
         .localCheckpoint(eager=True)  # feeds model fitting AND scoring
     )
     bstats3 = (
         dtb3.groupBy("bucket")
         .agg(
-            F.sum("tf").alias("raw_cnt"),
-            F.sum(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
-            ).alias("tgt_cnt"),
+            F.expr("sum(tf) AS raw_cnt"),
+            F.expr(
+                f"sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)"
+                " AS tgt_cnt"
+            ),
         )
         .localCheckpoint(eager=True)
     )
     btot3 = bstats3.agg(
-        F.sum("raw_cnt").alias("r_total"), F.sum("tgt_cnt").alias("t_total")
+        F.expr("sum(raw_cnt) AS r_total"), F.expr("sum(tgt_cnt) AS t_total")
     )
-    lam_micro = F.floor(
-        F.log(
-            ((F.col("tgt_cnt") + 1) * (F.col("r_total") + F.lit(DSIR_BUCKETS)))
-            / ((F.col("raw_cnt") + F.lit(1.0)) * (F.col("t_total") + F.lit(DSIR_BUCKETS)))
-        )
-        * F.lit(1_000_000)
-        + F.lit(0.5)
-    ).cast("long")
-    lam3 = bstats3.crossJoin(F.broadcast(btot3)).select(
-        "bucket", lam_micro.alias("lam_micro")
+    # 1.0D/0.5D: SQL float literals default to DECIMAL — the D suffix
+    # keeps the arithmetic double, exactly the F.lit(1.0)/F.lit(0.5)
+    # tree this expression had as a Column chain
+    lam3 = bstats3.crossJoin(F.broadcast(btot3)).selectExpr(
+        "bucket",
+        f"CAST(floor(ln((tgt_cnt + 1) * (r_total + {DSIR_BUCKETS})"
+        f" / ((raw_cnt + 1.0D) * (t_total + {DSIR_BUCKETS})))"
+        f" * 1000000 + 0.5D) AS BIGINT) AS lam_micro",
     )
     pd3 = (
         dtb3.join(F.broadcast(lam3), "bucket")
         .groupBy("doc_id", "source")
         .agg(
-            F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("lam_micro")).alias("logratio_micro"),
+            F.expr("sum(tf) AS n_tokens"),
+            F.expr("sum(tf * lam_micro) AS logratio_micro"),
         )
         .localCheckpoint(eager=True)  # feeds corpus totals AND selection
     )
     pt3 = pd3.agg(
-        F.sum("n_tokens").alias("nt_total"),
-        F.sum("logratio_micro").alias("lr_total"),
+        F.expr("sum(n_tokens) AS nt_total"),
+        F.expr("sum(logratio_micro) AS lr_total"),
     )
     s4 = (
         pd3.crossJoin(F.broadcast(pt3))
-        .filter(
-            F.col("logratio_micro") * F.col("nt_total")
-            > F.col("n_tokens") * F.col("lr_total")
-        )
+        .filter("logratio_micro * nt_total > n_tokens * lr_total")
         .select("doc_id", "source", "n_tokens")
         .localCheckpoint(eager=True)  # feeds stage-4 readout AND packing
     )
-    packw = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = s4.selectExpr(
+        "source", "doc_id", "n_tokens",
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok",
+    ).selectExpr(
+        "source", "doc_id", "n_tokens",
+        f"floor((cum_tok - n_tokens) / {SEQ_TOKEN_BUDGET}) AS seq_id",
     )
-    packed = s4.withColumn("cum_tok", F.sum("n_tokens").over(packw)).select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        F.floor((F.col("cum_tok") - F.col("n_tokens")) / SEQ_TOKEN_BUDGET).alias(
-            "seq_id"
-        ),
-    )
-
-    null_shards = F.lit(None).cast("long")
 
     def row(idx: int, name: str, agg_df: DataFrame) -> DataFrame:
-        return agg_df.select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs"),
-            F.col("n_tokens"),
-            F.col("n_shards"),
+        return agg_df.selectExpr(
+            f"{idx} AS stage_idx", f"'{name}' AS stage",
+            "n_docs", "n_tokens", "n_shards",
         )
 
     def counts(df: DataFrame, tok_col: str) -> DataFrame:
         return df.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum(tok_col), F.lit(0)).alias("n_tokens"),
-            null_shards.alias("n_shards"),
+            F.expr("count(*) AS n_docs"),
+            F.expr(f"coalesce(sum({tok_col}), 0) AS n_tokens"),
+            F.expr("CAST(NULL AS BIGINT) AS n_shards"),
         )
 
     r0 = row(
         0, "raw",
-        docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        docs.agg(F.expr("count(*) AS n_docs")).crossJoin(
             s1.agg(
-                F.coalesce(F.sum("raw_tokens"), F.lit(0)).alias("n_tokens"),
-                null_shards.alias("n_shards"),
+                F.expr("coalesce(sum(raw_tokens), 0) AS n_tokens"),
+                F.expr("CAST(NULL AS BIGINT) AS n_shards"),
             )
         ),
     )
@@ -5900,12 +5873,12 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     r5 = row(
         5, "pack",
         packed.agg(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.expr("count(*) AS n_docs"),
+            F.expr("coalesce(sum(n_tokens), 0) AS n_tokens"),
         ).crossJoin(
             packed.select("source", "seq_id")
             .distinct()
-            .agg(F.count("*").alias("n_shards"))
+            .agg(F.expr("count(*) AS n_shards"))
         ),
     )
     return r0.unionAll(r1).unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5)

@@ -202,35 +202,35 @@ def write_kafka_stream(
 def hourly_metrics_stream(events: DataFrame) -> DataFrame:
     """T1+T2: watermarked tumbling-window hourly metrics
     (streaming_processor.py:276-307), exact distinct users."""
-    is_ = lambda t: F.col("event_type") == t  # noqa: E731
-    cond = lambda t: F.sum(F.when(is_(t), 1).otherwise(0))  # noqa: E731
+    cond = lambda t: F.expr(  # noqa: E731
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+    )
     agg = (
         events.withWatermark("ts", WATERMARK_DELAY)
         .groupBy(F.window("ts", HOURLY_WINDOW).alias("hour_window"))
         .agg(
-            F.count("*").alias("total_events"),
+            F.expr("count(*) AS total_events"),
             # exact distinct is unsupported on streams; the reference uses
             # the HLL sketch here too (A5, streaming_processor.py:285)
-            F.approx_count_distinct("user_id").alias("approx_unique_users"),
+            F.expr("approx_count_distinct(user_id) AS approx_unique_users"),
             cond("view").alias("page_views"),
             cond("click").alias("cart_additions"),
             cond("purchase").alias("purchases"),
-            F.round(
-                F.sum(F.when(is_("purchase"), F.col("value")).otherwise(F.lit(0.0))), 2
-            ).alias("revenue"),
+            F.expr(
+                "round(sum(CASE WHEN event_type = 'purchase' THEN value"
+                " ELSE 0.0D END), 2) AS revenue"
+            ),
         )
     )
-    conv = F.when(
-        F.col("page_views") > 0, F.col("purchases") * 100.0 / F.col("page_views")
-    ).otherwise(F.lit(0.0))
-    return agg.select(
-        F.col("hour_window.start").alias("hour_timestamp"),  # P6 struct access
+    return agg.selectExpr(
+        "hour_window.start AS hour_timestamp",  # P6 struct access
         "total_events",
         "approx_unique_users",
         "page_views",
         "cart_additions",
         "purchases",
-        F.round(conv, 2).alias("conversion_rate"),
+        "round(CASE WHEN page_views > 0 THEN purchases * 100.0D / page_views"
+        " ELSE 0.0D END, 2) AS conversion_rate",
         "revenue",
     )
 
