@@ -612,19 +612,25 @@ def _cc_fixpoint(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
+        # r15 (guide §2.4): the node's previous label rides the SAME
+        # propagation agg — min(label) over the union is unchanged, and
+        # max(prev) picks the unique old-label row (every node has
+        # exactly one: labels is distinct-by-node and symmetric edges
+        # make every dst a src) — so the convergence check is a
+        # filter-count scan of the just-materialized checkpoint instead
+        # of the old per-round new_labels⋈labels join job (2 exchanges
+        # + 1 scheduler job per round, ~30% of the fixpoint's jobs).
         new_labels = (
-            via_edges.unionByName(labels)
+            via_edges.unionByName(
+                labels.withColumn("prev", F.col("label")),
+                allowMissingColumns=True,
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("label != prev").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels
     raise RuntimeError(

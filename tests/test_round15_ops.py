@@ -256,3 +256,41 @@ def test_run_to_completion_uses_derived_parts(spark):
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert out.count() > 0
+
+
+def test_cc_fixpoint_fused_convergence_matches_union_find(spark):
+    """The r15 fused-prev fixpoint (convergence checked by a filter-count
+    scan of the round checkpoint instead of a second new⋈old join job per
+    round) must label exactly like a reference union-find — including on
+    a chain whose diameter forces many propagation rounds, the shape
+    where a wrong convergence test would return split components."""
+    import random
+
+    from e_commerce_click_stream_spark.plans.dedup import _cc_fixpoint
+
+    rng = random.Random(1519)
+    edges = [(i * 10, (i + 1) * 10) for i in range(23)]  # 23-hop chain
+    edges += [
+        (rng.randrange(300, 400), rng.randrange(300, 400)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    def union_find(es):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min label wins
+        return {n: find(n) for n in parent}
+
+    out = _cc_fixpoint(spark.createDataFrame(edges, "doc_a long, doc_b long"))
+    assert out.columns == ["node", "label"]  # consumer contract (unionByName)
+    assert dict(map(tuple, out.collect())) == union_find(edges)
