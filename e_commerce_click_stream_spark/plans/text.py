@@ -6629,6 +6629,7 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
     import tempfile as _tf
+    from concurrent.futures import ThreadPoolExecutor as _Pool
 
     from e_commerce_click_stream_spark.operators.storelock import (
         acquire_build_lock,
@@ -6636,6 +6637,7 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         store_location,
     )
     from e_commerce_click_stream_spark.streaming.jobs import (
+        _replay_parts,
         arrival_order_replay,
     )
 
@@ -6687,15 +6689,25 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("ndocs").alias("ndocs"))
             .localCheckpoint(eager=True)  # reads the table it replaces
         )
-        (
-            merged.write.mode("overwrite")
-            .format("parquet")
-            .option("path", _os.path.join(index_dir, "linedf"))
-            .saveAsTable(linedf_t)
-        )
-        n1k = _cur_scrub(lines, spark.table(linedf_t)).localCheckpoint(
-            eager=True
-        )
+        # r15 session 2 (guide §2.6 overlap independent jobs): the scrub
+        # reads the checkpointed `merged` relation DIRECTLY — it is
+        # byte-identical to the linedf table being written (the write's
+        # own input), so the store overwrite and the scrub job overlap
+        # from a 2-thread pool instead of serializing on a
+        # write-then-reread of the same rows. The write still completes
+        # before this batch returns (next batch's merge reads the table).
+        def _write_linedf() -> None:
+            (
+                merged.write.mode("overwrite")
+                .format("parquet")
+                .option("path", _os.path.join(index_dir, "linedf"))
+                .saveAsTable(linedf_t)
+            )
+
+        with _Pool(max_workers=2) as pool:
+            linedf_fut = pool.submit(_write_linedf)
+            n1k = _cur_scrub(lines, merged).localCheckpoint(eager=True)
+            linedf_fut.result()
         n2 = (
             n1k.withColumn("xfp", fingerprint())
             .withColumn(
@@ -6712,25 +6724,39 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(spark.table(fps_t)), "xfp", "left_anti")
             .localCheckpoint(eager=True)
         )
-        newfps.write.mode("append").format("parquet").saveAsTable(fps_t)
-        # the append runs through the micro-batch's CLONED session
-        # (newfps descends from bdf), which does not invalidate THIS
-        # session's cached file listing for the table — without the
-        # explicit refresh every later micro-batch deduped against the
-        # base-only fingerprint set (caught by the divergence test's
-        # wb3 twin). The overwrite writes below drop+recreate their
-        # tables, so they never go stale this way.
-        spark.catalog.refreshTable(fps_t)
-        n5 = _cur_score_batch(spark, n2, prefix).localCheckpoint(eager=True)
-        man = _cur_pack_append(spark, n5, prefix).localCheckpoint(eager=True)
-        man.write.mode("append").parquet(sink_dir)
-        newtails = (
-            spark.table(tail_t)
-            .unionByName(n5.groupBy("source").agg(F.sum("n_tokens").alias("tail")))
-            .groupBy("source")
-            .agg(F.sum("tail").alias("tail"))
-            .localCheckpoint(eager=True)  # reads the table it replaces
-        )
+        # r15 session 2 (guide §2.6): the fingerprint-store advance and
+        # the scoring chain are independent once n2/newfps are
+        # checkpointed — n2 anti-joined the PRE-append store above, and
+        # nothing in score/pack/tails reads fps_t — so the append+refresh
+        # overlaps the scoring jobs. Both sides join before this batch
+        # returns, so batch k+1 still dedups against k's fingerprints
+        # (the divergence test's wb3 twin pins exactly that).
+        def _advance_fps() -> None:
+            newfps.write.mode("append").format("parquet").saveAsTable(fps_t)
+            # the append runs through the micro-batch's CLONED session
+            # (newfps descends from bdf), which does not invalidate THIS
+            # session's cached file listing for the table — without the
+            # explicit refresh every later micro-batch deduped against
+            # the base-only fingerprint set (caught by the divergence
+            # test's wb3 twin). The overwrite writes elsewhere
+            # drop+recreate their tables, so they never go stale this way.
+            spark.catalog.refreshTable(fps_t)
+
+        with _Pool(max_workers=2) as pool:
+            fps_fut = pool.submit(_advance_fps)
+            n5 = _cur_score_batch(spark, n2, prefix).localCheckpoint(eager=True)
+            man = _cur_pack_append(spark, n5, prefix).localCheckpoint(eager=True)
+            man.write.mode("append").parquet(sink_dir)
+            newtails = (
+                spark.table(tail_t)
+                .unionByName(
+                    n5.groupBy("source").agg(F.sum("n_tokens").alias("tail"))
+                )
+                .groupBy("source")
+                .agg(F.sum("tail").alias("tail"))
+                .localCheckpoint(eager=True)  # reads the table it replaces
+            )
+            fps_fut.result()
         (
             newtails.write.mode("overwrite")
             .format("parquet")
@@ -6740,7 +6766,9 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ckpt = _tf.mkdtemp(prefix="curs_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # size-derived replay parts (entry #8 discipline; the staged reader
+    # recorded its bytes above) instead of the historical fixed 8
+    spark.conf.set("spark.sql.shuffle.partitions", _replay_parts(spark))
     try:
         q = (
             stream.writeStream.foreachBatch(_ingest)

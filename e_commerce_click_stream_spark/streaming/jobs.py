@@ -857,6 +857,14 @@ def arrival_order_replay(spark: SparkSession, df: DataFrame, batch_col: str):
             "staged mtimes not strictly increasing — filesystem timestamp "
             f"granularity broke the replay order contract: {stored[:8]}..."
         )
+    # r15 session 2: this staged reader was the one replay entry point
+    # that never recorded its input size, so downstream runners fell back
+    # to the historical 32 state partitions — at one state-store
+    # open/commit/reload per partition PER MICRO-BATCH, the ordered
+    # replays (50+ triggers at sf0.1) paid ~8× the store lifecycle the
+    # size-derived count needs. Same derivation as _chunked_replay;
+    # partition count never changes any aggregate's values.
+    _note_replay_size(spark, sum(os.path.getsize(p) for p in staged))
     schema = df.drop(batch_col).schema
     stream = (
         spark.readStream.schema(schema)
