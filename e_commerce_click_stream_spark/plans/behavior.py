@@ -840,7 +840,12 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # checkpoint: both sides of the pair join reference the profile —
-    # lazily each side would re-run the full events aggregation
+    # lazily each side would re-run the full events aggregation. The
+    # per-user norm is computed HERE, once per user (r15 guide §1.2
+    # per-task work: the pair stage evaluated sqrt(Σp²) per PAIR — n²
+    # array aggregates for a value that only varies per user); sqrt over
+    # the same array with the same fold order yields the bit-identical
+    # double, so every rounded cosine is unchanged.
     prof = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -849,6 +854,16 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.transform("c", lambda x: x / F.col("n")).alias("p"),
         )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("p", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
         .localCheckpoint(eager=True)
     )
     dot = F.aggregate(
@@ -856,15 +871,20 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    a = prof.select(
+        F.col("user_id").alias("user_a"),
+        F.col("p").alias("pa"),
+        F.col("nrm").alias("na"),
     )
-    a = prof.select(F.col("user_id").alias("user_a"), F.col("p").alias("pa"))
-    b = prof.select(F.col("user_id").alias("user_b"), F.col("p").alias("pb"))
+    b = prof.select(
+        F.col("user_id").alias("user_b"),
+        F.col("p").alias("pb"),
+        F.col("nrm").alias("nb"),
+    )
     scored = a.join(b, F.col("user_a") != F.col("user_b")).select(
         "user_a",
         "user_b",
-        F.round(dot / (nrm(F.col("pa")) * nrm(F.col("pb"))), 6).alias("cosine"),
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
     w = Window.partitionBy("user_a").orderBy(F.desc("cosine"), F.asc("user_b"))
     return (
