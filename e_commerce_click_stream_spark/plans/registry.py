@@ -54,109 +54,41 @@ _PLAN_MODULES = (
 # verified window; previously-proven queries follow in registration order.
 # Maintain per round: new/changed queries go at the top.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r15 window (VERDICT r14 #1): LEADS with the 25 r9-proof queries
-    # that led _VERIFY_NEXT last round — after this round's gate no
-    # proof older than r10 remains anywhere — then the queries CHANGED
-    # this round, then the oldest r10-proof queries (alphabetical) with
-    # the remaining slots; the r10 overflow leads _VERIFY_NEXT for r16.
-    # the 25 r9 proofs — refresh FIRST
-    "embedding_top_component",
-    "embedding_truncation_recall",
-    "eval_gram_decontamination",
-    "k_anonymity_audit",
-    "neardup_threshold_curve",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "quality_threshold_sweep",
-    "source_ngram_novelty",
-    "streaming_click_attribution",
-    "streaming_hourly_metrics",
-    "streaming_pii_scrub",
-    "streaming_quality_gate",
-    "streaming_segment_enrichment",
-    "substring_span_clusters",
-    "user_bot_flags",
-    "user_erasure_audit",
-    "user_event_sequences",
-    "vocab_oov_curve",
-    # CHANGED r15 — no fixture-current proof of the current behavior
-    "graph_triangle_count",          # wedge-stream close-join rework
-    "streaming_curation_ingest",     # manifest checkpoint (ADVICE r14 #3)
-    "ann_lsh_buckets",               # LSH geometry past the 16-bit clamp
-    "embedding_neardup_lsh",         # same
-    "embedding_lsh_recall_eval",     # same (composes the neardup path)
-    # ADVICE r14 #1: the r14 shingle-checkpoint-level change touched
-    # these (dedup.py _docs_shingled/_shingle_ckpt_level consumers) but
-    # the r14 window omitted them — the retroactive re-verify. (ADVICE
-    # named dedup_simhash_groups; the actual _docs_shingled consumers
-    # are minhash_lsh / ngram_jaccard / containment — simhash shingles
-    # inline and was not code-touched.)
-    "dedup_incremental_minhash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    # CHANGED r15 (second wave — the x30 probe OOM fix): SHUFFLE_HASH
-    # verify joins + scale-gated candidate dedup in _probe_against and
-    # size-derived store bucket counts (operators/dedup_index.py) touch
-    # every band-store probe path
-    "dedup_incremental_stored",
-    "dedup_stored_probe_only",
-    "dedup_stored_erase",
-    "dedup_stored_apply_erase",
-    "dedup_stored_compact",
-    # CHANGED r15 (third wave): exact footer row counts replaced the
-    # bytes-per-row footprint estimates feeding every checkpoint-level
-    # derivation (operators/ckptlevel.py::parquet_row_count) — pagerank
-    # consumes _lineitem_rows_estimate, so it re-verifies too (the
-    # dedup/graph consumers are already above)
-    "pagerank_bipartite",
-    # CHANGED r15 (optimization round): the line-scrub stage computes
-    # the normalized line relation once behind a size-derived
-    # checkpoint, derives tok_cnt from the collapsed norm string, runs
-    # the df agg as min/max (LINE_DF_DOCS == 2), and the curation dedup
-    # stage became a min_by hash agg (plans/text.py)
-    "corpus_curation_run",
-    "doc_line_boilerplate_scrub",
-    # rotation: the oldest r10-proof queries (alphabetical; the
-    # remainder — ann_recall_eval onward — leads _VERIFY_NEXT for r16;
-    # rotation slots yielded to optimization-changed queries)
-    "bm25_topk_retrieval",           # also CHANGED r15 opt: df semi-join
-    "bm25_vs_ann_overlap",           # composes the changed bm25 path
-    # CHANGED r15 (optimization round, second wave) — highest-risk
-    # changed queries hedge into the bounded window (the optimization
-    # driver re-runs the full registry, but if only a prefix lands in
-    # CORRECTNESS_r15 these must be in it): packed-codebook IVF
-    # assignment/probing + bucket-aligned store writes
-    # (plans/similarity.py), one-agg kmeans recentering, tfidf df from
-    # the materialized tf relation (plans/text.py). Remaining changed
-    # twins (ann_ivf_cells/pq_topk/erase/append/compact/range_search,
-    # ivf_cell_balance_audit, the streaming replay-partition family)
-    # verify through the full-registry re-run; six r10-rotation slots
-    # (brand_basket_affinity … daily_active_users) yielded and lead
-    # _VERIFY_NEXT for r16.
-    "embedding_kmeans_iter",
-    "ann_ivf_topk",
-    "ann_ivf_probe_only",
-    "ann_ivf_stored",
-    "ann_ivf_apply_erase",
-    "tfidf_top_terms",
-)
-
-
-# Overflow preference: emitted immediately AFTER the verify window. The
-# driver checks "a bounded prefix (~50)" — if its window runs past 50,
-# these benefit first; if not, they cost nothing (every one holds a
-# fixture-current ever-green row). These are the r10-proof queries the
-# r15 window could not fit — they lead the r16 window.
-_VERIFY_NEXT: tuple[str, ...] = (
-    # the six r10-rotation slots the r15 optimization window displaced —
-    # they lead the r16 refresh
+    # r16 window (VERDICT r15 #1): LEADS with the 9 queries whose
+    # BEHAVIOR changed in r15 session 2 AFTER the hedge commit (CC
+    # fixpoint fusion, activity-similarity norm hoist, ordered-replay
+    # partitions) — their only current proofs are builder-run; then the
+    # parse-once-touched headliners that rotated out of the r15 window;
+    # then the standing r10-proof rotation overflow (_VERIFY_NEXT's
+    # head last round). Rule adopted per VERDICT r15 #1: any
+    # behavior-touching commit made after a hedge re-hedges its queries
+    # into this list IN THE SAME COMMIT.
+    # -- r15 session-2 behavior-changed (fused CC convergence check,
+    #    user-norm hoist, arrival-order replay partitions)
+    "dedup_connected_components",
+    "dedup_cc_incremental",
+    "dedup_cc_stored",
+    "dedup_cc_stored_erase",
+    "dedup_cc_stored_compact",
+    "dedup_quality_keep",
+    "dedup_savings_report",
+    "user_activity_similarity",
+    "streaming_late_data_audit",
+    # -- parse-once-touched headliners that sat outside the r15 window
+    #    (plans byte-identical by audit; this is the fixture-current
+    #    driver re-proof VERDICT r15 #1 prescribes)
+    "corpus_clean_pipeline",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "brand_revenue",
+    "session_metrics",
+    "hourly_metrics",
+    "ann_cosine_topk",
+    "doc_exact_substring_rewrite",
+    # -- standing rotation: the oldest-proof queries (the six r10 slots
+    #    the r15 window displaced, then _VERIFY_NEXT's r10 head in its
+    #    existing order); the remainder leads _VERIFY_NEXT for r17
     "brand_basket_affinity",
     "corpus_mix_plan",
     "corpus_vocabulary",
@@ -183,12 +115,16 @@ _VERIFY_NEXT: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "multimodal_shard_pack",
     "nation_coverage_full_outer",
+)
+
+
+_VERIFY_NEXT: tuple[str, ...] = (
+    # the r10-proof queries the r16 window could not fit — they lead
+    # the r17 refresh
     "orders_backlog_over_time",
     "session_cart_contents",
-    "session_metrics",
     "sql_gateway_hourly_revenue",
     "streaming_exactly_once_dedup",
-    "streaming_late_data_audit",
     "streaming_session_windows",
     "streaming_sliding_windows",
     "user_entropy_profile",
