@@ -866,11 +866,16 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # The pair-stage dot is the n² hot loop. zip_with+aggregate are
+    # CodegenFallback expressions: every pair allocated a 24-element
+    # product array and walked it through an interpreted fold. The
+    # unrolled element sum is pure whole-stage-codegen arithmetic — no
+    # allocation, no lambda dispatch — and bit-identical: the fold
+    # computes (((0.0+x0)+x1)+…+x23), the unrolled sum ((x0+x1)+…+x23),
+    # and 0.0+x0 == x0 exactly because every term is a product of
+    # non-negative shares (never -0.0); the left-to-right addition order
+    # is unchanged, so every round(·, 6) cosine is unchanged.
+    dot = F.expr(" + ".join(f"pa[{h}]*pb[{h}]" for h in hours))
     a = prof.select(
         F.col("user_id").alias("user_a"),
         F.col("p").alias("pa"),
