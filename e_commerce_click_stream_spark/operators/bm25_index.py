@@ -116,32 +116,55 @@ def build_postings_index(
     location: str | None = None,
 ) -> None:
     """Write the postings store for ``docs`` (doc_id, ts): postings and
-    terms bucketed+sorted on ``tok``, scalars as a plain 1-row table."""
+    terms bucketed+sorted on ``tok``, scalars as a plain 1-row table.
+
+    The bucketed writes repartition by ``tok`` first — the Murmur3-pmod
+    alignment the band/IVF stores use (operators/compaction.py): each
+    writer task holds exactly one bucket's rows, so the store
+    materializes ``num_buckets`` files per table instead of one per
+    (upstream task, bucket). The three table jobs all hang off the ONE
+    checkpointed postings relation and write disjoint tables/dirs, so
+    they run from a thread pool (guide §2.6 overlap independent jobs —
+    the terms/scalars jobs back-fill the postings write's tail)."""
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        _run_concurrently,
+    )
+
     postings = corpus_postings(docs).localCheckpoint(eager=True)
     terms, scalars = _df_and_scalars(postings)
     post_t, terms_t, scal_t = postings_table_names(prefix)
-    w = (
-        postings.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, "tok")
-        .sortBy("tok")
-    )
-    if location:
-        w = w.option("path", os.path.join(location, POSTINGS_SUBDIR))
-    w.saveAsTable(post_t)
-    wt = (
-        terms.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, "tok")
-        .sortBy("tok")
-    )
-    if location:
-        wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
-    wt.saveAsTable(terms_t)
-    ws = scalars.write.mode("overwrite").format("parquet")
-    if location:
-        ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
-    ws.saveAsTable(scal_t)
+
+    def _write_postings() -> None:
+        w = (
+            postings.repartition(num_buckets, F.col("tok"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+        )
+        if location:
+            w = w.option("path", os.path.join(location, POSTINGS_SUBDIR))
+        w.saveAsTable(post_t)
+
+    def _write_terms() -> None:
+        wt = (
+            terms.repartition(num_buckets, F.col("tok"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+        )
+        if location:
+            wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
+        wt.saveAsTable(terms_t)
+
+    def _write_scalars() -> None:
+        ws = scalars.write.mode("overwrite").format("parquet")
+        if location:
+            ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
+        ws.saveAsTable(scal_t)
+
+    _run_concurrently(_write_postings, _write_terms, _write_scalars)
     # a fresh build has no erasures: reset any tombstones a previous
     # generation of this store left behind (catalog AND directory, or a
     # later session's erase would resurrect stale deletion vectors —
@@ -189,26 +212,43 @@ def append_to_postings_index(
         )
         .localCheckpoint(eager=True)
     )
-    (
-        batch_postings.write.mode("append")
-        .format("parquet")
-        .bucketBy(num_buckets, "tok")
-        .sortBy("tok")
-        .saveAsTable(post_t)
+    # all three relations are eagerly checkpointed above (the merges read
+    # from the very tables the overwrites replace), so the three writes
+    # are independent jobs over pinned inputs: bucket-align the keyed
+    # ones and overlap them (guide §2.6, the build's discipline)
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        _run_concurrently,
     )
-    wt = (
-        merged_terms.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, "tok")
-        .sortBy("tok")
-    )
-    if location:
-        wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
-    wt.saveAsTable(terms_t)
-    ws = merged_scalars.write.mode("overwrite").format("parquet")
-    if location:
-        ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
-    ws.saveAsTable(scal_t)
+
+    def _append_postings() -> None:
+        (
+            batch_postings.repartition(num_buckets, F.col("tok"))
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+            .saveAsTable(post_t)
+        )
+
+    def _write_terms() -> None:
+        wt = (
+            merged_terms.repartition(num_buckets, F.col("tok"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+        )
+        if location:
+            wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
+        wt.saveAsTable(terms_t)
+
+    def _write_scalars() -> None:
+        ws = merged_scalars.write.mode("overwrite").format("parquet")
+        if location:
+            ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
+        ws.saveAsTable(scal_t)
+
+    _run_concurrently(_append_postings, _write_terms, _write_scalars)
 
 
 def erase_from_postings_index(
@@ -282,19 +322,32 @@ def erase_from_postings_index(
         )
         .localCheckpoint(eager=True)
     )
-    wt = (
-        merged_terms.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, "tok")
-        .sortBy("tok")
+    # both merged relations are checkpointed: the two overwrites are
+    # independent jobs — bucket-align the terms write and overlap them
+    # (guide §2.6, same discipline as build/append)
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        _run_concurrently,
     )
-    if location:
-        wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
-    wt.saveAsTable(terms_t)
-    ws = merged_scalars.write.mode("overwrite").format("parquet")
-    if location:
-        ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
-    ws.saveAsTable(scal_t)
+
+    def _write_terms() -> None:
+        wt = (
+            merged_terms.repartition(num_buckets, F.col("tok"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+        )
+        if location:
+            wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
+        wt.saveAsTable(terms_t)
+
+    def _write_scalars() -> None:
+        ws = merged_scalars.write.mode("overwrite").format("parquet")
+        if location:
+            ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
+        ws.saveAsTable(scal_t)
+
+    _run_concurrently(_write_terms, _write_scalars)
 
 
 def apply_erasures(
@@ -334,34 +387,48 @@ def apply_erasures(
     )
     before = spark.table(post_t).count()
     kept = snap.count()
-    w = (
-        snap.repartition(num_buckets, F.col("tok"))
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, "tok")
-        .sortBy("tok")
-    )
-    if location:
-        w = w.option("path", os.path.join(location, POSTINGS_SUBDIR))
-    w.saveAsTable(post_t)
     # self-heal: terms/scalars restated from the surviving snapshot (snap
     # is checkpointed, so overwriting the tables it no longer reads from
     # is safe); identical to the erase-time decrements when those landed,
-    # the only reconciliation path when they did not
+    # the only reconciliation path when they did not. All three rewrites
+    # hang off the checkpointed snapshot and touch disjoint tables, so
+    # they overlap (guide §2.6) with the terms write bucket-aligned.
     heal_terms, heal_scalars = _df_and_scalars(snap)
-    wt = (
-        heal_terms.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, "tok")
-        .sortBy("tok")
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        _run_concurrently,
     )
-    if location:
-        wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
-    wt.saveAsTable(terms_t)
-    ws = heal_scalars.write.mode("overwrite").format("parquet")
-    if location:
-        ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
-    ws.saveAsTable(scal_t)
+
+    def _rewrite_postings() -> None:
+        w = (
+            snap.repartition(num_buckets, F.col("tok"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+        )
+        if location:
+            w = w.option("path", os.path.join(location, POSTINGS_SUBDIR))
+        w.saveAsTable(post_t)
+
+    def _write_terms() -> None:
+        wt = (
+            heal_terms.repartition(num_buckets, F.col("tok"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+        )
+        if location:
+            wt = wt.option("path", os.path.join(location, TERMS_SUBDIR))
+        wt.saveAsTable(terms_t)
+
+    def _write_scalars() -> None:
+        ws = heal_scalars.write.mode("overwrite").format("parquet")
+        if location:
+            ws = ws.option("path", os.path.join(location, SCALARS_SUBDIR))
+        ws.saveAsTable(scal_t)
+
+    _run_concurrently(_rewrite_postings, _write_terms, _write_scalars)
     truncate_tombstones(spark, prefix, location)
     return {"dropped": before - kept, "kept": kept}
 

@@ -86,6 +86,18 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "hourly_metrics",
     "ann_cosine_topk",
     "doc_exact_substring_rewrite",
+    # -- CHANGED r16 (store-write overlap + bucket alignment, guide
+    #    §2.6/§6): build_postings_index / append_to_postings_index /
+    #    erase_from_postings_index / apply_erasures and _ivf_store_build
+    #    now bucket-align their keyed writes and run the independent
+    #    table jobs concurrently — one representative per changed path
+    #    hedges in; the remaining store twins verify through the
+    #    builder-run full-family driver_sim (17/17 green at sf0.01)
+    "bm25_stored_probe_only",
+    "bm25_stored_append",
+    "bm25_stored_erase",
+    "bm25_stored_apply_erase",
+    "ann_ivf_stored",
     # -- standing rotation: the oldest-proof queries (the six r10 slots
     #    the r15 window displaced, then _VERIFY_NEXT's r10 head in its
     #    existing order); the remainder leads _VERIFY_NEXT for r17
@@ -112,15 +124,16 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "hourly_gapfill_locf",
     "hybrid_rrf_fusion",
     "key_skew_profile",
-    "multimodal_phash_neardup",
-    "multimodal_shard_pack",
-    "nation_coverage_full_outer",
 )
 
 
 _VERIFY_NEXT: tuple[str, ...] = (
     # the r10-proof queries the r16 window could not fit — they lead
-    # the r17 refresh
+    # the r17 refresh (the three names the r16 store-write hedges
+    # displaced first, then the standing order)
+    "multimodal_phash_neardup",
+    "multimodal_shard_pack",
+    "nation_coverage_full_outer",
     "orders_backlog_over_time",
     "session_cart_contents",
     "sql_gateway_hourly_revenue",

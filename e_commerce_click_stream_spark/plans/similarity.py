@@ -2181,27 +2181,42 @@ def _ivf_store_build(
     import os
 
     acquire_build_lock(index_dir)
-    (
-        # align writer tasks to the bucket layout (Murmur3-pmod on vec_id,
-        # the exact function bucketBy applies — operators/compaction.py
-        # precedent): each task holds exactly one bucket's rows, so the
-        # store materializes one file per (cell, bucket) instead of one
-        # per (upstream task, cell, bucket)
-        assign.repartition(_IVF_BUCKETS, F.col("vec_id"))
-        .write.mode("overwrite")
-        .format("parquet")
-        .partitionBy("cell")
-        .bucketBy(_IVF_BUCKETS, "vec_id")
-        .sortBy("vec_id")
-        .option("path", os.path.join(index_dir, "assignments"))
-        .saveAsTable(f"{prefix}_assign")
+
+    def _write_assign() -> None:
+        (
+            # align writer tasks to the bucket layout (Murmur3-pmod on
+            # vec_id, the exact function bucketBy applies —
+            # operators/compaction.py precedent): each task holds exactly
+            # one bucket's rows, so the store materializes one file per
+            # (cell, bucket) instead of one per (upstream task, cell,
+            # bucket)
+            assign.repartition(_IVF_BUCKETS, F.col("vec_id"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("cell")
+            .bucketBy(_IVF_BUCKETS, "vec_id")
+            .sortBy("vec_id")
+            .option("path", os.path.join(index_dir, "assignments"))
+            .saveAsTable(f"{prefix}_assign")
+        )
+
+    def _write_cent() -> None:
+        (
+            cent.write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(index_dir, "centroids"))
+            .saveAsTable(f"{prefix}_cent")
+        )
+
+    # the two table writes are independent jobs (disjoint tables/dirs;
+    # the centroid job is a tiny filtered corpus scan): overlap them so
+    # the centroid write back-fills the assignment write's straggler
+    # tail (guide §2.6 — the band store's _run_concurrently discipline)
+    from e_commerce_click_stream_spark.operators.dedup_index import (
+        _run_concurrently,
     )
-    (
-        cent.write.mode("overwrite")
-        .format("parquet")
-        .option("path", os.path.join(index_dir, "centroids"))
-        .saveAsTable(f"{prefix}_cent")
-    )
+
+    _run_concurrently(_write_assign, _write_cent)
     # a fresh build has no erasures: reset any tombstones a previous
     # generation of this store left behind (catalog AND directory —
     # operators/tombstones.py)
