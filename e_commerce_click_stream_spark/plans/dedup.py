@@ -629,6 +629,12 @@ def _cc_fixpoint(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
             .agg(F.min("label").alias("label"), F.max("prev").alias("prev"))
             .localCheckpoint(eager=True)
         )
+        # `label != prev` null-filters any node whose prev is NULL; the
+        # check is only sound because prev is non-null for EVERY node:
+        # labels spans every dst (this function builds the symmetric
+        # edge union itself, so every dst appears as a src). A caller
+        # passing pre-built directed edges would break that invariant —
+        # keep the union/distinct above in-function (ADVICE r15).
         changed = new_labels.where("label != prev").count()
         labels = new_labels.select("node", "label")
         if changed == 0:

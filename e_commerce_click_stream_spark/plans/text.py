@@ -1399,6 +1399,10 @@ def doc_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     if LINE_DF_DOCS == 2:
+        # min/max ≡ countDistinct REQUIRES doc_id non-null (min/max skip
+        # NULLs where countDistinct counts rows): doc_id is the corpus
+        # primary key, non-null at every scale factor — pinned by
+        # tests/test_round16_ops.py::test_doc_id_nonnull_invariant
         freq = (
             lines.filter(F.col("fp").isNotNull())
             .groupBy("fp")
@@ -5706,7 +5710,10 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     if LINE_DF_DOCS == 2:
         # ndocs < 2 ⟺ every occurrence is in one doc ⟺ min == max:
         # a plain min/max hash agg (map-side combinable, ONE exchange)
-        # replaces countDistinct's Expand + distinct-agg double exchange
+        # replaces countDistinct's Expand + distinct-agg double exchange.
+        # The equivalence REQUIRES doc_id non-null (min/max skip NULLs):
+        # doc_id is the corpus primary key, non-null at every scale
+        # factor — pinned by test_doc_id_nonnull_invariant
         freq = (
             lines.filter(F.col("fp").isNotNull())
             .groupBy("fp")
@@ -6706,7 +6713,15 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         with _Pool(max_workers=2) as pool:
             linedf_fut = pool.submit(_write_linedf)
-            n1k = _cur_scrub(lines, merged).localCheckpoint(eager=True)
+            try:
+                n1k = _cur_scrub(lines, merged).localCheckpoint(eager=True)
+            except BaseException as fg:
+                # ADVICE r15: a foreground failure must not mask a
+                # concurrent write failure — chain it so both surface
+                bg = linedf_fut.exception()
+                if bg is not None:
+                    raise fg from bg
+                raise
             linedf_fut.result()
         n2 = (
             n1k.withColumn("xfp", fingerprint())
@@ -6744,18 +6759,32 @@ def streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         with _Pool(max_workers=2) as pool:
             fps_fut = pool.submit(_advance_fps)
-            n5 = _cur_score_batch(spark, n2, prefix).localCheckpoint(eager=True)
-            man = _cur_pack_append(spark, n5, prefix).localCheckpoint(eager=True)
-            man.write.mode("append").parquet(sink_dir)
-            newtails = (
-                spark.table(tail_t)
-                .unionByName(
-                    n5.groupBy("source").agg(F.sum("n_tokens").alias("tail"))
+            try:
+                n5 = _cur_score_batch(spark, n2, prefix).localCheckpoint(
+                    eager=True
                 )
-                .groupBy("source")
-                .agg(F.sum("tail").alias("tail"))
-                .localCheckpoint(eager=True)  # reads the table it replaces
-            )
+                man = _cur_pack_append(spark, n5, prefix).localCheckpoint(
+                    eager=True
+                )
+                man.write.mode("append").parquet(sink_dir)
+                newtails = (
+                    spark.table(tail_t)
+                    .unionByName(
+                        n5.groupBy("source").agg(
+                            F.sum("n_tokens").alias("tail")
+                        )
+                    )
+                    .groupBy("source")
+                    .agg(F.sum("tail").alias("tail"))
+                    .localCheckpoint(eager=True)  # reads the table it replaces
+                )
+            except BaseException as fg:
+                # ADVICE r15: chain a concurrent append failure under the
+                # foreground error instead of silently dropping it
+                bg = fps_fut.exception()
+                if bg is not None:
+                    raise fg from bg
+                raise
             fps_fut.result()
         (
             newtails.write.mode("overwrite")
