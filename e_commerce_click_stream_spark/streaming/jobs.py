@@ -321,7 +321,7 @@ def run_with_processing_time(
             .start()
         )
         try:
-            idle, last_batch = 0, -1
+            idle, last_batch, drained = 0, -1, 0
             deadline = time.time() + timeout_s
             while time.time() < deadline and idle < idle_batches:
                 time.sleep(0.25)
@@ -329,6 +329,27 @@ def run_with_processing_time(
                 if p is not None and p["batchId"] != last_batch:
                     last_batch = p["batchId"]
                     idle = idle + 1 if p["numInputRows"] == 0 else 0
+                    drained = 0
+                    continue
+                # A finite replay stops producing batches entirely once
+                # the source drains (no-data micro-batches fire at most
+                # once), so "idle_batches consecutive empty batches" may
+                # never arrive and the old loop sat out the FULL timeout
+                # (~120 s per run). The engine's own drain signal — no
+                # unprocessed data AND no trigger in flight, after at
+                # least one committed batch — is the safe early exit:
+                # everything read is committed, nothing is pending.
+                st = query.status
+                if (
+                    last_batch >= 0
+                    and not st["isDataAvailable"]
+                    and not st["isTriggerActive"]
+                ):
+                    drained += 1
+                    if drained >= 4:  # a full second of confirmed quiescence
+                        break
+                else:
+                    drained = 0
         finally:
             query.stop()
     finally:

@@ -191,7 +191,20 @@ def test_lsh_projection_planes_identical_in_builder_and_oracle(spark, tmp_path):
     _synth_embeddings(d, n)
 
     spec = all_specs()["ann_lsh_buckets"]
-    rows = spec.builder(spark, d).collect()
+    # Row-level cross-engine comparison on a deterministic vector SAMPLE
+    # (vec_id % 257 == 0, ~2k vectors): the object under test is the 136
+    # Rademacher planes, and every sampled vector's 17-bit band
+    # signatures exercise every (plane, component) — a single differing
+    # component flips sign-dots for ~half the sample on that plane, so
+    # the sample detects any plane divergence while cutting the test
+    # from 8.6 min (full 2.1M-row collect + compare in BOTH engines) to
+    # seconds of row compare. The GEOMETRY (band_bits=17 from the
+    # 524,289 hygiene-passed count, projection-source switch) is still
+    # derived from the FULL corpus inside both the builder and the
+    # oracle — that part is not sampled.
+    sample = "vec_id % 257 = 0"
+    n_sample = len(range(0, n, 257))
+    rows = spec.builder(spark, d).where(sample).collect()
     assert all(len(r["band_sig"]) == 17 for r in rows)
     assert all(len(r["bucket_signature"]) == 68 for r in rows)
 
@@ -199,13 +212,15 @@ def test_lsh_projection_planes_identical_in_builder_and_oracle(spark, tmp_path):
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
     )
-    oracle = con.execute(spec.oracle).fetchall()
+    oracle = con.execute(
+        f"SELECT * FROM ({spec.oracle}) WHERE {sample}"
+    ).fetchall()
     con.close()
     s_rows = sorted(
         (r["vec_id"], r["bucket_signature"], r["band_id"], r["band_sig"])
         for r in rows
     )
-    assert len(s_rows) == len(oracle) == n * 4
+    assert len(s_rows) == len(oracle) == n_sample * 4
     assert s_rows == sorted(tuple(r) for r in oracle)
 
 
