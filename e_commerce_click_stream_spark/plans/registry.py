@@ -98,6 +98,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bm25_stored_erase",
     "bm25_stored_apply_erase",
     "ann_ivf_stored",
+    # -- CHANGED r16: the DSIR corpus totals ride a window over the
+    #    bounded bucket-stats relation instead of a checkpointed agg +
+    #    crossJoined broadcast (value-identical BIGINT sums; one fewer
+    #    checkpoint job) — re-hedged in the same commit per the r16 rule
+    "corpus_curation_run",
     # -- standing rotation: the oldest-proof queries (the six r10 slots
     #    the r15 window displaced, then _VERIFY_NEXT's r10 head in its
     #    existing order); the remainder leads _VERIFY_NEXT for r17

@@ -5800,27 +5800,27 @@ def corpus_curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("count(*) AS tf"))
         .localCheckpoint(eager=True)  # feeds model fitting AND scoring
     )
-    bstats3 = (
-        dtb3.groupBy("bucket")
-        .agg(
-            F.expr("sum(tf) AS raw_cnt"),
-            F.expr(
-                f"sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)"
-                " AS tgt_cnt"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    bstats3 = dtb3.groupBy("bucket").agg(
+        F.expr("sum(tf) AS raw_cnt"),
+        F.expr(
+            f"sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END)"
+            " AS tgt_cnt"
+        ),
     )
-    btot3 = bstats3.agg(
-        F.expr("sum(raw_cnt) AS r_total"), F.expr("sum(tgt_cnt) AS t_total")
-    )
+    # r16: the corpus totals ride a window over the SAME bucket-stats
+    # relation instead of a separate 1-row agg crossJoined back — bstats3
+    # is bounded at DSIR_BUCKETS rows (4096), so the unpartitioned window
+    # is a constant-size single-task frame at any corpus scale, and the
+    # fused form drops bstats3's eager checkpoint job plus the btot3
+    # broadcast build from lam3's lineage. r_total/t_total are BIGINT
+    # sums — order-independent, value-identical to the old agg.
     # 1.0D/0.5D: SQL float literals default to DECIMAL — the D suffix
     # keeps the arithmetic double, exactly the F.lit(1.0)/F.lit(0.5)
     # tree this expression had as a Column chain
-    lam3 = bstats3.crossJoin(F.broadcast(btot3)).selectExpr(
+    lam3 = bstats3.selectExpr(
         "bucket",
-        f"CAST(floor(ln((tgt_cnt + 1) * (r_total + {DSIR_BUCKETS})"
-        f" / ((raw_cnt + 1.0D) * (t_total + {DSIR_BUCKETS})))"
+        f"CAST(floor(ln((tgt_cnt + 1) * (sum(raw_cnt) OVER () + {DSIR_BUCKETS})"
+        f" / ((raw_cnt + 1.0D) * (sum(tgt_cnt) OVER () + {DSIR_BUCKETS})))"
         f" * 1000000 + 0.5D) AS BIGINT) AS lam_micro",
     )
     pd3 = (
