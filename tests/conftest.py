@@ -16,6 +16,12 @@ def spark():
     from e_commerce_click_stream_spark.session import get_spark
 
     spark = get_spark(app_name="tests")
+    # test-session-only: ~2050 tests run tiny fixtures through a shared
+    # local[32] session; 32-way shuffles cost task-scheduling overhead
+    # per stage that dominates at this data size (the suite must fit the
+    # external verification window). AQE still coalesces; engine/bench
+    # sessions are untouched (session.py defaults unchanged).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     yield spark
 
 

@@ -3,6 +3,8 @@ the test strategy the reference lacks entirely (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -79,6 +81,7 @@ _history_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_history_strategy)
+@pytest.mark.slow  # randomized-reference sweep: round-close full-suite tier
 def test_scd2_collapse_matches_run_length_encoding(spark, raw):
     import os
     import tempfile

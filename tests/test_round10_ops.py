@@ -9,6 +9,8 @@ skipped, and the rarest-df query-term selection."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 import tempfile
@@ -294,6 +296,7 @@ _uni_corpus = st.lists(
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_uni_corpus)
+@pytest.mark.slow  # randomized-reference sweep: round-close full-suite tier
 def test_unigram_matches_reference_on_random_corpora(spark, texts):
     _check_unigram(spark, texts)
 
@@ -385,6 +388,7 @@ _bm25_corpus = st.lists(
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_bm25_corpus)
+@pytest.mark.slow  # randomized-reference sweep: round-close full-suite tier
 def test_bm25_matches_reference_on_random_corpora(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     sf = _write_docs(spark, rows)

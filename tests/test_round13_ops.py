@@ -169,6 +169,7 @@ def test_cc_stored_matches_from_scratch_idempotent_and_on_disk(spark):
     assert from_disk == r1, "label state not fully materialized on disk"
 
 
+@pytest.mark.slow  # randomized-reference sweep: round-close full-suite tier
 def test_cc_erase_relabel_splits_and_renumbers(spark):
     """The property deletion vectors cannot express (the reason the CC
     store's erasure re-clusters): erasing a bridge node SPLITS its

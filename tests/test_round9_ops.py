@@ -172,6 +172,7 @@ def _brute_force(docs):
 
 @settings(**_SETTINGS)
 @given(_corpora())
+@pytest.mark.slow  # randomized-reference sweep: round-close full-suite tier
 def test_anchor_coverage_equals_brute_force(spark, corpora):
     import os
     import tempfile

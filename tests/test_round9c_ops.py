@@ -10,6 +10,8 @@ the same hashes (banding may never lose an in-radius pair)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -397,6 +399,7 @@ _bpe_corpus = st.lists(
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_bpe_corpus)
+@pytest.mark.slow  # randomized-reference sweep: round-close full-suite tier
 def test_bpe_trainer_matches_reference_on_random_corpora(spark, texts):
     rows = [(i + 1, t, "en", "s") for i, t in enumerate(texts)]
     sf = _write_docs(spark, rows)
